@@ -1,0 +1,305 @@
+"""HTML main-content extraction: trafilatura-style boilerplate strip.
+
+Replaces the reference's LLM vision extraction call
+(``app/backend/services/ai/extraction.py:207-334``) with a
+deterministic DOM-heuristic classifier from the published
+Readability/boilerpipe/trafilatura algorithm family:
+
+* **section pruning** — subtrees under ``nav/header/footer/aside`` (or
+  elements whose class/id matches a boilerplate vocabulary) are never
+  main content;
+* **link-text ratio** — text blocks dominated by anchor text are
+  navigation/boilerplate;
+* **text-block segmentation** — block-level elements become candidate
+  blocks; short fragment blocks without sentence structure are dropped.
+
+stdlib-only (``html.parser``) so the kernel is fully deterministic and
+identical between the pytest oracle and the Spark pandas UDF.
+
+Output: main text (blocks joined by a blank line) + character spans
+``(start, end, kind)`` with kind ∈ {title, paragraph, list_item,
+table_text} (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
+
+# Subtrees that never contain main content.
+_SKIP_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "svg",
+        "iframe",
+        "form",
+        "select",
+        "option",
+        "button",
+        "head",
+        "object",
+        "embed",
+        "canvas",
+        "audio",
+        "video",
+        "map",
+    }
+)
+
+# Semantic boilerplate sections (trafilatura's OVERALL_DISCARD analogue).
+_BOILER_TAGS = frozenset({"nav", "header", "footer", "aside", "menu"})
+
+# class/id tokens that mark a subtree as boilerplate.
+_BOILER_ATTR_RE = re.compile(
+    r"(?:^|[\s_-])(?:nav|navbar|menu|sidebar|side-bar|footer|header|banner|"
+    r"breadcrumbs?|advert\w*|ads?|sponsor\w*|promo\w*|share|social|comment\w*|"
+    r"related|widget|cookie\w*|popup|modal|subscribe|newsletter|pagination|"
+    r"skip-link|masthead|byline-tools)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+# Elements that open a fresh text block.
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_BLOCK_TAGS = frozenset(
+    {
+        "p",
+        "li",
+        "td",
+        "th",
+        "pre",
+        "blockquote",
+        "figcaption",
+        "dt",
+        "dd",
+        "caption",
+        "summary",
+    }
+    | _HEADINGS
+)
+
+# Containers whose open/close flushes any implicit (tag-less) block.
+_CONTAINER_TAGS = frozenset(
+    {
+        "div",
+        "section",
+        "article",
+        "main",
+        "body",
+        "ul",
+        "ol",
+        "dl",
+        "table",
+        "thead",
+        "tbody",
+        "tfoot",
+        "tr",
+        "figure",
+        "details",
+    }
+)
+
+_WS_RE = re.compile(r"\s+")
+
+# Block-acceptance thresholds (deterministic; tuned on the synthetic
+# corpus, in the spirit of boilerpipe's densitometric thresholds).
+_MIN_PARAGRAPH_CHARS = 25
+_MIN_SHORT_SENTENCE_CHARS = 10
+_MIN_LIST_ITEM_CHARS = 15
+_MIN_TABLE_CELL_CHARS = 3
+_MAX_PARAGRAPH_LINK_RATIO = 1.0 / 3.0
+_MAX_LIST_LINK_RATIO = 0.25
+_MAX_TABLE_LINK_RATIO = 0.2
+_MAX_HEADING_LINK_RATIO = 0.8
+_SENTENCE_END = (".", "!", "?", ":", ";", "”", '"', "»")
+
+
+def _kind_for_tag(tag: str) -> str:
+    if tag in _HEADINGS:
+        return "title"
+    if tag == "li":
+        return "list_item"
+    if tag in ("td", "th", "caption"):
+        return "table_text"
+    return "paragraph"
+
+
+class _Block:
+    __slots__ = ("kind", "parts", "link_chars", "boiler")
+
+    def __init__(self, kind: str, boiler: bool) -> None:
+        self.kind = kind
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.boiler = boiler
+
+
+class _MainContentParser(HTMLParser):
+    """Streams the DOM once, segmenting text into classified blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str]] = []  # (kind, normalized text)
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._boiler_stack: list[str] = []  # tags that raised boiler depth
+        self._current: _Block | None = None
+
+    # -- helpers -------------------------------------------------------
+
+    def _attr_is_boiler(self, attrs: list[tuple[str, str | None]]) -> bool:
+        for name, value in attrs:
+            if name in ("class", "id", "role") and value:
+                if name == "role" and value.lower() in (
+                    "navigation",
+                    "banner",
+                    "contentinfo",
+                    "complementary",
+                ):
+                    return True
+                if name != "role" and _BOILER_ATTR_RE.search(value):
+                    return True
+        return False
+
+    def _flush(self) -> None:
+        block = self._current
+        self._current = None
+        if block is None or block.boiler:
+            return
+        text = _WS_RE.sub(" ", "".join(block.parts)).strip()
+        if not text:
+            return
+        n = len(text)
+        ratio = block.link_chars / n
+        kind = block.kind
+        if kind == "title":
+            keep = ratio < _MAX_HEADING_LINK_RATIO
+        elif kind == "list_item":
+            keep = n >= _MIN_LIST_ITEM_CHARS and ratio <= _MAX_LIST_LINK_RATIO
+        elif kind == "table_text":
+            keep = n >= _MIN_TABLE_CELL_CHARS and ratio <= _MAX_TABLE_LINK_RATIO
+        else:
+            keep = ratio <= _MAX_PARAGRAPH_LINK_RATIO and (
+                n >= _MIN_PARAGRAPH_CHARS
+                or (n >= _MIN_SHORT_SENTENCE_CHARS and text.endswith(_SENTENCE_END))
+            )
+        if keep:
+            self.blocks.append((kind, text))
+
+    def _open_block(self, kind: str) -> None:
+        self._flush()
+        self._current = _Block(kind, boiler=self._boiler_depth > 0)
+
+    # -- HTMLParser hooks ----------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in _BOILER_TAGS or self._attr_is_boiler(attrs):
+            self._boiler_depth += 1
+            self._boiler_stack.append(tag)
+            self._flush()
+            return
+        if tag == "a":
+            self._link_depth += 1
+            return
+        if tag == "br":
+            if self._current is not None:
+                self._current.parts.append(" ")
+            return
+        if tag in _BLOCK_TAGS:
+            self._open_block(_kind_for_tag(tag))
+        elif tag in _CONTAINER_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "br" and self._current is not None and not self._skip_depth:
+            self._current.parts.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if self._skip_depth:
+            return
+        if self._boiler_stack and self._boiler_stack[-1] == tag:
+            self._boiler_stack.pop()
+            self._boiler_depth -= 1
+            return
+        if tag == "a":
+            if self._link_depth:
+                self._link_depth -= 1
+            return
+        if tag in _BLOCK_TAGS or tag in _CONTAINER_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        if self._current is None:
+            if not data.strip():
+                return
+            # Implicit block: bare text inside a container.
+            self._current = _Block("paragraph", boiler=self._boiler_depth > 0)
+        self._current.parts.append(data)
+        if self._link_depth:
+            self._current.link_chars += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def _decode(data: bytes) -> tuple[str, list[str]]:
+    try:
+        return data.decode("utf-8"), []
+    except UnicodeDecodeError:
+        return data.decode("latin-1"), ["html: non-utf8 bytes, latin-1 fallback"]
+
+
+def extract_html(data: bytes) -> ExtractionResult:
+    """Extract main content text + spans from raw HTML bytes."""
+    markup, warnings = _decode(data)
+    parser = _MainContentParser()
+    try:
+        parser.feed(markup)
+        parser.close()
+    except Exception as exc:
+        return ExtractionResult(
+            text="",
+            spans=[],
+            parse_ok=False,
+            warnings=warnings + [f"html parse error: {type(exc).__name__}"],
+            content_type="html",
+        )
+    pieces: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for kind, text in parser.blocks:
+        if pieces:
+            offset += 2  # "\n\n" separator
+        spans.append(Span(offset, offset + len(text), kind))
+        pieces.append(text)
+        offset += len(text)
+    out = "\n\n".join(pieces)
+    parse_ok = True
+    if not out:
+        if "<" not in markup:
+            # No markup at all: junk binary routed here by the
+            # magic-byte dispatcher — a malformed row, not a thin page.
+            parse_ok = False
+            warnings = warnings + ["html: no markup found"]
+        else:
+            warnings = warnings + ["html: no main content found"]
+    return ExtractionResult(
+        text=out, spans=spans, parse_ok=parse_ok, warnings=warnings, content_type="html"
+    )

@@ -1,0 +1,313 @@
+"""PDF text extraction: pdfminer-style layout analysis.
+
+Replaces the reference's rasterize-then-vision pipeline
+(``app/backend/services/pdf_service.py:97-104`` +
+``services/ai/extraction.py:241-254``) with deterministic parsing of
+PDF content streams:
+
+1. tokenize uncompressed content streams and interpret the text
+   operators (``BT/ET Tf Td TD TL Tm T* Tj TJ '``), accumulating
+   positioned text runs ``(page, y, x, font_size, text)``;
+2. cluster runs into lines by baseline ``y`` (pdfminer's LTTextLine
+   analogue), sort in reading order ``(page, -y, x)``;
+3. group lines into blocks by vertical gap relative to the line's font
+   size (LTTextBox analogue), classify ``title`` vs ``paragraph`` by
+   font size.
+
+Scope (SURVEY.md §7.4): single-column text PDFs with uncompressed
+content streams — exactly the shape the synthetic corpus generator
+emits (pattern: reference ``tests/conftest.py:20-59`` builds a minimal
+valid PDF by hand). Parity with the oracle, not pdfminer-completeness,
+is the bar.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
+
+# Vertical gap (in multiples of font size) that splits two lines into
+# separate blocks; pdfminer's LAParams.line_margin analogue.
+_BLOCK_GAP_FACTOR = 1.6
+# Font size at or above which a block is classified as a title.
+_TITLE_FONT_SIZE = 18.0
+# Baseline-y tolerance for clustering runs into one line.
+_LINE_Y_TOL = 2.0
+
+_ESCAPES = {
+    b"n": "\n",
+    b"r": "\r",
+    b"t": "\t",
+    b"b": "\b",
+    b"f": "\f",
+    b"(": "(",
+    b")": ")",
+    b"\\": "\\",
+}
+
+
+def _parse_pdf_string(buf: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting at ``buf[i] == '('``.
+
+    Returns (decoded text, index after the closing paren). Handles
+    nested parens and backslash escapes per PDF 32000-1 §7.3.4.2.
+    """
+    assert buf[i : i + 1] == b"("
+    i += 1
+    depth = 1
+    out: list[str] = []
+    n = len(buf)
+    while i < n:
+        c = buf[i : i + 1]
+        if c == b"\\":
+            nxt = buf[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif nxt.isdigit():  # octal escape \ddd
+                j = i + 1
+                digits = b""
+                while j < n and len(digits) < 3 and buf[j : j + 1].isdigit():
+                    digits += buf[j : j + 1]
+                    j += 1
+                out.append(chr(int(digits, 8)))
+                i = j
+            else:
+                i += 2  # line continuation or unknown escape: drop
+        elif c == b"(":
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(")")
+            i += 1
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    raise ValueError("unterminated PDF string")
+
+
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _tokenize(buf: bytes):
+    """Yield tokens from a content stream: floats, names, strings,
+    array markers, and operators."""
+    i, n = 0, len(buf)
+    while i < n:
+        c = buf[i : i + 1]
+        if c in b" \t\r\n\x00":
+            i += 1
+        elif c == b"(":
+            s, i = _parse_pdf_string(buf, i)
+            yield ("str", s)
+        elif c == b"[":
+            yield ("arr_open", None)
+            i += 1
+        elif c == b"]":
+            yield ("arr_close", None)
+            i += 1
+        elif c == b"/":
+            m = _OP_RE.match(buf, i + 1)
+            name = m.group().decode("latin-1") if m else ""
+            yield ("name", name)
+            i = (m.end() if m else i + 1)
+        elif c == b"<":
+            # hex string or dict — skip to matching close (not emitted
+            # by our generator; tolerated for robustness)
+            j = buf.find(b">", i)
+            i = j + 1 if j >= 0 else n
+        else:
+            m = _NUM_RE.match(buf, i)
+            if m and m.start() == i:
+                yield ("num", float(m.group()))
+                i = m.end()
+                continue
+            m = _OP_RE.match(buf, i)
+            if m:
+                yield ("op", m.group().decode("latin-1"))
+                i = m.end()
+            else:
+                i += 1  # unknown byte: skip
+
+
+class _TextState:
+    __slots__ = ("x", "y", "lx", "ly", "leading", "size")
+
+    def __init__(self) -> None:
+        self.x = 0.0  # current position
+        self.y = 0.0
+        self.lx = 0.0  # line start (Td is relative to this)
+        self.ly = 0.0
+        self.leading = 0.0
+        self.size = 12.0
+
+
+def _runs_from_stream(buf: bytes) -> list[tuple[float, float, float, str]]:
+    """Interpret text operators; return runs of (y, x, size, text)."""
+    runs: list[tuple[float, float, float, str]] = []
+    st = _TextState()
+    stack: list = []
+    in_array = False
+    array_items: list = []
+    for kind, val in _tokenize(buf):
+        if kind == "arr_open":
+            in_array = True
+            array_items = []
+        elif kind == "arr_close":
+            in_array = False
+            stack.append(("arr", array_items))
+        elif kind in ("num", "str", "name"):
+            if in_array:
+                array_items.append((kind, val))
+            else:
+                stack.append((kind, val))
+        elif kind == "op":
+            op = val
+            if op == "Tf" and len(stack) >= 2:
+                st.size = float(stack[-1][1])
+            elif op in ("Td", "TD") and len(stack) >= 2:
+                tx, ty = float(stack[-2][1]), float(stack[-1][1])
+                if op == "TD":
+                    st.leading = -ty
+                st.lx += tx
+                st.ly += ty
+                st.x, st.y = st.lx, st.ly
+            elif op == "Tm" and len(stack) >= 6:
+                st.lx, st.ly = float(stack[-2][1]), float(stack[-1][1])
+                st.x, st.y = st.lx, st.ly
+            elif op == "TL" and stack:
+                st.leading = float(stack[-1][1])
+            elif op == "T*":
+                st.ly -= st.leading if st.leading else st.size * 1.2
+                st.x, st.y = st.lx, st.ly
+            elif op == "Tj" and stack and stack[-1][0] == "str":
+                text = stack[-1][1]
+                if text:
+                    runs.append((st.y, st.x, st.size, text))
+                    st.x += 0.5 * st.size * len(text)
+            elif op == "'" and stack and stack[-1][0] == "str":
+                st.ly -= st.leading if st.leading else st.size * 1.2
+                st.x, st.y = st.lx, st.ly
+                text = stack[-1][1]
+                if text:
+                    runs.append((st.y, st.x, st.size, text))
+                    st.x += 0.5 * st.size * len(text)
+            elif op == "TJ" and stack and stack[-1][0] == "arr":
+                text = "".join(v for k, v in stack[-1][1] if k == "str")
+                if text:
+                    runs.append((st.y, st.x, st.size, text))
+                    st.x += 0.5 * st.size * len(text)
+            elif op == "BT":
+                st = _TextState()
+            stack = []
+    return runs
+
+
+def extract_pdf(data: bytes) -> ExtractionResult:
+    """Extract reading-ordered text + spans from raw PDF bytes."""
+    warnings: list[str] = []
+    if b"%%EOF" not in data:
+        warnings.append("pdf: missing %%EOF (truncated?)")
+    streams = _STREAM_RE.findall(data)
+    if not streams:
+        return ExtractionResult(
+            text="",
+            spans=[],
+            parse_ok=False,
+            warnings=warnings + ["pdf: no content streams found"],
+            content_type="pdf",
+        )
+
+    # One content stream per page in our corpus; page order = file order.
+    lines: list[tuple[int, float, float, float, str]] = []  # page,-y,x,size,text
+    for page, stream in enumerate(streams):
+        try:
+            runs = _runs_from_stream(stream)
+        except Exception as exc:
+            warnings.append(f"pdf: stream {page} parse error: {type(exc).__name__}")
+            continue
+        # Cluster runs into lines by baseline y.
+        runs.sort(key=lambda r: (-r[0], r[1]))
+        cur_y: float | None = None
+        cur_parts: list[tuple[float, str]] = []
+        cur_size = 12.0
+
+        def flush_line() -> None:
+            if cur_parts and cur_y is not None:
+                text = " ".join(
+                    t for _, t in sorted(cur_parts, key=lambda p: p[0])
+                ).strip()
+                if text:
+                    lines.append((page, -cur_y, cur_parts[0][0], cur_size, text))
+
+        for y, x, size, text in runs:
+            if cur_y is None or abs(y - cur_y) > _LINE_Y_TOL:
+                flush_line()
+                cur_y, cur_parts, cur_size = y, [(x, text)], size
+            else:
+                cur_parts.append((x, text))
+                cur_size = max(cur_size, size)
+        flush_line()
+
+    if not lines:
+        return ExtractionResult(
+            text="",
+            spans=[],
+            parse_ok=False,
+            warnings=warnings + ["pdf: no text extracted"],
+            content_type="pdf",
+        )
+
+    # Reading order: (page, top-to-bottom, left-to-right).
+    lines.sort(key=lambda ln: (ln[0], ln[1], ln[2]))
+
+    # Group lines into blocks by vertical gap.
+    blocks: list[tuple[str, str]] = []  # (kind, text)
+    cur_lines: list[str] = []
+    cur_kind = "paragraph"
+    prev: tuple[int, float, float] | None = None  # page, -y, size
+    for page, neg_y, _x, size, text in lines:
+        new_block = False
+        if prev is None:
+            new_block = True
+        else:
+            p_page, p_neg_y, p_size = prev
+            gap = neg_y - p_neg_y
+            if page != p_page or gap > _BLOCK_GAP_FACTOR * max(p_size, size):
+                new_block = True
+            elif (size >= _TITLE_FONT_SIZE) != (p_size >= _TITLE_FONT_SIZE):
+                new_block = True
+        if new_block and cur_lines:
+            blocks.append((cur_kind, " ".join(cur_lines)))
+            cur_lines = []
+        if new_block:
+            cur_kind = "title" if size >= _TITLE_FONT_SIZE else "paragraph"
+        cur_lines.append(text)
+        prev = (page, neg_y, size)
+    if cur_lines:
+        blocks.append((cur_kind, " ".join(cur_lines)))
+
+    pieces: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for kind, text in blocks:
+        if pieces:
+            offset += 2
+        spans.append(Span(offset, offset + len(text), kind))
+        pieces.append(text)
+        offset += len(text)
+    return ExtractionResult(
+        text="\n\n".join(pieces),
+        spans=spans,
+        parse_ok=True,
+        warnings=warnings,
+        content_type="pdf",
+    )

@@ -1,0 +1,44 @@
+"""Result types shared by kernels, oracle, and Spark UDF wrappers.
+
+The shape mirrors the reference's per-document extraction record
+``{source_file, extracted_data, confidence, warnings, ...}``
+(``app/backend/models.py:159-205``) specialized to the rebuild's fixed
+output schema (SURVEY.md §7.2): extracted text + character spans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Span:
+    """A character span into ``extracted_text``.
+
+    ``kind`` is one of ``title | paragraph | list_item | table_text``
+    (FIXTURES.md §2).
+    """
+
+    start: int
+    end: int
+    kind: str
+
+    def as_tuple(self) -> tuple[int, int, str]:
+        return (self.start, self.end, self.kind)
+
+
+@dataclass
+class ExtractionResult:
+    text: str
+    spans: list[Span]
+    parse_ok: bool
+    warnings: list[str] = field(default_factory=list)
+    content_type: str = "unknown"
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def n_spans(self) -> int:
+        return len(self.spans)

@@ -1,0 +1,80 @@
+"""Single-process oracle: run the extraction kernels standalone and
+write golden parquet (FIXTURES.md §2).
+
+This is the analogue of the reference's stored golden corpora
+(``app/test-pdfs/*/extraction_results.json``) — the Spark pipeline's
+output must match it byte-identically per url (BASELINE.json
+north_rule). Spark-free (pure pyarrow) so pytest can regenerate
+fixtures without a JVM.
+"""
+
+from __future__ import annotations
+
+from ai_pdf_extraction_spark.kernels import extract_document
+
+GOLDEN_COLUMNS = (
+    "url",
+    "extracted_text",
+    "spans",
+    "parse_ok",
+    "warnings",
+    "content_type",
+    "n_chars",
+    "n_spans",
+)
+
+
+def extract_rows(pages: list[dict]) -> list[dict]:
+    """Run the kernel over page rows; one golden row per input row."""
+    out: list[dict] = []
+    for row in pages:
+        res = extract_document(row["html"])
+        out.append(
+            {
+                "url": row["url"],
+                "extracted_text": res.text,
+                "spans": [s.as_tuple() for s in res.spans],
+                "parse_ok": res.parse_ok,
+                "warnings": list(res.warnings),
+                "content_type": res.content_type,
+                "n_chars": res.n_chars,
+                "n_spans": res.n_spans,
+            }
+        )
+    return out
+
+
+def write_golden_parquet(path: str, pages: list[dict]) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = extract_rows(pages)
+    span_type = pa.list_(
+        pa.struct(
+            [
+                pa.field("start", pa.int64(), nullable=False),
+                pa.field("end", pa.int64(), nullable=False),
+                pa.field("kind", pa.string(), nullable=False),
+            ]
+        )
+    )
+    table = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "extracted_text": pa.array([r["extracted_text"] for r in rows], pa.string()),
+            "spans": pa.array(
+                [
+                    [{"start": s[0], "end": s[1], "kind": s[2]} for s in r["spans"]]
+                    for r in rows
+                ],
+                span_type,
+            ),
+            "parse_ok": pa.array([r["parse_ok"] for r in rows], pa.bool_()),
+            "warnings": pa.array([r["warnings"] for r in rows], pa.list_(pa.string())),
+            "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, path)
+    return len(rows)

@@ -1,0 +1,68 @@
+"""Partitioning & skew handling (north_rule: url-hash bucketed
+partitioning, salted repartition of skewed hosts).
+
+Design-scale rationale (10^12 docs): the output table is partitioned
+by ``bucket = pmod(xxhash64(url), n_buckets)`` — the Spark analogue of
+Iceberg's ``bucket(N, url)`` transform (reference's sha256 dedup key,
+``routers/batches.py:381-382``, generalized into the partition key per
+SURVEY.md §4 X7). Buckets are the unit of checkpointing/resume, and a
+filter on ``bucket`` prunes partitions natively.
+
+Host skew: Common-Crawl hosts are Zipfian — one host can hold a large
+slice of a crawl. Any host-keyed shuffle (metrics groupBy, host-level
+dedup) must salt: ``(host, pmod(xxhash64(url), n_salts))`` spreads one
+hot host over ``n_salts`` reducers, then a second, tiny aggregation
+recombines. AQE skew-join splitting covers *joins*, not custom
+repartitions, hence the explicit salt (SURVEY.md §4 custom-work (b)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_BUCKETS = 64
+DEFAULT_N_SALTS = 16
+
+
+def url_host(col: str = "url"):
+    """Extract the host from a url column — JVM-side regex, no UDF."""
+    return F.regexp_extract(F.col(col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+
+def url_bucket(col: str = "url", n_buckets: int = DEFAULT_N_BUCKETS):
+    """Deterministic url-hash bucket (Iceberg bucket-transform analogue)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def salt(col: str = "url", n_salts: int = DEFAULT_N_SALTS):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_salts)).cast("int")
+
+
+def with_partition_columns(
+    df: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_salts: int = DEFAULT_N_SALTS,
+) -> DataFrame:
+    return (
+        df.withColumn("host", url_host())
+        .withColumn("bucket", url_bucket(n_buckets=n_buckets))
+        .withColumn("salt", salt(n_salts=n_salts))
+    )
+
+
+def repartition_salted(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Repartition by (host, salt) so a skewed host spreads across
+    ``n_salts`` tasks instead of hot-spotting one."""
+    cols = [F.col("host"), F.col("salt")]
+    if num_partitions:
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)
+
+
+def salted_host_counts(df: DataFrame) -> DataFrame:
+    """Two-phase (salted) per-host aggregation: partial count per
+    (host, salt), then the tiny recombine — the classic skew-safe
+    groupBy. Output: (host, n_docs)."""
+    partial = df.groupBy("host", "salt").agg(F.count("*").alias("partial_n"))
+    return partial.groupBy("host").agg(F.sum("partial_n").alias("n_docs"))

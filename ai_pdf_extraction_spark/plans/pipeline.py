@@ -1,0 +1,163 @@
+"""End-to-end extraction pipeline: read → route → extract → write,
+resumable per bucket group (SURVEY.md §3.1 Spark translation).
+
+Lifecycle parity with the reference's flagship path
+(``POST /extract-batch``, ``routers/batches.py:262-427``):
+
+| reference step | here |
+|---|---|
+| ingest + validation predicates | scan + ``parse_ok`` inside kernel |
+| background task + semaphore(5) | Spark task scheduler |
+| per-doc status rows (``PENDING→…``) | per-bucket checkpoint = snapshot manifest |
+| extraction LLM call per chunk | pandas UDF batch per Arrow slice |
+| Postgres insert per doc | bucket-partitioned parquet/Iceberg append |
+| batch counters (``batches.py:221-241``) | per-bucket metrics in the snapshot |
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ai_pdf_extraction_spark.operators.extract import extract_udf
+from ai_pdf_extraction_spark.plans.partitioning import (
+    DEFAULT_N_BUCKETS,
+    url_bucket,
+    url_host,
+)
+from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+OUTPUT_COLUMNS = (
+    "url",
+    "warc_ts",
+    "lang",
+    "host",
+    "content_type",
+    "extracted_text",
+    "spans",
+    "parse_ok",
+    "warnings",
+    "n_chars",
+    "n_spans",
+    "run_id",
+    "bucket",
+)
+
+
+def extraction_plan(pages: DataFrame, run_id: str, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    """Build the logical plan for one pass.
+
+    Only ``(url, html)``-derived columns enter the Python worker; all
+    metadata columns ride along JVM-side (SURVEY.md §4: project only
+    what the black-box UDF needs).
+    """
+    extracted = pages.withColumn("extraction", extract_udf(F.col("html")))
+    return extracted.select(
+        "url",
+        "warc_ts",
+        "lang",
+        url_host().alias("host"),
+        F.col("extraction.content_type").alias("content_type"),
+        F.col("extraction.extracted_text").alias("extracted_text"),
+        F.col("extraction.spans").alias("spans"),
+        F.col("extraction.parse_ok").alias("parse_ok"),
+        F.col("extraction.warnings").alias("warnings"),
+        F.col("extraction.n_chars").alias("n_chars"),
+        F.col("extraction.n_spans").alias("n_spans"),
+        F.lit(run_id).alias("run_id"),
+        url_bucket(n_buckets=n_buckets).alias("bucket"),
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    buckets_per_commit: int | None = None,
+) -> dict:
+    """Run (or resume) extraction over a page corpus.
+
+    Resume semantics (SURVEY.md §2.9 ST1): buckets already present in
+    the output table's snapshot chain are skipped — the per-partition
+    watermark. ``buckets_per_commit`` controls commit granularity
+    (None = single commit; smaller values trade commit overhead for
+    finer resume points, the knob a 1000-executor run would set to
+    bound recomputation after preemption).
+    """
+    table = SnapshotTable(output_root)
+    done = table.committed_buckets()
+    pending = [b for b in range(n_buckets) if b not in done]
+    if not pending:
+        return {"run_id": run_id, "committed": [], "skipped": sorted(done), "docs": 0}
+
+    pages = spark.read.parquet(input_path)
+    plan = extraction_plan(pages, run_id, n_buckets)
+
+    group = len(pending) if buckets_per_commit is None else buckets_per_commit
+    committed: list[int] = []
+    total_docs = 0
+    for i in range(0, len(pending), group):
+        chunk = pending[i : i + group]
+        commit_id = table.new_commit_id()
+        t0 = time.monotonic()
+        out = plan.filter(F.col("bucket").isin(chunk)).withColumn(
+            "commit_id", F.lit(commit_id)
+        )
+        out.write.partitionBy("bucket", "commit_id").mode("append").parquet(
+            table.data_dir
+        )
+        elapsed = time.monotonic() - t0
+        # Metrics computed from the written data (single extra scan of
+        # the small output, never of the input binary column). An
+        # all-empty chunk writes no files at all — commit an empty
+        # watermark so resume still advances past it.
+        try:
+            written = (
+                spark.read.option("basePath", table.data_dir)
+                .parquet(table.data_dir)
+                .filter(F.col("commit_id") == commit_id)
+            )
+            stats = (
+                written.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias(
+                        "n_parse_fail"
+                    ),
+                    F.sum("n_chars").alias("sum_chars"),
+                    F.sum("n_spans").alias("sum_spans"),
+                )
+                .collect()
+            )
+        except AnalysisException:
+            stats = []
+        n_docs = sum(r["n_docs"] for r in stats)
+        metrics = [
+            {
+                "bucket": int(r["bucket"]),
+                "n_docs": int(r["n_docs"]),
+                "n_parse_fail": int(r["n_parse_fail"]),
+                "parse_fail_rate": round(r["n_parse_fail"] / max(r["n_docs"], 1), 6),
+                "sum_chars": int(r["sum_chars"]),
+                "sum_spans": int(r["sum_spans"]),
+                "commit_elapsed_sec": round(elapsed, 3),
+                "commit_docs_per_sec": round(n_docs / max(elapsed, 1e-9), 3),
+            }
+            for r in stats
+        ]
+        # Buckets with zero rows still count as committed (watermark
+        # must advance past empty partitions).
+        table.commit(chunk, run_id, metrics, commit_id=commit_id)
+        committed.extend(chunk)
+        total_docs += n_docs
+    return {
+        "run_id": run_id,
+        "committed": committed,
+        "skipped": sorted(done),
+        "docs": total_docs,
+    }

@@ -1,0 +1,146 @@
+"""Snapshot-committing output table: Iceberg semantics on plain parquet.
+
+The north_rule targets an Iceberg output table with per-partition
+watermark checkpoints committed as snapshots. The sandbox runtime has
+no Iceberg jar (SURVEY.md §7.4), so this module implements the same
+*semantics* behind a small interface:
+
+* data files live under ``root/data/bucket=<b>/`` (hive-style layout —
+  Spark prunes on ``bucket`` natively, the analogue of Iceberg's
+  ``bucket(N, url)`` partition-transform pruning);
+* each commit writes an atomic JSON manifest
+  ``root/_manifests/snapshot-<k>.json`` recording the parent snapshot,
+  the buckets committed, and per-bucket metrics — the snapshot chain
+  IS the lineage (reference's audit trail analogue,
+  ``models_db.py:288-306``);
+* readers only trust buckets reachable from the manifest chain, so a
+  killed run leaves no visible partial state and resume is exact.
+
+On a real cluster, swap ``SnapshotTable`` for
+``df.writeTo(tbl).append()`` on an Iceberg catalog — the pipeline code
+(``plans/pipeline.py``) only touches this interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- snapshot chain --------------------------------------------------
+
+    def _manifest_paths(self) -> list[str]:
+        names = sorted(
+            n for n in os.listdir(self.manifest_dir)
+            if n.startswith("snapshot-") and n.endswith(".json")
+        )
+        return [os.path.join(self.manifest_dir, n) for n in names]
+
+    def snapshots(self) -> list[dict]:
+        return [json.load(open(p)) for p in self._manifest_paths()]
+
+    def current_snapshot(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def committed_buckets(self) -> set[int]:
+        out: set[int] = set()
+        for snap in self.snapshots():
+            out.update(snap["buckets"])
+        return out
+
+    def committed_commit_ids(self) -> set[str]:
+        """Commit ids reachable from the manifest chain. Data written
+        under a commit id that never got a manifest (crashed run) is
+        orphaned and invisible — Iceberg's uncommitted-file semantics."""
+        return {snap["commit_id"] for snap in self.snapshots() if snap.get("commit_id")}
+
+    # -- write path --------------------------------------------------------
+
+    def new_commit_id(self) -> str:
+        return uuid.uuid4().hex
+
+    def append(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        run_id: str,
+        metrics: list[dict] | None = None,
+    ) -> dict:
+        """Write ``df`` (must carry a ``bucket`` column restricted to
+        ``buckets``) and commit a snapshot manifest atomically."""
+        from pyspark.sql import functions as F
+
+        commit_id = self.new_commit_id()
+        (
+            df.withColumn("commit_id", F.lit(commit_id))
+            .write.partitionBy("bucket", "commit_id")
+            .mode("append")
+            .parquet(self.data_dir)
+        )
+        return self.commit(buckets, run_id, metrics, commit_id=commit_id)
+
+    def commit(
+        self,
+        buckets,
+        run_id: str,
+        metrics: list[dict] | None = None,
+        commit_id: str | None = None,
+    ) -> dict:
+        """Commit a snapshot manifest (data already written under
+        ``commit_id``). The ``os.replace`` rename is the atomicity
+        point — a crash before it leaves the data files invisible."""
+        parent = self.current_snapshot()
+        seq = (parent["sequence"] + 1) if parent else 0
+        snap = {
+            "snapshot_id": uuid.uuid4().hex,
+            "sequence": seq,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "run_id": run_id,
+            "commit_id": commit_id,
+            "buckets": sorted(int(b) for b in buckets),
+            "metrics": metrics or [],
+        }
+        tmp = os.path.join(self.manifest_dir, f".tmp-{snap['snapshot_id']}")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=1)
+        os.replace(tmp, os.path.join(self.manifest_dir, f"snapshot-{seq:06d}.json"))
+        return snap
+
+    # -- read path -----------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read only snapshot-committed data. ``(bucket, commit_id)``
+        are hive partition columns, so both filters prune partitions —
+        uncommitted (orphaned) commit dirs are never scanned."""
+        df = spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+        return df.filter(
+            df.bucket.isin(sorted(self.committed_buckets()))
+            & df.commit_id.isin(sorted(self.committed_commit_ids()))
+        )
+
+    def lineage(self) -> list[dict]:
+        """Flattened per-partition lineage rows (north_rule)."""
+        rows = []
+        for snap in self.snapshots():
+            for m in snap["metrics"]:
+                rows.append(
+                    {
+                        "snapshot_id": snap["snapshot_id"],
+                        "parent_id": snap["parent_id"],
+                        "run_id": snap["run_id"],
+                        **m,
+                    }
+                )
+        return rows

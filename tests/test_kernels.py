@@ -1,0 +1,139 @@
+"""Kernel unit tests (no Spark). Mirrors the reference's layered test
+strategy (SURVEY.md §5): scalar behavior pinned with explicit cases."""
+
+from __future__ import annotations
+
+from ai_pdf_extraction_spark.corpus.generate import generate_pages
+from ai_pdf_extraction_spark.kernels import extract_document
+from ai_pdf_extraction_spark.kernels.html_extract import extract_html
+from ai_pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+
+
+def test_html_strips_boilerplate():
+    html = (
+        b"<html><head><title>T</title><script>junk()</script></head><body>"
+        b"<nav><ul><li><a href='/a'>Home</a></li><li><a href='/b'>About us page</a></li></ul></nav>"
+        b"<main><h1>Real heading here</h1>"
+        b"<p>This is the genuine main content paragraph with enough length to keep.</p></main>"
+        b"<footer><p>Copyright 2025 Example Corp all rights reserved worldwide.</p></footer>"
+        b"</body></html>"
+    )
+    res = extract_html(html)
+    assert res.parse_ok
+    assert "Real heading here" in res.text
+    assert "genuine main content" in res.text
+    assert "Home" not in res.text
+    assert "Copyright" not in res.text
+    assert "junk()" not in res.text
+    assert res.spans[0].kind == "title"
+
+
+def test_html_link_density_drops_nav_blocks():
+    html = (
+        b"<body><div><p><a href='/x'>Link one here</a> <a href='/y'>Link two here</a>"
+        b" <a href='/z'>Link three here</a></p>"
+        b"<p>A normal sentence that is certainly long enough to be kept as content.</p></div></body>"
+    )
+    res = extract_html(html)
+    assert "Link one" not in res.text
+    assert "normal sentence" in res.text
+
+
+def test_html_class_based_boilerplate():
+    html = (
+        b"<body><div class='sidebar'><p>Promotional sidebar text that is quite long indeed.</p></div>"
+        b"<div class='content'><p>Kept paragraph with sufficient length for the classifier.</p></div></body>"
+    )
+    res = extract_html(html)
+    assert "Promotional" not in res.text
+    assert "Kept paragraph" in res.text
+
+
+def test_html_spans_offsets_are_exact():
+    html = b"<body><h1>Heading text here</h1><p>Paragraph body long enough to keep around.</p></body>"
+    res = extract_html(html)
+    assert len(res.spans) == 2
+    for span in res.spans:
+        segment = res.text[span.start : span.end]
+        assert segment == segment.strip()
+        assert "\n" not in segment
+    assert res.text[res.spans[0].start : res.spans[0].end] == "Heading text here"
+
+
+def test_html_table_and_list_kinds():
+    html = (
+        b"<body><ul><li>First list item with enough text to keep.</li></ul>"
+        b"<table><tr><td>Cell value</td></tr></table></body>"
+    )
+    res = extract_html(html)
+    kinds = {s.kind for s in res.spans}
+    assert "list_item" in kinds
+    assert "table_text" in kinds
+
+
+def test_html_entities_and_encoding_fallback():
+    res = extract_html("<p>caf\xe9 &amp; friends make it long enough.</p>".encode("latin-1"))
+    assert "café & friends" in res.text
+    assert any("latin-1" in w for w in res.warnings)
+
+
+def test_empty_and_junk_content():
+    assert extract_document(b"").parse_ok is False
+    junk = extract_document(bytes(range(1, 32)))
+    assert junk.parse_ok is False
+    assert junk.text == ""
+
+
+def test_pdf_reading_order_and_title():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n"
+        b"4 0 obj\n<< /Length 120 >>\nstream\n"
+        b"BT /F1 24 Tf 72 720 Td (Top Title) Tj ET\n"
+        b"BT /F1 12 Tf 72 600 Td 16 TL (first line) Tj T* (second line) Tj ET\n"
+        b"BT /F1 12 Tf 72 520 Td (lower block) Tj ET\n"
+        b"endstream\nendobj\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert res.parse_ok
+    assert res.text.startswith("Top Title")
+    assert res.text.index("first line") < res.text.index("lower block")
+    assert res.spans[0].kind == "title"
+    # the two 16pt-spaced lines merge into one block; the 80pt gap splits
+    assert "first line second line" in res.text
+
+
+def test_pdf_escapes():
+    pdf = (
+        b"%PDF-1.4\nstream\n"
+        b"BT /F1 12 Tf 72 700 Td (paren \\(x\\) and backslash \\\\ ok here today) Tj ET\n"
+        b"endstream\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert "paren (x) and backslash \\ ok" in res.text
+
+
+def test_pdf_no_streams_is_parse_fail():
+    res = extract_pdf(b"%PDF-1.4\nnothing here")
+    assert res.parse_ok is False
+
+
+def test_kernel_determinism_across_runs():
+    rows_a = generate_pages(50, seed=7)
+    rows_b = generate_pages(50, seed=7)
+    for a, b in zip(rows_a, rows_b):
+        assert a["html"] == b["html"]
+        ra, rb = extract_document(a["html"]), extract_document(b["html"])
+        assert ra.text == rb.text
+        assert [s.as_tuple() for s in ra.spans] == [s.as_tuple() for s in rb.spans]
+
+
+def test_corpus_has_required_shapes(pages_rows):
+    from ai_pdf_extraction_spark.corpus.generate import SKEWED_HOST
+
+    n = len(pages_rows)
+    skew = sum(1 for r in pages_rows if SKEWED_HOST in r["url"])
+    assert 0.2 * n < skew < 0.4 * n, "skewed host must hold ~30% of rows"
+    pdfs = sum(1 for r in pages_rows if r["html"][:4] == b"%PDF")
+    assert pdfs > 0
+    malformed = sum(1 for r in pages_rows if not extract_document(r["html"]).parse_ok)
+    assert malformed > 0

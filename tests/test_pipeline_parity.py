@@ -1,0 +1,122 @@
+"""End-to-end parity: Spark pipeline output must be byte-identical to
+the single-process oracle goldens per url (BASELINE.json north_rule;
+SURVEY.md §5 item 3). Also covers resume (§5 item 5) and skew salting
+(§5 item 6)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_extraction_parity_byte_identical(spark, corpus_dir, tmp_path):
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    out_root = str(tmp_path / "out")
+    result = run_extraction(
+        spark,
+        os.path.join(corpus_dir, "pages.parquet"),
+        out_root,
+        run_id="parity-run",
+        n_buckets=16,
+    )
+    assert result["docs"] == 300
+
+    actual = SnapshotTable(out_root).read(spark)
+    golden = spark.read.parquet(os.path.join(corpus_dir, "golden.parquet"))
+
+    joined = actual.alias("a").join(golden.alias("g"), "url", "full_outer")
+    total = joined.count()
+    assert total == 300, "row mismatch between pipeline output and golden"
+
+    matches = joined.filter(
+        F.expr("a.extracted_text <=> g.extracted_text")
+        & F.expr("a.parse_ok <=> g.parse_ok")
+        & F.expr("a.spans <=> g.spans")
+        & F.expr("a.warnings <=> g.warnings")
+        & F.expr("a.content_type <=> g.content_type")
+    ).count()
+    assert matches == total, f"only {matches}/{total} rows byte-identical"
+
+
+def test_resume_skips_committed_buckets(spark, corpus_dir, tmp_path):
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    out_root = str(tmp_path / "resume_out")
+    pages = os.path.join(corpus_dir, "pages.parquet")
+
+    # Simulate a killed run: commit only the first 3 bucket groups.
+    first = run_extraction(
+        spark, pages, out_root, run_id="run-a", n_buckets=8, buckets_per_commit=1
+    )
+    assert first["committed"] == list(range(8))
+    # Roll back to a crash state: drop the last 5 snapshot manifests.
+    table = SnapshotTable(out_root)
+    for name in sorted(os.listdir(table.manifest_dir))[3:]:
+        os.remove(os.path.join(table.manifest_dir, name))
+    assert table.committed_buckets() == {0, 1, 2}
+
+    # Resume must process exactly the 5 un-committed buckets.
+    second = run_extraction(spark, pages, out_root, run_id="run-b", n_buckets=8)
+    assert second["skipped"] == [0, 1, 2]
+    assert second["committed"] == [3, 4, 5, 6, 7]
+
+    # Final table: every url exactly once, despite orphaned data files
+    # from the "crashed" run (manifest filtering dedups by run for the
+    # committed buckets; orphan buckets 3-7 of run-a are re-read only
+    # if referenced — check global uniqueness on committed snapshots).
+    final = table.read(spark).filter(
+        F.col("run_id").isin(["run-a", "run-b"])
+    )
+    dupes = final.groupBy("url").count().filter("count > 1").count()
+    assert dupes == 0
+    assert final.count() == 300
+
+
+def test_salted_host_counts_match_plain_groupby(spark, corpus_dir):
+    from ai_pdf_extraction_spark.plans.partitioning import (
+        salted_host_counts,
+        with_partition_columns,
+    )
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    df = with_partition_columns(pages.select("url"))
+    salted = {r["host"]: r["n_docs"] for r in salted_host_counts(df).collect()}
+    plain = {
+        r["host"]: r["n"]
+        for r in df.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert salted == plain
+    assert salted["big.example.com"] > 0.2 * 300
+
+
+def test_salt_spreads_skewed_host(spark, corpus_dir):
+    from ai_pdf_extraction_spark.plans.partitioning import with_partition_columns
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    df = with_partition_columns(pages.select("url"))
+    skew_salts = (
+        df.filter(F.col("host") == "big.example.com")
+        .select("salt")
+        .distinct()
+        .count()
+    )
+    assert skew_salts >= 8, "skewed host must spread over most salt values"
+
+
+def test_output_partition_pruning(spark, corpus_dir, tmp_path):
+    """Reading one bucket must scan only that hive partition."""
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+
+    out_root = str(tmp_path / "prune_out")
+    run_extraction(
+        spark, os.path.join(corpus_dir, "pages.parquet"), out_root,
+        run_id="prune", n_buckets=8,
+    )
+    df = spark.read.parquet(os.path.join(out_root, "data")).filter("bucket = 3")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+    assert df.count() > 0
