@@ -1,38 +1,760 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 +
+the training-data curation ops) over the driver testdata tables;
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Column names
+and rounding are kept in lockstep between the two — the driver's
+compare hashes values after sorting columns by name.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — document curation pipeline (text analysis + dedup)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: enrich the documents table with token counts, language
+    guess, quality score, fingerprint, and exact-dedup canonical ids —
+    the curation pass a training-data pipeline runs after extraction."""
+    from ai_pdf_extraction_spark.operators.dedup import exact_dedup
+    from ai_pdf_extraction_spark.operators.text_analysis import with_text_analysis
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    enriched = with_text_analysis(docs)
+    dedup = exact_dedup(docs)
+    return enriched.join(dedup, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "n_tokens",
+        "lang_guess",
+        "quality",
+        "fingerprint",
+        "canonical_id",
+        "group_size",
+        "is_dup",
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2.2-2.6)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """Hash aggregation with partial/final combine (SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_filtered_revenue(spark, sf_dir):
+    """Predicate-pushdown scan + single global agg (§2.2 P1/P2 analogue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q03_region_nation_rollup(spark, sf_dir):
+    """Broadcast dimension joins (§2.3 J1/J3): customer⋈nation⋈region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def q04_order_priority_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q05_customers_without_orders(spark, sf_dir):
+    """Left-anti join (§2.3 J4 missing-set semantics): customers with
+    no URGENT order (every customer has some order in this corpus, so
+    the anti-join is restricted to make the result non-trivial)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q06_supplier_big_items(spark, sf_dir):
+    """Left-semi join + dimension rollup."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    big = li.filter(F.col("l_quantity") >= 48)
+    return (
+        s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+def q07_top_orders_per_customer(spark, sf_dir):
+    """Ranking window: top-3 orders per customer by totalprice."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+def q08_active_minus_urgent(spark, sf_dir):
+    """Set op (§2.6): customers with orders EXCEPT customers with
+    urgent orders."""
+    o = _t(spark, sf_dir, "orders")
+    active = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return active.exceptAll(urgent)
+
+
+def q09_order_lineitem_stats(spark, sf_dir):
+    """Fact-fact equi-join + multi-agg (§2.3 J2 analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.sum(F.col("l_quantity") * (1 - F.col("l_discount"))), 2).alias(
+                "eff_qty"
+            ),
+        )
+    )
+
+
+def q10_latest_orders(spark, sf_dir):
+    """Sort + limit — the reference's history pagination
+    (``routers/history.py:44-68``, §2.5 O1)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+def q11_status_rollup(spark, sf_dir):
+    """Conditional counters — the reference's batch success/fail
+    counters (``routers/batches.py:221-241``, §2.4 A8)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        ).alias("finished_value"),
+    )
+
+
+def q12_sha_bucketing(spark, sf_dir):
+    """Content-hash bucketing — sha256 dedup/partition key
+    (``routers/batches.py:381-382``, §2.2 P3 / §4 X7)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.substring(F.sha2(F.col("text"), 256), 1, 1).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q13_scalar_normalizers(spark, sf_dir):
+    """Typed-value normalizers (§2.7 F2/F4/F6) applied cross-engine:
+    date round-trip, boolean coercion, percentage parse."""
+    from ai_pdf_extraction_spark.functions.normalize import (
+        parse_boolean,
+        parse_date,
+        parse_percentage,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    status_word = (
+        F.when(F.col("o_orderstatus") == "O", "yes")
+        .when(F.col("o_orderstatus") == "F", "no")
+        .otherwise("maybe")
+    )
+    pct_str = F.concat(
+        F.round(F.col("o_totalprice") / 1000.0, 0).cast("int").cast("string"),
+        F.lit("%"),
+    )
+    return o.select(
+        "o_orderkey",
+        parse_date(F.date_format("o_orderdate", "MM/dd/yyyy")).alias("order_date"),
+        parse_boolean(status_word).alias("is_open"),
+        parse_percentage(pct_str).alias("kprice_pct"),
+    )
+
+
+def q14_order_total_rule(spark, sf_dir):
+    """Rule engine (§2.7 F8): ``o_totalprice == sum(lineitem gross)``
+    within the reference tolerance max(1%·l, 1%·r, 0.02)."""
+    from ai_pdf_extraction_spark.functions.rules import compile_rule
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("gross_sum")
+    )
+    joined = o.join(sums, o.o_orderkey == sums.l_orderkey)
+    rule_ok = compile_rule(
+        "o_totalprice == gross_sum",
+        {"o_totalprice": F.col("o_totalprice"), "gross_sum": F.col("gross_sum")},
+    )
+    return joined.select(
+        "o_orderkey",
+        F.round("gross_sum", 2).alias("gross_sum"),
+        rule_ok.alias("rule_ok"),
+    )
+
+
+def q15_csv_export_rows(spark, sf_dir):
+    """CSV-export array flattening — the reference's
+    ``' | '``-join with ``','→'; '`` (``EditableResultsTable.tsx:202-265``,
+    §2.1 S9 / §2.7 F14)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.replace(
+            F.concat_ws(" | ", F.array_sort(F.collect_list("o_orderpriority"))),
+            F.lit(","),
+            F.lit("; "),
+        ).alias("priorities_csv"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+
+def q16_token_counts(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.text_analysis import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def q17_lang_marker_profile(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.text_analysis import lang_guess, lang_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return d.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        scores["es"].alias("score_es"),
+        lang_guess("text").alias("lang_guess"),
+    )
+
+
+def q18_quality_scores(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.text_analysis import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q19_fingerprints(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.text_analysis import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q20_exact_dedup(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q21_ngram_jaccard_pairs(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+def q22_minhash_lsh_pairs(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, k=12, bands=4, threshold=0.8
+    )
+
+
+def q23_simhash_sketch(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.dedup import simhash_sketch
+
+    return simhash_sketch(_t(spark, sf_dir, "documents"))
+
+
+def q24_embedding_near_dup(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q25_ann_topk(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+def q26_ivf_topk(spark, sf_dir):
+    from ai_pdf_extraction_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# events (time-windowed rollups)
+# ---------------------------------------------------------------------------
+
+
+def q27_hourly_event_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q28_event_type_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        # exact distinct for oracle parity; at 100 TB scale swap in
+        # approx_count_distinct (HLL) — same plan shape, no exactness
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filtered_revenue": q02_filtered_revenue,
+        "q03_region_nation_rollup": q03_region_nation_rollup,
+        "q04_order_priority_counts": q04_order_priority_counts,
+        "q05_customers_without_orders": q05_customers_without_orders,
+        "q06_supplier_big_items": q06_supplier_big_items,
+        "q07_top_orders_per_customer": q07_top_orders_per_customer,
+        "q08_active_minus_urgent": q08_active_minus_urgent,
+        "q09_order_lineitem_stats": q09_order_lineitem_stats,
+        "q10_latest_orders": q10_latest_orders,
+        "q11_status_rollup": q11_status_rollup,
+        "q12_sha_bucketing": q12_sha_bucketing,
+        "q13_scalar_normalizers": q13_scalar_normalizers,
+        "q14_order_total_rule": q14_order_total_rule,
+        "q15_csv_export_rows": q15_csv_export_rows,
+        "q16_token_counts": q16_token_counts,
+        "q17_lang_marker_profile": q17_lang_marker_profile,
+        "q18_quality_scores": q18_quality_scores,
+        "q19_fingerprints": q19_fingerprints,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_ngram_jaccard_pairs": q21_ngram_jaccard_pairs,
+        "q22_minhash_lsh_pairs": q22_minhash_lsh_pairs,
+        "q23_simhash_sketch": q23_simhash_sketch,
+        "q24_embedding_near_dup": q24_embedding_near_dup,
+        "q25_ann_topk": q25_ann_topk,
+        "q26_ivf_topk": q26_ivf_topk,
+        "q27_hourly_event_counts": q27_hourly_event_counts,
+        "q28_event_type_stats": q28_event_type_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — keep column names/rounding in lockstep with queries()
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+sh as (
+  select doc_id,
+         unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+                               for i in range(1, len(words) - 1)])) as shingle
+  from (select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as words
+        from documents)
+),
+sizes as (select doc_id, count(*) as n from sh group by 1),
+shared as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
+  from sh a join sh b using (shingle)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+),
+jacc as (
+  select id_a, id_b,
+         round(shared * 1.0 / (sa.n + sb.n - shared), 4) as jaccard
+  from shared
+  join sizes sa on sa.doc_id = id_a
+  join sizes sb on sb.doc_id = id_b
+)
+"""
+
+_COS_EXPR = (
+    "round(list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), {r})"
+)
+
+
+def _minhash_sql(k: int = 12, bands: int = 4) -> str:
+    r = k // bands
+    hashes = ", ".join(
+        f"min(md5('{i}:' || shingle)) as h{i}" for i in range(k)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * r + j}" for j in range(r)) + f") as band{b}"
+        for b in range(bands)
+    )
+    bucket_list = ", ".join(f"'{b}#' || band{b}" for b in range(bands))
+    return f"""
+with {_SHINGLES_CTE},
+sig as (select doc_id, {hashes} from sh group by doc_id),
+banded as (select doc_id, {band_exprs} from sig),
+stacked as (select doc_id, unnest([{bucket_list}]) as bucket from banded),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from stacked a join stacked b using (bucket)
+  where a.doc_id < b.doc_id
+)
+select cand.id_a, cand.id_b, jacc.jaccard
+from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
+where jacc.jaccard >= 0.8
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    quality_sql = """
+select doc_id,
+  round(
+    least(n_tokens / 50.0, 1.0) * 0.4
+    + least((stop_hits * 1.0 / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
+    + (case when nonspace * 1.0 / greatest(n_tokens, 1) between 3.0 and 8.0
+            then 1.0 else 0.5 end) * 0.3, 4) as quality
+from (
+  select doc_id,
+    case when length(trim(text)) = 0 then 0
+         else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens,
+    cast((length(padded) - length(replace(padded, ' the ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' to ', ''))) / 4 as bigint) as stop_hits,
+    length(regexp_replace(text, '\\s', '', 'g')) as nonspace
+  from (select doc_id, text, ' ' || lower(text) || ' ' as padded from documents)
+)
+"""
+    lang_score = (
+        lambda m: f"cast((length(padded) - length(replace(padded, '{m}', ''))) / {len(m)} as bigint)"
+    )
+    markers = {
+        "en": (" the ", " and ", " of ", " to "),
+        "de": (" der ", " die ", " und ", " das "),
+        "fr": (" le ", " la ", " et ", " les "),
+        "es": (" el ", " los ", " que ", " y "),
+    }
+    score_exprs = {
+        lang: " + ".join(lang_score(m) for m in ms) for lang, ms in markers.items()
+    }
+    lang_sql = f"""
+with scored as (
+  select doc_id,
+    {score_exprs['en']} as score_en,
+    {score_exprs['de']} as score_de,
+    {score_exprs['fr']} as score_fr,
+    {score_exprs['es']} as score_es
+  from (select doc_id, ' ' || lower(text) || ' ' as padded from documents)
+)
+select doc_id, score_en, score_de, score_fr, score_es,
+  case when greatest(score_en, score_de, score_fr, score_es) = 0 then 'und'
+       when score_en = greatest(score_en, score_de, score_fr, score_es) then 'en'
+       when score_de = greatest(score_en, score_de, score_fr, score_es) then 'de'
+       when score_fr = greatest(score_en, score_de, score_fr, score_es) then 'fr'
+       else 'es' end as lang_guess
+from scored
+"""
+    fingerprint_expr = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+    return {
+        "q01_pricing_summary": """
+select l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) as sum_qty,
+  round(sum(l_extendedprice), 2) as sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+  round(avg(l_quantity), 4) as avg_qty,
+  round(avg(l_discount), 4) as avg_disc,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02'
+group by l_returnflag, l_linestatus
+""",
+        "q02_filtered_revenue": """
+select round(sum(l_extendedprice * l_discount), 2) as revenue
+from lineitem
+where l_shipdate >= timestamp '1995-01-01'
+  and l_shipdate < timestamp '1996-01-01'
+  and l_discount between 0.05 and 0.07
+  and l_quantity < 24
+""",
+        "q03_region_nation_rollup": """
+select r.r_name as region, n.n_name as nation,
+  count(*) as n_customers, round(sum(c.c_acctbal), 2) as sum_acctbal
+from customer c
+join nation n on c.c_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+group by 1, 2
+""",
+        "q04_order_priority_counts": """
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1997-01-01'
+group by o_orderpriority
+""",
+        "q05_customers_without_orders": """
+select c_custkey, c_name, c_mktsegment
+from customer
+where c_custkey not in
+  (select o_custkey from orders where o_orderpriority = '1-URGENT')
+""",
+        "q06_supplier_big_items": """
+select n.n_name as nation, count(*) as n_suppliers
+from supplier s
+join nation n on s.s_nationkey = n.n_nationkey
+where exists (select 1 from lineitem li
+              where li.l_suppkey = s.s_suppkey and li.l_quantity >= 48)
+group by 1
+""",
+        "q07_top_orders_per_customer": """
+select o_custkey, o_orderkey, round(o_totalprice, 2) as totalprice, rn
+from (
+  select o_custkey, o_orderkey, o_totalprice,
+    row_number() over (partition by o_custkey
+                       order by o_totalprice desc, o_orderkey asc) as rn
+  from orders
+)
+where rn <= 3
+""",
+        "q08_active_minus_urgent": """
+select distinct o_custkey as custkey from orders
+except
+select distinct o_custkey as custkey from orders where o_orderpriority = '1-URGENT'
+""",
+        "q09_order_lineitem_stats": """
+select o_orderstatus,
+  count(*) as n_items,
+  round(avg(l_extendedprice), 4) as avg_price,
+  round(sum(l_quantity * (1 - l_discount)), 2) as eff_qty
+from orders join lineitem on o_orderkey = l_orderkey
+group by o_orderstatus
+""",
+        "q10_latest_orders": """
+select o_orderkey, o_orderdate, round(o_totalprice, 2) as totalprice
+from orders
+order by o_orderdate desc, o_orderkey asc
+limit 50
+""",
+        "q11_status_rollup": """
+select count(*) as total,
+  sum(case when o_orderstatus = 'F' then 1 else 0 end) as n_finished,
+  sum(case when o_orderstatus = 'O' then 1 else 0 end) as n_open,
+  sum(case when o_orderstatus = 'P' then 1 else 0 end) as n_pending,
+  round(sum(case when o_orderstatus = 'F' then o_totalprice else 0.0 end), 2)
+    as finished_value
+from orders
+""",
+        "q12_sha_bucketing": """
+select substr(sha256(text), 1, 1) as bucket, count(*) as n_docs
+from documents group by 1
+""",
+        "q13_scalar_normalizers": """
+select o_orderkey,
+  try_strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')::date as order_date,
+  case when o_orderstatus = 'O' then true
+       when o_orderstatus = 'F' then false
+       else null end as is_open,
+  try_cast(replace(cast(cast(round(o_totalprice / 1000.0, 0) as int) as varchar)
+                   || '%', '%', '') as double) as kprice_pct
+from orders
+""",
+        "q14_order_total_rule": """
+with sums as (
+  select l_orderkey,
+    sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as gross_sum
+  from lineitem group by 1
+)
+select o_orderkey, round(gross_sum, 2) as gross_sum,
+  abs(o_totalprice - gross_sum)
+    <= greatest(0.01 * abs(o_totalprice), 0.01 * abs(gross_sum), 0.02) as rule_ok
+from orders join sums on o_orderkey = l_orderkey
+""",
+        "q15_csv_export_rows": """
+select o_custkey,
+  replace(array_to_string(list_sort(list(o_orderpriority)), ' | '), ',', '; ')
+    as priorities_csv,
+  count(*) as n_orders
+from orders group by o_custkey
+""",
+        "q16_token_counts": """
+select doc_id,
+  case when length(trim(text)) = 0 then 0
+       else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens
+from documents
+""",
+        "q17_lang_marker_profile": lang_sql,
+        "q18_quality_scores": quality_sql,
+        "q19_fingerprints": f"select doc_id, {fingerprint_expr} as fingerprint from documents",
+        "q20_exact_dedup": f"""
+with fp as (select doc_id, {fingerprint_expr} as fp from documents),
+groups as (select fp, min(doc_id) as canonical_id, count(*) as group_size
+           from fp group by fp)
+select doc_id, canonical_id, group_size, doc_id != canonical_id as is_dup
+from fp join groups using (fp)
+""",
+        "q21_ngram_jaccard_pairs": f"""
+with {_SHINGLES_CTE}
+select id_a, id_b, jaccard from jacc where jaccard >= 0.8
+""",
+        "q22_minhash_lsh_pairs": _minhash_sql(),
+        # q23_simhash_sketch: no oracle — xxhash64 has no DuckDB equivalent
+        "q24_embedding_near_dup": f"""
+select * from (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    {_COS_EXPR.format(r=4)} as cos
+  from embeddings a join embeddings b on a.vec_id < b.vec_id
+) where cos >= 0.45
+""",
+        "q25_ann_topk": f"""
+with scored as (
+  select b.vec_id as query_id, a.vec_id as neighbor_id,
+    {_COS_EXPR.format(r=6)} as cos
+  from embeddings a
+  join embeddings b on b.vec_id < 5 and a.vec_id != b.vec_id
+)
+select query_id, neighbor_id, cos, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cos desc, neighbor_id asc) as rank
+  from scored
+) where rank <= 5
+""",
+        "q26_ivf_topk": f"""
+with scored as (
+  select b.vec_id as query_id, a.vec_id as neighbor_id,
+    {_COS_EXPR.format(r=6)} as cos
+  from embeddings a
+  join embeddings b on b.vec_id < 5 and a.vec_id != b.vec_id
+                    and a.label = b.label
+)
+select query_id, neighbor_id, cos, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cos desc, neighbor_id asc) as rank
+  from scored
+) where rank <= 5
+""",
+        "q27_hourly_event_counts": """
+select date_trunc('hour', ts) as hour, event_type,
+  count(*) as n_events, round(sum(value), 2) as sum_value
+from events group by 1, 2
+""",
+        "q28_event_type_stats": """
+select event_type, count(*) as n_events,
+  count(distinct user_id) as n_users,
+  round(avg(value), 4) as avg_value,
+  round(min(value), 4) as min_value,
+  round(max(value), 4) as max_value
+from events group by event_type
+""",
+    }

@@ -1,0 +1,139 @@
+"""Typed-value normalizers as Column builders (SURVEY.md §2.7).
+
+Each mirrors a validator in the reference's post-extraction
+normalization pass (``app/backend/services/ai/validation.py:400-566``)
+with semantics pinned by the reference's own unit tests
+(``tests/test_ai_service.py``, transliterated in
+``/root/repo/tests/test_normalize.py``). All are pure Catalyst Column
+expressions — whole-stage-codegen'd, no Python on the hot path.
+
+Spark 4 runs ANSI mode by default, so every cast is a ``try_cast``
+(malformed input → null + warning downstream, never a task failure —
+the reference's per-value warning behavior, ``validation.py:490-497``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def parse_currency(col: Column | str) -> Column:
+    """Currency string → double (``validation.py:34-82``).
+
+    Strips currency symbols/whitespace, then disambiguates EU
+    ``1.234,56`` vs US ``1,234.56`` by which separator occurs last;
+    a lone comma followed by 1-2 trailing digits is a decimal comma.
+    Pinned vectors (``tests/test_ai_service.py:20-57``):
+    ``$1,234.56→1234.56  €1.234,56→1234.56  1234,56→1234.56
+    ¥1000→1000.0  ""/None/"not a number"→null``.
+    """
+    s = F.regexp_replace(_c(col).cast("string"), r"[^0-9.,\-]", "")
+    rev = F.reverse(s)
+    pos_dot = F.instr(rev, ".")  # distance of LAST '.' from the end (0 = absent)
+    pos_com = F.instr(rev, ",")
+    n_com = F.length(s) - F.length(F.regexp_replace(s, ",", ""))
+
+    eu = F.regexp_replace(F.translate(s, ".", ""), ",", ".")  # comma-decimal
+    us = F.translate(s, ",", "")  # dot-decimal / plain
+
+    normalized = (
+        F.when(s == "", F.lit(None).cast("string"))
+        .when((pos_dot > 0) & (pos_com > 0), F.when(pos_com < pos_dot, eu).otherwise(us))
+        .when(
+            (pos_com > 0) & (n_com == 1) & (pos_com <= 3),  # ",d" or ",dd" at end
+            eu,
+        )
+        .when(pos_com > 0, us)  # thousands commas
+        .otherwise(us)
+    )
+    return normalized.try_cast("double")
+
+
+def parse_date(col: Column | str) -> Column:
+    """Date string → DateType (``validation.py:85-135``).
+
+    ISO first; US ``MM/dd/yyyy`` before EU ``dd/MM/yyyy`` (ambiguous
+    dates resolve US — reference tries US regex first); then written
+    forms. Unparseable → null (caller keeps the raw string + warning,
+    ``validation.py:490-497``). Vectors: ``2024-01-15``, ``01/15/2024``
+    and ``15/01/2024`` → 2024-01-15, ``January 15, 2024`` → 2024-01-15,
+    ``32/13/2024`` → null (``tests/test_ai_service.py:59-88``).
+    """
+    c = F.trim(_c(col).cast("string"))
+    return F.coalesce(
+        F.try_to_date(c, "yyyy-MM-dd"),
+        F.try_to_date(c, "MM/dd/yyyy"),
+        F.try_to_date(c, "dd/MM/yyyy"),
+        F.try_to_date(c, "MMMM d, yyyy"),
+        F.try_to_date(c, "MMM d, yyyy"),
+        F.try_to_date(c, "d MMMM yyyy"),
+        F.try_to_date(c, "yyyy/MM/dd"),
+    )
+
+
+def parse_number(col: Column | str) -> Column:
+    """Number string → double; strips thousands commas
+    (``validation.py:511-525``)."""
+    return F.regexp_replace(F.trim(_c(col).cast("string")), ",", "").try_cast("double")
+
+
+_TRUE_WORDS = ("true", "yes", "y", "1", "on")
+_FALSE_WORDS = ("false", "no", "n", "0", "off")
+
+
+def parse_boolean(col: Column | str) -> Column:
+    """Boolean coercion (``validation.py:527-539``): true/yes/y/1/on →
+    true; false/no/n/0/off → false; anything else → null (warn)."""
+    v = F.lower(F.trim(_c(col).cast("string")))
+    return (
+        F.when(v.isin(*_TRUE_WORDS), F.lit(True))
+        .when(v.isin(*_FALSE_WORDS), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def parse_percentage(col: Column | str) -> Column:
+    """Percentage string → double, '%' stripped (``validation.py:547-556``)."""
+    return F.regexp_replace(F.trim(_c(col).cast("string")), r"[%\s]", "").try_cast(
+        "double"
+    )
+
+
+def is_valid_email(col: Column | str) -> Column:
+    """Reference's email check is exactly "contains '@'"
+    (``validation.py:541-545``)."""
+    return _c(col).contains("@")
+
+
+def normalize_field_name(col: Column | str) -> Column:
+    """Field-name normalization (``models.py:63-71``): lowercase,
+    ``-``→``_``, strip anything not alnum/underscore."""
+    return F.regexp_replace(
+        F.translate(F.lower(_c(col).cast("string")), "-", "_"), r"[^a-z0-9_]", ""
+    )
+
+
+def clean_null_from_array(col: Column | str) -> Column:
+    """Drop nulls from an array — the reference's recursive
+    "List Stutter" fix (``validation.py:138-154``)."""
+    return F.filter(_c(col), lambda x: x.isNotNull())
+
+
+def required_empty_warning(col: Column | str, field_name: str) -> Column:
+    """Warn iff a required value is null or empty string — missing
+    keys are trusted (``validation.py:440-464``)."""
+    c = _c(col)
+    return F.when(
+        c.isNull() | (c.cast("string") == ""),
+        F.array(F.lit(f"Required field '{field_name}' is empty")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def round_confidence(col: Column | str) -> Column:
+    """Confidence scores round to 3 decimals (``models.py:186-199``)."""
+    return F.round(_c(col), 3)

@@ -1,0 +1,246 @@
+"""Deduplication operators for training-data curation at 100 TB scale.
+
+Four families, each a ``queries()`` entry with a DuckDB oracle (except
+simhash, whose 64-bit JVM hash has no DuckDB twin — rows-only check):
+
+* **exact** — content-fingerprint groupBy; scale path: one shuffle on
+  a 32-byte key, AQE-coalesced.
+* **n-gram Jaccard** — word-shingle explode + self-equi-join on the
+  shingle; the join key is the shingle hash, so Zipfian shingles are
+  the skew risk → common shingles are dropped by a document-frequency
+  cap before the join (classic stopword-shingle pruning).
+* **MinHash + LSH** — k md5-permutation minima per doc, banded into
+  LSH buckets; candidate pairs = same band bucket, verified by real
+  Jaccard. Scale path: cost is O(docs·k) + bucket joins — never the
+  all-pairs product.
+* **SimHash** — 64-bit xxhash64 token sketch; Hamming-ball candidates
+  via 4×16-bit band equality (pigeonhole: distance ≤3 ⟹ ≥1 band equal).
+
+All shingling/hashing is built-in Column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ai_pdf_extraction_spark.operators.text_analysis import fingerprint
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document canonical assignment: every doc maps to the
+    smallest id sharing its fingerprint. Output: (doc_id,
+    canonical_id, group_size, is_dup)."""
+    fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        fp.join(groups, "fp")
+        .select(
+            id_col,
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def _word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Built entirely from array functions: split → sequence of start
+    indices → transform to joined n-grams → explode. JVM-side only.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    shingles = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold. Output: (id_a, id_b,
+    jaccard) with id_a < id_b, jaccard rounded to 4.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the self-join — at web scale a handful of ubiquitous
+    shingles would otherwise create a quadratic hot key (the same skew
+    class the salted-host repartition handles for hosts).
+    """
+    sh = _word_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    if max_shingle_df is not None:
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(
+            F.col("df_") <= max_shingle_df
+        )
+        sh = sh.join(rare.select("shingle"), "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+) -> DataFrame:
+    """k-permutation MinHash signature per doc. Permutation i is
+    ``min(md5(i || ':' || shingle))`` — md5 exists verbatim in DuckDB,
+    making the whole signature oracle-checkable. Output: (id, h0..h{k-1})."""
+    sh = _word_shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Candidate pairs from banded-LSH bucket collisions, verified with
+    true n-gram Jaccard. Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    With k=12, bands=4 (rows r=3) the LSH s-curve crosses ~0.5 at
+    j≈0.55; candidates are a superset of real pairs near the threshold
+    and the verify join removes false positives.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, k)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    # one (id, band_idx, bucket) relation → self-join per bucket
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}#"), F.col(f"band{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    candidates = (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash_sketch(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64 token hashes (JVM-side bit
+    arithmetic, no UDF). No DuckDB oracle: xxhash64 has no DuckDB
+    equivalent — the driver runs a rows-only check for this one.
+    Output: (id, simhash bigint, band0..band3 smallint)."""
+    words = F.explode(
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ).alias("word")
+    tok = docs.select(F.col(id_col), words)
+    h = F.xxhash64(F.col("word"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    out = sums.select(F.col(id_col), sim.alias("simhash"))
+    for band in range(4):
+        out = out.withColumn(
+            f"band{band}",
+            F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
+        )
+    return out
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold. Output:
+    (id_a, id_b, cos), id_a < id_b, cos rounded 4.
+
+    Brute-force all-pairs is the correctness baseline; at scale,
+    pre-bucket by LSH/IVF (see ``operators.similarity``) and run this
+    within buckets only."""
+    withnorm = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

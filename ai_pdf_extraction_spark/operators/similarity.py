@@ -1,0 +1,105 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; the IVF-style
+variant restricts the candidate set to the query's coarse cluster
+(here the precomputed ``label`` column stands in for a k-means coarse
+quantizer — at 100 TB you'd train centroids offline, broadcast them,
+and assign via a vectorized pandas UDF). Both are pure DataFrame ops:
+the probe side is tiny and **broadcast**, so the scan side streams
+without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _cosine(av, bv):
+    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query row against every corpus
+    row. Query side is broadcast (small by construction); corpus side
+    never shuffles until the per-query top-k window, which AQE keeps
+    partitioned by query_id. Output: (query_id, neighbor_id, cos, rank).
+
+    Cosine is rounded to 6 before ranking so result order is stable
+    across engines/float summation orders; ties break by neighbor id.
+    Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF-bucketed ANN: search only the query's coarse cluster
+    (nprobe=1). Same output shape as ``cosine_topk``; recall < 1.0 by
+    design — the scale path trades exactness for a candidate set
+    |cluster| ≪ |corpus|."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        F.col(cluster_col).alias("qc"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        F.col(cluster_col).alias("cc"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qc") == F.col("cc")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

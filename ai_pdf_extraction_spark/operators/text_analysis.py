@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-marker heuristic), quality scoring, token
+counting, and document fingerprinting over a ``documents``-shaped
+table. All pure Column expressions (JVM-side, codegen'd); every
+expression has an exactly-equivalent ANSI-SQL form used by the DuckDB
+oracle in ``__spark_entry__.py`` — keep the two in lockstep.
+
+These extend the reference's per-document enrichment model (extraction
+record + confidence + warnings, ``app/backend/models.py:159-205``) to
+corpus-level curation ops the reference never needed at 21-doc scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _occurrences(text: Column, marker: str) -> Column:
+    """Non-overlapping occurrence count via the replace trick —
+    identical semantics in Spark and DuckDB SQL."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def token_count(col: Column | str = "text") -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+# Stopword markers per language, space-padded so they only match whole
+# words inside the padded text. Deterministic tiny model — a real
+# pipeline would swap in fastText; same operator shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " to "),
+    "de": (" der ", " die ", " und ", " das "),
+    "fr": (" le ", " la ", " et ", " les "),
+    "es": (" el ", " los ", " que ", " y "),
+}
+
+
+def lang_scores(col: Column | str = "text") -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return {
+        lang: sum(_occurrences(padded, m) for m in markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_guess(col: Column | str = "text") -> Column:
+    """Argmax over marker scores; ties and all-zero → 'und'
+    (undetermined). Deterministic tie-break by fixed language order."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_count(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    ).cast("long")
+
+
+def quality_score(col: Column | str = "text") -> Column:
+    """Composite quality in [0,1], round 4: length component (saturates
+    at 50 tokens), English-stopword density, and mean-word-length
+    plausibility band — the length/punct/stopword-ratio family the
+    task brief names. Mirrors the oracle SQL exactly; keep in sync."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = token_count(col)
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    stop_hits = sum(_occurrences(padded, m) for m in LANG_MARKERS["en"])
+    stop_ratio = stop_hits / F.greatest(toks, F.lit(1))
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    avg_word_len = nonspace / F.greatest(toks, F.lit(1))
+    length_comp = F.least(toks / F.lit(50.0), F.lit(1.0))
+    stop_comp = F.least(stop_ratio * 5.0, F.lit(1.0))
+    word_comp = F.when((avg_word_len >= 3.0) & (avg_word_len <= 8.0), 1.0).otherwise(0.5)
+    return F.round(length_comp * 0.4 + stop_comp * 0.3 + word_comp * 0.3, 4)
+
+
+def fingerprint(col: Column | str = "text") -> Column:
+    """Content fingerprint: md5 over lowercased alphanumerics — the
+    Spark/DuckDB-portable analogue of the reference's sha256 content
+    hash dedup key (``routers/batches.py:381-382``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9]", ""))
+
+
+def with_text_analysis(df: DataFrame, col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(col))
+        .withColumn("lang_guess", lang_guess(col))
+        .withColumn("quality", quality_score(col))
+        .withColumn("fingerprint", fingerprint(col))
+    )

@@ -1,0 +1,106 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` plus the
+extraction pipeline over a deterministic synthetic page corpus, and
+prints ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling-efficiency evidence (north_rule N vs 4N) lives in
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filtered_revenue",
+    "q03_region_nation_rollup",
+    "q07_top_orders_per_customer",
+    "q09_order_lineitem_stats",
+    "q14_order_total_rule",
+    "q20_exact_dedup",
+    "q21_ngram_jaccard_pairs",
+    "q22_minhash_lsh_pairs",
+    "q24_embedding_near_dup",
+    "q25_ann_topk",
+    "q27_hourly_event_counts",
+]
+
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+
+
+def _corpus_path(n_docs: int, seed: int = 42) -> str:
+    """Deterministic corpus parquet, cached across bench runs."""
+    from ai_pdf_extraction_spark.corpus import write_pages_parquet
+
+    path = f"/tmp/spark_graft_bench_corpus_{n_docs}_{seed}.parquet"
+    if not os.path.exists(path):
+        write_pages_parquet(path, n_docs, seed=seed)
+    return path
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entrymod
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+    from ai_pdf_extraction_spark.session import build_session
+    from pyspark.sql import functions as F
+
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+        del rows
+
+    # extraction throughput: full kernel pass, forced by an aggregate
+    # over the UDF outputs (nothing wide collected to the driver)
+    corpus = _corpus_path(EXTRACT_DOCS)
+    t0 = time.monotonic()
+    plan = extraction_plan(spark.read.parquet(corpus), run_id="bench")
+    agg = plan.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("parse_ok"), 0).otherwise(1)).alias("fails"),
+        F.sum("n_chars").alias("chars"),
+    ).collect()[0]
+    extract_sec = round(time.monotonic() - t0, 3)
+    timings["extract_pages"] = extract_sec
+    docs_per_sec = round(agg["n"] / max(extract_sec, 1e-9), 1)
+
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+    return {
+        "metric": "headline_queries_plus_extraction_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "extract_docs": int(agg["n"]),
+        "extract_docs_per_sec": docs_per_sec,
+        "extract_parse_fail": int(agg["fails"]),
+        "cpus": cpus,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

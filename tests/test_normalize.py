@@ -1,0 +1,190 @@
+"""Scalar normalizer + rule-engine tests — the reference's own unit
+vectors transliterated (``tests/test_ai_service.py``; FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_pdf_extraction_spark.functions.normalize import (
+    clean_null_from_array,
+    is_valid_email,
+    normalize_field_name,
+    parse_boolean,
+    parse_currency,
+    parse_date,
+    parse_number,
+    parse_percentage,
+    required_empty_warning,
+    round_confidence,
+)
+from ai_pdf_extraction_spark.functions.rules import (
+    RuleCompileError,
+    compile_rule,
+    rule_fields,
+)
+
+
+def _eval1(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def _eval_str(spark, builder, value):
+    df = spark.createDataFrame([(value,)], "s string")
+    return df.select(builder("s").alias("v")).first()["v"]
+
+
+CURRENCY_CASES = [
+    # reference tests/test_ai_service.py:20-57
+    ("$1,234.56", 1234.56),
+    ("€1.234,56", 1234.56),
+    ("1234,56", 1234.56),
+    ("¥1000", 1000.0),
+    ("1,234.56", 1234.56),
+    ("1.234,56", 1234.56),
+    ("-42.50", -42.5),
+    ("$0.99", 0.99),
+    ("", None),
+    (None, None),
+    ("not a number", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CURRENCY_CASES)
+def test_parse_currency(spark, raw, expected):
+    got = _eval_str(spark, parse_currency, raw)
+    if expected is None:
+        assert got is None
+    else:
+        assert got == pytest.approx(expected)
+
+
+DATE_CASES = [
+    # reference tests/test_ai_service.py:59-88
+    ("2024-01-15", datetime.date(2024, 1, 15)),
+    ("01/15/2024", datetime.date(2024, 1, 15)),  # US wins ambiguity
+    ("15/01/2024", datetime.date(2024, 1, 15)),
+    ("January 15, 2024", datetime.date(2024, 1, 15)),
+    ("Jan 15, 2024", datetime.date(2024, 1, 15)),
+    ("32/13/2024", None),
+    ("not a date", None),
+    (None, None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", DATE_CASES)
+def test_parse_date(spark, raw, expected):
+    assert _eval_str(spark, parse_date, raw) == expected
+
+
+def test_date_ambiguity_us_first(spark):
+    # 03/04/2024: reference tries MM/DD first → March 4th.
+    assert _eval_str(spark, parse_date, "03/04/2024") == datetime.date(2024, 3, 4)
+
+
+BOOL_CASES = [
+    ("yes", True), ("y", True), ("TRUE", True), ("1", True), ("on", True),
+    ("no", False), ("n", False), ("False", False), ("0", False), ("off", False),
+    ("maybe", None), ("", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", BOOL_CASES)
+def test_parse_boolean(spark, raw, expected):
+    assert _eval_str(spark, parse_boolean, raw) is expected
+
+
+def test_parse_number_and_percentage(spark):
+    assert _eval_str(spark, parse_number, "1,234,567") == 1234567.0
+    assert _eval_str(spark, parse_number, "3.14") == pytest.approx(3.14)
+    assert _eval_str(spark, parse_number, "junk") is None
+    assert _eval_str(spark, parse_percentage, "85.5%") == pytest.approx(85.5)
+    assert _eval_str(spark, parse_percentage, "12 %") == pytest.approx(12.0)
+    assert _eval_str(spark, parse_percentage, "n/a") is None
+
+
+def test_email_and_field_name(spark):
+    assert _eval_str(spark, is_valid_email, "a@b.com") is True
+    assert _eval_str(spark, is_valid_email, "nope") is False
+    assert _eval_str(spark, normalize_field_name, "Invoice-Number!") == "invoice_number"
+
+
+def test_array_null_cleaning_and_warnings(spark):
+    df = spark.createDataFrame([([1, None, 2], "")], "arr array<int>, s string")
+    row = df.select(
+        clean_null_from_array("arr").alias("cleaned"),
+        required_empty_warning("s", "total").alias("warn"),
+    ).first()
+    assert row["cleaned"] == [1, 2]
+    assert row["warn"] == ["Required field 'total' is empty"]
+
+
+def test_confidence_rounding(spark):
+    assert _eval1(spark, round_confidence(F.lit(0.87654))) == pytest.approx(0.877)
+
+
+# --- rule engine (reference tests/test_ai_service.py:232-426) --------
+
+
+def _rule_eval(spark, rule, **fields):
+    df = spark.createDataFrame(
+        [tuple(fields.values())], ", ".join(f"{k} double" for k in fields)
+    )
+    cols = {k: F.col(k) for k in fields}
+    return df.select(compile_rule(rule, cols).alias("ok")).first()["ok"]
+
+
+def test_rule_exact_sum(spark):
+    # Invoice fixture rule (FIXTURES.md §3a)
+    assert _rule_eval(
+        spark,
+        "summary_gross_worth == summary_net_worth + summary_vat",
+        summary_gross_worth=123.0,
+        summary_net_worth=100.0,
+        summary_vat=23.0,
+    ) is True
+
+
+def test_rule_tolerance(spark):
+    # within max(1%, 0.02) passes; beyond fails (validation.py:229-241)
+    assert _rule_eval(spark, "a == b", a=100.0, b=100.9) is True
+    assert _rule_eval(spark, "a == b", a=100.0, b=102.0) is False
+    assert _rule_eval(spark, "a == b", a=0.01, b=0.02) is True  # abs floor
+
+
+def test_rule_parentheses_division_functions(spark):
+    assert _rule_eval(spark, "total == (sub + tax) / 2", total=50.0, sub=60.0, tax=40.0)
+    assert _rule_eval(spark, "x == round(3.456, 2)", x=3.46)
+    assert _rule_eval(spark, "x == abs(0 - 5)", x=5.0)
+    assert _rule_eval(spark, "x == min(3, 7)", x=3.0)
+    assert _rule_eval(spark, "x == max(3, 7)", x=7.0)
+    assert _rule_eval(spark, "x == sqrt(16)", x=4.0)
+    assert _rule_eval(spark, "x == pow(2, 10)", x=1024.0)
+
+
+def test_rule_missing_operand_skips(spark):
+    # reference skips rules whose operands are missing (null result)
+    assert _rule_eval(spark, "a == b", a=None, b=3.0) is None
+
+
+def test_rule_sum_over_array(spark):
+    df = spark.createDataFrame([(6.0, [1.0, 2.0, 3.0])], "total double, xs array<double>")
+    ok = df.select(
+        compile_rule("total == sum(xs)", {"total": F.col("total"), "xs": F.col("xs")}).alias("ok")
+    ).first()["ok"]
+    assert ok is True
+
+
+def test_rule_rejects_bad_input():
+    with pytest.raises(RuleCompileError):
+        compile_rule("a == __import__('os')", {"a": F.lit(1.0)})
+    with pytest.raises(RuleCompileError):
+        compile_rule("no equals here", {})
+    with pytest.raises(RuleCompileError):
+        compile_rule("a == unknown_field", {"a": F.lit(1.0)})
+
+
+def test_rule_fields_extraction():
+    assert rule_fields("total == sum(items) + tax") == {"total", "items", "tax"}

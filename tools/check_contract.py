@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry and its ``oracle_sql()`` twin on
+the same sf dir, compare row count + column names + values
+(order-insensitive). Usage:
+
+    python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: None
+                if v is None or (isinstance(v, float) and v != v)
+                else str(v)
+            )
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(9)
+        elif pd.api.types.is_bool_dtype(s) or str(s.dtype) == "boolean":
+            df[c] = s.astype("object").map(
+                lambda v: None if pd.isna(v) else bool(v)
+            )
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
+    if len(spark_df) != len(duck_df):
+        return f"row count {len(spark_df)} vs {len(duck_df)}"
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return f"columns {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    a, b = _canon(spark_df), _canon(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = pd.to_numeric(av, errors="coerce").astype(float)
+            bv = pd.to_numeric(bv, errors="coerce").astype(float)
+            bad = ~((av - bv).abs() < 1e-9) & ~(av.isna() & bv.isna())
+        else:
+            bad = ~(av.eq(bv) | (av.isna() & bv.isna()))
+        if bad.any():
+            i = bad.idxmax()
+            return f"column '{c}' row {i}: spark={a[c][i]!r} duck={b[c][i]!r}"
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from ai_pdf_extraction_spark.session import build_session
+
+    spark = build_session(app_name="contract-check", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(exc).__name__}: {exc}")
+            continue
+        if name not in oracles:
+            print(f"SKIP  {name}: no oracle (rows-only) — {len(sdf)} rows "
+                  f"[{time.monotonic()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {exc}")
+            continue
+        diff = compare(sdf, ddf)
+        status = "ok  " if diff is None else "FAIL"
+        if diff is not None:
+            failures.append(name)
+        print(f"{status}  {name}: {len(sdf)} rows [{time.monotonic()-t0:.1f}s]"
+              + (f" — {diff}" if diff else ""))
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
