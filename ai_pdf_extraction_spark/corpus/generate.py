@@ -218,14 +218,10 @@ def generate_pages(n_docs: int, seed: int = 42) -> list[dict]:
     return rows
 
 
-def write_pages_parquet(path: str, n_docs: int, seed: int = 42) -> int:
-    """Write the corpus as a parquet file via pyarrow (Spark-free, so
-    the pytest oracle can build fixtures without a JVM)."""
+def _rows_to_table(rows: list[dict]):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    rows = generate_pages(n_docs, seed)
-    table = pa.table(
+    return pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
             "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us", tz="UTC")),
@@ -234,5 +230,30 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42) -> int:
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
         }
     )
-    pq.write_table(table, path)
+
+
+def write_pages_parquet(path: str, n_docs: int, seed: int = 42, n_files: int = 1) -> int:
+    """Write the corpus via pyarrow (Spark-free, so the pytest oracle
+    can build fixtures without a JVM).
+
+    ``n_files > 1`` writes a directory of part files — the local
+    emulation of how a crawl actually arrives (many WARC-derived
+    files), so Spark's scan parallelizes without a repartition shuffle.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = generate_pages(n_docs, seed)
+    if n_files <= 1:
+        pq.write_table(_rows_to_table(rows), path)
+    else:
+        os.makedirs(path, exist_ok=True)
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = rows[i * per : (i + 1) * per]
+            if chunk:
+                pq.write_table(
+                    _rows_to_table(chunk), os.path.join(path, f"part-{i:05d}.parquet")
+                )
     return len(rows)

@@ -47,13 +47,28 @@ OUTPUT_COLUMNS = (
 )
 
 
-def extraction_plan(pages: DataFrame, run_id: str, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+def extraction_plan(
+    pages: DataFrame,
+    run_id: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    min_parallelism: int | None = None,
+) -> DataFrame:
     """Build the logical plan for one pass.
 
     Only ``(url, html)``-derived columns enter the Python worker; all
     metadata columns ride along JVM-side (SURVEY.md §4: project only
     what the black-box UDF needs).
+
+    The kernel UDF is CPU-bound, so the scan must yield at least
+    ``min_parallelism`` partitions (default 2× default parallelism =
+    ≥2 task waves). A 100 TB crawl arrives as many files and skips
+    this; a small local corpus is one parquet file → one partition →
+    a single-threaded UDF without the explicit repartition.
     """
+    spark = pages.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism * 2
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
     extracted = pages.withColumn("extraction", extract_udf(F.col("html")))
     return extracted.select(
         "url",
