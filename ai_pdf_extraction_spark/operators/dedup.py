@@ -53,7 +53,12 @@ def _word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     indices → transform to joined n-grams → explode. JVM-side only.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    n_words = F.size(words)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] —
+    # docs shorter than n words have no shingles
+    starts = F.when(
+        n_words >= n, F.sequence(F.lit(1), n_words - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(
         starts,
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),

@@ -1,0 +1,174 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Media columns are ``binary`` + a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The image/audio codec libraries are not in
+this container, so the *decode* step is stubbed (deterministic fake
+features derived from the bytes, or ``NotImplementedError`` for the
+real-codec path) — but the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is real and tested, per the task brief.
+
+Design notes for 100 TB:
+* media bytes never enter a shuffle — all media stages are
+  narrow (mapInPandas over scan partitions), and metadata-only
+  queries must select away the binary column (column pruning).
+* ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
+  memory (set in ``session.build_session``); for multi-MB media,
+  callers should lower it further.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_TYPE = StructType(
+    [
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("format", StringType(), True),  # png|jpeg|wav|mp4|unknown
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),  # image/video only
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),  # audio/video only
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_entropy", DoubleType(), False),
+        StructField("histogram", ArrayType(DoubleType()), False),
+    ]
+)
+
+_MAGIC = (
+    (b"\x89PNG", "image", "png"),
+    (b"\xff\xd8\xff", "image", "jpeg"),
+    (b"RIFF", "audio", "wav"),
+    (b"\x00\x00\x00\x18ftyp", "video", "mp4"),
+    (b"\x00\x00\x00\x20ftyp", "video", "mp4"),
+)
+
+
+def sniff_media_type(col: str = "media"):
+    """Magic-byte content sniffing as a Column expression (the binary
+    analogue of the reference's ``%PDF`` check,
+    ``pdf_service.py:84-87``)."""
+    c = F.col(col)
+    expr = F.lit("unknown")
+    for magic, _mtype, fmt in reversed(_MAGIC):
+        expr = F.when(
+            F.substring(c, 1, len(magic)) == F.lit(magic), F.lit(fmt)
+        ).otherwise(expr)
+    return expr
+
+
+def _fake_features(data: bytes) -> tuple[float, list[float]]:
+    """Deterministic stand-in for a real decoder: byte entropy and a
+    16-bin byte histogram. Replace with PIL/librosa/ffmpeg feature
+    extraction where those libs exist."""
+    import math
+
+    if not data:
+        return 0.0, [0.0] * 16
+    counts = [0] * 16
+    for byte in data:
+        counts[byte >> 4] += 1
+    n = len(data)
+    hist = [round(c / n, 6) for c in counts]
+    entropy = round(
+        -sum(p * math.log2(p) for p in hist if p > 0), 6
+    )
+    return entropy, hist
+
+
+def decode_media(data: bytes, fmt: str):  # pragma: no cover - stub
+    """Real-codec decode entry point — requires PIL/soundfile/av,
+    none of which exist in this container."""
+    raise NotImplementedError(
+        f"media decode for {fmt!r} requires codec libraries not present "
+        "in this environment; use extract_media_features (deterministic "
+        "fake) for pipeline plumbing"
+    )
+
+
+def extract_media_features(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "media"
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches of (id, bytes) in,
+    feature rows out. The batch shape (Iterator[pd.DataFrame]) is the
+    real production signature — only ``_fake_features`` is a stub."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_features(bytes(b) if b is not None else b"") for b in pdf[bytes_col]]
+            formats = []
+            mtypes = []
+            for b in pdf[bytes_col]:
+                raw = bytes(b) if b is not None else b""
+                mtype, fmt = "unknown", None
+                for magic, mt, f in _MAGIC:
+                    if raw.startswith(magic):
+                        mtype, fmt = mt, f
+                        break
+                mtypes.append(mtype)
+                formats.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": mtypes,
+                    "format": formats,
+                    "n_bytes": [len(bytes(b)) if b is not None else 0 for b in pdf[bytes_col]],
+                    "byte_entropy": [f[0] for f in feats],
+                    "histogram": [f[1] for f in feats],
+                }
+            )
+
+    narrow = df.select(id_col, bytes_col)  # prune before Python transfer
+    return narrow.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str = "media_id", n_frames: int = 6
+) -> DataFrame:
+    """Representative frame sampling *plan*: first 2 + last 2 + strided
+    middle — the reference's page-sampling policy
+    (``pdf_service.py:203-283``, S4/X1) lifted to media frames. Pure
+    column logic over a frame-count column; actual frame decode is the
+    stubbed codec path."""
+    total = F.col("n_frames")
+    first = F.sequence(F.lit(0), F.least(F.lit(1), total - 1))
+    last = F.sequence(F.greatest(total - 2, F.lit(0)), total - 1)
+    stride = F.greatest((total - 4) / F.lit(max(n_frames - 4, 1)), F.lit(1.0))
+    middle = F.transform(
+        F.sequence(F.lit(1), F.lit(max(n_frames - 4, 0))),
+        lambda i: (F.lit(2.0) + (i - 1).cast("double") * stride).cast("long"),
+    )
+    indices = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.concat(first, middle, last), lambda x: (x >= 0) & (x < total)
+                )
+            )
+        ),
+        1,
+        n_frames,
+    )
+    return df.withColumn("sample_frames", indices)

@@ -1,0 +1,106 @@
+"""Structured Streaming ingestion: continuously-arriving page files →
+extraction → parquet sink.
+
+Uses the same logical plan as the batch pipeline (same kernels, same
+output schema) over a file-source stream. ``Trigger.AvailableNow``
+drains the backlog in bounded micro-batches and stops — the streaming
+twin of the resumable batch run; the checkpointLocation gives
+exactly-once file processing across restarts (Spark's own WAL replaces
+the snapshot-manifest watermark here).
+
+Watermark/event-time note: the reference has no event-time semantics
+(SURVEY.md §2.9) — late data doesn't exist for crawl extraction; the
+only windowed example is the per-hour rollup, for which
+``hourly_counts_stream`` shows the watermarked form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ai_pdf_extraction_spark.operators.extract import extract_udf
+from ai_pdf_extraction_spark.plans.partitioning import url_bucket, url_host
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+
+def extraction_stream(
+    spark: SparkSession, input_dir: str, run_id: str, n_buckets: int = 64
+) -> DataFrame:
+    """Streaming DataFrame with the batch pipeline's output schema."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)  # bound micro-batch memory
+        .parquet(input_dir)
+    )
+    extracted = pages.withColumn("extraction", extract_udf(F.col("html")))
+    return extracted.select(
+        "url",
+        "warc_ts",
+        "lang",
+        url_host().alias("host"),
+        F.col("extraction.content_type").alias("content_type"),
+        F.col("extraction.extracted_text").alias("extracted_text"),
+        F.col("extraction.spans").alias("spans"),
+        F.col("extraction.parse_ok").alias("parse_ok"),
+        F.col("extraction.warnings").alias("warnings"),
+        F.col("extraction.n_chars").alias("n_chars"),
+        F.col("extraction.n_spans").alias("n_spans"),
+        F.lit(run_id).alias("run_id"),
+        url_bucket(n_buckets=n_buckets).alias("bucket"),
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    timeout_sec: int = 300,
+) -> None:
+    """Drain all currently-available input files and stop."""
+    stream = extraction_stream(spark, input_dir, run_id)
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("bucket")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:  # pragma: no cover - defensive
+        query.stop()
+
+
+def hourly_counts_stream(pages_stream: DataFrame) -> DataFrame:
+    """Watermarked event-time rollup (1h tumbling window on warc_ts,
+    10 min allowed lateness) — the streaming form of
+    q27_hourly_event_counts."""
+    return (
+        pages_stream.withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), F.col("lang"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("hour"),
+            "lang",
+            "n_pages",
+        )
+    )

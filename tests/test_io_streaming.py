@@ -1,0 +1,145 @@
+"""Export sinks, batch-status metrics, and Structured Streaming ingest."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_csv_export_array_flattening(spark, tmp_path):
+    from ai_pdf_extraction_spark.sources.export import export_csv, flatten_for_csv
+
+    df = spark.createDataFrame(
+        [
+            (
+                "a.pdf",
+                [{"description": "widget, large", "qty": 2.0}],
+                ["w1", "w2"],
+                0.98,
+            )
+        ],
+        "source_file string, items array<struct<description string, qty double>>, "
+        "warnings array<string>, confidence double",
+    )
+    flat = flatten_for_csv(df).collect()[0]
+    assert "; " in flat["items"] and "," not in flat["items"].split("|")[0]
+    assert flat["warnings"] == "w1; w2"
+
+    out = str(tmp_path / "csv_out")
+    export_csv(df, out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert files
+    with open(files[0]) as fh:
+        rows = list(csv.DictReader(fh))
+    assert rows[0]["source_file"] == "a.pdf"
+    assert rows[0]["confidence"] == "0.98"
+
+
+def test_json_export_envelope(spark, tmp_path):
+    from ai_pdf_extraction_spark.sources.export import export_json
+
+    df = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.8)], "source_file string, confidence double"
+    )
+    out = str(tmp_path / "json_out")
+    env = export_json(
+        df, out, schema_name="invoice", batch_id="b1",
+        exported_at="2026-01-01T00:00:00Z", confidence_col="confidence",
+    )
+    assert env["total_documents"] == 2
+    assert env["average_confidence"] == 0.85
+    on_disk = json.load(open(os.path.join(out, "envelope.json")))
+    assert on_disk == env
+    lines = []
+    for f in glob.glob(os.path.join(out, "results", "*.json")):
+        lines += [json.loads(ln) for ln in open(f) if ln.strip()]
+    assert {row["source_file"] for row in lines} == {"a", "b"}
+
+
+def test_batch_status_and_lineage(spark, corpus_dir, tmp_path):
+    from ai_pdf_extraction_spark.plans.metrics import (
+        batch_status,
+        lineage_df,
+        per_host_metrics,
+    )
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    out_root = str(tmp_path / "status_out")
+    table = SnapshotTable(out_root)
+    empty = batch_status(spark, table, n_buckets=8)
+    assert empty["progress_pct"] == 0.0 and empty["n_docs"] == 0
+
+    run_extraction(
+        spark, os.path.join(corpus_dir, "pages.parquet"), out_root,
+        run_id="m1", n_buckets=8,
+    )
+    status = batch_status(spark, table, n_buckets=8)
+    assert status["progress_pct"] == 100.0
+    assert status["n_docs"] == 300
+    assert status["n_parse_fail"] > 0
+
+    lin = lineage_df(spark, table)
+    assert lin.count() == 8
+    assert lin.agg(F.sum("n_docs")).collect()[0][0] == 300
+
+    hosts = per_host_metrics(table.read(spark))
+    big = hosts.filter(F.col("host") == "big.example.com").collect()[0]
+    assert big["n_docs"] > 60
+
+
+def test_streaming_ingest_available_now(spark, tmp_path):
+    from ai_pdf_extraction_spark.corpus import write_pages_parquet
+    from ai_pdf_extraction_spark.oracle.run_reference import extract_rows
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+    from ai_pdf_extraction_spark.streaming.ingest import run_available_now
+
+    in_dir = str(tmp_path / "stream_in")
+    write_pages_parquet(in_dir, 120, seed=9, n_files=5)
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    run_available_now(spark, in_dir, out_dir, ckpt, run_id="s1")
+    got = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert got.count() == 120
+
+    # byte-identical vs the oracle, same as batch
+    golden = {r["url"]: r["extracted_text"] for r in extract_rows(generate_pages(120, seed=9))}
+    for row in got.select("url", "extracted_text").collect():
+        assert row["extracted_text"] == golden[row["url"]]
+
+    # restart with same checkpoint: no reprocessing, count unchanged
+    run_available_now(spark, in_dir, out_dir, ckpt, run_id="s2")
+    assert spark.read.option("basePath", out_dir).parquet(out_dir).count() == 120
+
+
+def test_hourly_counts_stream_plan(spark, tmp_path):
+    """Watermarked windowed agg compiles and runs via availableNow on
+    a memory sink."""
+    from ai_pdf_extraction_spark.corpus import write_pages_parquet
+    from ai_pdf_extraction_spark.streaming.ingest import (
+        PAGES_SCHEMA,
+        hourly_counts_stream,
+    )
+
+    in_dir = str(tmp_path / "wm_in")
+    write_pages_parquet(in_dir, 60, seed=3, n_files=2)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    )
+    q = (
+        hourly_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_counts_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.sql("select * from hourly_counts_test")
+    # watermark append-mode emits only closed windows; plan must run clean
+    assert set(result.columns) == {"hour", "lang", "n_pages"}

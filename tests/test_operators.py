@@ -1,0 +1,177 @@
+"""Operator unit tests on small inline data (hermetic — no testdata
+dependency): dedup family, similarity search, text analysis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different content about spark shuffle partitions and joins"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "der schnelle braune fuchs springt und die hunde und das wasser und der wald"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from ai_pdf_extraction_spark.operators.dedup import exact_dedup
+
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[4]["canonical_id"] == 1 and out[4]["is_dup"] is True
+    assert out[1]["canonical_id"] == 1 and out[1]["is_dup"] is False
+    assert out[4]["group_size"] == 2
+    assert out[2]["is_dup"] is False  # near-dup is NOT exact-dup
+
+
+def test_ngram_jaccard(spark, docs):
+    from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near-dup
+    assert (1, 3) not in pairs  # unrelated
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from ai_pdf_extraction_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs  # identical docs always collide in every band
+    # LSH output must be a subset of the true-jaccard pairs
+    from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs <= true_pairs
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    from ai_pdf_extraction_spark.operators.dedup import simhash_sketch
+
+    sk = {r["doc_id"]: r["simhash"] for r in simhash_sketch(docs.filter("text != ''")).collect()}
+    assert sk[1] == sk[4]  # identical text → identical sketch
+    ham_12 = bin(sk[1] ^ sk[2]).count("1")
+    ham_13 = bin(sk[1] ^ sk[3]).count("1")
+    assert ham_12 < ham_13, "near-dup must be closer in hamming space"
+
+
+def test_embedding_near_dup_and_topk(spark):
+    from ai_pdf_extraction_spark.operators.dedup import embedding_near_dup_pairs
+    from ai_pdf_extraction_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.04, 0.0, 0.0], 0),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+        (5, [0.7, 0.7, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert len(pairs) == 1
+
+    topk = cosine_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(topk, key=lambda r: r["rank"])] == [2, 5]
+
+    ivf = ivf_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    ids = {r["neighbor_id"] for r in ivf}
+    assert ids == {2, 5}, "IVF must only search the query's cluster"
+
+
+def test_text_analysis_columns(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        lang_guess,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house went to the park",),
+            ("der hund und die katze und das haus der wald",),
+            ("",),
+            ("   ",),
+        ],
+        "text string",
+    )
+    rows = df.select(
+        token_count("text").alias("n"),
+        lang_guess("text").alias("lang"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert rows[0]["n"] == 12 and rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "de"
+    assert rows[2]["n"] == 0 and rows[3]["n"] == 0
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert rows[0]["q"] > rows[2]["q"]
+
+
+def test_repair_with_rules(spark):
+    from ai_pdf_extraction_spark.plans.repair import repair_with_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 100.0, 23.0),
+            (2, 150.0, 100.0, 50.0),
+            (3, None, None, 5.0),
+        ],
+        "id long, total double, subtotal double, tax double",
+    )
+    out = {r["id"]: r for r in repair_with_rules(df, ["total == subtotal + tax"]).collect()}
+    assert out[1]["total"] == 123.0 and out[1]["repaired_fields"] == ["total"]
+    assert out[2]["total"] == 150.0 and out[2]["repaired_fields"] == []
+    assert out[3]["total"] is None  # operands missing → not derivable
+
+
+def test_multimodal_features_and_sampling(spark):
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample_plan,
+        sniff_media_type,
+    )
+
+    rows = [
+        (1, b"\x89PNG\r\n" + bytes(range(250))),
+        (2, b"\xff\xd8\xff\xe0" + b"jpegdata" * 10),
+        (3, b"RIFF" + b"\x00" * 40),
+        (4, b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert feats[1]["format"] == "png" and feats[1]["media_type"] == "image"
+    assert feats[2]["format"] == "jpeg"
+    assert feats[3]["media_type"] == "audio"
+    assert feats[4]["n_bytes"] == 0 and feats[4]["byte_entropy"] == 0.0
+    assert len(feats[1]["histogram"]) == 16
+    assert abs(sum(feats[1]["histogram"]) - 1.0) < 1e-4
+
+    sniffed = df.select("media_id", sniff_media_type().alias("fmt")).collect()
+    assert {r["media_id"]: r["fmt"] for r in sniffed}[1] == "png"
+
+    frames = spark.createDataFrame([(1, 20), (2, 3), (3, 100)], "media_id long, n_frames int")
+    sampled = {r["media_id"]: r["sample_frames"] for r in frame_sample_plan(frames, n_frames=6).collect()}
+    assert sampled[1][0:2] == [0, 1] and sampled[1][-2:] == [18, 19]
+    assert len(sampled[1]) == 6
+    assert sampled[2] == [0, 1, 2]  # fewer frames than budget
+    assert all(0 <= i < 100 for i in sampled[3]) and len(sampled[3]) == 6
+
+    from ai_pdf_extraction_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "png")
