@@ -75,6 +75,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_shingle_df: int | None = None,
+    _shingles: DataFrame | None = None,
+    _candidates: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold. Output: (id_a, id_b,
     jaccard) with id_a < id_b, jaccard rounded to 4.
@@ -83,22 +85,41 @@ def ngram_jaccard_pairs(
     docs before the self-join — at web scale a handful of ubiquitous
     shingles would otherwise create a quadratic hot key (the same skew
     class the salted-host repartition handles for hosts).
+
+    ``_candidates`` (id_a, id_b) restricts the pair computation to a
+    candidate set (the LSH verify path) — shared-shingle counting then
+    touches only candidate docs instead of the full self-join.
     """
-    sh = _word_shingles(docs, id_col, text_col, n)
+    sh = _shingles if _shingles is not None else _word_shingles(docs, id_col, text_col, n)
+    # The explode feeds three consumers (sizes + both join sides):
+    # materialize it once instead of re-running split/explode per use.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     if max_shingle_df is not None:
         rare = sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(
             F.col("df_") <= max_shingle_df
         )
         sh = sh.join(rare.select("shingle"), "shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
-    )
+    if _candidates is not None:
+        sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        shared = (
+            _candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count("*").alias("shared"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
     return (
@@ -119,11 +140,12 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     k: int = 12,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc. Permutation i is
     ``min(md5(i || ':' || shingle))`` — md5 exists verbatim in DuckDB,
     making the whole signature oracle-checkable. Output: (id, h0..h{k-1})."""
-    sh = _word_shingles(docs, id_col, text_col, n)
+    sh = _shingles if _shingles is not None else _word_shingles(docs, id_col, text_col, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)
@@ -148,7 +170,8 @@ def minhash_lsh_pairs(
     and the verify join removes false positives.
     """
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, k)
+    sh = _word_shingles(docs, id_col, text_col, n).persist()
+    sig = minhash_signatures(docs, id_col, text_col, n, k, _shingles=sh)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -177,8 +200,13 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
-    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Verify ONLY the candidate pairs (reusing the materialized shingle
+    # relation) — never the all-pairs product; this is the whole point
+    # of LSH at 10^12-doc scale.
+    return ngram_jaccard_pairs(
+        docs, id_col, text_col, n, threshold,
+        _shingles=sh, _candidates=candidates,
+    ).select("id_a", "id_b", "jaccard")
 
 
 def simhash_sketch(
@@ -219,33 +247,74 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ threshold. Output:
     (id_a, id_b, cos), id_a < id_b, cos rounded 4.
 
-    Brute-force all-pairs is the correctness baseline; at scale,
-    pre-bucket by LSH/IVF (see ``operators.similarity``) and run this
-    within buckets only."""
-    withnorm = emb.select(
-        F.col(id_col),
+    Block-nested-loop with vectorized numpy/BLAS matmul: rows are
+    hash-assigned to ``n_blocks`` blocks, each row is replicated to the
+    ``n_blocks`` block-pairs it participates in (√-replication), and
+    each (block_i, block_j) group computes one normalized ``X @ Y.T``
+    inside ``applyInPandas``. Per-pair cost is a BLAS cell instead of a
+    Catalyst higher-order-function fold — ~10-50× faster — and the
+    block grid is the scale path: blocks shard the quadratic work
+    across the cluster with bounded per-task memory. At 10^12 docs,
+    pre-filter candidates with LSH/IVF first and run this within
+    buckets."""
+    import numpy as np
+    import pandas as pd
+
+    blocked = emb.select(
+        F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    a = withnorm.alias("a")
-    b = withnorm.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # replicate each row to every block-pair (min(blk,o), max(blk,o))
+    expanded = blocked.select(
+        "_id",
+        "v",
+        "blk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda o: F.struct(
+                    F.least(F.col("blk"), o).alias("ba"),
+                    F.greatest(F.col("blk"), o).alias("bb"),
+                ),
+            )
+        ).alias("bp"),
+    ).dropDuplicates(["_id", "bp"])
+
+    out_schema = "id_a long, id_b long, cos double"
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ba = int(pdf["bp"].iloc[0]["ba"])
+        bb = int(pdf["bp"].iloc[0]["bb"])
+        ids = pdf["_id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        blks = pdf["blk"].to_numpy()
+        if ba == bb:
+            cos = unit @ unit.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            id_a, id_b, c = ids[ia], ids[ib], cos[ia, ib]
+        else:
+            ma, mb = blks == ba, blks == bb
+            cos = unit[ma] @ unit[mb].T
+            ia, ib = np.nonzero(np.ones_like(cos, dtype=bool))
+            id_a, id_b, c = ids[ma][ia], ids[mb][ib], cos[ia, ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        keep = lo < hi
+        c = np.round(c[keep], 4)
+        mask = c >= threshold
+        return pd.DataFrame({"id_a": lo[keep][mask], "id_b": hi[keep][mask], "cos": c[mask]})
+
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+        expanded.groupBy("bp")
+        .applyInPandas(block_pairs, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )
