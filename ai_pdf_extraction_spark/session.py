@@ -74,6 +74,10 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip (spark-submit --py-files already shipped
+        # the package to executors) — nothing to do
+        return
     pkg_name = os.path.basename(pkg_dir)
     zip_path = os.path.join(
         tempfile.gettempdir(), f"{pkg_name}-{os.path.getmtime(pkg_dir):.0f}.zip"

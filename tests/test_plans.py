@@ -1,0 +1,119 @@
+"""Physical-plan quality assertions (SURVEY.md §4): pushdown, pruning,
+broadcast selection, codegen — the plans must stay the plans we'd want
+at 100 TB, not just produce correct rows."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    import __spark_entry__ as e
+
+    df = e.q02_filtered_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400], (
+        "shipdate range must be pushed into the parquet scan"
+    )
+
+
+def test_column_pruning_skips_binary_html(spark, corpus_dir):
+    """Metrics-only readers must never deserialize the html payload."""
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    metrics = pages.groupBy("lang").count()
+    plan = _plan(metrics)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema
+    assert "lang" in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q03_region_nation_rollup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "tiny dims must never sort-merge"
+
+
+def test_ann_probe_side_is_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q25_ann_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_covers_normalizers(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q13_scalar_normalizers(spark, SF_DIR))
+    # '*(n)' prefixes mark WholeStageCodegen stages in toString() output
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "normalizers are pure Column exprs — no Python in the plan"
+    )
+
+
+def test_rule_engine_is_pure_catalyst(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q14_order_total_rule(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extraction_udf_input_is_pruned(spark, corpus_dir):
+    """Only (url-derived cols, html) may cross into the Python worker:
+    the Arrow transfer must not carry text/lang/warc_ts into the UDF
+    evaluation node."""
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    plan = _plan(extraction_plan(pages, run_id="x", min_parallelism=2))
+    assert "ArrowEvalPython" in plan, "extraction must be an Arrow-batched UDF"
+    arrow_node = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln][0]
+    assert "text" not in arrow_node.replace("extracted_text", "")
+
+
+def test_aqe_enabled_and_shuffle_partitions(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """Fingerprint groupBy must map-side combine (partial_count before
+    the exchange) — standard hash-agg shape."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q20_exact_dedup(spark, SF_DIR))
+    before_exchange = plan.split("Exchange")[0]
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_bucket_filter_prunes_partitions(spark, corpus_dir, tmp_path):
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    out_root = str(tmp_path / "prune2")
+    run_extraction(
+        spark, os.path.join(corpus_dir, "pages.parquet"), out_root,
+        run_id="p", n_buckets=8,
+    )
+    table = SnapshotTable(out_root)
+    one_bucket = table.read(spark).filter(F.col("bucket") == 2)
+    plan = _plan(one_bucket)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in pf, "bucket predicate must prune hive partitions"
