@@ -423,6 +423,68 @@ def q28_event_type_stats(spark, sf_dir):
     )
 
 
+def q29_chunk_merge(spark, sf_dir):
+    """The reference's per-document chunk-merge semantics
+    (``services/ai/extraction.py:337-434``, SURVEY.md §2.4 A1/A2/A5/A6)
+    applied per source group: order-sensitive array concatenation
+    (A5 — flatten in chunk order), scalar coalesce-first-non-null (A6),
+    mean-confidence with round 3 (A1/A4), and geometric-mean-of-logs
+    confidence with the −10 clamp (A2)."""
+    d = _t(spark, sf_dir, "documents")
+    conf = (F.col("n_chars") % 100) / 100.0  # deterministic stand-in score
+    chunks = d.select(
+        "source",
+        F.struct(F.col("doc_id"), F.col("text"), conf.alias("conf")).alias("chunk"),
+    )
+    merged = chunks.groupBy("source").agg(
+        F.array_sort(F.collect_list("chunk")).alias("ordered")
+    )
+    logs = F.transform(
+        F.col("ordered"),
+        lambda x: F.greatest(F.log(F.greatest(x["conf"], F.lit(1e-12))), F.lit(-10.0)),
+    )
+    return merged.select(
+        "source",
+        F.substring(
+            F.concat_ws(" ", F.transform(F.col("ordered"), lambda x: x["text"])), 1, 80
+        ).alias("merged_text_prefix"),
+        F.col("ordered")[0]["text"].substr(1, 20).alias("first_text_prefix"),
+        F.round(
+            F.aggregate(
+                F.col("ordered"), F.lit(0.0), lambda acc, x: acc + x["conf"]
+            )
+            / F.size("ordered"),
+            3,
+        ).alias("mean_conf"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.exp(
+                    F.aggregate(logs, F.lit(0.0), lambda acc, x: acc + x)
+                    / F.size("ordered")
+                ),
+            ),
+            3,
+        ).alias("geo_conf"),
+        F.size("ordered").alias("n_chunks"),
+    )
+
+
+def q30_token_counts_bpe(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting side by side."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        token_count,
+        token_count_bpe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -453,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_ivf_topk": q26_ivf_topk,
         "q27_hourly_event_counts": q27_hourly_event_counts,
         "q28_event_type_stats": q28_event_type_stats,
+        "q29_chunk_merge": q29_chunk_merge,
+        "q30_token_counts_bpe": q30_token_counts_bpe,
     }
 
 
@@ -748,6 +812,28 @@ select query_id, neighbor_id, cos, rank from (
 select date_trunc('hour', ts) as hour, event_type,
   count(*) as n_events, round(sum(value), 2) as sum_value
 from events group by 1, 2
+""",
+        "q29_chunk_merge": """
+with chunks as (
+  select source, doc_id, text, (n_chars % 100) / 100.0 as conf
+  from documents
+)
+select source,
+  substr(string_agg(text, ' ' order by doc_id), 1, 80) as merged_text_prefix,
+  substr(arg_min(text, doc_id), 1, 20) as first_text_prefix,
+  round(avg(conf), 3) as mean_conf,
+  round(least(1.0, exp(avg(greatest(ln(greatest(conf, 1e-12)), -10.0)))), 3)
+    as geo_conf,
+  count(*) as n_chunks
+from chunks group by source
+""",
+        "q30_token_counts_bpe": r"""
+select doc_id,
+  case when length(trim(text)) = 0 then 0
+       else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens_ws,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+    as n_tokens_bpe
+from documents
 """,
         "q28_event_type_stats": """
 select event_type, count(*) as n_events,

@@ -35,6 +35,19 @@ def token_count(col: Column | str = "text") -> Column:
     ).cast("long")
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, and punctuation runs
+# are separate tokens (the GPT-2 pre-tokenization family, minus byte
+# fallback). Identical regex semantics in DuckDB's regexp_extract_all.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(col: Column | str = "text") -> Column:
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex —
+    the quantity an LLM-training cost model actually budgets on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
+
+
 # Stopword markers per language, space-padded so they only match whole
 # words inside the padded text. Deterministic tiny model — a real
 # pipeline would swap in fastText; same operator shape.

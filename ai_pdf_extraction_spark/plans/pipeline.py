@@ -30,6 +30,10 @@ from ai_pdf_extraction_spark.plans.partitioning import (
 )
 from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
 
+# Per-doc byte budget into the Python worker (P10); generous — the
+# synthetic corpus max is ~50 KB, real CC pages p99 ≈ 500 KB.
+MAX_DOC_BYTES = 4 * 1024 * 1024
+
 OUTPUT_COLUMNS = (
     "url",
     "warc_ts",
@@ -69,6 +73,15 @@ def extraction_plan(
     target = min_parallelism or spark.sparkContext.defaultParallelism * 2
     if pages.rdd.getNumPartitions() < target:
         pages = pages.repartition(target)
+    # Payload cap (reference's ≤2048px image downscale analogue,
+    # extraction.py:77-83 / SURVEY.md §2.2 P10): bound per-doc bytes
+    # entering the Python worker so one pathological page can't blow an
+    # Arrow batch. Docs at the cap are flagged via a truncation warning
+    # appended downstream of the kernel.
+    truncated = F.length(F.col("html")) > MAX_DOC_BYTES
+    pages = pages.withColumn("_truncated", truncated).withColumn(
+        "html", F.when(truncated, F.substring(F.col("html"), 1, MAX_DOC_BYTES)).otherwise(F.col("html"))
+    )
     extracted = pages.withColumn("extraction", extract_udf(F.col("html")))
     return extracted.select(
         "url",
@@ -79,7 +92,15 @@ def extraction_plan(
         F.col("extraction.extracted_text").alias("extracted_text"),
         F.col("extraction.spans").alias("spans"),
         F.col("extraction.parse_ok").alias("parse_ok"),
-        F.col("extraction.warnings").alias("warnings"),
+        F.when(
+            F.col("_truncated"),
+            F.array_union(
+                F.col("extraction.warnings"),
+                F.array(F.lit(f"input truncated at {MAX_DOC_BYTES} bytes")),
+            ),
+        )
+        .otherwise(F.col("extraction.warnings"))
+        .alias("warnings"),
         F.col("extraction.n_chars").alias("n_chars"),
         F.col("extraction.n_spans").alias("n_spans"),
         F.lit(run_id).alias("run_id"),
