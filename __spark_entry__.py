@@ -485,6 +485,48 @@ def q30_token_counts_bpe(spark, sf_dir):
     )
 
 
+def q31_winnowing_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprint sketch per document."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints("text", k=8, window=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.md5(F.concat_ws("", fps)).alias("sketch"),
+    )
+
+
+def q32_user_sessions(spark, sf_dir):
+    """Sessionization via lag/windowed running sum (30-min inactivity
+    gap) — lead/lag + frame coverage beyond row_number."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional-second arithmetic (timestamp → double seconds),
+    # matching DuckDB epoch() exactly — unix_timestamp truncates and
+    # diverges; TIMESTAMP_NTZ needs the intermediate timestamp cast
+    sec = F.col("ts").cast("timestamp").cast("double")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | ((sec - F.lag(sec).over(w)) > 1800.0), 1
+    ).otherwise(0)
+    sessions = e.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.floor(F.max(sec) - F.min(sec)).cast("long").alias("session_len_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -517,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_event_type_stats": q28_event_type_stats,
         "q29_chunk_merge": q29_chunk_merge,
         "q30_token_counts_bpe": q30_token_counts_bpe,
+        "q31_winnowing_fingerprints": q31_winnowing_fingerprints,
+        "q32_user_sessions": q32_user_sessions,
     }
 
 
@@ -834,6 +878,48 @@ select doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
     as n_tokens_bpe
 from documents
+""",
+        "q31_winnowing_fingerprints": """
+with g as (
+  select doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') as norm
+  from documents
+), h as (
+  select doc_id,
+    case when length(norm) < 8 then []
+         else [md5(substr(norm, i, 8))
+               for i in range(1, greatest(length(norm) - 7, 1) + 1)]
+    end as hashes
+  from g
+), w as (
+  select doc_id,
+    case when len(hashes) = 0 then []
+         else list_sort(list_distinct(
+                [list_min(hashes[i:i+3])
+                 for i in range(1, greatest(len(hashes) - 3, 1) + 1)]))
+    end as fps
+  from h
+)
+select doc_id, len(fps) as n_fp, md5(array_to_string(fps, '')) as sketch
+from w
+""",
+        "q32_user_sessions": """
+with marked as (
+  select user_id, ts, event_id,
+    case when lag(ts) over (partition by user_id order by ts, event_id) is null
+           or epoch(ts) - epoch(lag(ts) over (partition by user_id
+                                              order by ts, event_id)) > 1800.0
+         then 1 else 0 end as new_session
+  from events
+), sessions as (
+  select user_id, ts,
+    sum(new_session) over (partition by user_id order by ts, event_id
+                           rows unbounded preceding) as session_id
+  from marked
+)
+select user_id, session_id, count(*) as n_events,
+  min(ts) as session_start,
+  floor(epoch(max(ts)) - epoch(min(ts)))::bigint as session_len_sec
+from sessions group by user_id, session_id
 """,
         "q28_event_type_stats": """
 select event_type, count(*) as n_events,

@@ -13,6 +13,7 @@ corpus-level curation ops the reference never needed at 21-doc scale.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -111,6 +112,50 @@ def fingerprint(col: Column | str = "text") -> Column:
     hash dedup key (``routers/batches.py:381-382``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9]", ""))
+
+
+def winnowing_fingerprints_py(text: str, k: int = 8, window: int = 4) -> list[str]:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken) of one text:
+    rolling char k-gram hashes, minimum per sliding window, sorted
+    distinct. Shared by the pandas UDF and any oracle runner; md5 per
+    gram keeps it reproducible in DuckDB SQL."""
+    import hashlib
+    import re as _re
+
+    norm = _re.sub(r"[^a-z0-9]", "", text.lower()) if text else ""
+    if len(norm) < k:
+        return []
+    hashes = [
+        hashlib.md5(norm[i : i + k].encode()).hexdigest()
+        for i in range(len(norm) - k + 1)
+    ]
+    n_windows = max(len(hashes) - (window - 1), 1)
+    mins = {min(hashes[w : w + window]) for w in range(n_windows)}
+    return sorted(mins)
+
+
+def winnowing_fingerprints(
+    col: Column | str = "text", k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing fingerprint as an Arrow-batched pandas UDF.
+
+    A pure-Column formulation exists (transform over a gram sequence +
+    windowed array_min) but Catalyst re-inlines the gram-hash array
+    into every window lambda — no CSE across higher-order functions —
+    turning O(n·w) into O(n²·regexp) per document (measured ~280 s for
+    500 docs vs <1 s here). This is exactly the "UDF when built-ins
+    genuinely can't express it efficiently" case.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: winnowing_fingerprints_py(t if t is not None else "", k, window)
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _winnow(c)
 
 
 def with_text_analysis(df: DataFrame, col: str = "text") -> DataFrame:

@@ -130,6 +130,27 @@ class SnapshotTable:
             & df.commit_id.isin(sorted(self.committed_commit_ids()))
         )
 
+    def read_at(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        """Time travel: read the table as of ``snapshot_id`` — only
+        data committed by that snapshot's ancestor chain is visible
+        (Iceberg ``VERSION AS OF`` semantics)."""
+        by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+        if snapshot_id not in by_id:
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        commit_ids: list[str] = []
+        buckets: set[int] = set()
+        cur: str | None = snapshot_id
+        while cur is not None:
+            snap = by_id[cur]
+            if snap.get("commit_id"):
+                commit_ids.append(snap["commit_id"])
+            buckets.update(snap["buckets"])
+            cur = snap["parent_id"]
+        df = spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+        return df.filter(
+            df.bucket.isin(sorted(buckets)) & df.commit_id.isin(sorted(commit_ids))
+        )
+
     def lineage(self) -> list[dict]:
         """Flattened per-partition lineage rows (north_rule)."""
         rows = []

@@ -175,3 +175,23 @@ def test_multimodal_features_and_sampling(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "png")
+
+
+def test_winnowing_fingerprints(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_py,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    fa, fb = winnowing_fingerprints_py(a), winnowing_fingerprints_py(b)
+    assert fa and fa == sorted(set(fa))
+    overlap = len(set(fa) & set(fb)) / len(set(fa) | set(fb))
+    assert overlap > 0.5, "near-identical texts share most fingerprints"
+    assert winnowing_fingerprints_py("short") == []
+
+    df = spark.createDataFrame([(a,), (b,), (None,)], "text string")
+    rows = df.select(winnowing_fingerprints("text").alias("fp")).collect()
+    assert rows[0]["fp"] == fa  # UDF identical to the pure function
+    assert rows[2]["fp"] == []

@@ -120,3 +120,25 @@ def test_output_partition_pruning(spark, corpus_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
     assert df.count() > 0
+
+
+def test_snapshot_time_travel(spark, corpus_dir, tmp_path):
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    out_root = str(tmp_path / "tt_out")
+    run_extraction(
+        spark, os.path.join(corpus_dir, "pages.parquet"), out_root,
+        run_id="tt", n_buckets=4, buckets_per_commit=1,
+    )
+    table = SnapshotTable(out_root)
+    snaps = table.snapshots()
+    assert len(snaps) == 4
+    # as-of the second snapshot only buckets 0-1 are visible
+    old = table.read_at(spark, snaps[1]["snapshot_id"])
+    assert set(r["bucket"] for r in old.select("bucket").distinct().collect()) == {0, 1}
+    assert old.count() < table.read(spark).count()
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        table.read_at(spark, "nope")
