@@ -140,9 +140,22 @@ def _build_pdf(rng: random.Random) -> bytes:
                 f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 {font_obj_num} 0 R >> >> >>"
             ).encode()
         )
-        objs.append(
-            f"<< /Length {len(stream)} >>\nstream\n".encode() + stream + b"\nendstream"
-        )
+        # ~half the streams Flate-compressed, like real-world PDFs
+        if rng.random() < 0.5:
+            import zlib
+
+            deflated = zlib.compress(stream)
+            objs.append(
+                f"<< /Length {len(deflated)} /Filter /FlateDecode >>\nstream\n".encode()
+                + deflated
+                + b"\nendstream"
+            )
+        else:
+            objs.append(
+                f"<< /Length {len(stream)} >>\nstream\n".encode()
+                + stream
+                + b"\nendstream"
+            )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     out = bytearray(b"%PDF-1.4\n")

@@ -27,7 +27,11 @@ import re
 
 from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
+_STREAM_RE = re.compile(
+    rb"(?:<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*)?"
+    rb"stream\r?\n(?P<body>.*?)(?:\r?\n)?endstream",
+    re.DOTALL,
+)
 
 # Vertical gap (in multiples of font size) that splits two lines into
 # separate blocks; pdfminer's LAParams.line_margin analogue.
@@ -216,7 +220,18 @@ def extract_pdf(data: bytes) -> ExtractionResult:
     warnings: list[str] = []
     if b"%%EOF" not in data:
         warnings.append("pdf: missing %%EOF (truncated?)")
-    streams = _STREAM_RE.findall(data)
+    streams: list[bytes] = []
+    for m in _STREAM_RE.finditer(data):
+        body = m.group("body")
+        if m.group("dict") and b"/FlateDecode" in m.group("dict"):
+            import zlib
+
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                warnings.append("pdf: FlateDecode stream failed to inflate")
+                continue
+        streams.append(body)
     if not streams:
         return ExtractionResult(
             text="",

@@ -1,0 +1,93 @@
+"""Property-based kernel robustness (hypothesis): the reference's
+failure-isolation contract — arbitrary bytes must NEVER raise, spans
+must always index correctly into the text, and extraction must be
+deterministic (SURVEY.md §2.9 ST3/ST6)."""
+
+from __future__ import annotations
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ai_pdf_extraction_spark.kernels import extract_document
+from ai_pdf_extraction_spark.kernels.html_extract import extract_html
+from ai_pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_arbitrary_bytes_never_raise(data):
+    res = extract_document(data)
+    assert isinstance(res.parse_ok, bool)
+    assert isinstance(res.text, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_pdf_prefixed_bytes_never_raise(data):
+    res = extract_document(b"%PDF-1.4\n" + data)
+    assert res.content_type == "pdf"
+    assert isinstance(res.text, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=2048))
+def test_html_spans_always_index_into_text(markup):
+    res = extract_html(markup.encode("utf-8"))
+    for span in res.spans:
+        assert 0 <= span.start <= span.end <= len(res.text)
+        segment = res.text[span.start : span.end]
+        assert segment == segment.strip()
+    # spans tile the text in order, separated by the block joiner
+    for prev, cur in zip(res.spans, res.spans[1:]):
+        assert cur.start == prev.end + 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extraction_is_deterministic(data):
+    a, b = extract_document(data), extract_document(data)
+    assert a.text == b.text
+    assert [s.as_tuple() for s in a.spans] == [s.as_tuple() for s in b.spans]
+    assert a.warnings == b.warnings
+    assert a.parse_ok == b.parse_ok
+
+
+def test_flate_compressed_pdf_extracts():
+    raw = b"BT /F1 24 Tf 72 720 Td (Compressed title here) Tj ET"
+    deflated = zlib.compress(raw)
+    pdf = (
+        b"%PDF-1.4\n4 0 obj\n<< /Length "
+        + str(len(deflated)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + deflated
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert res.parse_ok
+    assert "Compressed title here" in res.text
+    assert res.spans[0].kind == "title"
+
+
+def test_corrupt_flate_stream_is_isolated():
+    pdf = (
+        b"%PDF-1.4\n<< /Length 10 /Filter /FlateDecode >>\nstream\n"
+        b"not-zlib!!\nendstream\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert res.parse_ok is False
+    assert any("inflate" in w for w in res.warnings)
+
+
+def test_mixed_compressed_corpus_roundtrip():
+    """Generator emits ~half Flate streams; kernel must read both."""
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+
+    pdfs = [r for r in generate_pages(400, seed=21) if r["html"][:4] == b"%PDF"]
+    assert any(b"/FlateDecode" in r["html"] for r in pdfs)
+    assert any(b"/FlateDecode" not in r["html"] for r in pdfs)
+    for r in pdfs:
+        res = extract_document(r["html"])
+        assert res.parse_ok, r["url"]
+        assert len(res.text) > 50
