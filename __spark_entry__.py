@@ -527,6 +527,23 @@ def q32_user_sessions(spark, sf_dir):
     )
 
 
+def q33_json_props(spark, sf_dir):
+    """JSON parse/serialize + map ops (SURVEY.md §2.7 F13, §2.6 U3):
+    the reference's ``extracted_data`` dict payload round-trip
+    (``models.py:182-185`` ↔ ``from_json``/``to_json``)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json("props", "map<string,string>").alias("m"),
+    )
+    return parsed.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("prop_keys"),
+        F.col("m")["k"].try_cast("long").alias("k_value"),
+        F.size(F.map_keys("m")).alias("n_props"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -561,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_token_counts_bpe": q30_token_counts_bpe,
         "q31_winnowing_fingerprints": q31_winnowing_fingerprints,
         "q32_user_sessions": q32_user_sessions,
+        "q33_json_props": q33_json_props,
     }
 
 
@@ -901,6 +919,13 @@ with g as (
 )
 select doc_id, len(fps) as n_fp, md5(array_to_string(fps, '')) as sketch
 from w
+""",
+        "q33_json_props": """
+select event_id,
+  array_to_string(list_sort(json_keys(props)), ',') as prop_keys,
+  try_cast(json_extract_string(props, '$.k') as bigint) as k_value,
+  len(json_keys(props)) as n_props
+from events
 """,
         "q32_user_sessions": """
 with marked as (

@@ -1,0 +1,77 @@
+"""Offline corpus profiling — the rebuild of the reference's schema
+discovery (SURVEY.md §3.2).
+
+The reference samples representative pages (first 2 + last 2 + strided
+middle, ``pdf_service.py:203-283``) and asks an LLM to infer a schema
+(``services/ai/discovery.py:256-361``). The deterministic rebuild
+samples the corpus the same way, runs the extraction kernels on the
+sample, and reports the corpus profile + the fixed output schema — a
+one-shot plan-time activity, never a runtime operator (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
+    """First 2 + last 2 + uniformly strided middle, by url order —
+    the reference's page-sampling policy lifted to corpus scale.
+    Deterministic (no RNG): rank by url, pick index set."""
+    n = pages.count()
+    if n <= max_docs:
+        return pages
+    middle = max_docs - 4
+    stride = max((n - 4) / max(middle, 1), 1.0)
+    indices = sorted(
+        {1, 2, n - 1, n}
+        | {min(int(3 + i * stride), n) for i in range(middle)}
+    )
+    w = Window.orderBy("url")
+    ranked = pages.withColumn("_rn", F.row_number().over(w))
+    return ranked.filter(F.col("_rn").isin(indices)).drop("_rn")
+
+
+def profile_corpus(spark: SparkSession, input_path: str, max_docs: int = 64) -> dict:
+    """Run the kernels over a representative sample; emit the corpus
+    profile and the (fixed) output schema as a discovery report."""
+    from ai_pdf_extraction_spark.operators.extract import EXTRACTION_TYPE
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+
+    pages = spark.read.parquet(input_path)
+    sample = representative_sample(pages, max_docs)
+    extracted = extraction_plan(sample, run_id="profile", min_parallelism=4)
+
+    stats = extracted.agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("n_chars"), 1).alias("avg_chars"),
+        F.round(F.avg("n_spans"), 2).alias("avg_spans"),
+        F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("n_parse_fail"),
+    ).collect()[0]
+    ctype_mix = {
+        r["content_type"]: r["n"]
+        for r in extracted.groupBy("content_type").agg(F.count("*").alias("n")).collect()
+    }
+    kind_mix = {
+        r["kind"]: r["n"]
+        for r in extracted.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    lang_mix = {
+        r["lang"]: r["n"]
+        for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "n_sampled": int(stats["n_sampled"]),
+        "avg_chars": float(stats["avg_chars"]),
+        "avg_spans": float(stats["avg_spans"]),
+        "parse_fail_rate": round(stats["n_parse_fail"] / max(stats["n_sampled"], 1), 4),
+        "content_type_mix": ctype_mix,
+        "span_kind_mix": kind_mix,
+        "lang_mix": lang_mix,
+        "output_schema": EXTRACTION_TYPE.simpleString(),
+    }

@@ -143,3 +143,18 @@ def test_hourly_counts_stream_plan(spark, tmp_path):
     result = spark.sql("select * from hourly_counts_test")
     # watermark append-mode emits only closed windows; plan must run clean
     assert set(result.columns) == {"hour", "lang", "n_pages"}
+
+
+def test_profile_corpus(spark, corpus_dir):
+    import os
+
+    from ai_pdf_extraction_spark.plans.profiling import profile_corpus
+
+    report = profile_corpus(
+        spark, os.path.join(corpus_dir, "pages.parquet"), max_docs=48
+    )
+    assert report["n_sampled"] == 48
+    assert report["content_type_mix"].get("html", 0) > 0
+    assert "title" in report["span_kind_mix"]
+    assert report["output_schema"].startswith("struct<extracted_text:string")
+    assert 0.0 <= report["parse_fail_rate"] <= 0.2
