@@ -144,6 +144,7 @@ class _MainContentParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, str]] = []  # (kind, normalized text)
+        self.candidate_chars = 0  # all non-skip text seen (incl. dropped)
         self._skip_depth = 0
         self._boiler_depth = 0
         self._link_depth = 0
@@ -169,10 +170,13 @@ class _MainContentParser(HTMLParser):
     def _flush(self) -> None:
         block = self._current
         self._current = None
-        if block is None or block.boiler:
+        if block is None:
             return
         text = _WS_RE.sub(" ", "".join(block.parts)).strip()
         if not text:
+            return
+        self.candidate_chars += len(text)
+        if block.boiler:
             return
         n = len(text)
         ratio = block.link_chars / n
@@ -300,6 +304,15 @@ def extract_html(data: bytes) -> ExtractionResult:
             warnings = warnings + ["html: no markup found"]
         else:
             warnings = warnings + ["html: no main content found"]
+    kept = sum(len(t) for _, t in parser.blocks)
+    confidence = (
+        round(kept / parser.candidate_chars, 3) if parser.candidate_chars else 0.0
+    )
     return ExtractionResult(
-        text=out, spans=spans, parse_ok=parse_ok, warnings=warnings, content_type="html"
+        text=out,
+        spans=spans,
+        parse_ok=parse_ok,
+        warnings=warnings,
+        content_type="html",
+        confidence=confidence,
     )

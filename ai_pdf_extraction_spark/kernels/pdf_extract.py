@@ -221,7 +221,9 @@ def extract_pdf(data: bytes) -> ExtractionResult:
     if b"%%EOF" not in data:
         warnings.append("pdf: missing %%EOF (truncated?)")
     streams: list[bytes] = []
+    n_total_streams = 0
     for m in _STREAM_RE.finditer(data):
+        n_total_streams += 1
         body = m.group("body")
         if m.group("dict") and b"/FlateDecode" in m.group("dict"):
             import zlib
@@ -243,9 +245,11 @@ def extract_pdf(data: bytes) -> ExtractionResult:
 
     # One content stream per page in our corpus; page order = file order.
     lines: list[tuple[int, float, float, float, str]] = []  # page,-y,x,size,text
+    n_parsed_streams = 0
     for page, stream in enumerate(streams):
         try:
             runs = _runs_from_stream(stream)
+            n_parsed_streams += 1
         except Exception as exc:
             warnings.append(f"pdf: stream {page} parse error: {type(exc).__name__}")
             continue
@@ -325,4 +329,7 @@ def extract_pdf(data: bytes) -> ExtractionResult:
         parse_ok=True,
         warnings=warnings,
         content_type="pdf",
+        confidence=round(n_parsed_streams / n_total_streams, 3)
+        if n_total_streams
+        else 0.0,
     )

@@ -34,6 +34,11 @@ class ExtractionResult:
     parse_ok: bool
     warnings: list[str] = field(default_factory=list)
     content_type: str = "unknown"
+    # Deterministic extraction confidence in [0,1], round 3 (the
+    # reference's per-record confidence slot, ``models.py:186-199``,
+    # minus the LLM logprobs): for HTML the kept-to-candidate text
+    # ratio, for PDF the parsed-stream ratio.
+    confidence: float = 0.0
 
     @property
     def n_chars(self) -> int:

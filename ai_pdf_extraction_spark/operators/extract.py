@@ -20,6 +20,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -42,6 +43,7 @@ EXTRACTION_TYPE = StructType(
         StructField("parse_ok", BooleanType(), False),
         StructField("warnings", ArrayType(StringType()), False),
         StructField("content_type", StringType(), False),
+        StructField("confidence", DoubleType(), False),
         StructField("n_chars", LongType(), False),
         StructField("n_spans", IntegerType(), False),
     ]
@@ -61,6 +63,7 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
     ok: list[bool] = []
     warns: list[list[str]] = []
     ctypes: list[str] = []
+    confs: list[float] = []
     n_chars: list[int] = []
     n_spans: list[int] = []
     for raw in html:
@@ -70,6 +73,7 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
         ok.append(res.parse_ok)
         warns.append(list(res.warnings))
         ctypes.append(res.content_type)
+        confs.append(res.confidence)
         n_chars.append(res.n_chars)
         n_spans.append(res.n_spans)
     return pd.DataFrame(
@@ -79,6 +83,7 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
             "parse_ok": ok,
             "warnings": warns,
             "content_type": ctypes,
+            "confidence": confs,
             "n_chars": n_chars,
             "n_spans": n_spans,
         }

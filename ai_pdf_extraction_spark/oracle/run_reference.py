@@ -19,6 +19,7 @@ GOLDEN_COLUMNS = (
     "parse_ok",
     "warnings",
     "content_type",
+    "confidence",
     "n_chars",
     "n_spans",
 )
@@ -37,6 +38,7 @@ def extract_rows(pages: list[dict]) -> list[dict]:
                 "parse_ok": res.parse_ok,
                 "warnings": list(res.warnings),
                 "content_type": res.content_type,
+                "confidence": res.confidence,
                 "n_chars": res.n_chars,
                 "n_spans": res.n_spans,
             }
@@ -72,6 +74,7 @@ def write_golden_parquet(path: str, pages: list[dict]) -> int:
             "parse_ok": pa.array([r["parse_ok"] for r in rows], pa.bool_()),
             "warnings": pa.array([r["warnings"] for r in rows], pa.list_(pa.string())),
             "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
+            "confidence": pa.array([r["confidence"] for r in rows], pa.float64()),
             "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
             "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
         }

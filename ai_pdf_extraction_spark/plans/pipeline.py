@@ -44,6 +44,7 @@ OUTPUT_COLUMNS = (
     "spans",
     "parse_ok",
     "warnings",
+    "confidence",
     "n_chars",
     "n_spans",
     "run_id",
@@ -101,6 +102,7 @@ def extraction_plan(
         )
         .otherwise(F.col("extraction.warnings"))
         .alias("warnings"),
+        F.col("extraction.confidence").alias("confidence"),
         F.col("extraction.n_chars").alias("n_chars"),
         F.col("extraction.n_spans").alias("n_spans"),
         F.lit(run_id).alias("run_id"),

@@ -60,6 +60,7 @@ def extraction_stream(
         F.col("extraction.spans").alias("spans"),
         F.col("extraction.parse_ok").alias("parse_ok"),
         F.col("extraction.warnings").alias("warnings"),
+        F.col("extraction.confidence").alias("confidence"),
         F.col("extraction.n_chars").alias("n_chars"),
         F.col("extraction.n_spans").alias("n_spans"),
         F.lit(run_id).alias("run_id"),

@@ -37,6 +37,7 @@ def test_extraction_parity_byte_identical(spark, corpus_dir, tmp_path):
         & F.expr("a.spans <=> g.spans")
         & F.expr("a.warnings <=> g.warnings")
         & F.expr("a.content_type <=> g.content_type")
+        & F.expr("a.confidence <=> g.confidence")
     ).count()
     assert matches == total, f"only {matches}/{total} rows byte-identical"
 
