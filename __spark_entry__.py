@@ -544,6 +544,26 @@ def q33_json_props(spark, sf_dir):
     )
 
 
+def q34_extract_pages(spark, sf_dir):
+    """The extraction hot path itself (kernel pandas UDF end-to-end)
+    over a deterministic synthetic corpus. No SQL oracle — the
+    byte-identical check lives in pytest (test_pipeline_parity) — so
+    the driver records a rows-only check; row shape: one per page with
+    stable url/content_type/parse_ok/n_chars/n_spans/confidence."""
+    import os as _os
+
+    from ai_pdf_extraction_spark.corpus import write_pages_parquet
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+
+    path = "/tmp/spark_graft_contract_pages_600_13"
+    if not _os.path.exists(path):
+        write_pages_parquet(path, 600, seed=13, n_files=4)
+    plan = extraction_plan(spark.read.parquet(path), run_id="contract")
+    return plan.select(
+        "url", "content_type", "parse_ok", "confidence", "n_chars", "n_spans"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -579,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_winnowing_fingerprints": q31_winnowing_fingerprints,
         "q32_user_sessions": q32_user_sessions,
         "q33_json_props": q33_json_props,
+        "q34_extract_pages": q34_extract_pages,
     }
 
 

@@ -30,20 +30,20 @@ from ai_pdf_extraction_spark.operators.text_analysis import fingerprint
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document canonical assignment: every doc maps to the
     smallest id sharing its fingerprint. Output: (doc_id,
-    canonical_id, group_size, is_dup)."""
+    canonical_id, group_size, is_dup).
+
+    Implemented as window aggregates over the fingerprint — ONE
+    shuffle on the 32-byte key (vs two for groupBy + join-back); at
+    10^12 docs the saved shuffle is the difference."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
     fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
-    groups = fp.groupBy("fp").agg(
-        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
-    )
-    return (
-        fp.join(groups, "fp")
-        .select(
-            id_col,
-            "canonical_id",
-            "group_size",
-            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
-        )
-    )
+    return fp.select(
+        id_col,
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    ).withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
 
 
 def _word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

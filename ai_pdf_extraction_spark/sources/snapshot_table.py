@@ -61,10 +61,17 @@ class SnapshotTable:
         return out
 
     def committed_commit_ids(self) -> set[str]:
-        """Commit ids reachable from the manifest chain. Data written
-        under a commit id that never got a manifest (crashed run) is
-        orphaned and invisible — Iceberg's uncommitted-file semantics."""
-        return {snap["commit_id"] for snap in self.snapshots() if snap.get("commit_id")}
+        """Commit ids reachable from the manifest chain, minus commits
+        superseded by a compaction. Data written under a commit id that
+        never got a manifest (crashed run) is orphaned and invisible —
+        Iceberg's uncommitted-file semantics."""
+        live: set[str] = set()
+        replaced: set[str] = set()
+        for snap in self.snapshots():
+            if snap.get("commit_id"):
+                live.add(snap["commit_id"])
+            replaced.update(snap.get("replaces", []))
+        return live - replaced
 
     # -- write path --------------------------------------------------------
 
@@ -97,10 +104,13 @@ class SnapshotTable:
         run_id: str,
         metrics: list[dict] | None = None,
         commit_id: str | None = None,
+        replaces: list[str] | None = None,
     ) -> dict:
         """Commit a snapshot manifest (data already written under
         ``commit_id``). The ``os.replace`` rename is the atomicity
-        point — a crash before it leaves the data files invisible."""
+        point — a crash before it leaves the data files invisible.
+        ``replaces`` marks prior commit ids superseded by this one
+        (compaction)."""
         parent = self.current_snapshot()
         seq = (parent["sequence"] + 1) if parent else 0
         snap = {
@@ -111,6 +121,7 @@ class SnapshotTable:
             "commit_id": commit_id,
             "buckets": sorted(int(b) for b in buckets),
             "metrics": metrics or [],
+            "replaces": replaces or [],
         }
         tmp = os.path.join(self.manifest_dir, f".tmp-{snap['snapshot_id']}")
         with open(tmp, "w") as fh:
@@ -132,24 +143,58 @@ class SnapshotTable:
 
     def read_at(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
         """Time travel: read the table as of ``snapshot_id`` — only
-        data committed by that snapshot's ancestor chain is visible
-        (Iceberg ``VERSION AS OF`` semantics)."""
+        data committed by that snapshot's ancestor chain is visible,
+        minus commits a chain-ancestor compaction superseded (Iceberg
+        ``VERSION AS OF`` semantics)."""
         by_id = {s["snapshot_id"]: s for s in self.snapshots()}
         if snapshot_id not in by_id:
             raise KeyError(f"unknown snapshot {snapshot_id!r}")
-        commit_ids: list[str] = []
+        commit_ids: set[str] = set()
+        replaced: set[str] = set()
         buckets: set[int] = set()
         cur: str | None = snapshot_id
         while cur is not None:
             snap = by_id[cur]
             if snap.get("commit_id"):
-                commit_ids.append(snap["commit_id"])
+                commit_ids.add(snap["commit_id"])
+            replaced.update(snap.get("replaces", []))
             buckets.update(snap["buckets"])
             cur = snap["parent_id"]
         df = spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
         return df.filter(
-            df.bucket.isin(sorted(buckets)) & df.commit_id.isin(sorted(commit_ids))
+            df.bucket.isin(sorted(buckets))
+            & df.commit_id.isin(sorted(commit_ids - replaced))
         )
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Rewrite all committed data into one commit (the
+        small-files maintenance pass — Iceberg's
+        ``rewrite_data_files``). Many incremental commits × buckets
+        leave one file per (bucket, commit); after compaction readers
+        scan one commit dir per bucket. Old files stay on disk for
+        time travel until a GC pass removes them."""
+        from pyspark.sql import functions as F
+
+        old_ids = sorted(self.committed_commit_ids())
+        if not old_ids:
+            return {"compacted": 0, "replaces": []}
+        df = self.read(spark).drop("commit_id")
+        new_id = self.new_commit_id()
+        n = df.count()
+        (
+            df.withColumn("commit_id", F.lit(new_id))
+            .repartition("bucket")
+            .write.partitionBy("bucket", "commit_id")
+            .mode("append")
+            .parquet(self.data_dir)
+        )
+        self.commit(
+            sorted(self.committed_buckets()),
+            run_id="compaction",
+            commit_id=new_id,
+            replaces=old_ids,
+        )
+        return {"compacted": n, "replaces": old_ids, "commit_id": new_id}
 
     def lineage(self) -> list[dict]:
         """Flattened per-partition lineage rows (north_rule)."""

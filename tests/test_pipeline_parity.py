@@ -143,3 +143,43 @@ def test_snapshot_time_travel(spark, corpus_dir, tmp_path):
 
     with _pytest.raises(KeyError):
         table.read_at(spark, "nope")
+
+
+def test_compaction_preserves_data_and_time_travel(spark, corpus_dir, tmp_path):
+    import glob
+
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    out_root = str(tmp_path / "compact_out")
+    run_extraction(
+        spark, os.path.join(corpus_dir, "pages.parquet"), out_root,
+        run_id="c1", n_buckets=4, buckets_per_commit=1,
+    )
+    table = SnapshotTable(out_root)
+    before = {r["url"]: r["extracted_text"] for r in table.read(spark).collect()}
+    files_before = len(glob.glob(os.path.join(table.data_dir, "**", "*.parquet"),
+                                 recursive=True))
+    pre_snap = table.current_snapshot()["snapshot_id"]
+
+    result = table.compact(spark)
+    assert result["compacted"] == 300
+    assert len(result["replaces"]) == 4
+
+    # live read: identical rows, one commit dir per bucket
+    after_df = table.read(spark)
+    after = {r["url"]: r["extracted_text"] for r in after_df.collect()}
+    assert after == before
+    assert after_df.select("commit_id").distinct().count() == 1
+    files_after_live = after_df.count()
+    assert files_after_live == 300
+
+    # time travel to the pre-compaction snapshot still sees old commits
+    old = table.read_at(spark, pre_snap)
+    assert old.count() == 300
+    assert old.select("commit_id").distinct().count() == 4
+
+    # a second compaction is a no-op-ish rewrite of one commit
+    result2 = table.compact(spark)
+    assert result2["replaces"] == [result["commit_id"]]
+    assert table.read(spark).count() == 300
