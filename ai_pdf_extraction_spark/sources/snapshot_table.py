@@ -196,6 +196,26 @@ class SnapshotTable:
         )
         return {"compacted": n, "replaces": old_ids, "commit_id": new_id}
 
+    def expire_superseded(self) -> list[str]:
+        """GC pass: delete data directories of commits superseded by a
+        compaction (Iceberg ``expire_snapshots`` analogue). After this,
+        time travel to pre-compaction snapshots no longer resolves —
+        call only once older snapshots are out of retention."""
+        import shutil
+
+        live = self.committed_commit_ids()
+        replaced: set[str] = set()
+        for snap in self.snapshots():
+            replaced.update(snap.get("replaces", []))
+        removed: list[str] = []
+        for cid in sorted(replaced - live):
+            for bucket_dir in os.listdir(self.data_dir):
+                victim = os.path.join(self.data_dir, bucket_dir, f"commit_id={cid}")
+                if os.path.isdir(victim):
+                    shutil.rmtree(victim)
+                    removed.append(victim)
+        return removed
+
     def lineage(self) -> list[dict]:
         """Flattened per-partition lineage rows (north_rule)."""
         rows = []

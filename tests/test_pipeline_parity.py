@@ -183,3 +183,45 @@ def test_compaction_preserves_data_and_time_travel(spark, corpus_dir, tmp_path):
     result2 = table.compact(spark)
     assert result2["replaces"] == [result["commit_id"]]
     assert table.read(spark).count() == 300
+
+
+def test_salted_join_matches_plain_join(spark, corpus_dir):
+    from ai_pdf_extraction_spark.plans.partitioning import (
+        salted_join,
+        url_host,
+        with_partition_columns,
+    )
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    fact = pages.select("url", url_host().alias("host"))
+    dim = fact.select("host").distinct().withColumn(
+        "host_rank", F.length("host")
+    )
+    plain = fact.join(dim, "host").select("url", "host_rank")
+    salted = salted_join(fact, dim, "host").select("url", "host_rank")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_expire_superseded_commits(spark, corpus_dir, tmp_path):
+    import glob
+
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    out_root = str(tmp_path / "gc_out")
+    run_extraction(
+        spark, os.path.join(corpus_dir, "pages.parquet"), out_root,
+        run_id="g1", n_buckets=4, buckets_per_commit=2,
+    )
+    table = SnapshotTable(out_root)
+    table.compact(spark)
+    n_dirs_before = len(glob.glob(os.path.join(table.data_dir, "*", "commit_id=*")))
+    removed = table.expire_superseded()
+    assert removed, "superseded commit dirs must be deleted"
+    n_dirs_after = len(glob.glob(os.path.join(table.data_dir, "*", "commit_id=*")))
+    assert n_dirs_after < n_dirs_before
+    # live read unaffected
+    assert table.read(spark).count() == 300
+    # second expire is a no-op
+    assert table.expire_superseded() == []
