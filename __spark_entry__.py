@@ -367,6 +367,14 @@ def q23_simhash_sketch(spark, sf_dir):
     return simhash_sketch(_t(spark, sf_dir, "documents"))
 
 
+def q35_simhash16(spark, sf_dir):
+    """Oracle-checked 16-bit SimHash (md5-based); q23 is the 64-bit
+    xxhash64 production variant (rows-only)."""
+    from ai_pdf_extraction_spark.operators.dedup import simhash16_sketch
+
+    return simhash16_sketch(_t(spark, sf_dir, "documents"))
+
+
 def q24_embedding_near_dup(spark, sf_dir):
     from ai_pdf_extraction_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -600,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_user_sessions": q32_user_sessions,
         "q33_json_props": q33_json_props,
         "q34_extract_pages": q34_extract_pages,
+        "q35_simhash16": q35_simhash16,
     }
 
 
@@ -947,6 +956,35 @@ select event_id,
   try_cast(json_extract_string(props, '$.k') as bigint) as k_value,
   len(json_keys(props)) as n_props
 from events
+""",
+        "q35_simhash16": """
+with tok as (
+  select doc_id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as w
+  from documents
+), h as (
+  select doc_id, ('0x' || substr(md5(w), 1, 4))::int as hv from tok
+), b as (
+  select doc_id,
+    sum(case when (hv >> 0) & 1 = 1 then 1 else -1 end) as s0,
+    sum(case when (hv >> 1) & 1 = 1 then 1 else -1 end) as s1,
+    sum(case when (hv >> 2) & 1 = 1 then 1 else -1 end) as s2,
+    sum(case when (hv >> 3) & 1 = 1 then 1 else -1 end) as s3,
+    sum(case when (hv >> 4) & 1 = 1 then 1 else -1 end) as s4,
+    sum(case when (hv >> 5) & 1 = 1 then 1 else -1 end) as s5,
+    sum(case when (hv >> 6) & 1 = 1 then 1 else -1 end) as s6,
+    sum(case when (hv >> 7) & 1 = 1 then 1 else -1 end) as s7,
+    sum(case when (hv >> 8) & 1 = 1 then 1 else -1 end) as s8,
+    sum(case when (hv >> 9) & 1 = 1 then 1 else -1 end) as s9,
+    sum(case when (hv >> 10) & 1 = 1 then 1 else -1 end) as s10,
+    sum(case when (hv >> 11) & 1 = 1 then 1 else -1 end) as s11,
+    sum(case when (hv >> 12) & 1 = 1 then 1 else -1 end) as s12,
+    sum(case when (hv >> 13) & 1 = 1 then 1 else -1 end) as s13,
+    sum(case when (hv >> 14) & 1 = 1 then 1 else -1 end) as s14,
+    sum(case when (hv >> 15) & 1 = 1 then 1 else -1 end) as s15
+  from h group by doc_id
+)
+select doc_id, ((case when s0 > 0 then 1 else 0 end) + (case when s1 > 0 then 2 else 0 end) + (case when s2 > 0 then 4 else 0 end) + (case when s3 > 0 then 8 else 0 end) + (case when s4 > 0 then 16 else 0 end) + (case when s5 > 0 then 32 else 0 end) + (case when s6 > 0 then 64 else 0 end) + (case when s7 > 0 then 128 else 0 end) + (case when s8 > 0 then 256 else 0 end) + (case when s9 > 0 then 512 else 0 end) + (case when s10 > 0 then 1024 else 0 end) + (case when s11 > 0 then 2048 else 0 end) + (case when s12 > 0 then 4096 else 0 end) + (case when s13 > 0 then 8192 else 0 end) + (case when s14 > 0 then 16384 else 0 end) + (case when s15 > 0 then 32768 else 0 end))::int as simhash16 from b
 """,
         "q32_user_sessions": """
 with marked as (

@@ -242,6 +242,32 @@ def simhash_sketch(
     return out
 
 
+def simhash16_sketch(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash from md5-derived token hashes — the
+    oracle-checkable twin of ``simhash_sketch`` (md5 exists verbatim in
+    DuckDB; xxhash64 does not). Production uses the 64-bit xxhash64
+    version; this one pins the algorithm cross-engine.
+    Output: (id, simhash16 int)."""
+    words = F.explode(
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ).alias("word")
+    tok = docs.select(F.col(id_col), words)
+    h16 = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("int")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h16, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0)
+    for i in range(16):
+        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return sums.select(F.col(id_col), sim.cast("int").alias("simhash16"))
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
