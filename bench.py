@@ -35,7 +35,7 @@ HEADLINE = [
     "q27_hourly_event_counts",
 ]
 
-EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 
 
 def _corpus_path(n_docs: int, seed: int = 42) -> str:
@@ -82,16 +82,21 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             del rows
 
     # extraction throughput: full kernel pass, forced by an aggregate
-    # over the UDF outputs (nothing wide collected to the driver)
+    # over the UDF outputs (nothing wide collected to the driver);
+    # best-of-2 like the queries
     corpus = _corpus_path(EXTRACT_DOCS)
-    t0 = time.monotonic()
-    plan = extraction_plan(spark.read.parquet(corpus), run_id="bench")
-    agg = plan.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("parse_ok"), 0).otherwise(1)).alias("fails"),
-        F.sum("n_chars").alias("chars"),
-    ).collect()[0]
-    extract_sec = round(time.monotonic() - t0, 3)
+    extract_sec = None
+    for _trial in range(2):
+        t0 = time.monotonic()
+        plan = extraction_plan(spark.read.parquet(corpus), run_id="bench")
+        agg = plan.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("parse_ok"), 0).otherwise(1)).alias("fails"),
+            F.sum("n_chars").alias("chars"),
+        ).collect()[0]
+        dt = round(time.monotonic() - t0, 3)
+        if extract_sec is None or dt < extract_sec:
+            extract_sec = dt
     timings["extract_pages"] = extract_sec
     docs_per_sec = round(agg["n"] / max(extract_sec, 1e-9), 1)
 

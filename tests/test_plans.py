@@ -92,15 +92,25 @@ def test_aqe_enabled_and_shuffle_partitions(spark):
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
 
 
-def test_exact_dedup_partial_aggregation(spark):
-    """Fingerprint groupBy must map-side combine (partial_count before
-    the exchange) — standard hash-agg shape."""
+def test_exact_dedup_single_shuffle(spark):
+    """Canonical-id assignment must shuffle exactly once (window over
+    fingerprint), not groupBy + join-back (two shuffles)."""
     import __spark_entry__ as e
 
     plan = _plan(e.q20_exact_dedup(spark, SF_DIR))
-    before_exchange = plan.split("Exchange")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """groupBy aggregates must map-side combine (partial before the
+    exchange) — standard hash-agg shape."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q01_pricing_summary(spark, SF_DIR))
     assert "HashAggregate" in plan
-    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "partial_" in plan.lower()
 
 
 def test_bucket_filter_prunes_partitions(spark, corpus_dir, tmp_path):
