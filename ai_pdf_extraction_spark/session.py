@@ -79,8 +79,15 @@ def _ship_package(spark: SparkSession) -> None:
         # the package to executors) — nothing to do
         return
     pkg_name = os.path.basename(pkg_dir)
+    # cache key = newest source mtime across the whole tree (the dir's
+    # own mtime misses edits inside subpackages → stale code shipped)
+    newest = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for name in files:
+            if name.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-{os.path.getmtime(pkg_dir):.0f}.zip"
+        tempfile.gettempdir(), f"{pkg_name}-{newest:.0f}.zip"
     )
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
