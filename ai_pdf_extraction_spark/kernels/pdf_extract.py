@@ -60,16 +60,22 @@ def _parse_pdf_string(buf: bytes, i: int) -> tuple[str, int]:
     nested parens and backslash escapes per PDF 32000-1 §7.3.4.2.
     """
     assert buf[i : i + 1] == b"("
+    # fast path: no escapes, no nested parens before the closer
+    end = buf.find(b")", i + 1)
+    if end != -1:
+        seg = buf[i + 1 : end]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg.decode("latin-1"), end + 1
     i += 1
     depth = 1
-    out: list[str] = []
+    out = bytearray()
     n = len(buf)
     while i < n:
-        c = buf[i : i + 1]
-        if c == b"\\":
+        c = buf[i]
+        if c == 0x5C:  # backslash
             nxt = buf[i + 1 : i + 2]
             if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
+                out.extend(_ESCAPES[nxt].encode("latin-1"))
                 i += 2
             elif nxt.isdigit():  # octal escape \ddd
                 j = i + 1
@@ -77,22 +83,22 @@ def _parse_pdf_string(buf: bytes, i: int) -> tuple[str, int]:
                 while j < n and len(digits) < 3 and buf[j : j + 1].isdigit():
                     digits += buf[j : j + 1]
                     j += 1
-                out.append(chr(int(digits, 8)))
+                out.append(int(digits, 8) & 0xFF)
                 i = j
             else:
                 i += 2  # line continuation or unknown escape: drop
-        elif c == b"(":
+        elif c == 0x28:  # (
             depth += 1
-            out.append("(")
+            out.append(c)
             i += 1
-        elif c == b")":
+        elif c == 0x29:  # )
             depth -= 1
             if depth == 0:
-                return "".join(out), i + 1
-            out.append(")")
+                return out.decode("latin-1"), i + 1
+            out.append(c)
             i += 1
         else:
-            out.append(c.decode("latin-1"))
+            out.append(c)
             i += 1
     raise ValueError("unterminated PDF string")
 
@@ -101,36 +107,38 @@ _NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
+_WS_BYTES = frozenset(b" \t\r\n\x00")
+
+
 def _tokenize(buf: bytes):
     """Yield tokens from a content stream: floats, names, strings,
-    array markers, and operators."""
+    array markers, and operators. Integer byte dispatch — this loop is
+    the PDF kernel's hot path."""
     i, n = 0, len(buf)
     while i < n:
-        c = buf[i : i + 1]
-        if c in b" \t\r\n\x00":
+        c = buf[i]
+        if c in _WS_BYTES:
             i += 1
-        elif c == b"(":
+        elif c == 0x28:  # (
             s, i = _parse_pdf_string(buf, i)
             yield ("str", s)
-        elif c == b"[":
+        elif c == 0x5B:  # [
             yield ("arr_open", None)
             i += 1
-        elif c == b"]":
+        elif c == 0x5D:  # ]
             yield ("arr_close", None)
             i += 1
-        elif c == b"/":
+        elif c == 0x2F:  # /
             m = _OP_RE.match(buf, i + 1)
             name = m.group().decode("latin-1") if m else ""
             yield ("name", name)
             i = (m.end() if m else i + 1)
-        elif c == b"<":
-            # hex string or dict — skip to matching close (not emitted
-            # by our generator; tolerated for robustness)
+        elif c == 0x3C:  # < — hex string or dict: skip to close
             j = buf.find(b">", i)
             i = j + 1 if j >= 0 else n
         else:
             m = _NUM_RE.match(buf, i)
-            if m and m.start() == i:
+            if m:
                 yield ("num", float(m.group()))
                 i = m.end()
                 continue
