@@ -20,6 +20,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Queries that execute Python UDFs referencing module-level
+    functions need ``ai_pdf_extraction_spark`` importable on the
+    executors' Python workers. The driver harness builds its own
+    SparkSession (our ``build_session`` isn't in the loop), so ship
+    the package zip here — idempotent, cheap."""
+    try:
+        from ai_pdf_extraction_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass  # already shipped under the same name, or zip-imported
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship — document curation pipeline (text analysis + dedup)
 # ---------------------------------------------------------------------------
@@ -376,6 +390,7 @@ def q35_simhash16(spark, sf_dir):
 
 
 def q24_embedding_near_dup(spark, sf_dir):
+    _ensure_shipped(spark)
     from ai_pdf_extraction_spark.operators.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
@@ -495,6 +510,7 @@ def q30_token_counts_bpe(spark, sf_dir):
 
 def q31_winnowing_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprint sketch per document."""
+    _ensure_shipped(spark)
     from ai_pdf_extraction_spark.operators.text_analysis import (
         winnowing_fingerprints,
     )
@@ -558,6 +574,7 @@ def q34_extract_pages(spark, sf_dir):
     byte-identical check lives in pytest (test_pipeline_parity) — so
     the driver records a rows-only check; row shape: one per page with
     stable url/content_type/parse_ok/n_chars/n_spans/confidence."""
+    _ensure_shipped(spark)
     import os as _os
 
     from ai_pdf_extraction_spark.corpus import write_pages_parquet
