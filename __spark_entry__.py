@@ -578,9 +578,10 @@ def q34_extract_pages(spark, sf_dir):
     import os as _os
 
     from ai_pdf_extraction_spark.corpus import write_pages_parquet
+    from ai_pdf_extraction_spark.corpus.generate import CORPUS_VERSION
     from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
 
-    path = "/tmp/spark_graft_contract_pages_600_13"
+    path = f"/tmp/spark_graft_contract_pages_v{CORPUS_VERSION}_600_13"
     if not _os.path.exists(path):
         write_pages_parquet(path, 600, seed=13, n_files=4)
     plan = extraction_plan(spark.read.parquet(path), run_id="contract")

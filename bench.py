@@ -42,8 +42,9 @@ def _corpus_path(n_docs: int, seed: int = 42) -> str:
     """Deterministic corpus (32 part files — how a crawl actually
     arrives, so the scan parallelizes), cached across bench runs."""
     from ai_pdf_extraction_spark.corpus import write_pages_parquet
+    from ai_pdf_extraction_spark.corpus.generate import CORPUS_VERSION
 
-    path = f"/tmp/spark_graft_bench_corpus_{n_docs}_{seed}_32f"
+    path = f"/tmp/spark_graft_bench_corpus_v{CORPUS_VERSION}_{n_docs}_{seed}_32f"
     if not os.path.exists(path):
         write_pages_parquet(path, n_docs, seed=seed, n_files=32)
     return path

@@ -69,8 +69,9 @@ spark.stop()
 
 def _corpus(n: int, seed: int, n_files: int) -> str:
     from ai_pdf_extraction_spark.corpus import write_pages_parquet
+    from ai_pdf_extraction_spark.corpus.generate import CORPUS_VERSION
 
-    path = f"/tmp/spark_graft_scaling_{n}_{seed}_{n_files}f"
+    path = f"/tmp/spark_graft_scaling_v{CORPUS_VERSION}_{n}_{seed}_{n_files}f"
     if not os.path.exists(path):
         print(f"generating {n}-doc corpus ...", file=sys.stderr)
         write_pages_parquet(path, n, seed=seed, n_files=n_files)
