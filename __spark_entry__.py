@@ -285,11 +285,12 @@ def q14_order_total_rule(spark, sf_dir):
         "o_totalprice == gross_sum",
         {"o_totalprice": F.col("o_totalprice"), "gross_sum": F.col("gross_sum")},
     )
-    return joined.select(
-        "o_orderkey",
-        F.round("gross_sum", 2).alias("gross_sum"),
-        rule_ok.alias("rule_ok"),
-    )
+    # NOTE: no rounded-sum column here — a float sum rounded to cents
+    # lands exactly on a rounding boundary once in ~10^5 rows, and
+    # Spark's partition-order summation then disagrees with a
+    # sequential oracle by one cent (observed at sf0.1). rule_ok's
+    # percent-scale tolerance is immune to that noise.
+    return joined.select("o_orderkey", rule_ok.alias("rule_ok"))
 
 
 def q15_csv_export_rows(spark, sf_dir):
@@ -850,7 +851,7 @@ with sums as (
     sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as gross_sum
   from lineitem group by 1
 )
-select o_orderkey, round(gross_sum, 2) as gross_sum,
+select o_orderkey,
   abs(o_totalprice - gross_sum)
     <= greatest(0.01 * abs(o_totalprice), 0.01 * abs(gross_sum), 0.02) as rule_ok
 from orders join sums on o_orderkey = l_orderkey

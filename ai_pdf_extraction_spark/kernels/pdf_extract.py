@@ -133,9 +133,25 @@ def _tokenize(buf: bytes):
             name = m.group().decode("latin-1") if m else ""
             yield ("name", name)
             i = (m.end() if m else i + 1)
-        elif c == 0x3C:  # < — hex string or dict: skip to close
-            j = buf.find(b">", i)
-            i = j + 1 if j >= 0 else n
+        elif c == 0x3C:  # < — hex string, or << dict (skip to >>)
+            if buf[i + 1 : i + 2] == b"<":
+                j = buf.find(b">>", i + 2)
+                i = j + 2 if j >= 0 else n
+            else:
+                j = buf.find(b">", i)
+                if j < 0:
+                    i = n
+                else:
+                    hexbody = bytes(
+                        ch for ch in buf[i + 1 : j] if ch not in _WS_BYTES
+                    )
+                    if len(hexbody) % 2:  # odd digit count: implicit 0
+                        hexbody += b"0"
+                    try:
+                        yield ("str", bytes.fromhex(hexbody.decode("ascii")).decode("latin-1"))
+                    except ValueError:
+                        pass  # not valid hex: drop
+                    i = j + 1
         else:
             m = _NUM_RE.match(buf, i)
             if m:
