@@ -77,11 +77,17 @@ def q01_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            # sums go through DECIMAL so partition order can't move a
+            # cents-rounding boundary (exact arithmetic both engines)
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -99,9 +105,9 @@ def q02_filtered_revenue(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+        ).cast("double").alias("revenue")
     )
 
 
@@ -196,9 +202,9 @@ def q09_order_lineitem_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_items"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.sum(F.col("l_quantity") * (1 - F.col("l_discount"))), 2).alias(
-                "eff_qty"
-            ),
+            F.sum(
+                (F.col("l_quantity") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("double").alias("eff_qty"),
         )
     )
 
@@ -223,10 +229,11 @@ def q11_status_rollup(spark, sf_dir):
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
         F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
-        F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
-            2,
-        ).alias("finished_value"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+            .otherwise(0.0)
+            .cast("decimal(18,6)")
+        ).cast("double").alias("finished_value"),
     )
 
 
@@ -746,9 +753,10 @@ from scored
     return {
         "q01_pricing_summary": """
 select l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) as sum_qty,
-  round(sum(l_extendedprice), 2) as sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+  sum(cast(l_quantity as decimal(18,6)))::double as sum_qty,
+  sum(cast(l_extendedprice as decimal(18,6)))::double as sum_base_price,
+  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)))::double
+    as sum_disc_price,
   round(avg(l_quantity), 4) as avg_qty,
   round(avg(l_discount), 4) as avg_disc,
   count(*) as count_order
@@ -757,7 +765,7 @@ where l_shipdate <= timestamp '1998-09-02'
 group by l_returnflag, l_linestatus
 """,
         "q02_filtered_revenue": """
-select round(sum(l_extendedprice * l_discount), 2) as revenue
+select sum(cast(l_extendedprice * l_discount as decimal(18,6)))::double as revenue
 from lineitem
 where l_shipdate >= timestamp '1995-01-01'
   and l_shipdate < timestamp '1996-01-01'
@@ -812,7 +820,7 @@ select distinct o_custkey as custkey from orders where o_orderpriority = '1-URGE
 select o_orderstatus,
   count(*) as n_items,
   round(avg(l_extendedprice), 4) as avg_price,
-  round(sum(l_quantity * (1 - l_discount)), 2) as eff_qty
+  sum(cast(l_quantity * (1 - l_discount) as decimal(18,6)))::double as eff_qty
 from orders join lineitem on o_orderkey = l_orderkey
 group by o_orderstatus
 """,
@@ -827,8 +835,8 @@ select count(*) as total,
   sum(case when o_orderstatus = 'F' then 1 else 0 end) as n_finished,
   sum(case when o_orderstatus = 'O' then 1 else 0 end) as n_open,
   sum(case when o_orderstatus = 'P' then 1 else 0 end) as n_pending,
-  round(sum(case when o_orderstatus = 'F' then o_totalprice else 0.0 end), 2)
-    as finished_value
+  sum(cast(case when o_orderstatus = 'F' then o_totalprice else 0.0 end
+           as decimal(18,6)))::double as finished_value
 from orders
 """,
         "q12_sha_bucketing": """
