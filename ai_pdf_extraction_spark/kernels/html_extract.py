@@ -13,8 +13,9 @@ Readability/boilerpipe/trafilatura algorithm family:
 * **text-block segmentation** — block-level elements become candidate
   blocks; short fragment blocks without sentence structure are dropped.
 
-stdlib-only (``html.parser``) so the kernel is fully deterministic and
-identical between the pytest oracle and the Spark pandas UDF.
+stdlib-only (compiled-regex tag scanner, ``html.unescape`` for
+entities) so the kernel is fully deterministic and identical between
+the pytest oracle and the Spark pandas UDF.
 
 Output: main text (blocks joined by a blank line) + character spans
 ``(start, end, kind)`` with kind ∈ {title, paragraph, list_item,
@@ -293,8 +294,13 @@ def _scan(markup: str, handler: _MainContentParser) -> None:
     pos = 0
     n = len(markup)
     unescape = None  # lazy import of html.unescape
+    handle_data = handler.handle_data
+    handle_starttag = handler.handle_starttag
+    handle_endtag = handler.handle_endtag
+    find = markup.find
+    tag_match = _TAG_RE.match
     while pos < n:
-        lt = markup.find("<", pos)
+        lt = find("<", pos)
         if lt == -1:
             chunk = markup[pos:]
             if chunk:
@@ -302,7 +308,7 @@ def _scan(markup: str, handler: _MainContentParser) -> None:
                     if unescape is None:
                         from html import unescape
                     chunk = unescape(chunk)
-                handler.handle_data(chunk)
+                handle_data(chunk)
             break
         if lt > pos:
             chunk = markup[pos:lt]
@@ -310,25 +316,26 @@ def _scan(markup: str, handler: _MainContentParser) -> None:
                 if unescape is None:
                     from html import unescape
                 chunk = unescape(chunk)
-            handler.handle_data(chunk)
-        if markup.startswith("<!--", lt):
-            end = markup.find("-->", lt + 4)
-            pos = n if end == -1 else end + 3
+            handle_data(chunk)
+        nxt = markup[lt + 1 : lt + 2]
+        if nxt == "!" or nxt == "?":
+            if markup.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end == -1 else end + 3
+            else:
+                end = find(">", lt)
+                pos = n if end == -1 else end + 1
             continue
-        if markup.startswith("<!", lt) or markup.startswith("<?", lt):
-            end = markup.find(">", lt)
-            pos = n if end == -1 else end + 1
-            continue
-        m = _TAG_RE.match(markup, lt)
+        m = tag_match(markup, lt)
         if not m:
-            handler.handle_data("<")
+            handle_data("<")
             pos = lt + 1
             continue
         closing, tag, rawattrs, selfclose = m.groups()
         tag = tag.lower()
         pos = m.end()
         if closing:
-            handler.handle_endtag(tag)
+            handle_endtag(tag)
             continue
         attrs = (
             _parse_attrs(rawattrs)
@@ -338,17 +345,17 @@ def _scan(markup: str, handler: _MainContentParser) -> None:
         if selfclose:
             handler.handle_startendtag(tag, attrs)
             continue
-        handler.handle_starttag(tag, attrs)
+        handle_starttag(tag, attrs)
         raw_end = _RAWTEXT_END.get(tag)
         if raw_end is not None:
             em = raw_end.search(markup, pos)
             if em is None:
-                handler.handle_data(markup[pos:])
-                handler.handle_endtag(tag)
+                handle_data(markup[pos:])
+                handle_endtag(tag)
                 pos = n
             else:
-                handler.handle_data(markup[pos : em.start()])
-                handler.handle_endtag(tag)
+                handle_data(markup[pos : em.start()])
+                handle_endtag(tag)
                 pos = em.end()
 
 
