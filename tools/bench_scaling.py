@@ -42,9 +42,13 @@ from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
 from pyspark.sql import functions as F
 
 cpus = {cpus}
+# IDENTICAL physical plan at both levels of a pair: fixed split size →
+# same task count, so per-task overhead scales out with the cores and
+# the pair measures parallel efficiency, not task-size effects.
 spark = build_session(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=max(cpus, 2),
-                      extra_conf={{"spark.sql.files.maxPartitionBytes": "4194304"}})
+                      extra_conf={{"spark.sql.files.maxPartitionBytes": "{mpb}",
+                                  "spark.sql.files.openCostInBytes": "0"}})
 # warm the JVM + Python workers
 warm = extraction_plan(spark.read.parquet({warm!r}), "warm")
 warm.agg(F.sum("n_chars")).collect()
@@ -78,8 +82,15 @@ def _corpus(n: int, seed: int, n_files: int) -> str:
     return path
 
 
-def _measure(cpus: int, corpus: str, warm: str) -> dict:
-    code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, warm=warm)
+def _corpus_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+    )
+
+
+def _measure(cpus: int, corpus: str, warm: str, n_splits: int) -> dict:
+    mpb = max(_corpus_bytes(corpus) // n_splits, 1 << 20)
+    code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, warm=warm, mpb=mpb)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
     )
@@ -125,8 +136,11 @@ def main() -> int:
     corpus = _corpus(N_DOCS, 42, n_files=64)
     warm = _corpus(WARMUP_DOCS, 7, n_files=16)
 
-    primary = [_measure(c, corpus, warm) for c in LEVELS]
-    secondary = [_measure(c, corpus, warm) for c in SECONDARY]
+    # split count = 4 waves at the pair's larger level
+    primary = [_measure(c, corpus, warm, 4 * LEVELS[-1]) for c in LEVELS]
+    secondary = [
+        _measure(c, corpus, warm, 4 * SECONDARY[-1]) for c in SECONDARY
+    ]
     ceiling = _host_ceiling()
 
     lo, hi = primary[0], primary[-1]
