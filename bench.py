@@ -35,7 +35,7 @@ HEADLINE = [
     "q27_hourly_event_counts",
 ]
 
-EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
 
 
 def _corpus_path(n_docs: int, seed: int = 42) -> str:
@@ -56,10 +56,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from ai_pdf_extraction_spark.session import build_session
     from pyspark.sql import functions as F
 
+    # size scan splits so the extraction leg runs ~4 task waves of
+    # meaningfully-sized tasks (per-task Python-runner overhead
+    # dominates sub-1MB tasks; see tools/bench_scaling.py)
+    corpus = _corpus_path(EXTRACT_DOCS)
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(corpus, f)) for f in os.listdir(corpus)
+    )
+    mpb = max(corpus_bytes // (4 * cpus), 1 << 20)
     spark = build_session(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(mpb),
+            "spark.sql.files.openCostInBytes": "0",
+        },
     )
     qs = entrymod.queries()
     # Warm-up: JVM codegen, parquet footers, Python workers — one-time
@@ -85,7 +97,6 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # extraction throughput: full kernel pass, forced by an aggregate
     # over the UDF outputs (nothing wide collected to the driver);
     # best-of-2 like the queries
-    corpus = _corpus_path(EXTRACT_DOCS)
     extract_sec = None
     for _trial in range(2):
         t0 = time.monotonic()
