@@ -598,6 +598,41 @@ def q34_extract_pages(spark, sf_dir):
     )
 
 
+def q36_curated_corpus(spark, sf_dir):
+    """Capstone curation pass — what a training-data pipeline actually
+    emits: documents that (a) clear the quality threshold, (b) are the
+    canonical copy of their exact-dup group, and (c) are not the higher
+    id of a near-duplicate pair (n-gram Jaccard ≥ 0.8). One scan, one
+    fingerprint window, one shingle join; survivors carry their quality
+    and token count."""
+    from ai_pdf_extraction_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    canon = exact_dedup(d).filter(~F.col("is_dup")).select("doc_id")
+    near_losers = (
+        ngram_jaccard_pairs(d, threshold=0.8).select(F.col("id_b").alias("doc_id")).distinct()
+    )
+    return (
+        scored.join(canon, "doc_id")
+        .join(near_losers, "doc_id", "left_anti")
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -635,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_json_props": q33_json_props,
         "q34_extract_pages": q34_extract_pages,
         "q35_simhash16": q35_simhash16,
+        "q36_curated_corpus": q36_curated_corpus,
     }
 
 
@@ -983,6 +1019,41 @@ select event_id,
   try_cast(json_extract_string(props, '$.k') as bigint) as k_value,
   len(json_keys(props)) as n_props
 from events
+""",
+        "q36_curated_corpus": f"""
+with {_SHINGLES_CTE},
+fp as (select doc_id, {fingerprint_expr} as fp from documents),
+canon as (
+  select doc_id from (
+    select doc_id, min(doc_id) over (partition by fp) as canonical_id from fp
+  ) where doc_id = canonical_id
+),
+near_losers as (select distinct id_b as doc_id from jacc where jaccard >= 0.8),
+scored as (
+  select doc_id, lang,
+    round(
+      least(n_tokens / 50.0, 1.0) * 0.4
+      + least((stop_hits * 1.0 / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
+      + (case when nonspace * 1.0 / greatest(n_tokens, 1) between 3.0 and 8.0
+              then 1.0 else 0.5 end) * 0.3, 4) as quality,
+    n_tokens
+  from (
+    select doc_id, lang,
+      case when length(trim(text)) = 0 then 0
+           else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens,
+      cast((length(padded) - length(replace(padded, ' the ', ''))) / 5
+         + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+         + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+         + (length(padded) - length(replace(padded, ' to ', ''))) / 4 as bigint) as stop_hits,
+      length(regexp_replace(text, '\\s', '', 'g')) as nonspace
+    from (select doc_id, lang, text, ' ' || lower(text) || ' ' as padded from documents)
+  )
+)
+select s.doc_id, s.lang, s.quality, s.n_tokens
+from scored s
+join canon using (doc_id)
+where s.doc_id not in (select doc_id from near_losers)
+  and s.quality >= 0.5
 """,
         "q35_simhash16": """
 with tok as (
