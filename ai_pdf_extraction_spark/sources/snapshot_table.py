@@ -131,11 +131,20 @@ class SnapshotTable:
 
     # -- read path -----------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, merge_schema: bool = False) -> DataFrame:
         """Read only snapshot-committed data. ``(bucket, commit_id)``
         are hive partition columns, so both filters prune partitions —
-        uncommitted (orphaned) commit dirs are never scanned."""
-        df = spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+        uncommitted (orphaned) commit dirs are never scanned.
+
+        ``merge_schema=True`` unions the schemas of all commits —
+        needed after the output schema evolves (a column added between
+        runs appears as null in pre-evolution commits, Iceberg
+        add-column semantics). Off by default: schema merging reads
+        every file footer."""
+        reader = spark.read.option("basePath", self.data_dir)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self.data_dir)
         return df.filter(
             df.bucket.isin(sorted(self.committed_buckets()))
             & df.commit_id.isin(sorted(self.committed_commit_ids()))

@@ -225,3 +225,29 @@ def test_expire_superseded_commits(spark, corpus_dir, tmp_path):
     assert table.read(spark).count() == 300
     # second expire is a no-op
     assert table.expire_superseded() == []
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A column added between runs must surface (null for old commits)
+    with merge_schema — Iceberg add-column semantics."""
+    from pyspark.sql import functions as F2
+
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    table = SnapshotTable(str(tmp_path / "evolve"))
+    v1 = spark.createDataFrame(
+        [("u1", 0, True)], "url string, bucket int, parse_ok boolean"
+    )
+    table.append(v1, buckets=[0], run_id="old")
+    v2 = spark.createDataFrame(
+        [("u2", 1, True, 0.9)],
+        "url string, bucket int, parse_ok boolean, confidence double",
+    )
+    table.append(v2, buckets=[1], run_id="new")
+
+    merged = table.read(spark, merge_schema=True)
+    assert "confidence" in merged.columns
+    rows = {r["url"]: r for r in merged.collect()}
+    assert rows["u1"]["confidence"] is None
+    assert rows["u2"]["confidence"] == 0.9
+    assert merged.count() == 2
