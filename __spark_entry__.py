@@ -633,6 +633,29 @@ def q36_curated_corpus(spark, sf_dir):
     )
 
 
+def q37_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (crawl-dedup key normalization): messy
+    urls deterministically synthesized from events rows, canonicalized
+    with the same regex pipeline in both engines."""
+    from ai_pdf_extraction_spark.operators.urls import canonicalize_url
+
+    e = _t(spark, sf_dir, "events")
+    messy = F.concat(
+        F.lit("HTTPS://Src"),
+        (F.col("event_id") % 20).cast("string"),
+        F.lit(".Example.COM:443/Path//"),
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 3 == 0, "/?utm_source=x&q=1")
+        .when(F.col("event_id") % 3 == 1, "/#frag")
+        .otherwise("/"),
+    )
+    return e.select(
+        "event_id",
+        messy.alias("raw_url"),
+        canonicalize_url(messy).alias("canonical_url"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -671,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_extract_pages": q34_extract_pages,
         "q35_simhash16": q35_simhash16,
         "q36_curated_corpus": q36_curated_corpus,
+        "q37_url_canonicalize": q37_url_canonicalize,
     }
 
 
@@ -1054,6 +1078,36 @@ from scored s
 join canon using (doc_id)
 where s.doc_id not in (select doc_id from near_losers)
   and s.quality >= 0.5
+""",
+        "q37_url_canonicalize": r"""
+with raw as (
+  select event_id,
+    'HTTPS://Src' || (event_id % 20) || '.Example.COM:443/Path//' || event_id ||
+    (case when event_id % 3 = 0 then '/?utm_source=x&q=1'
+          when event_id % 3 = 1 then '/#frag' else '/' end) as raw_url
+  from events
+), s1 as (select event_id, raw_url,
+            regexp_replace(raw_url, '#.*$', '', 'g') as u from raw
+), s2 as (select event_id, raw_url,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+              '(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+              '\?&', '?', 'g'), '^([^?&]+)&', '\1?'), '[?&]$', '', 'g') as u from s1
+), s3 as (select event_id, raw_url,
+            case when regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) = ''
+                 then u
+                 else lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+                      || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '')
+            end as u from s2
+), s4 as (select event_id, raw_url,
+            regexp_replace(regexp_replace(u,
+              '^(https://[^/:?]+):443([/?]|$)', '\1\2'),
+              '^(http://[^/:?]+):80([/?]|$)', '\1\2') as u from s3
+), s5 as (select event_id, raw_url,
+            regexp_replace(u, '([^:/])//+', '\1/', 'g') as u from s4
+)
+select event_id, raw_url,
+  regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/($|\?)', '\1\2') as canonical_url
+from s5
 """,
         "q35_simhash16": """
 with tok as (

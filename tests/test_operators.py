@@ -195,3 +195,21 @@ def test_winnowing_fingerprints(spark):
     rows = df.select(winnowing_fingerprints("text").alias("fp")).collect()
     assert rows[0]["fp"] == fa  # UDF identical to the pure function
     assert rows[2]["fp"] == []
+
+
+def test_url_canonicalization(spark):
+    from ai_pdf_extraction_spark.operators.urls import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&q=1#frag",
+         "https://www.example.com/A/B?q=1"),
+        ("http://Host.org:80//a//b/", "http://host.org/a/b"),
+        ("https://h.com/path/?fbclid=123", "https://h.com/path"),
+        ("https://h.com/", "https://h.com/"),  # root slash survives
+        ("https://h.com/a?gclid=1&utm_medium=m&keep=1", "https://h.com/a?keep=1"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    for (raw, want), actual in zip(cases, got):
+        assert actual == want, f"{raw!r}: {actual!r} != {want!r}"
