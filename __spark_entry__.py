@@ -656,6 +656,17 @@ def q37_url_canonicalize(spark, sf_dir):
     )
 
 
+def q38_lsh_topk(spark, sf_dir):
+    """Sign-LSH-bucketed ANN (random hyperplanes, single probe) — the
+    LSH twin of the IVF variant, oracle-checked with the identical
+    deterministic plane literals."""
+    from ai_pdf_extraction_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries_df, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -695,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_simhash16": q35_simhash16,
         "q36_curated_corpus": q36_curated_corpus,
         "q37_url_canonicalize": q37_url_canonicalize,
+        "q38_lsh_topk": q38_lsh_topk,
     }
 
 
@@ -1108,6 +1120,27 @@ with raw as (
 select event_id, raw_url,
   regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/($|\?)', '\1\2') as canonical_url
 from s5
+""",
+        "q38_lsh_topk": """
+with bucketed as (
+  select vec_id, embedding,
+    ((case when list_sum(list_transform(list_zip(embedding, [1.690526, -0.465937, 0.03282, 0.407516, -0.788923, 0.002066, -0.00089, -1.754724, 1.017658, 0.600499, -0.625429, -0.171548, 0.505299, -0.261356, -0.242749, -1.453241, 0.55458, 0.123881, 0.27446, -1.526525, 1.6507, 0.154336, -0.38714, 2.029072, -0.045386, -1.450679, -0.405228, -2.288315, 1.049397, -0.416474, -0.742554, 1.07247, -1.651076, 0.535429, -2.064415, -0.662159, -1.20422, 1.461976, 1.766161, -0.329414, 0.840733, -0.179986, 0.568062, -0.752837, -1.708339, -1.803099, 0.383122, 2.247595, 0.269412, -0.524605, 1.912019, 0.237302, 0.101434, 0.252578, -0.132377, -0.309476, -1.434963, 0.501624, -0.094775, 1.193086, -0.368818, -1.90637, -0.099611, 1.699537]), x -> x[1]::DOUBLE * x[2])) > 0 then 1 else 0 end) + (case when list_sum(list_transform(list_zip(embedding, [-0.383423, -0.889857, -1.193592, -1.050017, -0.300194, -1.179982, 1.497639, -0.282635, 0.108648, 1.43824, 1.503319, -0.212733, 0.331974, 0.735027, -0.192855, -1.778013, 0.654706, 0.894352, 0.415503, -0.923545, -0.196027, -0.59077, -0.299711, 1.296885, 1.52958, 0.669418, 0.548745, 0.676629, -0.012242, -0.075663, -0.673645, -0.055867, 2.259947, 0.869039, -0.342117, -0.471927, -0.86449, 0.37437, 0.391546, -1.443122, 0.486335, -0.569472, 1.426721, 0.156844, 1.71773, -0.458127, -0.287984, 0.299808, 1.055948, 0.565882, -1.233524, 0.182901, 0.022245, -0.429069, -0.648105, 1.747577, -0.390386, -0.845923, 0.637113, 0.130623, -0.075814, 0.781302, 0.488625, 0.36219]), x -> x[1]::DOUBLE * x[2])) > 0 then 2 else 0 end) + (case when list_sum(list_transform(list_zip(embedding, [0.9642, 0.283636, -0.616922, -0.362282, -0.520972, 0.209722, -1.077985, -1.832426, 0.088155, -1.336521, -1.951978, 0.373331, -0.711053, 0.496125, -0.530854, -1.121962, -1.243518, -0.514927, -0.273383, -0.82346, -0.281108, -1.536102, 0.014489, -1.793649, -0.193856, 0.697294, 1.091939, 1.71438, -1.556288, 0.758725, 1.206282, 0.980557, -0.929324, 0.411797, 1.860056, -1.497274, 0.476338, 1.11229, -0.696591, 0.58297, -1.070893, -0.812209, -0.81708, 0.192308, -0.090981, 0.954115, -0.940279, -0.131276, 0.961076, 0.560777, -1.324641, 0.665204, -0.478418, 0.385387, 0.30068, 1.219319, 0.11656, -1.853806, -1.36986, 0.731154, -0.258316, 1.137979, 0.273439, -0.749066]), x -> x[1]::DOUBLE * x[2])) > 0 then 4 else 0 end) + (case when list_sum(list_transform(list_zip(embedding, [1.082407, -0.807398, -2.052636, 2.063796, -1.910749, 0.636413, 0.938852, 0.147066, -1.683397, 1.015015, -1.441544, -1.343629, -0.361668, 0.788505, 0.300114, 0.810768, -0.443644, -0.172183, -1.137137, -0.316865, 0.593128, -0.299828, 0.47546, -0.573274, -0.592392, 0.039169, -0.194882, 0.592385, 0.17829, 1.740346, -0.219495, -0.227253, -1.040131, 0.022778, 0.682829, -0.740296, -0.049672, 0.718557, -0.126909, -0.519137, 0.973093, 0.09702, 0.396565, 1.171393, 1.145316, -0.347204, -0.52543, 0.284309, -0.132788, -1.899861, 1.275362, 0.019361, 0.736378, -1.172917, 1.288204, -0.588263, -0.107667, -1.401425, -0.16695, -0.229804, -0.185361, 0.438505, 0.060346, 0.975783]), x -> x[1]::DOUBLE * x[2])) > 0 then 8 else 0 end) + (case when list_sum(list_transform(list_zip(embedding, [-0.468158, -0.996016, -0.019106, 0.628368, 1.244642, 0.813921, -1.765441, 0.377058, 1.460372, 0.062576, -0.516043, 0.309161, -0.503242, 0.639113, -0.012994, 1.393, 0.499503, -0.723885, 0.604631, 0.936012, -0.568456, -0.425794, -2.305183, 0.903406, -0.587754, -2.122349, -1.768772, -0.22295, 0.76066, -0.089065, 0.471778, -1.1015, -1.341366, 0.885721, 0.492144, -0.030509, 1.282093, -0.95119, -0.420266, 1.026371, 1.837794, 0.008426, 1.679519, -0.602511, 0.32975, -0.173824, -1.588248, 0.257973, 0.93275, -0.148267, -0.070455, 1.392927, -1.249714, -1.497588, -0.654039, -1.196623, 1.346289, 0.309689, -0.864093, -0.614479, 2.861067, -0.61009, -0.762025, 0.304307]), x -> x[1]::DOUBLE * x[2])) > 0 then 16 else 0 end) + (case when list_sum(list_transform(list_zip(embedding, [0.638252, 0.221682, -0.908626, -1.159187, 0.596141, -0.05419, -1.641433, 1.171001, 0.775329, -0.240954, -0.260264, 0.23146, -0.687009, -1.348312, 0.322518, -1.439087, 0.390727, -1.441207, -0.099209, -0.135645, 1.782629, -1.064383, -1.414946, -0.646177, -1.123732, -0.589762, 0.420801, 0.771977, 1.659561, -0.736674, 2.638539, 1.982185, -0.203527, -2.29142, -0.083112, 0.072508, -2.299249, 0.073832, -0.200154, -0.785711, 0.626629, 1.005348, -0.486177, 0.22948, -0.654792, -0.786606, 0.079497, 0.523422, -0.563293, -2.21367, 0.585785, -1.596558, 0.121999, 1.779026, -0.01683, -1.18975, -1.461179, 1.170462, -0.016948, 0.539738, 0.926302, -0.049002, -0.308604, -0.947348]), x -> x[1]::DOUBLE * x[2])) > 0 then 32 else 0 end) + (case when list_sum(list_transform(list_zip(embedding, [-3.082505, -1.518, -0.069594, -0.175262, 0.40356, -0.126687, 0.159358, 0.787799, -0.885045, -0.287158, -1.607213, 0.972893, 0.038418, 0.489822, 1.542483, 1.079546, -0.060001, 0.787685, -1.431704, 0.433909, 0.13891, -1.618269, 1.33732, -0.704077, 0.683229, -0.419935, 0.993543, 1.312262, -0.830049, -1.530399, -0.13141, 0.848917, -0.371312, -0.613524, 0.488282, -2.761517, -0.664716, -1.383796, 0.294814, -0.736249, -1.115168, -0.353831, -1.468408, -0.013124, -0.682372, -0.377419, -0.717138, 0.912263, -0.108854, 0.524512, 0.479785, -0.806151, 0.569973, 0.349108, 0.313649, -0.398693, -0.426844, 0.785552, 2.18196, -0.830127, 0.534448, -0.366253, 0.784857, 0.438313]), x -> x[1]::DOUBLE * x[2])) > 0 then 64 else 0 end) + (case when list_sum(list_transform(list_zip(embedding, [1.060126, -2.794785, -0.601083, -0.988185, -0.107988, -0.723866, -0.640976, 0.68186, 1.901928, -2.823831, -0.31045, 0.312054, 0.004733, -0.345135, -1.353468, -0.942672, 0.724982, 1.075762, 0.096675, -0.836172, 0.095711, -0.24004, 0.545605, 0.118299, -0.62179, 0.190673, -1.179405, 0.820012, 1.182335, -1.178504, 0.421047, -0.991262, 1.071684, 0.904119, -0.230178, 0.994934, -0.431091, -0.64301, -0.56872, -0.140851, -0.323412, 0.154345, -0.615059, 0.764696, 1.020969, -0.495862, -1.427175, 0.723873, 1.138557, -0.163248, -1.286517, 0.266761, 1.524668, -1.876327, 0.477926, -0.313635, -0.855674, 0.4982, -1.29883, 0.296945, 1.313259, 0.176689, -0.876322, -1.779309]), x -> x[1]::DOUBLE * x[2])) > 0 then 128 else 0 end)) as bucket
+  from embeddings
+), scored as (
+  select b.vec_id as query_id, a.vec_id as neighbor_id,
+    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                  x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) as cos
+  from bucketed a
+  join bucketed b on b.vec_id < 5 and a.vec_id != b.vec_id
+                  and a.bucket = b.bucket
+)
+select query_id, neighbor_id, cos, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cos desc, neighbor_id asc) as rank
+  from scored
+) where rank <= 5
 """,
         "q35_simhash16": """
 with tok as (

@@ -64,6 +64,72 @@ def cosine_topk(
     )
 
 
+def lsh_planes(n_planes: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic random-hyperplane set for sign-LSH, rounded so
+    the identical literals embed in the DuckDB oracle SQL."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in row] for row in rs.standard_normal((n_planes, dim))]
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket id: bit i = (v · plane_i) > 0. Pure Column
+    expression; the planes are plan-time literals (broadcast by
+    closure, the inverse of the reference's rebuild-every-time prompt
+    anti-pattern, SURVEY.md §4 X10)."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH-bucketed ANN (single probe): candidates share the
+    query's hyperplane-sign bucket; exact cosine top-k within. With 8
+    planes the corpus shards into ≤256 buckets — the scale path where
+    brute force is the fallback and recall trades against candidate
+    count. Same output shape as ``cosine_topk``."""
+    planes = lsh_planes(n_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("qb"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("cb"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
