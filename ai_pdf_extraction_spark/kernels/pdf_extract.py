@@ -229,7 +229,16 @@ def _runs_from_stream(buf: bytes) -> list[tuple[float, float, float, str]]:
                     runs.append((st.y, st.x, st.size, text))
                     st.x += 0.5 * st.size * len(text)
             elif op == "TJ" and stack and stack[-1][0] == "arr":
-                text = "".join(v for k, v in stack[-1][1] if k == "str")
+                # numbers in a TJ array are kerning adjustments in
+                # thousandths of text space; a large negative value is
+                # an inter-word gap (pdfminer's word_margin analogue)
+                pieces: list[str] = []
+                for k, v in stack[-1][1]:
+                    if k == "str":
+                        pieces.append(v)
+                    elif k == "num" and v < -180:
+                        pieces.append(" ")
+                text = "".join(pieces)
                 if text:
                     runs.append((st.y, st.x, st.size, text))
                     st.x += 0.5 * st.size * len(text)

@@ -137,3 +137,14 @@ def test_corpus_has_required_shapes(pages_rows):
     assert pdfs > 0
     malformed = sum(1 for r in pages_rows if not extract_document(r["html"]).parse_ok)
     assert malformed > 0
+
+
+def test_pdf_tj_kerning_word_gaps():
+    pdf = (
+        b"%PDF-1.4\nstream\n"
+        b"BT /F1 12 Tf 72 700 Td [(hello) -250 (kerned) -250 (world) -20 (x)] TJ ET\n"
+        b"endstream\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    # large negative kerns are word gaps; small ones are not
+    assert "hello kerned worldx" in res.text
