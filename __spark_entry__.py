@@ -714,13 +714,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles — keep column names/rounding in lockstep with queries()
 # ---------------------------------------------------------------------------
 
-_SHINGLES_CTE = """
-sh as (
+# Mirrors operators/dedup.py: the shingle universe is DF-capped (drop
+# shingles in more than DEFAULT_MAX_SHINGLE_DF docs) BEFORE sizes and
+# the self-join, so Jaccard numerator/denominator share one universe.
+from ai_pdf_extraction_spark.operators.dedup import DEFAULT_MAX_SHINGLE_DF
+
+_SHINGLES_CTE = f"""
+sh_all as (
   select doc_id,
          unnest(list_distinct([array_to_string(words[i:i+2], ' ')
                                for i in range(1, len(words) - 1)])) as shingle
   from (select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as words
         from documents)
+),
+sh as (
+  select sh_all.doc_id, sh_all.shingle from sh_all
+  join (select shingle from sh_all
+        group by shingle having count(*) <= {DEFAULT_MAX_SHINGLE_DF})
+  using (shingle)
 ),
 sizes as (select doc_id, count(*) as n from sh group by 1),
 shared as (
@@ -904,9 +915,9 @@ limit 50
 """,
         "q11_status_rollup": """
 select count(*) as total,
-  sum(case when o_orderstatus = 'F' then 1 else 0 end) as n_finished,
-  sum(case when o_orderstatus = 'O' then 1 else 0 end) as n_open,
-  sum(case when o_orderstatus = 'P' then 1 else 0 end) as n_pending,
+  sum(case when o_orderstatus = 'F' then 1 else 0 end)::bigint as n_finished,
+  sum(case when o_orderstatus = 'O' then 1 else 0 end)::bigint as n_open,
+  sum(case when o_orderstatus = 'P' then 1 else 0 end)::bigint as n_pending,
   sum(cast(case when o_orderstatus = 'F' then o_totalprice else 0.0 end
            as decimal(18,6)))::double as finished_value
 from orders
@@ -1182,7 +1193,7 @@ with marked as (
 ), sessions as (
   select user_id, ts,
     sum(new_session) over (partition by user_id order by ts, event_id
-                           rows unbounded preceding) as session_id
+                           rows unbounded preceding)::bigint as session_id
   from marked
 )
 select user_id, session_id, count(*) as n_events,

@@ -152,7 +152,11 @@ class _MainContentParser:
         self._skip_depth = 0
         self._boiler_depth = 0
         self._link_depth = 0
-        self._boiler_stack: list[str] = []  # tags that raised boiler depth
+        # Entries are [tag, pending] where ``pending`` counts nested
+        # same-named non-boiler elements still open inside the subtree,
+        # so <div class="ad"><div>…</div>AD TEXT</div> keeps AD TEXT in
+        # boiler mode until the *outer* close tag.
+        self._boiler_stack: list[list] = []
         self._current: _Block | None = None
 
     # -- helpers -------------------------------------------------------
@@ -213,9 +217,13 @@ class _MainContentParser:
             return
         if tag in _BOILER_TAGS or self._attr_is_boiler(attrs):
             self._boiler_depth += 1
-            self._boiler_stack.append(tag)
+            self._boiler_stack.append([tag, 0])
             self._flush()
             return
+        if self._boiler_stack and self._boiler_stack[-1][0] == tag:
+            # Same-named nested element inside the boiler subtree: its
+            # close tag must not end boiler mode.
+            self._boiler_stack[-1][1] += 1
         if tag == "a":
             self._link_depth += 1
             return
@@ -239,10 +247,17 @@ class _MainContentParser:
             return
         if self._skip_depth:
             return
-        if self._boiler_stack and self._boiler_stack[-1] == tag:
-            self._boiler_stack.pop()
-            self._boiler_depth -= 1
-            return
+        if self._boiler_stack and self._boiler_stack[-1][0] == tag:
+            entry = self._boiler_stack[-1]
+            if entry[1]:
+                entry[1] -= 1  # closes a nested same-named element
+            else:
+                self._boiler_stack.pop()
+                self._boiler_depth -= 1
+                # Leaving the boiler subtree ends any open boiler block;
+                # following bare text must not be swallowed by it.
+                self._flush()
+                return
         if tag == "a":
             if self._link_depth:
                 self._link_depth -= 1

@@ -77,16 +77,23 @@ def _parse_pdf_string(buf: bytes, i: int) -> tuple[str, int]:
             if nxt in _ESCAPES:
                 out.extend(_ESCAPES[nxt].encode("latin-1"))
                 i += 2
-            elif nxt.isdigit():  # octal escape \ddd
+            elif nxt and nxt in b"01234567":  # octal escape \ddd (0-7 only)
                 j = i + 1
                 digits = b""
-                while j < n and len(digits) < 3 and buf[j : j + 1].isdigit():
+                while j < n and len(digits) < 3 and buf[j] in b"01234567":
                     digits += buf[j : j + 1]
                     j += 1
                 out.append(int(digits, 8) & 0xFF)
                 i = j
+            elif nxt in (b"\r", b"\n"):
+                # line continuation: drop backslash + EOL (\r\n as one)
+                i += 3 if nxt == b"\r" and buf[i + 2 : i + 3] == b"\n" else 2
+            elif nxt:
+                # unknown escape (incl. \8, \9): per PDF 32000-1
+                # §7.3.4.2 drop the backslash, keep the character
+                i += 1
             else:
-                i += 2  # line continuation or unknown escape: drop
+                i += 2  # trailing backslash at EOF: exit loop
         elif c == 0x28:  # (
             depth += 1
             out.append(c)

@@ -26,6 +26,48 @@ from pyspark.sql import functions as F
 
 from ai_pdf_extraction_spark.operators.text_analysis import fingerprint
 
+# Shingles appearing in more docs than this are dropped before any
+# join — a handful of ubiquitous (stopword-ish) shingles would
+# otherwise create a quadratic hot key in the self-join at web scale.
+# Jaccard is then measured over the *rare-shingle universe*: sizes and
+# shared counts both exclude capped shingles, so numerator and
+# denominator agree.  The DuckDB oracles embed the same constant.
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+# Most-recently persisted shingle relations. Plan-building functions
+# persist the shingle explode because it feeds several consumers, but
+# they return unmaterialized plans, so they can't unpersist their own
+# cache. Instead each new persist evicts the previous one — queries in
+# a long-lived session run sequentially, so by the time a new plan is
+# built the old result has been materialized. Worst case (two plans
+# built before either runs) is a recompute, never a wrong result.
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def _persist_shingles(sh: DataFrame) -> DataFrame:
+    for old in _SHINGLE_CACHE:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _SHINGLE_CACHE.clear()
+    sh = sh.persist()
+    _SHINGLE_CACHE.append(sh)
+    return sh
+
+
+def _df_capped(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap. ``sh``
+    is distinct per (doc, shingle), so count(*) per shingle = DF."""
+    if max_shingle_df is None:
+        return sh
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") <= max_shingle_df)
+    )
+    return sh.join(rare.select("shingle"), "shingle")
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document canonical assignment: every doc maps to the
@@ -74,32 +116,36 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     _shingles: DataFrame | None = None,
     _candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """All pairs with n-gram Jaccard ≥ threshold. Output: (id_a, id_b,
-    jaccard) with id_a < id_b, jaccard rounded to 4.
+    """All pairs with n-gram Jaccard ≥ threshold over the rare-shingle
+    universe (DF ≤ ``max_shingle_df``). Output: (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard rounded to 4.
 
-    ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before the self-join — at web scale a handful of ubiquitous
-    shingles would otherwise create a quadratic hot key (the same skew
-    class the salted-host repartition handles for hosts).
+    The DF cap is ON by default: at web scale a handful of ubiquitous
+    shingles would otherwise create a quadratic hot key in the
+    self-join (the same skew class the salted-host repartition handles
+    for hosts). Sizes are computed AFTER the cap so Jaccard's
+    numerator and denominator use the same shingle universe.
 
-    ``_candidates`` (id_a, id_b) restricts the pair computation to a
-    candidate set (the LSH verify path) — shared-shingle counting then
-    touches only candidate docs instead of the full self-join.
+    ``_shingles`` hands in a pre-built (and pre-capped, pre-persisted)
+    shingle relation — the caller then owns both the universe and the
+    persist lifecycle. ``_candidates`` (id_a, id_b) restricts the pair
+    computation to a candidate set (the LSH verify path) —
+    shared-shingle counting then touches only candidate docs instead
+    of the full self-join.
     """
-    sh = _shingles if _shingles is not None else _word_shingles(docs, id_col, text_col, n)
-    # The explode feeds three consumers (sizes + both join sides):
-    # materialize it once instead of re-running split/explode per use.
-    sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    if max_shingle_df is not None:
-        rare = sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(
-            F.col("df_") <= max_shingle_df
+    if _shingles is not None:
+        sh = _shingles
+    else:
+        # The explode feeds three consumers (sizes + both join sides):
+        # materialize it once instead of re-running split/explode per use.
+        sh = _persist_shingles(
+            _df_capped(_word_shingles(docs, id_col, text_col, n), max_shingle_df)
         )
-        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     if _candidates is not None:
         sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
         sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -140,12 +186,18 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     k: int = 12,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     _shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc. Permutation i is
+    """k-permutation MinHash signature per doc over the rare-shingle
+    universe (see ``ngram_jaccard_pairs``). Permutation i is
     ``min(md5(i || ':' || shingle))`` — md5 exists verbatim in DuckDB,
     making the whole signature oracle-checkable. Output: (id, h0..h{k-1})."""
-    sh = _shingles if _shingles is not None else _word_shingles(docs, id_col, text_col, n)
+    sh = (
+        _shingles
+        if _shingles is not None
+        else _df_capped(_word_shingles(docs, id_col, text_col, n), max_shingle_df)
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)
@@ -161,16 +213,21 @@ def minhash_lsh_pairs(
     k: int = 12,
     bands: int = 4,
     threshold: float = 0.4,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Candidate pairs from banded-LSH bucket collisions, verified with
     true n-gram Jaccard. Output: (id_a, id_b, jaccard), id_a < id_b.
 
     With k=12, bands=4 (rows r=3) the LSH s-curve crosses ~0.5 at
     j≈0.55; candidates are a superset of real pairs near the threshold
-    and the verify join removes false positives.
+    and the verify join removes false positives. Signatures, buckets,
+    and verification all use one DF-capped shingle universe so the
+    verified Jaccard matches ``ngram_jaccard_pairs`` exactly.
     """
     rows_per_band = k // bands
-    sh = _word_shingles(docs, id_col, text_col, n).persist()
+    sh = _persist_shingles(
+        _df_capped(_word_shingles(docs, id_col, text_col, n), max_shingle_df)
+    )
     sig = minhash_signatures(docs, id_col, text_col, n, k, _shingles=sh)
     band_cols = [
         F.md5(

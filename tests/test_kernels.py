@@ -49,6 +49,53 @@ def test_html_class_based_boilerplate():
     assert "Kept paragraph" in res.text
 
 
+def test_html_nested_same_tag_inside_boilerplate_stays_boiler():
+    """A nested same-named element inside a boilerplate subtree must not
+    end boiler mode early (real-world ad/nav containers nest divs)."""
+    html = (
+        b"<body><div class='advert'><div>inner promo line</div>"
+        b"AD TAIL TEXT THAT MUST NOT LEAK INTO THE MAIN CONTENT AT ALL.</div>"
+        b"<p>The genuine article paragraph, long enough to be retained.</p></body>"
+    )
+    res = extract_html(html)
+    assert "AD TAIL" not in res.text
+    assert "inner promo" not in res.text
+    assert "genuine article" in res.text
+    # two levels deep + bare text straight after the close tag
+    html2 = (
+        b"<body><div id='sidebar'><div><div>x</div></div>"
+        b"SIDEBAR JUNK LONG ENOUGH TO FORM A BLOCK, TRULY.</div>"
+        b"Bare text directly after the sidebar that is long enough to keep.</body>"
+    )
+    res2 = extract_html(html2)
+    assert "SIDEBAR JUNK" not in res2.text
+    assert "Bare text directly after" in res2.text
+    # boiler-within-boiler still unwinds correctly
+    html3 = (
+        b"<body><nav><div class='menu'><div>m</div></div>NAV TAIL LONG ENOUGH.</nav>"
+        b"<p>Kept paragraph with enough characters to pass the filter.</p></body>"
+    )
+    res3 = extract_html(html3)
+    assert "NAV TAIL" not in res3.text
+    assert "Kept paragraph" in res3.text
+
+
+def test_pdf_string_escapes_follow_spec():
+    """PDF 32000-1 §7.3.4.2: octal escapes are digits 0-7 only; an
+    unknown escape (incl. ``\\8``/``\\9``) drops the backslash and keeps
+    the character instead of poisoning the whole content stream."""
+    from ai_pdf_extraction_spark.kernels.pdf_extract import _parse_pdf_string
+
+    assert _parse_pdf_string(b"(a\\8b)", 0) == ("a8b", 6)
+    assert _parse_pdf_string(b"(a\\9b)", 0)[0] == "a9b"
+    assert _parse_pdf_string(b"(\\101)", 0)[0] == "A"
+    assert _parse_pdf_string(b"(\\12x)", 0)[0] == chr(0o12) + "x"
+    assert _parse_pdf_string(b"(ab\\\ncd)", 0)[0] == "abcd"  # continuation
+    assert _parse_pdf_string(b"(ab\\\r\ncd)", 0)[0] == "abcd"
+    assert _parse_pdf_string(b"(a\\zb)", 0)[0] == "azb"  # unknown escape
+    assert _parse_pdf_string(b"(nested (x) ok)", 0)[0] == "nested (x) ok"
+
+
 def test_html_spans_offsets_are_exact():
     html = b"<body><h1>Heading text here</h1><p>Paragraph body long enough to keep around.</p></body>"
     res = extract_html(html)

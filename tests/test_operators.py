@@ -42,6 +42,40 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 3) not in pairs  # unrelated
 
 
+def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
+    """A ubiquitous shingle (every doc shares it) is dropped by the DF
+    cap BEFORE sizes are computed, so Jaccard numerator and denominator
+    use the same rare-shingle universe — true near-dup pairs survive at
+    the threshold instead of being diluted by the dropped shingle."""
+    from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter today"  # in every doc
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta eta theta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon zeta eta iota {boiler}"),  # near-dup
+        (3, f"totally different words here nothing shared {boiler}"),
+        (4, f"unrelated content again completely new tokens {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=3 drops the 3 pure-boilerplate shingles (DF=4 each)
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.4, max_shingle_df=3).collect()
+    }
+    assert (1, 2) in capped, "near-dup must survive the DF cap"
+    assert (3, 4) not in capped
+    # sizes computed over the SAME capped universe: docs 1/2 each keep
+    # 8 rare shingles, sharing 5 → jaccard 5/11
+    assert capped[(1, 2)] == pytest.approx(5 / 11, abs=1e-4)
+    # uncapped: the 5 shared boilerplate shingles dominate both the
+    # numerator and denominator differently — sanity-check it differs
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=None).collect()
+    }
+    assert uncapped[(1, 2)] != capped[(1, 2)]
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     from ai_pdf_extraction_spark.operators.dedup import minhash_lsh_pairs
 

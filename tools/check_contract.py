@@ -47,11 +47,36 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _num_kind(s: pd.Series) -> str | None:
+    if pd.api.types.is_bool_dtype(s) or str(s.dtype) == "boolean":
+        return None
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return None
+
+
 def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
     if len(spark_df) != len(duck_df):
         return f"row count {len(spark_df)} vs {len(duck_df)}"
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return f"columns {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    # The driver hashes exact serialized values (no pandas smoothing), so an
+    # int column on one side vs a float on the other (e.g. DuckDB
+    # sum(int)->HUGEINT->float64 '3.0' vs Spark bigint '3') hash-mismatches
+    # even when numerically equal.  Flag it here so local green predicts
+    # driver green — this is exactly what bit q11/q32 in round 1.
+    for c in spark_df.columns:
+        ka, kb = _num_kind(spark_df[c]), _num_kind(duck_df[c])
+        if ka and kb and ka != kb and not (
+            spark_df[c].isna().any() or duck_df[c].isna().any()
+        ):
+            return (
+                f"column '{c}' dtype kind mismatch: spark={spark_df[c].dtype} "
+                f"duck={duck_df[c].dtype} — driver hash would fail; cast the "
+                f"oracle (::bigint for integer sums) or the Spark side"
+            )
     a, b = _canon(spark_df), _canon(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
