@@ -383,6 +383,21 @@ def q22_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def _q23_golden_path() -> str:
+    """Golden parquet for the 64-bit SimHash oracle: DuckDB has no
+    xxhash64, so the oracle is an independent pure-Python XXH64 +
+    SimHash computed single-process from the contract documents table
+    (``oracle/xxh64.py``), pinned against Spark in pytest."""
+    import os as _os
+
+    from ai_pdf_extraction_spark.oracle.xxh64 import write_simhash_golden
+
+    out = "/tmp/spark_graft_simhash64_golden_sf0.01.parquet"
+    if not _os.path.exists(out):
+        write_simhash_golden("/root/testdata/sf0.01/documents.parquet", out)
+    return out
+
+
 def q23_simhash_sketch(spark, sf_dir):
     from ai_pdf_extraction_spark.operators.dedup import simhash_sketch
 
@@ -576,26 +591,76 @@ def q33_json_props(spark, sf_dir):
     )
 
 
-def q34_extract_pages(spark, sf_dir):
-    """The extraction hot path itself (kernel pandas UDF end-to-end)
-    over a deterministic synthetic corpus. No SQL oracle — the
-    byte-identical check lives in pytest (test_pipeline_parity) — so
-    the driver records a rows-only check; row shape: one per page with
-    stable url/content_type/parse_ok/n_chars/n_spans/confidence."""
-    _ensure_shipped(spark)
+def _q34_golden_path() -> str:
+    """Golden parquet path for the q34 oracle; generates the fixtures
+    on first use (pure pyarrow — safe to call from ``oracle_sql()``)."""
+    return _ensure_q34_fixtures()[1]
+
+
+def _q34_fixture_paths() -> tuple[str, str]:
+    from ai_pdf_extraction_spark.corpus.generate import CORPUS_VERSION
+
+    base = f"/tmp/spark_graft_contract_pages_v{CORPUS_VERSION}_600_13"
+    return base, base + "_golden.parquet"
+
+
+def _ensure_q34_fixtures() -> tuple[str, str]:
+    """Generate (once) the deterministic page corpus AND its golden
+    parquet — the single-process oracle-kernel run (the analogue of the
+    reference's stored ``extraction_results.json`` corpora). Pure
+    pyarrow, no Spark, so ``oracle_sql()`` can build it too."""
     import os as _os
 
     from ai_pdf_extraction_spark.corpus import write_pages_parquet
-    from ai_pdf_extraction_spark.corpus.generate import CORPUS_VERSION
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+    from ai_pdf_extraction_spark.oracle.run_reference import write_golden_parquet
+
+    pages_path, golden_path = _q34_fixture_paths()
+    if not _os.path.exists(pages_path):
+        write_pages_parquet(pages_path, 600, seed=13, n_files=4)
+    if not _os.path.exists(golden_path):
+        write_golden_parquet(golden_path, generate_pages(600, seed=13))
+    return pages_path, golden_path
+
+
+def _signature_cols(df: DataFrame) -> DataFrame:
+    """Byte-level signatures of the extraction payload so the driver's
+    value hash covers the full result, not just counts: md5 of the
+    extracted text, plus canonical serializations of spans/warnings
+    computable identically in DuckDB."""
+    return df.select(
+        "url",
+        "content_type",
+        "parse_ok",
+        "confidence",
+        "n_chars",
+        "n_spans",
+        F.md5("extracted_text").alias("text_md5"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    ":", s["start"].cast("string"), s["end"].cast("string"), s["kind"]
+                ),
+            ),
+        ).alias("spans_sig"),
+        F.concat_ws("|", "warnings").alias("warnings_sig"),
+    )
+
+
+def q34_extract_pages(spark, sf_dir):
+    """The extraction hot path itself (kernel pandas UDF end-to-end)
+    over a deterministic synthetic corpus, checked against the golden
+    parquet written by the single-process oracle kernels — the driver
+    hash covers the extracted text bytes (md5), span offsets/kinds and
+    warnings, i.e. the BASELINE north_rule's byte-identical invariant."""
+    _ensure_shipped(spark)
     from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
 
-    path = f"/tmp/spark_graft_contract_pages_v{CORPUS_VERSION}_600_13"
-    if not _os.path.exists(path):
-        write_pages_parquet(path, 600, seed=13, n_files=4)
-    plan = extraction_plan(spark.read.parquet(path), run_id="contract")
-    return plan.select(
-        "url", "content_type", "parse_ok", "confidence", "n_chars", "n_spans"
-    )
+    pages_path, _ = _ensure_q34_fixtures()
+    plan = extraction_plan(spark.read.parquet(pages_path), run_id="contract")
+    return _signature_cols(plan)
 
 
 def q36_curated_corpus(spark, sf_dir):
@@ -975,7 +1040,21 @@ with {_SHINGLES_CTE}
 select id_a, id_b, jaccard from jacc where jaccard >= 0.8
 """,
         "q22_minhash_lsh_pairs": _minhash_sql(),
-        # q23_simhash_sketch: no oracle — xxhash64 has no DuckDB equivalent
+        # q23: xxhash64 has no DuckDB twin — oracle is a golden parquet
+        # from an independent pure-Python XXH64+SimHash (oracle/xxh64.py)
+        "q23_simhash_sketch": f"""
+select doc_id, simhash, band0, band1, band2, band3
+from read_parquet('{_q23_golden_path()}')
+""",
+        "q34_extract_pages": f"""
+select url, content_type, parse_ok, confidence, n_chars, n_spans,
+  md5(extracted_text) as text_md5,
+  coalesce(array_to_string(list_transform(spans,
+    s -> s['start']::varchar || ':' || s['end']::varchar || ':' || s['kind']),
+    ';'), '') as spans_sig,
+  coalesce(array_to_string(warnings, '|'), '') as warnings_sig
+from read_parquet('{_q34_golden_path()}')
+""",
         "q24_embedding_near_dup": f"""
 select * from (
   select a.vec_id as id_a, b.vec_id as id_b,

@@ -94,6 +94,36 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert pairs <= true_pairs
 
 
+def test_pure_python_xxh64_matches_spark(spark):
+    """The oracle-side XXH64 (oracle/xxh64.py, public xxHash spec) must
+    match Spark's F.xxhash64 bit-for-bit — it underwrites the 64-bit
+    SimHash golden oracle (q23)."""
+    from ai_pdf_extraction_spark.oracle.xxh64 import spark_xxhash64_str
+
+    cases = ["", "a", "abc", "hello world", "x" * 7, "y" * 8, "z" * 31,
+             "w" * 32, "q" * 100, "müller straße", "日本語テキスト",
+             " spaces  inside ", "tab\tand\nnewline"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for c in cases:
+        assert spark_xxhash64_str(c) == got[c], repr(c)
+
+
+def test_simhash64_golden_twin_matches_operator(spark, docs):
+    """The single-process SimHash twin (golden generator) must equal
+    the Spark operator row-for-row, bands included."""
+    from ai_pdf_extraction_spark.operators.dedup import simhash_sketch
+    from ai_pdf_extraction_spark.oracle.xxh64 import simhash64_rows
+
+    spark_rows = {r["doc_id"]: r for r in simhash_sketch(docs).collect()}
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    for g in simhash64_rows(rows):
+        s = spark_rows[g["doc_id"]]
+        assert g["simhash"] == s["simhash"], g["doc_id"]
+        for b in range(4):
+            assert g[f"band{b}"] == s[f"band{b}"], (g["doc_id"], b)
+
+
 def test_simhash_close_for_near_dups(spark, docs):
     from ai_pdf_extraction_spark.operators.dedup import simhash_sketch
 
