@@ -601,7 +601,7 @@ def _q34_fixture_paths() -> tuple[str, str]:
     from ai_pdf_extraction_spark.corpus.generate import CORPUS_VERSION
 
     base = f"/tmp/spark_graft_contract_pages_v{CORPUS_VERSION}_600_13"
-    return base, base + "_golden.parquet"
+    return base, base + "_golden_g2.parquet"  # g2: + field-confidence cols
 
 
 def _ensure_q34_fixtures() -> tuple[str, str]:
@@ -646,6 +646,17 @@ def _signature_cols(df: DataFrame) -> DataFrame:
             ),
         ).alias("spans_sig"),
         F.concat_ws("|", "warnings").alias("warnings_sig"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.array_sort(F.map_entries("field_confidences")),
+                lambda e: F.concat(
+                    e["key"],
+                    F.lit(":"),
+                    F.round(e["value"] * F.lit(1000), 0).cast("int").cast("string"),
+                ),
+            ),
+        ).alias("fc_sig"),
     )
 
 
@@ -661,6 +672,25 @@ def q34_extract_pages(spark, sf_dir):
     pages_path, _ = _ensure_q34_fixtures()
     plan = extraction_plan(spark.read.parquet(pages_path), run_id="contract")
     return _signature_cols(plan)
+
+
+def q39_field_confidences(spark, sf_dir):
+    """Per-field confidences (reference ``field_confidences`` dict,
+    ``models.py:186-199``) surfaced as one column per span kind via map
+    element_at — checked against the oracle-kernel golden parquet."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.oracle.run_reference import FIELD_KINDS
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+
+    pages_path, _ = _ensure_q34_fixtures()
+    plan = extraction_plan(spark.read.parquet(pages_path), run_id="contract")
+    return plan.select(
+        "url",
+        *[
+            F.try_element_at(F.col("field_confidences"), F.lit(k)).alias(f"conf_{k}")
+            for k in FIELD_KINDS
+        ],
+    )
 
 
 def q36_curated_corpus(spark, sf_dir):
@@ -772,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_curated_corpus": q36_curated_corpus,
         "q37_url_canonicalize": q37_url_canonicalize,
         "q38_lsh_topk": q38_lsh_topk,
+        "q39_field_confidences": q39_field_confidences,
     }
 
 
@@ -1052,7 +1083,12 @@ select url, content_type, parse_ok, confidence, n_chars, n_spans,
   coalesce(array_to_string(list_transform(spans,
     s -> s['start']::varchar || ':' || s['end']::varchar || ':' || s['kind']),
     ';'), '') as spans_sig,
-  coalesce(array_to_string(warnings, '|'), '') as warnings_sig
+  coalesce(array_to_string(warnings, '|'), '') as warnings_sig,
+  fc_sig
+from read_parquet('{_q34_golden_path()}')
+""",
+        "q39_field_confidences": f"""
+select url, conf_title, conf_paragraph, conf_list_item, conf_table_text
 from read_parquet('{_q34_golden_path()}')
 """,
         "q24_embedding_near_dup": f"""

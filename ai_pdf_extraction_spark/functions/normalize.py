@@ -32,6 +32,13 @@ def parse_currency(col: Column | str) -> Column:
     ``$1,234.56→1234.56  €1.234,56→1234.56  1234,56→1234.56
     ¥1000→1000.0  ""/None/"not a number"→null``.
     """
+    # NOTE on the lone-comma rule: ',d' AND ',dd' endings are decimal
+    # commas here ('1234,5' → 1234.5). This matches the reference's
+    # PRIMARY path (price-parser, validation.py:56-60, which treats a
+    # non-3-digit trailing comma group as decimal); the reference's
+    # regex FALLBACK (validation.py:72-77, only reached when
+    # price-parser fails) would require exactly 2 trailing digits.
+    # Pinned by test_parse_currency_lone_comma_decimal.
     s = F.regexp_replace(_c(col).cast("string"), r"[^0-9.,\-]", "")
     rev = F.reverse(s)
     pos_dot = F.instr(rev, ".")  # distance of LAST '.' from the end (0 = absent)
@@ -59,20 +66,42 @@ def parse_date(col: Column | str) -> Column:
 
     ISO first; US ``MM/dd/yyyy`` before EU ``dd/MM/yyyy`` (ambiguous
     dates resolve US — reference tries US regex first); then written
-    forms. Unparseable → null (caller keeps the raw string + warning,
+    forms with the breadth of the reference's ``dateutil.parser``
+    fallback (``validation.py:129-135``): ordinal days (``Jan 15th,
+    2024``), hyphenated month names (``15-Jan-2024``), dotted numerics
+    (``2024.01.15``, month-first preferred like dateutil), any month
+    case. Unparseable → null (caller keeps the raw string + warning,
     ``validation.py:490-497``). Vectors: ``2024-01-15``, ``01/15/2024``
     and ``15/01/2024`` → 2024-01-15, ``January 15, 2024`` → 2024-01-15,
     ``32/13/2024`` → null (``tests/test_ai_service.py:59-88``).
     """
-    c = F.trim(_c(col).cast("string"))
+    raw = F.trim(_c(col).cast("string"))
+    # dateutil accepts ordinal day suffixes — strip them first
+    c = F.regexp_replace(raw, r"(?i)\b(\d{1,2})(st|nd|rd|th)\b", "$1")
+    # month names case-insensitively (dateutil is); Java formatters are
+    # strict, so canonicalize: initcap space-separated words, and a
+    # hyphens→spaces variant for 15-Jan-2024-style forms (safe: all
+    # pure-numeric hyphen forms matched earlier in the coalesce)
+    cap = F.initcap(c)
+    spaced = F.initcap(F.translate(c, "-", " "))
     return F.coalesce(
         F.try_to_date(c, "yyyy-MM-dd"),
         F.try_to_date(c, "MM/dd/yyyy"),
         F.try_to_date(c, "dd/MM/yyyy"),
-        F.try_to_date(c, "MMMM d, yyyy"),
-        F.try_to_date(c, "MMM d, yyyy"),
-        F.try_to_date(c, "d MMMM yyyy"),
+        F.try_to_date(cap, "MMMM d, yyyy"),
+        F.try_to_date(cap, "MMM d, yyyy"),
+        F.try_to_date(cap, "d MMMM yyyy"),
+        F.try_to_date(cap, "d MMM yyyy"),
+        F.try_to_date(cap, "MMMM d yyyy"),
+        F.try_to_date(cap, "MMM d yyyy"),
         F.try_to_date(c, "yyyy/MM/dd"),
+        F.try_to_date(c, "yyyy.MM.dd"),
+        F.try_to_date(c, "MM.dd.yyyy"),
+        F.try_to_date(c, "dd.MM.yyyy"),
+        F.try_to_date(spaced, "d MMM yyyy"),
+        F.try_to_date(spaced, "MMM d yyyy"),
+        F.try_to_date(spaced, "d MMMM yyyy"),
+        F.try_to_date(spaced, "MMMM d yyyy"),
     )
 
 

@@ -149,6 +149,9 @@ class _MainContentParser:
     def __init__(self) -> None:
         self.blocks: list[tuple[str, str]] = []  # (kind, normalized text)
         self.candidate_chars = 0  # all non-skip text seen (incl. dropped)
+        # per-kind evidence for field_confidences (kept/candidate chars)
+        self.kind_candidate: dict[str, int] = {}
+        self.kind_kept: dict[str, int] = {}
         self._skip_depth = 0
         self._boiler_depth = 0
         self._link_depth = 0
@@ -184,11 +187,12 @@ class _MainContentParser:
         if not text:
             return
         self.candidate_chars += len(text)
+        n = len(text)
+        kind = block.kind
+        self.kind_candidate[kind] = self.kind_candidate.get(kind, 0) + n
         if block.boiler:
             return
-        n = len(text)
         ratio = block.link_chars / n
-        kind = block.kind
         if kind == "title":
             keep = ratio < _MAX_HEADING_LINK_RATIO
         elif kind == "list_item":
@@ -202,6 +206,7 @@ class _MainContentParser:
             )
         if keep:
             self.blocks.append((kind, text))
+            self.kind_kept[kind] = self.kind_kept.get(kind, 0) + n
 
     def _open_block(self, kind: str) -> None:
         self._flush()
@@ -419,6 +424,13 @@ def extract_html(data: bytes) -> ExtractionResult:
     confidence = (
         round(kept / parser.candidate_chars, 3) if parser.candidate_chars else 0.0
     )
+    # Per-field confidences (reference ``field_confidences``): for each
+    # span kind, the kept-to-candidate char ratio of that kind.
+    field_confidences = {
+        kind: round(parser.kind_kept.get(kind, 0) / cand, 3)
+        for kind, cand in sorted(parser.kind_candidate.items())
+        if cand
+    }
     return ExtractionResult(
         text=out,
         spans=spans,
@@ -426,4 +438,5 @@ def extract_html(data: bytes) -> ExtractionResult:
         warnings=warnings,
         content_type="html",
         confidence=confidence,
+        field_confidences=field_confidences,
     )

@@ -363,13 +363,18 @@ def extract_pdf(data: bytes) -> ExtractionResult:
         spans.append(Span(offset, offset + len(text), kind))
         pieces.append(text)
         offset += len(text)
+    confidence = (
+        round(n_parsed_streams / n_total_streams, 3) if n_total_streams else 0.0
+    )
+    # Per-field confidences: the stream-parse ratio is the evidence
+    # granularity for PDFs, attributed to each span kind present.
+    field_confidences = {kind: confidence for kind in sorted({k for k, _ in blocks})}
     return ExtractionResult(
         text="\n\n".join(pieces),
         spans=spans,
         parse_ok=True,
         warnings=warnings,
         content_type="pdf",
-        confidence=round(n_parsed_streams / n_total_streams, 3)
-        if n_total_streams
-        else 0.0,
+        confidence=confidence,
+        field_confidences=field_confidences,
     )

@@ -39,6 +39,13 @@ class ExtractionResult:
     # minus the LLM logprobs): for HTML the kept-to-candidate text
     # ratio, for PDF the parsed-stream ratio.
     confidence: float = 0.0
+    # Per-field confidences (the reference's ``field_confidences``
+    # dict, ``models.py:186-199``, merged across chunks at
+    # ``services/ai/extraction.py:351-372``). Our fields are the span
+    # kinds; values are per-kind evidence ratios in [0,1], round 3:
+    # HTML = kept/candidate chars of that kind, PDF = the stream-parse
+    # ratio for each kind present.
+    field_confidences: dict[str, float] = field(default_factory=dict)
 
     @property
     def n_chars(self) -> int:

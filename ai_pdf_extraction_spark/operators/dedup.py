@@ -58,15 +58,21 @@ def _persist_shingles(sh: DataFrame) -> DataFrame:
 
 def _df_capped(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds the cap. ``sh``
-    is distinct per (doc, shingle), so count(*) per shingle = DF."""
+    is distinct per (doc, shingle), so count(*) per shingle = DF.
+
+    Joined as an ANTI join against the HOT set (DF > cap) rather than
+    an inner join against the rare set: under Zipf the hot set is tiny
+    relative to the relation, so AQE converts the anti join to a
+    broadcast at runtime; the rare set is nearly the whole vocabulary
+    and would always shuffle."""
     if max_shingle_df is None:
         return sh
-    rare = (
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") <= max_shingle_df)
+        .filter(F.col("df_") > max_shingle_df)
     )
-    return sh.join(rare.select("shingle"), "shingle")
+    return sh.join(hot.select("shingle"), "shingle", "left_anti")
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

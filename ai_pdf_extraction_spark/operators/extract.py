@@ -23,6 +23,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -44,6 +45,9 @@ EXTRACTION_TYPE = StructType(
         StructField("warnings", ArrayType(StringType()), False),
         StructField("content_type", StringType(), False),
         StructField("confidence", DoubleType(), False),
+        # reference's per-field confidence dict (models.py:186-199);
+        # keys are span kinds, values per-kind evidence ratios round 3
+        StructField("field_confidences", MapType(StringType(), DoubleType()), False),
         StructField("n_chars", LongType(), False),
         StructField("n_spans", IntegerType(), False),
     ]
@@ -64,6 +68,7 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
     warns: list[list[str]] = []
     ctypes: list[str] = []
     confs: list[float] = []
+    fconfs: list[dict] = []
     n_chars: list[int] = []
     n_spans: list[int] = []
     for raw in html:
@@ -74,6 +79,7 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
         warns.append(list(res.warnings))
         ctypes.append(res.content_type)
         confs.append(res.confidence)
+        fconfs.append(dict(res.field_confidences))
         n_chars.append(res.n_chars)
         n_spans.append(res.n_spans)
     return pd.DataFrame(
@@ -84,6 +90,7 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
             "warnings": warns,
             "content_type": ctypes,
             "confidence": confs,
+            "field_confidences": fconfs,
             "n_chars": n_chars,
             "n_spans": n_spans,
         }

@@ -20,9 +20,26 @@ GOLDEN_COLUMNS = (
     "warnings",
     "content_type",
     "confidence",
+    "fc_sig",
+    "conf_title",
+    "conf_paragraph",
+    "conf_list_item",
+    "conf_table_text",
     "n_chars",
     "n_spans",
 )
+
+# span kinds that can carry a per-field confidence (FIXTURES.md §2)
+FIELD_KINDS = ("title", "paragraph", "list_item", "table_text")
+
+
+def fc_signature(field_confidences: dict[str, float]) -> str:
+    """Canonical serialization of the per-field confidence map:
+    ``kind:milli`` entries sorted by kind — computable identically from
+    the Spark map column (array_sort(map_entries) + round(v*1000))."""
+    return ";".join(
+        f"{k}:{int(v * 1000 + 0.5)}" for k, v in sorted(field_confidences.items())
+    )
 
 
 def extract_rows(pages: list[dict]) -> list[dict]:
@@ -30,6 +47,7 @@ def extract_rows(pages: list[dict]) -> list[dict]:
     out: list[dict] = []
     for row in pages:
         res = extract_document(row["html"])
+        fc = res.field_confidences
         out.append(
             {
                 "url": row["url"],
@@ -39,6 +57,8 @@ def extract_rows(pages: list[dict]) -> list[dict]:
                 "warnings": list(res.warnings),
                 "content_type": res.content_type,
                 "confidence": res.confidence,
+                "fc_sig": fc_signature(fc),
+                **{f"conf_{k}": fc.get(k) for k in FIELD_KINDS},
                 "n_chars": res.n_chars,
                 "n_spans": res.n_spans,
             }
@@ -75,6 +95,13 @@ def write_golden_parquet(path: str, pages: list[dict]) -> int:
             "warnings": pa.array([r["warnings"] for r in rows], pa.list_(pa.string())),
             "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
             "confidence": pa.array([r["confidence"] for r in rows], pa.float64()),
+            "fc_sig": pa.array([r["fc_sig"] for r in rows], pa.string()),
+            **{
+                f"conf_{k}": pa.array(
+                    [r[f"conf_{k}"] for r in rows], pa.float64()
+                )
+                for k in FIELD_KINDS
+            },
             "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
             "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
         }

@@ -103,6 +103,7 @@ def extraction_plan(
         .otherwise(F.col("extraction.warnings"))
         .alias("warnings"),
         F.col("extraction.confidence").alias("confidence"),
+        F.col("extraction.field_confidences").alias("field_confidences"),
         F.col("extraction.n_chars").alias("n_chars"),
         F.col("extraction.n_spans").alias("n_spans"),
         F.lit(run_id).alias("run_id"),

@@ -17,9 +17,11 @@ from __future__ import annotations
 import json
 import os
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StructType
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 
 def csv_cell(col: Column | str, is_array_of_struct: bool) -> Column:
@@ -34,12 +36,25 @@ def csv_cell(col: Column | str, is_array_of_struct: bool) -> Column:
     return c.cast("string")
 
 
-def flatten_for_csv(df: DataFrame) -> DataFrame:
+def flatten_for_csv(
+    df: DataFrame,
+    confidence_fields: Sequence[str] | None = None,
+    confidence_map_col: str = "field_confidences",
+) -> DataFrame:
     """Project every column to a CSV-safe string column; arrays of
     structs get the ``' | '`` join treatment, plain arrays are joined
-    with ``'; '``."""
+    with ``'; '``, maps become JSON.
+
+    When ``confidence_fields`` is given and ``confidence_map_col``
+    exists, the map is expanded into trailing ``<field>_confidence``
+    columns holding ``round(conf*100)`` as a string ('' when absent) —
+    the reference's exportToCSV confidence columns
+    (``EditableResultsTable.tsx:231-244``)."""
+    expand_conf = confidence_fields is not None and confidence_map_col in df.columns
     cols = []
     for field in df.schema.fields:
+        if expand_conf and field.name == confidence_map_col:
+            continue  # replaced by the <field>_confidence columns below
         if isinstance(field.dataType, ArrayType):
             if isinstance(field.dataType.elementType, StructType):
                 cols.append(csv_cell(field.name, True).alias(field.name))
@@ -49,17 +64,29 @@ def flatten_for_csv(df: DataFrame) -> DataFrame:
                         field.name
                     )
                 )
+        elif isinstance(field.dataType, MapType):
+            cols.append(F.to_json(field.name).alias(field.name))
         else:
             cols.append(F.col(field.name).cast("string").alias(field.name))
+    if expand_conf:
+        for f in confidence_fields:
+            conf = F.try_element_at(F.col(confidence_map_col), F.lit(f))
+            cols.append(
+                F.coalesce(
+                    F.round(conf * 100, 0).cast("int").cast("string"), F.lit("")
+                ).alias(f"{f}_confidence")
+            )
     return df.select(*cols)
 
 
-def export_csv(df: DataFrame, path: str) -> None:
+def export_csv(
+    df: DataFrame, path: str, confidence_fields: Sequence[str] | None = None
+) -> None:
     """Header + quoted/escaped CSV (Spark's writer does the ``"``→``""``
     escaping the reference hand-rolls at ``EditableResultsTable.tsx:247-256``)."""
-    flatten_for_csv(df).coalesce(1).write.option("header", True).option(
-        "quoteAll", False
-    ).mode("overwrite").csv(path)
+    flatten_for_csv(df, confidence_fields=confidence_fields).coalesce(1).write.option(
+        "header", True
+    ).option("quoteAll", False).mode("overwrite").csv(path)
 
 
 def export_json(

@@ -33,6 +33,7 @@ HEADLINE = [
     "q24_embedding_near_dup",
     "q25_ann_topk",
     "q27_hourly_event_counts",
+    "q36_curated_corpus",  # flagship composition: quality ∧ canonical ∧ not-near-dup
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

@@ -105,13 +105,35 @@ def test_invoice_export_round_trip(spark, tmp_path):
     df = repair_with_rules(_normalized(spark), [RULE]).withColumn(
         "confidence", F.lit(0.95)
     )
+    # per-field confidence map (reference field_confidences dict):
+    # repaired/missing fields carry no entry → '' in the CSV
+    df = df.withColumn(
+        "field_confidences",
+        F.when(
+            F.col("source_file") == "inv2.pdf",
+            F.create_map(F.lit("invoice_number"), F.lit(0.99)),
+        ).otherwise(
+            F.create_map(
+                F.lit("invoice_number"), F.lit(0.99),
+                F.lit("summary_gross_worth"), F.lit(0.875),
+            )
+        ),
+    )
     out_csv = str(tmp_path / "inv_csv")
-    export_csv(df, out_csv)
+    export_csv(
+        df, out_csv, confidence_fields=["invoice_number", "summary_gross_worth"]
+    )
     with open(glob.glob(os.path.join(out_csv, "*.csv"))[0]) as fh:
         rows = {r["source_file"]: r for r in csvmod.DictReader(fh)}
     assert rows["inv1.pdf"]["items"].count("|") == 0  # single item, no joiner
     assert "; " in rows["inv1.pdf"]["items"]  # comma inside JSON escaped
     assert rows["inv2.pdf"]["summary_gross_worth"] == "1481.47"
+    # <field>_confidence columns: round(conf*100) as string, '' if absent
+    # (EditableResultsTable.tsx:241-244)
+    assert rows["inv1.pdf"]["invoice_number_confidence"] == "99"
+    assert rows["inv1.pdf"]["summary_gross_worth_confidence"] == "88"
+    assert rows["inv2.pdf"]["summary_gross_worth_confidence"] == ""
+    assert "field_confidences" not in rows["inv1.pdf"]
 
     env = export_json(
         df, str(tmp_path / "inv_json"), schema_name="invoice",

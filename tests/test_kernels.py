@@ -80,6 +80,26 @@ def test_html_nested_same_tag_inside_boilerplate_stays_boiler():
     assert "Kept paragraph" in res3.text
 
 
+def test_html_field_confidences_per_kind():
+    """Per-field confidences (reference field_confidences dict): for
+    each span kind, kept/candidate chars of that kind, round 3."""
+    html = (
+        b"<body><h1>Perfect heading kept whole</h1>"
+        b"<p>A kept paragraph that is long enough to pass the filter, yes.</p>"
+        b"<p>tiny</p>"  # dropped paragraph: counts in candidate only
+        b"</body>"
+    )
+    res = extract_html(html)
+    fc = res.field_confidences
+    assert fc["title"] == 1.0
+    kept = len("A kept paragraph that is long enough to pass the filter, yes.")
+    cand = kept + len("tiny")
+    assert fc["paragraph"] == round(kept / cand, 3)
+    assert "list_item" not in fc  # no evidence → no entry
+    # failed parse → empty map
+    assert extract_html(b"").field_confidences == {}
+
+
 def test_pdf_string_escapes_follow_spec():
     """PDF 32000-1 §7.3.4.2: octal escapes are digits 0-7 only; an
     unknown escape (incl. ``\\8``/``\\9``) drops the backslash and keeps

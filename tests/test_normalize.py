@@ -49,6 +49,14 @@ CURRENCY_CASES = [
     ("", None),
     (None, None),
     ("not a number", None),
+    # price-parser breadth (reference primary path, validation.py:56-60):
+    # space thousands, currency-code prefix/suffix, symbol suffix
+    ("USD 1 234,56", 1234.56),
+    ("1 234.56", 1234.56),
+    ("100.00 EUR", 100.0),
+    ("1.000,00 €", 1000.0),
+    ("£500.00", 500.0),
+    ("1000 USD", 1000.0),
 ]
 
 
@@ -68,10 +76,30 @@ DATE_CASES = [
     ("15/01/2024", datetime.date(2024, 1, 15)),
     ("January 15, 2024", datetime.date(2024, 1, 15)),
     ("Jan 15, 2024", datetime.date(2024, 1, 15)),
+    ("15 January 2024", datetime.date(2024, 1, 15)),
     ("32/13/2024", None),
     ("not a date", None),
     (None, None),
+    # dateutil-fallback breadth (reference validation.py:129-135)
+    ("Jan 15th, 2024", datetime.date(2024, 1, 15)),
+    ("January 3rd, 2024", datetime.date(2024, 1, 3)),
+    ("15-Jan-2024", datetime.date(2024, 1, 15)),
+    ("15-JAN-2024", datetime.date(2024, 1, 15)),
+    ("2024.01.15", datetime.date(2024, 1, 15)),
+    ("15.01.2024", datetime.date(2024, 1, 15)),  # month-first invalid → dayfirst
+    ("01.15.2024", datetime.date(2024, 1, 15)),  # dateutil month-first preferred
+    ("15 Jan 2024", datetime.date(2024, 1, 15)),
+    ("January 15 2024", datetime.date(2024, 1, 15)),
+    ("JANUARY 15, 2024", datetime.date(2024, 1, 15)),
 ]
+
+
+def test_parse_currency_lone_comma_decimal(spark):
+    """Pinned divergence note (normalize.py): ',d' is a decimal comma,
+    matching the reference's PRIMARY price-parser path — the
+    regex-fallback (validation.py:72-77) would give 12345.0 but is only
+    reached when price-parser fails, which it doesn't for this input."""
+    assert _eval_str(spark, parse_currency, "1234,5") == pytest.approx(1234.5)
 
 
 @pytest.mark.parametrize("raw,expected", DATE_CASES)
