@@ -693,6 +693,100 @@ def q39_field_confidences(spark, sf_dir):
     )
 
 
+def q41_pii_scrub(spark, sf_dir):
+    """PII redaction (emails → <EMAIL>, IPs → <IP>, phone runs →
+    <PHONE>) — C4/Dolma-style training-data scrubbing. PII-bearing text
+    is synthesized deterministically from doc_id (the q37 pattern) so
+    both engines scrub identical inputs; the hash covers the scrubbed
+    text md5 + disjoint per-class match counts."""
+    from ai_pdf_extraction_spark.operators.scrub import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-01"),
+            F.lpad(F.pmod(F.col("doc_id"), 100).cast("string"), 2, "0"),
+            F.lit(" from 10.0."),
+            F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return seeded.select(
+        "doc_id",
+        F.md5(scrub_pii("text")).alias("scrubbed_md5"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+def q42_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-word ratio,
+    top-bigram share) — explode → groupBy, not per-row HOF counting
+    (Catalyst has no CSE across HOF lambdas; see operator docstring)."""
+    from ai_pdf_extraction_spark.operators.text_analysis import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q43_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling for corpus mixing:
+    md5-derived uniform per (lang, doc_id) under per-language rates —
+    reproducible across engines, runs, and repartitions."""
+    from ai_pdf_extraction_spark.operators.scrub import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, {"en": 0.5, "de": 1.0}, default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+def q44_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: fill a per-language token budget
+    from the highest-quality docs first (windowed running sum)."""
+    from ai_pdf_extraction_spark.operators.scrub import token_budget_selection
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    return token_budget_selection(scored, budget_per_stratum=3000)
+
+
+def q40_base64_payload(spark, sf_dir):
+    """Base64 payload encode/decode round-trip (§2.7 F11 — the
+    reference's image→base64 request payload, ``extraction.py:74-86``)
+    over binary document bytes, cross-checked in both engines."""
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        base64_payload,
+        decode_base64_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("media"))
+    enc = payload.select(
+        "doc_id", "media", base64_payload("media").alias("media_b64")
+    )
+    return enc.select(
+        "doc_id",
+        F.md5("media_b64").alias("b64_md5"),
+        F.length("media_b64").alias("b64_len"),
+        (decode_base64_payload("media_b64") == F.col("media")).alias("roundtrip_ok"),
+    )
+
+
 def q36_curated_corpus(spark, sf_dir):
     """Capstone curation pass — what a training-data pipeline actually
     emits: documents that (a) clear the quality threshold, (b) are the
@@ -803,6 +897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_url_canonicalize": q37_url_canonicalize,
         "q38_lsh_topk": q38_lsh_topk,
         "q39_field_confidences": q39_field_confidences,
+        "q40_base64_payload": q40_base64_payload,
+        "q41_pii_scrub": q41_pii_scrub,
+        "q42_repetition_signals": q42_repetition_signals,
+        "q43_stratified_sample": q43_stratified_sample,
+        "q44_token_budget": q44_token_budget,
     }
 
 
@@ -876,6 +975,74 @@ cand as (
 select cand.id_a, cand.id_b, jacc.jaccard
 from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
 where jacc.jaccard >= 0.8
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """q41 oracle, built by placeholder substitution (the regexes carry
+    ``{m,n}`` quantifiers that fight f-strings). DuckDB regexp_replace
+    needs the explicit 'g' flag Spark applies implicitly; counts use
+    len(regexp_extract_all) — DuckDB has no regexp_count."""
+    from ai_pdf_extraction_spark.operators.scrub import EMAIL_RE, IP_RE, PHONE_RE
+
+    sql = """
+with seeded as (
+  select doc_id,
+    text || ' contact: user' || doc_id || '@example.com or +1 555-01'
+         || lpad((doc_id % 100)::varchar, 2, '0')
+         || ' from 10.0.' || (doc_id % 256)::varchar || '.7' as text
+  from documents
+), partial as (
+  select doc_id,
+    regexp_replace(regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g'),
+                   '@IP@', '<IP>', 'g') as ei_scrubbed,
+    len(regexp_extract_all(text, '@EMAIL@')) as n_emails,
+    len(regexp_extract_all(text, '@IP@')) as n_ips
+  from seeded
+)
+select doc_id,
+  md5(regexp_replace(ei_scrubbed, '@PHONE@', '<PHONE>', 'g')) as scrubbed_md5,
+  n_emails, n_ips,
+  len(regexp_extract_all(ei_scrubbed, '@PHONE@')) as n_phones
+from partial
+"""
+    return (
+        sql.replace("@EMAIL@", EMAIL_RE)
+        .replace("@IP@", IP_RE)
+        .replace("@PHONE@", PHONE_RE)
+    )
+
+
+_REPETITION_SQL = r"""
+with words as (
+  select doc_id,
+    case when length(trim(text)) = 0 then []::varchar[]
+         else regexp_split_to_array(lower(trim(text)), '\s+') end as w
+  from documents
+), per_row as (
+  select doc_id, len(w) as n_words, len(list_distinct(w)) as n_distinct from words
+), bigrams as (
+  select doc_id,
+    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) as bigram
+  from words
+), counts as (
+  select doc_id, bigram, count(*) as cnt from bigrams group by 1, 2
+), shares as (
+  select doc_id, max(cnt) * 1.0 / sum(cnt) as share from counts group by 1
+)
+select p.doc_id,
+  round(case when n_words > 1 then 1.0 - n_distinct * 1.0 / n_words
+             else 0.0 end, 4) as dup_word_ratio,
+  round(coalesce(share, 0.0), 4) as top_bigram_share
+from per_row p left join shares using (doc_id)
+"""
+
+_STRATIFIED_SAMPLE_SQL = """
+select doc_id, lang from documents
+where ('0x' || substr(md5(lang || ':' || doc_id), 1, 4))::int / 65536.0
+      < case when lang = 'de' then 1.0
+             when lang = 'en' then 0.5
+             else 0.1 end
 """
 
 
@@ -1090,6 +1257,47 @@ from read_parquet('{_q34_golden_path()}')
         "q39_field_confidences": f"""
 select url, conf_title, conf_paragraph, conf_list_item, conf_table_text
 from read_parquet('{_q34_golden_path()}')
+""",
+        "q40_base64_payload": """
+select doc_id,
+  md5(to_base64(encode(text))) as b64_md5,
+  length(to_base64(encode(text))) as b64_len,
+  from_base64(to_base64(encode(text))) = encode(text) as roundtrip_ok
+from documents
+""",
+        "q41_pii_scrub": _pii_scrub_sql(),
+        "q42_repetition_signals": _REPETITION_SQL,
+        "q43_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "q44_token_budget": r"""
+with base as (
+  select doc_id, lang, text, ' ' || lower(text) || ' ' as padded from documents
+), feat as (
+  select doc_id, lang,
+    case when length(trim(text)) = 0 then 0
+         else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens,
+    cast((length(padded) - length(replace(padded, ' the ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' to ', ''))) / 4 as bigint)
+      as stop_hits,
+    length(regexp_replace(text, '\s', '', 'g')) as nonspace
+  from base
+), scored as (
+  select doc_id, lang,
+    round(least(n_tokens / 50.0, 1.0) * 0.4
+      + least((stop_hits * 1.0 / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
+      + (case when nonspace * 1.0 / greatest(n_tokens, 1) between 3.0 and 8.0
+              then 1.0 else 0.5 end) * 0.3, 4) as quality,
+    n_tokens
+  from feat
+), c as (
+  select doc_id, lang, quality, n_tokens,
+    (sum(n_tokens) over (partition by lang order by quality desc, doc_id
+                         rows unbounded preceding))::bigint as cum_tokens
+  from scored
+)
+select doc_id, lang, quality, n_tokens, cum_tokens from c
+where cum_tokens <= 3000
 """,
         "q24_embedding_near_dup": f"""
 select * from (

@@ -94,12 +94,30 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     ).withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
 
 
+def _ensure_parallel(docs: DataFrame, id_col: str) -> DataFrame:
+    """CPU-heavy explodes must not inherit a skewed scan.
+
+    A small corpus arrives as one parquet file → one task → one core;
+    worse, byte-range splitting of a single-row-group file reports many
+    partitions of which all but one are EMPTY (parquet only reads whole
+    row groups), so the partition COUNT can lie. The guard therefore
+    repartitions anything below 4× default parallelism — a shuffle of
+    the raw docs is far cheaper than the explode/join work downstream.
+    A real crawl (thousands of files, ≫4× parallelism partitions)
+    skips this."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target * 4:
+        docs = docs.repartition(target * 2, F.col(id_col))
+    return docs
+
+
 def _word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle).
 
     Built entirely from array functions: split → sequence of start
     indices → transform to joined n-grams → explode. JVM-side only.
     """
+    docs = _ensure_parallel(docs, id_col)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n_words = F.size(words)
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] —
@@ -282,7 +300,7 @@ def simhash_sketch(
     words = F.explode(
         F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     ).alias("word")
-    tok = docs.select(F.col(id_col), words)
+    tok = _ensure_parallel(docs, id_col).select(F.col(id_col), words)
     h = F.xxhash64(F.col("word"))
     bit_sums = [
         F.sum(
@@ -316,7 +334,7 @@ def simhash16_sketch(
     words = F.explode(
         F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     ).alias("word")
-    tok = docs.select(F.col(id_col), words)
+    tok = _ensure_parallel(docs, id_col).select(F.col(id_col), words)
     h16 = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("int")
     bit_sums = [
         F.sum(

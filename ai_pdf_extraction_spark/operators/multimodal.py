@@ -66,6 +66,20 @@ _MAGIC = (
 )
 
 
+def base64_payload(col: str = "media"):
+    """Binary payload → base64 string (reference F11: image→base64 for
+    the JSON request payload via Python ``b64encode``,
+    ``services/ai/extraction.py:74-86``). Spark's ``F.base64`` MIME-chunks
+    at 76 chars on some versions (SPARK-35973 lineage) — strip the CRLFs
+    so the output is the unchunked RFC 4648 form ``b64encode`` produces."""
+    return F.regexp_replace(F.base64(F.col(col)), r"[\r\n]", "")
+
+
+def decode_base64_payload(col: str = "media_b64"):
+    """Inverse of :func:`base64_payload` (``F.unbase64``)."""
+    return F.unbase64(F.col(col))
+
+
 def sniff_media_type(col: str = "media"):
     """Magic-byte content sniffing as a Column expression (the binary
     analogue of the reference's ``%PDF`` check,

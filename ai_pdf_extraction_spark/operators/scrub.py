@@ -1,0 +1,123 @@
+"""PII scrubbing and corpus-selection operators for training-data
+curation.
+
+The reference engine never redacts (its documents are user-supplied
+business PDFs), but a web-scale training-data pipeline must: emails,
+phone numbers, and IP addresses are the canonical redaction targets
+(C4/Gopher/Dolma-style pre-processing). Everything here is pure
+Column expressions — regexp only, whole-stage codegen, no Python —
+and every regex sticks to the syntax subset shared by Java regex
+(Spark) and RE2 (DuckDB) so the contract oracles can run the same
+pattern verbatim.
+
+Also here: deterministic hash-based stratified sampling (reproducible
+corpus mixing — the md5-derived uniform is identical in both engines)
+and token-budget selection (fill a per-language token budget from the
+highest-quality docs first — a windowed cumulative sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared Java/RE2 syntax only: no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+# conservative: 8+ digit runs with separators, optional leading +
+PHONE_RE = r"\+?\d[\d\s().\-]{7,}\d"
+
+# Scrub order matters and is part of the contract: emails first (the
+# local part would otherwise feed the phone pattern), then IPs (dotted
+# quads are a subset of the phone pattern), then phones.
+_SCRUB_STEPS = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IP_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_counts(col: Column | str = "text") -> dict[str, Column]:
+    """Match counts per PII class (pre-scrub)."""
+    c = _c(col)
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+        "n_ips": F.regexp_count(c, F.lit(IP_RE)),
+        # count phones on the email/IP-scrubbed text so the classes
+        # are disjoint (an IP would otherwise also count as a phone)
+        "n_phones": F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+            ),
+            F.lit(PHONE_RE),
+        ),
+    }
+
+
+def scrub_pii(col: Column | str = "text") -> Column:
+    """Redact emails → ``<EMAIL>``, IPs → ``<IP>``, phone-like digit
+    runs → ``<PHONE>``, in that order."""
+    c = _c(col)
+    for pattern, token in _SCRUB_STEPS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for corpus mixing: keep a row
+    iff ``md5(stratum ':' id)``'s first 4 hex digits, as a uniform in
+    [0,1), fall below the stratum's rate. Reproducible across engines
+    and runs (no RNG state), stable under repartitioning — the property
+    a 10^12-doc mixing job needs so retries/resumes pick identical
+    rows. One narrow filter; no shuffle."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col))), 1, 4),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(65536.0)
+    )
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return docs.filter(u < rate)
+
+
+def token_budget_selection(
+    docs: DataFrame,
+    budget_per_stratum: int,
+    strata_col: str = "lang",
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill a per-stratum token budget from the highest-quality docs
+    first: rank docs by (quality desc, id) within each stratum and keep
+    rows while the running token sum (inclusive) stays ≤ budget.
+
+    One shuffle (the window partition); at web scale the stratum count
+    is small and each stratum's sort is the classic top-k-by-score
+    pattern. Output keeps the running total for auditability."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= budget_per_stratum)
+        .select(id_col, strata_col, quality_col, tokens_col, "cum_tokens")
+    )

@@ -158,6 +158,75 @@ def winnowing_fingerprints(
     return _winnow(c)
 
 
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    ``dup_word_ratio`` (1 − distinct/total words) and
+    ``top_bigram_share`` (most frequent bigram / total bigrams), both
+    round 4. Output: (id, dup_word_ratio, top_bigram_share).
+
+    The bigram share deliberately goes explode → groupBy (one shuffle
+    on (id, bigram)) instead of a per-row higher-order-function count:
+    Catalyst does no CSE across HOF lambdas, so the per-row form
+    recomputes the bigram array per distinct bigram — O(n²) per doc
+    (same trap as winnowing above). The shuffle form is linear and
+    partial-aggregates map-side."""
+    from ai_pdf_extraction_spark.operators.dedup import _ensure_parallel
+
+    docs = _ensure_parallel(docs, id_col)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+        .otherwise(words)
+        .alias("w"),
+    )
+    per_row = base.select(
+        id_col,
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    starts = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    shares = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("cnt") / F.sum("cnt")).alias("_share"),
+        )
+    )
+    return (
+        per_row.join(shares, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.when(
+                    F.col("n_words") > 1,
+                    1.0 - F.col("n_distinct") / F.col("n_words"),
+                ).otherwise(0.0),
+                4,
+            ).alias("dup_word_ratio"),
+            F.round(F.coalesce(F.col("_share"), F.lit(0.0)), 4).alias(
+                "top_bigram_share"
+            ),
+        )
+    )
+
+
 def with_text_analysis(df: DataFrame, col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(col))

@@ -59,7 +59,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     # size scan splits so the extraction leg runs ~4 task waves of
     # meaningfully-sized tasks (per-task Python-runner overhead
-    # dominates sub-1MB tasks; see tools/bench_scaling.py)
+    # dominates sub-1MB tasks; see tools/bench_scaling.py).
+    # SCOPED to the extraction leg (set/reset below): a global tiny
+    # maxPartitionBytes splits the single-row-group testdata parquet
+    # into N byte ranges of which N-1 are empty (parquet reads whole
+    # row groups), silently serializing every query on one straggler
+    # task while defeating the operators' own parallelism guards.
     corpus = _corpus_path(EXTRACT_DOCS)
     corpus_bytes = sum(
         os.path.getsize(os.path.join(corpus, f)) for f in os.listdir(corpus)
@@ -69,19 +74,31 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(mpb),
-            "spark.sql.files.openCostInBytes": "0",
-        },
     )
+    default_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    default_open = spark.conf.get("spark.sql.files.openCostInBytes")
+
+    def _extraction_split_conf(on: bool) -> None:
+        # openCostInBytes=0 lowers the effective split size to
+        # totalBytes/defaultParallelism — right for the many-file
+        # extraction corpus, catastrophic for single-row-group parquet
+        # (N byte-range splits, N-1 empty, all work on one straggler)
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(mpb) if on else default_mpb
+        )
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes", "0" if on else default_open
+        )
     qs = entrymod.queries()
     # Warm-up: JVM codegen, parquet footers, Python workers — one-time
     # costs that would otherwise all land on the first timed query.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     warm_corpus = _corpus_path(256, seed=3)
+    _extraction_split_conf(True)
     extraction_plan(spark.read.parquet(warm_corpus), run_id="warm").agg(
         F.sum("n_chars")
     ).collect()
+    _extraction_split_conf(False)
 
     # best-of-2 per query: the sandbox host is shared and contended,
     # so single timings swing several-fold run to run
@@ -98,6 +115,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # extraction throughput: full kernel pass, forced by an aggregate
     # over the UDF outputs (nothing wide collected to the driver);
     # best-of-2 like the queries
+    _extraction_split_conf(True)
     extract_sec = None
     for _trial in range(2):
         t0 = time.monotonic()

@@ -203,6 +203,40 @@ def test_repair_with_rules(spark):
     assert out[3]["total"] is None  # operands missing → not derivable
 
 
+def test_base64_payload_round_trip(spark):
+    """F11: binary → base64 → binary round-trip; output is unchunked
+    (no CRLF) like the reference's b64encode, even for payloads past
+    the 76-char MIME chunk boundary."""
+    import base64 as b64mod
+
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        base64_payload,
+        decode_base64_payload,
+    )
+
+    payloads = [b"short", b"x" * 200, bytes(range(256))]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, media binary"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in df.select(
+            "media_id",
+            base64_payload("media").alias("media_b64"),
+            "media",
+        )
+        .select(
+            "media_id",
+            "media_b64",
+            (decode_base64_payload("media_b64") == F.col("media")).alias("ok"),
+        )
+        .collect()
+    }
+    for i, p in enumerate(payloads):
+        assert rows[i]["media_b64"] == b64mod.b64encode(p).decode()
+        assert rows[i]["ok"] is True
+
+
 def test_multimodal_features_and_sampling(spark):
     from ai_pdf_extraction_spark.operators.multimodal import (
         extract_media_features,

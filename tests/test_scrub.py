@@ -1,0 +1,96 @@
+"""PII scrubbing + corpus-selection operator tests (operators/scrub.py,
+operators/text_analysis.repetition_signals)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from ai_pdf_extraction_spark.operators.scrub import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (2, "server at 192.168.0.1 and backup 10.0.0.7"),
+        (3, "call +1 (555) 010-4477 or 555 010 4478 now"),
+        (4, "clean text with no personal data at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            scrub_pii("text").alias("s"),
+            counts["n_emails"].alias("e"),
+            counts["n_ips"].alias("i"),
+            counts["n_phones"].alias("p"),
+        ).collect()
+    }
+    assert got[1]["s"] == "mail me at <EMAIL> today"
+    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (1, 0, 0)
+    assert got[2]["s"] == "server at <IP> and backup <IP>"
+    assert (got[2]["e"], got[2]["i"], got[2]["p"]) == (0, 2, 0)
+    assert got[3]["s"] == "call <PHONE> or <PHONE> now"
+    assert (got[3]["e"], got[3]["i"], got[3]["p"]) == (0, 0, 2)
+    assert got[4]["s"] == rows[3][1]  # untouched
+    # IPs are not double-counted as phones (scrub order contract)
+    assert got[2]["p"] == 0
+
+
+def test_repetition_signals(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import repetition_signals
+
+    rows = [
+        (1, "spam spam spam spam"),            # 1 distinct of 4 words
+        (2, "all words here are unique ones"),  # no repetition
+        (3, "one"),                             # single word → 0/0
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[1]["dup_word_ratio"] == pytest.approx(0.75)
+    # bigrams of doc1: 3x "spam spam" → top share 1.0
+    assert got[1]["top_bigram_share"] == pytest.approx(1.0)
+    assert got[2]["dup_word_ratio"] == pytest.approx(0.0)
+    # 5 distinct bigrams of 5 → 1/5
+    assert got[2]["top_bigram_share"] == pytest.approx(0.2)
+    assert got[3]["dup_word_ratio"] == 0.0 and got[3]["top_bigram_share"] == 0.0
+    assert got[4]["dup_word_ratio"] == 0.0 and got[4]["top_bigram_share"] == 0.0
+
+
+def test_stratified_hash_sample_deterministic_rates(spark):
+    from ai_pdf_extraction_spark.operators.scrub import stratified_hash_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_hash_sample(df, {"en": 0.25, "de": 1.0}, default_rate=0.0)
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert by_lang["de"] == 1000  # rate 1.0 keeps everything
+    assert 150 < by_lang["en"] < 350  # ~25% of 1000, md5-uniform
+    # deterministic: same input → identical sample
+    again = stratified_hash_sample(df, {"en": 0.25, "de": 1.0}, default_rate=0.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_token_budget_selection(spark):
+    from ai_pdf_extraction_spark.operators.scrub import token_budget_selection
+
+    rows = [
+        # (doc_id, lang, quality, n_tokens)
+        (1, "en", 0.9, 60),
+        (2, "en", 0.8, 50),
+        (3, "en", 0.7, 40),   # cum 150 > 100 → dropped
+        (4, "de", 0.5, 100),  # cum 100 → kept
+        (5, "de", 0.4, 20),   # cum 120 > 110 → dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double, n_tokens long")
+    got = {r["doc_id"]: r for r in token_budget_selection(df, 110).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[2]["cum_tokens"] == 110  # inclusive: exactly the budget stays
+    assert got[4]["cum_tokens"] == 100
