@@ -765,6 +765,16 @@ def q44_token_budget(spark, sf_dir):
     return token_budget_selection(scored, budget_per_stratum=3000)
 
 
+def q45_neardup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: connected components (min-label
+    propagation) over the LSH-verified Jaccard≥0.8 pair graph — the
+    step after pair mining that an actual dedup pipeline runs. Every
+    doc gets (cluster_id, cluster_size, is_canonical)."""
+    from ai_pdf_extraction_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def q40_base64_payload(spark, sf_dir):
     """Base64 payload encode/decode round-trip (§2.7 F11 — the
     reference's image→base64 request payload, ``extraction.py:74-86``)
@@ -902,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_repetition_signals": q42_repetition_signals,
         "q43_stratified_sample": q43_stratified_sample,
         "q44_token_budget": q44_token_budget,
+        "q45_neardup_clusters": q45_neardup_clusters,
     }
 
 
@@ -952,7 +963,9 @@ _COS_EXPR = (
 )
 
 
-def _minhash_sql(k: int = 12, bands: int = 4) -> str:
+def _minhash_cte(k: int = 12, bands: int = 4) -> str:
+    """Shingles + MinHash signature + banded LSH candidate CTEs, ending
+    with ``cand(id_a, id_b)`` — shared by q22 and q45."""
     r = k // bands
     hashes = ", ".join(
         f"min(md5('{i}:' || shingle)) as h{i}" for i in range(k)
@@ -962,8 +975,7 @@ def _minhash_sql(k: int = 12, bands: int = 4) -> str:
         for b in range(bands)
     )
     bucket_list = ", ".join(f"'{b}#' || band{b}" for b in range(bands))
-    return f"""
-with {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sig as (select doc_id, {hashes} from sh group by doc_id),
 banded as (select doc_id, {band_exprs} from sig),
 stacked as (select doc_id, unnest([{bucket_list}]) as bucket from banded),
@@ -971,10 +983,44 @@ cand as (
   select distinct a.doc_id as id_a, b.doc_id as id_b
   from stacked a join stacked b using (bucket)
   where a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_sql(k: int = 12, bands: int = 4) -> str:
+    return f"""
+with {_minhash_cte(k, bands)}
 select cand.id_a, cand.id_b, jacc.jaccard
 from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
 where jacc.jaccard >= 0.8
+"""
+
+
+def _neardup_clusters_sql() -> str:
+    """q45 oracle: LSH-verified pairs → symmetric edge list → recursive
+    transitive closure (UNION dedups, so it terminates) → per-node min
+    label = connected component id."""
+    return f"""
+with recursive {_minhash_cte()},
+vpairs as (
+  select cand.id_a, cand.id_b
+  from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
+  where jacc.jaccard >= 0.8
+),
+edges as (
+  select id_a as src, id_b as dst from vpairs
+  union all
+  select id_b as src, id_a as dst from vpairs
+),
+reach(node, lab) as (
+  select doc_id, doc_id from documents
+  union
+  select e.dst, r.lab from edges e join reach r on r.node = e.src
+),
+lab as (select node, min(lab) as cluster_id from reach group by node),
+sz as (select cluster_id, count(*) as cluster_size from lab group by cluster_id)
+select node as doc_id, cluster_id, cluster_size,
+       node = cluster_id as is_canonical
+from lab join sz using (cluster_id)
 """
 
 
@@ -1266,6 +1312,7 @@ select doc_id,
 from documents
 """,
         "q41_pii_scrub": _pii_scrub_sql(),
+        "q45_neardup_clusters": _neardup_clusters_sql(),
         "q42_repetition_signals": _REPETITION_SQL,
         "q43_stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "q44_token_budget": r"""

@@ -15,13 +15,16 @@ simhash, whose 64-bit JVM hash has no DuckDB twin — rows-only check):
   all-pairs product.
 * **SimHash** — 64-bit xxhash64 token sketch; Hamming-ball candidates
   via 4×16-bit band equality (pigeonhole: distance ≤3 ⟹ ≥1 band equal).
+* **clustering** — connected components over the pair graph via
+  iterative min-label propagation (``neardup_clusters``), the step that
+  turns pairs into keep/drop decisions.
 
 All shingling/hashing is built-in Column expressions — no Python UDFs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ai_pdf_extraction_spark.operators.text_analysis import fingerprint
@@ -83,8 +86,6 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     Implemented as window aggregates over the fingerprint — ONE
     shuffle on the 32-byte key (vs two for groupBy + join-back); at
     10^12 docs the saved shuffle is the difference."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy("fp")
     fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     return fp.select(
@@ -288,6 +289,77 @@ def minhash_lsh_pairs(
         docs, id_col, text_col, n, threshold,
         _shingles=sh, _candidates=candidates,
     ).select("id_a", "id_b", "jaccard")
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.4,
+    max_iter: int = 20,
+    _pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    every doc labeled with the smallest id reachable through pairs with
+    Jaccard ≥ threshold. Output: (id, cluster_id, cluster_size,
+    is_canonical).
+
+    Iterative min-label propagation (the Hash-to-Min / label-prop
+    family used for web-scale CC): each round joins the current labels
+    across edges and keeps the per-node minimum; converges in
+    O(component diameter) rounds — near-dup clusters are shallow, so
+    a handful. Each round persists its frontier and unpersists the
+    previous one (bounded lineage); the convergence check is one
+    cheap count per round. Pairs default to LSH-verified MinHash
+    (never the all-pairs product)."""
+    pairs = (
+        _pairs
+        if _pairs is not None
+        else minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold)
+    )
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("label")
+    out = labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+    return out
 
 
 def simhash_sketch(

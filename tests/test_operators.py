@@ -124,6 +124,37 @@ def test_simhash64_golden_twin_matches_operator(spark, docs):
             assert g[f"band{b}"] == s[f"band{b}"], (g["doc_id"], b)
 
 
+def test_neardup_clusters_transitive(spark):
+    """Connected components must merge transitively: A~B and B~C put
+    A,B,C in one cluster even when (A,C) is not itself a pair."""
+    from ai_pdf_extraction_spark.operators.dedup import neardup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    rows = [
+        (1, base),
+        (2, " ".join(words[:-1] + ["mu"])),     # near-dup of 1
+        (3, " ".join(words[:-2] + ["mu", "nu"])),  # near-dup of 2, farther from 1
+        (4, "totally different content about unrelated matters entirely here"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # exact pairs (LSH at k=12/bands=4 can miss ~0.6-jaccard pairs by
+    # design; the clustering contract is what's under test here)
+    from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.4)
+    out = {
+        r["doc_id"]: r
+        for r in neardup_clusters(docs, threshold=0.4, _pairs=pairs).collect()
+    }
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["is_canonical"] is True and out[3]["is_canonical"] is False
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+    assert out[5]["cluster_id"] == 5  # empty doc is its own singleton
+
+
 def test_simhash_close_for_near_dups(spark, docs):
     from ai_pdf_extraction_spark.operators.dedup import simhash_sketch
 

@@ -127,3 +127,34 @@ def test_bucket_filter_prunes_partitions(spark, corpus_dir, tmp_path):
     plan = _plan(one_bucket)
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "bucket" in pf, "bucket predicate must prune hive partitions"
+
+
+def test_stratified_sample_is_narrow(spark):
+    """q43 must be a pure filter: zero shuffles, scan pruned to the
+    (id, stratum) columns — the property that makes the sampling free
+    at 10^12 docs."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q43_stratified_sample(spark, SF_DIR))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+    assert "doc_id" in read_schema and "lang" in read_schema
+
+
+def test_pii_scrub_is_narrow(spark):
+    """q41 is regex projection only — no shuffle, no UDF."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q41_pii_scrub(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_single_shuffle(spark):
+    """q44's only exchange is the window partitioning by stratum."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q44_token_budget(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    assert "Window" in plan
