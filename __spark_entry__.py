@@ -41,16 +41,25 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: enrich the documents table with token counts, language
-    guess, quality score, fingerprint, and exact-dedup canonical ids —
-    the curation pass a training-data pipeline runs after extraction."""
+    guess, quality score, repetition signals, PII counts, fingerprint,
+    and exact-dedup canonical ids — the curation pass a training-data
+    pipeline runs after extraction."""
     from ai_pdf_extraction_spark.operators.dedup import exact_dedup
-    from ai_pdf_extraction_spark.operators.text_analysis import with_text_analysis
+    from ai_pdf_extraction_spark.operators.scrub import pii_counts
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        repetition_signals,
+        with_text_analysis,
+    )
 
     sf_dir = "/root/testdata/sf0.001"
     docs = _t(spark, sf_dir, "documents")
-    enriched = with_text_analysis(docs)
+    counts = pii_counts("text")
+    enriched = with_text_analysis(docs).withColumn(
+        "n_pii", counts["n_emails"] + counts["n_ips"] + counts["n_phones"]
+    )
     dedup = exact_dedup(docs)
-    return enriched.join(dedup, "doc_id").select(
+    rep = repetition_signals(docs)
+    return enriched.join(dedup, "doc_id").join(rep, "doc_id").select(
         "doc_id",
         "lang",
         "source",
@@ -58,6 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
         "n_tokens",
         "lang_guess",
         "quality",
+        "dup_word_ratio",
+        "top_bigram_share",
+        "n_pii",
         "fingerprint",
         "canonical_id",
         "group_size",
@@ -387,14 +399,22 @@ def _q23_golden_path() -> str:
     """Golden parquet for the 64-bit SimHash oracle: DuckDB has no
     xxhash64, so the oracle is an independent pure-Python XXH64 +
     SimHash computed single-process from the contract documents table
-    (``oracle/xxh64.py``), pinned against Spark in pytest."""
+    (``oracle/xxh64.py``), pinned against Spark in pytest.
+
+    The sf dir comes from ``SPARK_GRAFT_CONTRACT_SF`` (set by
+    ``tools/check_contract.py``) and defaults to the driver's sf0.01 —
+    the golden is keyed per sf dir so local checks at other scales
+    compare against the right input."""
     import os as _os
 
     from ai_pdf_extraction_spark.oracle.xxh64 import write_simhash_golden
 
-    out = "/tmp/spark_graft_simhash64_golden_sf0.01.parquet"
-    if not _os.path.exists(out):
-        write_simhash_golden("/root/testdata/sf0.01/documents.parquet", out)
+    sf_dir = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_simhash64_golden_v2_{tag}.parquet"
+    if not _os.path.exists(out) and _os.path.exists(src):
+        write_simhash_golden(src, out)
     return out
 
 
@@ -592,9 +612,15 @@ def q33_json_props(spark, sf_dir):
 
 
 def _q34_golden_path() -> str:
-    """Golden parquet path for the q34 oracle; generates the fixtures
-    on first use (pure pyarrow — safe to call from ``oracle_sql()``)."""
-    return _ensure_q34_fixtures()[1]
+    """Golden parquet path for the q34/q39 oracles; generates the
+    fixtures on first use (pure pyarrow — safe to call from
+    ``oracle_sql()``). Generation failure (read-only /tmp, missing
+    deps) degrades to the q34/q39 oracles failing at execution with a
+    clear read_parquet error instead of poisoning the whole dict."""
+    try:
+        return _ensure_q34_fixtures()[1]
+    except Exception:
+        return _q34_fixture_paths()[1]
 
 
 def _q34_fixture_paths() -> tuple[str, str]:
@@ -1038,13 +1064,18 @@ with seeded as (
          || lpad((doc_id % 100)::varchar, 2, '0')
          || ' from 10.0.' || (doc_id % 256)::varchar || '.7' as text
   from documents
-), partial as (
+), e_scrubbed as (
   select doc_id,
-    regexp_replace(regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g'),
-                   '@IP@', '<IP>', 'g') as ei_scrubbed,
-    len(regexp_extract_all(text, '@EMAIL@')) as n_emails,
-    len(regexp_extract_all(text, '@IP@')) as n_ips
+    regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') as e_text,
+    len(regexp_extract_all(text, '@EMAIL@')) as n_emails
   from seeded
+), partial as (
+  -- each class counted with all EARLIER scrub steps applied (disjoint
+  -- classes) — mirrors operators/scrub.pii_counts' fold over the steps
+  select doc_id, n_emails,
+    regexp_replace(e_text, '@IP@', '<IP>', 'g') as ei_scrubbed,
+    len(regexp_extract_all(e_text, '@IP@')) as n_ips
+  from e_scrubbed
 )
 select doc_id,
   md5(regexp_replace(ei_scrubbed, '@PHONE@', '<PHONE>', 'g')) as scrubbed_md5,

@@ -105,10 +105,12 @@ def _ensure_parallel(docs: DataFrame, id_col: str) -> DataFrame:
     repartitions anything below 4× default parallelism — a shuffle of
     the raw docs is far cheaper than the explode/join work downstream.
     A real crawl (thousands of files, ≫4× parallelism partitions)
-    skips this."""
+    skips this. Never repartitions DOWN: inputs already wider than the
+    2× target keep their width (only empties get rebalanced)."""
     target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target * 4:
-        docs = docs.repartition(target * 2, F.col(id_col))
+    parts = docs.rdd.getNumPartitions()
+    if parts < target * 4:
+        docs = docs.repartition(max(target * 2, parts), F.col(id_col))
     return docs
 
 
@@ -308,10 +310,12 @@ def neardup_clusters(
     family used for web-scale CC): each round joins the current labels
     across edges and keeps the per-node minimum; converges in
     O(component diameter) rounds — near-dup clusters are shallow, so
-    a handful. Each round persists its frontier and unpersists the
-    previous one (bounded lineage); the convergence check is one
-    cheap count per round. Pairs default to LSH-verified MinHash
-    (never the all-pairs product)."""
+    a handful. Each round persists its frontier, fully materializes it
+    via the convergence count (so the previous frontier can be
+    unpersisted without tearing the lineage open), then drops the old
+    one. Raises if ``max_iter`` rounds don't converge — silently
+    non-minimal labels would ship wrong keep/drop decisions. Pairs
+    default to LSH-verified MinHash (never the all-pairs product)."""
     pairs = (
         _pairs
         if _pairs is not None
@@ -340,17 +344,27 @@ def neardup_clusters(
             )
             .persist()
         )
+        # full count (not limit(1)): materializes EVERY new_labels
+        # partition into the cache before the old frontier is dropped —
+        # a partial probe would leave uncached partitions whose lineage
+        # chains back through every unpersisted round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
             .count()
         )
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter; "
+            "labels would be silently non-minimal otherwise"
+        )
     edges.unpersist()
     w = Window.partitionBy("label")
     out = labels.select(

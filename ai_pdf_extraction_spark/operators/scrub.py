@@ -41,21 +41,20 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+_COUNT_NAMES = {EMAIL_RE: "n_emails", IP_RE: "n_ips", PHONE_RE: "n_phones"}
+
+
 def pii_counts(col: Column | str = "text") -> dict[str, Column]:
-    """Match counts per PII class (pre-scrub)."""
+    """Match counts per PII class. Each class is counted on the text
+    with all EARLIER scrub steps applied, so the classes are disjoint
+    (an IP would otherwise also count as a phone) — derived from
+    ``_SCRUB_STEPS`` so counts can never desync from the scrub order."""
     c = _c(col)
-    return {
-        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
-        "n_ips": F.regexp_count(c, F.lit(IP_RE)),
-        # count phones on the email/IP-scrubbed text so the classes
-        # are disjoint (an IP would otherwise also count as a phone)
-        "n_phones": F.regexp_count(
-            F.regexp_replace(
-                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
-            ),
-            F.lit(PHONE_RE),
-        ),
-    }
+    out: dict[str, Column] = {}
+    for pattern, token in _SCRUB_STEPS:
+        out[_COUNT_NAMES[pattern]] = F.regexp_count(c, F.lit(pattern))
+        c = F.regexp_replace(c, pattern, token)
+    return out
 
 
 def scrub_pii(col: Column | str = "text") -> Column:

@@ -88,14 +88,21 @@ def simhash64_rows(rows: list[tuple[int, str]]) -> list[dict]:
 
     Token pipeline replicates the Spark plan exactly: split
     ``lower(trim(text))`` on ``\\s+``, distinct tokens, per-bit ±1 vote
-    of each token's xxhash64, majority (>0) sets the bit.
+    of each token's xxhash64, majority (>0) sets the bit. Exactness
+    details: Spark ``F.trim`` strips only 0x20 spaces (not tabs or
+    newlines — Python ``.strip()`` would diverge on edge whitespace),
+    and a NULL text propagates to ``explode(NULL)`` which emits no
+    rows, so the doc is absent from the operator's output — the twin
+    skips those rows too.
     """
     import re
 
     ws = re.compile(r"\s+")
     out: list[dict] = []
     for doc_id, text in rows:
-        tokens = dict.fromkeys(ws.split((text or "").lower().strip()))
+        if text is None:
+            continue  # Spark: explode(null array) drops the doc
+        tokens = dict.fromkeys(ws.split(text.strip(" ").lower()))
         votes = [0] * 64
         for tok in tokens:
             h = spark_xxhash64_str(tok) & _MASK

@@ -109,6 +109,26 @@ def test_pure_python_xxh64_matches_spark(spark):
         assert spark_xxhash64_str(c) == got[c], repr(c)
 
 
+def test_simhash64_twin_edge_whitespace_and_null(spark):
+    """F.trim strips only 0x20; null text drops the row Spark-side —
+    the golden twin must mirror both (code-review regression)."""
+    from ai_pdf_extraction_spark.operators.dedup import simhash_sketch
+    from ai_pdf_extraction_spark.oracle.xxh64 import simhash64_rows
+
+    rows = [
+        (1, "\tleading tab and trailing newline\n"),
+        (2, "  spaces only trimmed  "),
+        (3, None),
+        (4, "plain middle text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_rows = {r["doc_id"]: r["simhash"] for r in simhash_sketch(docs).collect()}
+    golden = {g["doc_id"]: g["simhash"] for g in simhash64_rows(rows)}
+    assert set(spark_rows) == set(golden) == {1, 2, 4}  # null doc absent in both
+    for doc_id in spark_rows:
+        assert spark_rows[doc_id] == golden[doc_id], doc_id
+
+
 def test_simhash64_golden_twin_matches_operator(spark, docs):
     """The single-process SimHash twin (golden generator) must equal
     the Spark operator row-for-row, bands included."""

@@ -95,6 +95,8 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # golden-parquet oracles (q23) key their source table off this
+    os.environ["SPARK_GRAFT_CONTRACT_SF"] = sf_dir
 
     import __spark_entry__ as entrymod
     from ai_pdf_extraction_spark.session import build_session
