@@ -1,0 +1,65 @@
+"""Cross-engine regex dialect pinning: the PII patterns (and the other
+shared regexes) must match identically under Java regex (Spark) and
+RE2 (DuckDB) — the whole q41 contract rests on that. Adversarial
+inputs cover the dialect corners: word boundaries next to unicode,
+quantifier greediness, character-class escapes, overlapping candidates.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ai_pdf_extraction_spark.operators.scrub import EMAIL_RE, IP_RE, PHONE_RE
+
+ADVERSARIAL = [
+    "plain text with nothing",
+    "a@b.co x@y.museum trailing@dot. not@tld",
+    "overlap: a@b.com@c.com chained",
+    "ip edges 1.2.3.4 999.999.999.999 1.2.3.4.5 00.00.00.00",
+    "ip in word x1.2.3.4y and bounded 1.2.3.4 end",
+    "phone +1 (555) 010-4477 short 12345 long 123 456 789 012",
+    "mixed jane@ex.com at 10.0.0.7 call +44 20 7946 0958 now",
+    "unicode müller@straße.de naïve 1.2.3.4 ünïcode",
+    "punct .a@b.cc, (x@y.zz) [1.1.1.1] {+1 555-010-1234}",
+    "digits-only 1234567890123 and dotted 1.2 1.2.3",
+    "email+tag user+tag@sub.domain.org and percent us%er@d.io",
+    "tab\tand\nnewline 3.3.3.3\nnext@line.com",
+    "",
+]
+
+
+@pytest.mark.parametrize("pattern", [EMAIL_RE, IP_RE, PHONE_RE])
+def test_pii_regex_same_matches_both_engines(spark, pattern):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(ADVERSARIAL)],
+                               "i long, s string")
+    spark_counts = {
+        r["i"]: r["n"]
+        for r in df.select("i", F.regexp_count("s", F.lit(pattern)).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(ADVERSARIAL):
+        duck_n = con.execute(
+            "select len(regexp_extract_all(?, ?))", [s, pattern]
+        ).fetchone()[0]
+        assert spark_counts[i] == duck_n, (pattern, i, ADVERSARIAL[i])
+
+
+def test_scrub_output_identical_both_engines(spark):
+    """Full sequential scrub (email → ip → phone) byte-identical."""
+    from ai_pdf_extraction_spark.operators.scrub import scrub_pii
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(ADVERSARIAL)],
+                               "i long, s string")
+    spark_out = {
+        r["i"]: r["t"] for r in df.select("i", scrub_pii("s").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(ADVERSARIAL):
+        duck_t = con.execute(
+            """select regexp_replace(regexp_replace(regexp_replace(?,
+                 ?, '<EMAIL>', 'g'), ?, '<IP>', 'g'), ?, '<PHONE>', 'g')""",
+            [s, EMAIL_RE, IP_RE, PHONE_RE],
+        ).fetchone()[0]
+        assert spark_out[i] == duck_t, (i, ADVERSARIAL[i])
