@@ -625,9 +625,12 @@ def _q34_golden_path() -> str:
 
 def _q34_fixture_paths() -> tuple[str, str]:
     from ai_pdf_extraction_spark.corpus.generate import CORPUS_VERSION
+    from ai_pdf_extraction_spark.kernels import KERNEL_VERSION
 
     base = f"/tmp/spark_graft_contract_pages_v{CORPUS_VERSION}_600_13"
-    return base, base + "_golden_g2.parquet"  # g2: + field-confidence cols
+    # golden keyed on the KERNEL version too: a kernel-semantics change
+    # must never be compared against a stale cached golden
+    return base, base + f"_golden_k{KERNEL_VERSION}.parquet"
 
 
 def _ensure_q34_fixtures() -> tuple[str, str]:

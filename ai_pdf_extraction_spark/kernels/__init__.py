@@ -13,6 +13,13 @@ from ai_pdf_extraction_spark.kernels.html_extract import extract_html
 from ai_pdf_extraction_spark.kernels.pdf_extract import extract_pdf
 from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 
+# Bump when kernel OUTPUT semantics change — cached golden parquet in
+# /tmp is keyed on this so stale goldens never shadow a kernel change.
+# v2: round-2 robustness fixes (void-element boiler, self-close
+#     recovery, implied </head>, link-depth recovery, inline boiler
+#     masking, PDF hex-string dicts + operand guards)
+KERNEL_VERSION = 2
+
 
 def extract_document(data: bytes) -> ExtractionResult:
     """Route a raw document to the right kernel by magic bytes.
@@ -29,13 +36,10 @@ def extract_document(data: bytes) -> ExtractionResult:
             content_type="unknown",
         )
     try:
+        # the kernels set content_type on every return path
         if data[:4] == b"%PDF":
-            res = extract_pdf(data)
-            res.content_type = "pdf"
-        else:
-            res = extract_html(data)
-            res.content_type = "html"
-        return res
+            return extract_pdf(data)
+        return extract_html(data)
     except Exception as exc:  # pragma: no cover - defensive isolation
         return ExtractionResult(
             text="", spans=[], parse_ok=False,

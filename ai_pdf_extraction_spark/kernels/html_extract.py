@@ -48,6 +48,16 @@ _SKIP_TAGS = frozenset(
         "audio",
         "video",
         "map",
+        "textarea",
+    }
+)
+
+# Void elements (HTML5 §13.1.2) have NO subtree and never a close tag:
+# they must not push skip/boiler state that nothing will ever pop.
+_VOID_TAGS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
     }
 )
 
@@ -153,6 +163,7 @@ class _MainContentParser:
         self.kind_candidate: dict[str, int] = {}
         self.kind_kept: dict[str, int] = {}
         self._skip_depth = 0
+        self._skip_stack: list[str] = []
         self._boiler_depth = 0
         self._link_depth = 0
         # Entries are [tag, pending] where ``pending`` counts nested
@@ -179,6 +190,11 @@ class _MainContentParser:
         return False
 
     def _flush(self) -> None:
+        # Anchors do not survive a block boundary (libxml2-style
+        # recovery, which the trafilatura family inherits): an
+        # unclosed <a> must not poison the link ratio of every
+        # later block in the document.
+        self._link_depth = 0
         block = self._current
         self._current = None
         if block is None:
@@ -215,26 +231,45 @@ class _MainContentParser:
     # -- HTMLParser hooks ----------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            # no subtree, no close tag: never any stack state
+            if not self._skip_depth and tag == "br" and self._current is not None:
+                self._current.parts.append(" ")
+            return
         if tag in _SKIP_TAGS:
+            self._skip_stack.append(tag)
             self._skip_depth += 1
             return
         if self._skip_depth:
-            return
+            if tag == "body" and "head" in self._skip_stack:
+                # HTML5 allows omitting </head>; <body> implies it
+                while "head" in self._skip_stack:
+                    self._skip_stack.remove("head")
+                    self._skip_depth -= 1
+            if self._skip_depth:
+                return
         if tag in _BOILER_TAGS or self._attr_is_boiler(attrs):
             self._boiler_depth += 1
-            self._boiler_stack.append([tag, 0])
-            self._flush()
+            # Block-level boilerplate terminates the open block (on
+            # entry AND exit); an INLINE boiler element (a social link
+            # mid-paragraph) must not split the enclosing paragraph —
+            # its text is masked in handle_data instead. The entry
+            # records which mode applies so the pop mirrors it.
+            block_level = (
+                tag in _BLOCK_TAGS or tag in _CONTAINER_TAGS or tag in _BOILER_TAGS
+            )
+            self._boiler_stack.append([tag, 0, block_level])
+            if block_level:
+                self._flush()
             return
         if self._boiler_stack and self._boiler_stack[-1][0] == tag:
             # Same-named nested element inside the boiler subtree: its
             # close tag must not end boiler mode.
             self._boiler_stack[-1][1] += 1
         if tag == "a":
-            self._link_depth += 1
-            return
-        if tag == "br":
-            if self._current is not None:
-                self._current.parts.append(" ")
+            # anchors never nest (HTML5): an <a> inside an open <a> is
+            # an implied close+reopen, so depth stays bounded at 1
+            self._link_depth = 1
             return
         if tag in _BLOCK_TAGS:
             self._open_block(_kind_for_tag(tag))
@@ -242,12 +277,31 @@ class _MainContentParser:
             self._flush()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        if tag == "br" and self._current is not None and not self._skip_depth:
-            self._current.parts.append(" ")
+        """Self-closed element: start+end with no subtree — no rawtext
+        consumption, no stack pushes; block/container flush only."""
+        if tag in _VOID_TAGS or tag in _SKIP_TAGS:
+            if not self._skip_depth and tag == "br" and self._current is not None:
+                self._current.parts.append(" ")
+            return
+        if self._skip_depth:
+            return
+        if tag in _BOILER_TAGS or self._attr_is_boiler(attrs):
+            if tag in _BLOCK_TAGS or tag in _CONTAINER_TAGS or tag in _BOILER_TAGS:
+                self._flush()
+            return
+        if tag in _BLOCK_TAGS or tag in _CONTAINER_TAGS:
+            self._flush()
 
     def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
         if tag in _SKIP_TAGS:
-            if self._skip_depth:
+            if tag in self._skip_stack:
+                # pop the most recent matching entry
+                for i in range(len(self._skip_stack) - 1, -1, -1):
+                    if self._skip_stack[i] == tag:
+                        del self._skip_stack[i]
+                        break
                 self._skip_depth -= 1
             return
         if self._skip_depth:
@@ -259,19 +313,29 @@ class _MainContentParser:
             else:
                 self._boiler_stack.pop()
                 self._boiler_depth -= 1
-                # Leaving the boiler subtree ends any open boiler block;
-                # following bare text must not be swallowed by it.
-                self._flush()
+                # Leaving a block-level boiler subtree ends any open
+                # boiler block (following bare text must not be
+                # swallowed); an inline one leaves the enclosing
+                # live block open.
+                if entry[2]:
+                    self._flush()
                 return
         if tag == "a":
-            if self._link_depth:
-                self._link_depth -= 1
+            self._link_depth = 0
             return
         if tag in _BLOCK_TAGS or tag in _CONTAINER_TAGS:
             self._flush()
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth or not data:
+            return
+        if (
+            self._boiler_depth
+            and self._current is not None
+            and not self._current.boiler
+        ):
+            # inline boiler element inside a live block: mask its text
+            # without terminating the block
             return
         if self._current is None:
             if not data.strip():
@@ -352,6 +416,11 @@ def _scan(markup: str, handler: _MainContentParser) -> None:
             pos = lt + 1
             continue
         closing, tag, rawattrs, selfclose = m.groups()
+        # the greedy attrs group consumes a trailing '/', so the (/?)
+        # group alone never fires — recover XHTML-style self-closes here
+        if not selfclose and rawattrs and rawattrs.endswith("/"):
+            selfclose = "/"
+            rawattrs = rawattrs[:-1]
         tag = tag.lower()
         pos = m.end()
         if closing:

@@ -27,8 +27,12 @@ import re
 
 from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 
+# The dict group tolerates hex strings (<DEADBEEF>) and one level of
+# nested <<...>> (each side allowing hex strings) — a lone <...> inside
+# the dict previously broke the match entirely, leaving /FlateDecode
+# undetected and the compressed body tokenized raw.
 _STREAM_RE = re.compile(
-    rb"(?:<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*)?"
+    rb"(?:<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<[^<>]*>)*>>|<[^<>]*>)*)>>\s*)?"
     rb"stream\r?\n(?P<body>.*?)(?:\r?\n)?endstream",
     re.DOTALL,
 )
@@ -206,19 +210,33 @@ def _runs_from_stream(buf: bytes) -> list[tuple[float, float, float, str]]:
                 stack.append((kind, val))
         elif kind == "op":
             op = val
-            if op == "Tf" and len(stack) >= 2:
+            # every float() is guarded on the operand KIND: one
+            # malformed operand skips that operator instead of raising
+            # and discarding the whole page's text (the per-stream
+            # except would otherwise eat everything)
+            if op == "Tf" and len(stack) >= 2 and stack[-1][0] == "num":
                 st.size = float(stack[-1][1])
-            elif op in ("Td", "TD") and len(stack) >= 2:
+            elif (
+                op in ("Td", "TD")
+                and len(stack) >= 2
+                and stack[-2][0] == "num"
+                and stack[-1][0] == "num"
+            ):
                 tx, ty = float(stack[-2][1]), float(stack[-1][1])
                 if op == "TD":
                     st.leading = -ty
                 st.lx += tx
                 st.ly += ty
                 st.x, st.y = st.lx, st.ly
-            elif op == "Tm" and len(stack) >= 6:
+            elif (
+                op == "Tm"
+                and len(stack) >= 6
+                and stack[-2][0] == "num"
+                and stack[-1][0] == "num"
+            ):
                 st.lx, st.ly = float(stack[-2][1]), float(stack[-1][1])
                 st.x, st.y = st.lx, st.ly
-            elif op == "TL" and stack:
+            elif op == "TL" and stack and stack[-1][0] == "num":
                 st.leading = float(stack[-1][1])
             elif op == "T*":
                 st.ly -= st.leading if st.leading else st.size * 1.2

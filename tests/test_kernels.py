@@ -100,6 +100,80 @@ def test_html_field_confidences_per_kind():
     assert extract_html(b"").field_confidences == {}
 
 
+def test_html_real_world_recovery():
+    """Round-2 kernel-review regressions: each of these real-world
+    shapes previously emptied or gutted the extraction silently (and,
+    because the kernel is shared with the oracle, never showed up as a
+    contract mismatch)."""
+    cases = [
+        # void element with a boiler class must not stick boiler mode
+        (b'<body><img class="advert" src="x.png">'
+         b"<p>This is the real main content paragraph, long enough.</p></body>",
+         "real main content", None),
+        # XHTML self-closed script must not swallow the document
+        (b'<body><script src="x.js"/>'
+         b"<p>Real article content that is long enough to be kept.</p></body>",
+         "Real article content", None),
+        # HTML5 omitted </head>: <body> implies it
+        (b'<html><head><meta charset="utf-8"><title>T</title>'
+         b"<body><p>Main article content, plenty long for the filter.</p></body></html>",
+         "Main article content", "T"),
+        # unclosed <a> must not poison later blocks' link ratios
+        (b'<p>See <a href="/x">docs</p>'
+         b"<p>This later paragraph is perfectly normal and long enough.</p>",
+         "later paragraph is perfectly normal", None),
+        # inline boiler (social link) masks its text without splitting
+        # the enclosing paragraph
+        (b'<p>Follow the news on <a class="social" href="x">Twitter</a>'
+         b" for updates about the release today.</p>",
+         "Follow the news on for updates", "Twitter"),
+        # textarea content is form-widget text, not main content
+        (b"<body><textarea>Write a comment here please, long.</textarea>"
+         b"<p>Real content paragraph long enough to keep around.</p></body>",
+         "Real content", "comment here"),
+    ]
+    for html, want, reject in cases:
+        res = extract_html(html)
+        assert want in res.text, (html, res.text)
+        if reject is not None:
+            assert reject not in res.text, (html, res.text)
+
+
+def test_pdf_stream_dict_with_hex_string():
+    """A /FlateDecode stream whose dict carries a hex string (/ID
+    <DEADBEEF>) must still decompress — the dict regex previously
+    failed to match, feeding deflate bytes to the tokenizer."""
+    import zlib
+
+    from ai_pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+
+    content = b"BT /F1 12 Tf 72 720 Td (Hello stream world) Tj ET"
+    body = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"<< /Length " + str(len(body)).encode() +
+        b" /Filter /FlateDecode /ID <DEADBEEF> >>\nstream\n" + body +
+        b"\nendstream\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert res.parse_ok and "Hello stream world" in res.text
+
+
+def test_pdf_malformed_operand_skips_operator_only():
+    """A bad operand (string where Td expects numbers) skips that one
+    operator instead of discarding the whole page's text."""
+    from ai_pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+
+    pdf = (
+        b"%PDF-1.4\n<< /Length 99 >>\nstream\n"
+        b"BT /F1 12 Tf 72 720 Td (Kept text before) Tj "
+        b"(x) (y) Td (Kept text after) Tj ET\nendstream\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert "Kept text before" in res.text
+    assert "Kept text after" in res.text
+
+
 def test_pdf_string_escapes_follow_spec():
     """PDF 32000-1 §7.3.4.2: octal escapes are digits 0-7 only; an
     unknown escape (incl. ``\\8``/``\\9``) drops the backslash and keeps
