@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
 
@@ -25,14 +26,23 @@ def batch_status(spark: SparkSession, table: SnapshotTable, n_buckets: int) -> d
             "n_docs": 0,
             "n_parse_fail": 0,
         }
-    row = (
-        table.read(spark)
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("n_parse_fail"),
+    try:
+        row = (
+            table.read(spark)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias(
+                    "n_parse_fail"
+                ),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+    except AnalysisException:
+        # committed-but-empty table: buckets were committed (watermark
+        # advanced) but an all-empty input wrote zero parquet files —
+        # UNABLE_TO_INFER_SCHEMA must not crash a successful run's
+        # status poll
+        row = {"n_docs": 0, "n_parse_fail": 0}
     return {
         "progress_pct": round(100.0 * len(committed) / n_buckets, 2),
         "buckets_done": len(committed),

@@ -66,16 +66,21 @@ def salted_join(
     key: str,
     n_salts: int = DEFAULT_N_SALTS,
 ) -> DataFrame:
-    """Skew-safe equi-join: the skewed fact side gets a random-ish salt
-    (hash of the whole row's key-bearing url when present, else
-    monotonic id), the dim side is exploded ×``n_salts``, and the join
-    key becomes (key, salt) — one hot key spreads over ``n_salts``
-    reducers. AQE's skew-join split covers sort-merge joins after the
-    fact; this handles it at plan time and also works for aggregations
-    feeding the join. Dim side grows ×n_salts — only for genuinely
-    small dims (the same precondition as broadcast)."""
+    """Skew-safe equi-join: the skewed fact side gets a salt (hash of
+    the whole row, with a per-partition row counter mixed in so even
+    FULLY IDENTICAL rows of a hot key still spread), the dim side is
+    exploded ×``n_salts``, and the join key becomes (key, salt) — one
+    hot key spreads over ``n_salts`` reducers. AQE's skew-join split
+    covers sort-merge joins after the fact; this handles it at plan
+    time and also works for aggregations feeding the join. Dim side
+    grows ×n_salts — only for genuinely small dims (the same
+    precondition as broadcast)."""
     fact = skewed.withColumn(
-        "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(*skewed.columns) + F.monotonically_increasing_id(),
+            F.lit(n_salts),
+        ).cast("int"),
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

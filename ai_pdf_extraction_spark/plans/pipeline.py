@@ -34,6 +34,9 @@ from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
 # synthetic corpus max is ~50 KB, real CC pages p99 ≈ 500 KB.
 MAX_DOC_BYTES = 4 * 1024 * 1024
 
+# The output-schema contract, asserted against extraction_plan's
+# actual projection in tests/test_plans.py (a stale copy of this list
+# is how the streaming select drifted in round 1).
 OUTPUT_COLUMNS = (
     "url",
     "warc_ts",
@@ -45,6 +48,7 @@ OUTPUT_COLUMNS = (
     "parse_ok",
     "warnings",
     "confidence",
+    "field_confidences",
     "n_chars",
     "n_spans",
     "run_id",
@@ -52,36 +56,16 @@ OUTPUT_COLUMNS = (
 )
 
 
-def extraction_plan(
-    pages: DataFrame,
-    run_id: str,
-    n_buckets: int = DEFAULT_N_BUCKETS,
-    min_parallelism: int | None = None,
-) -> DataFrame:
-    """Build the logical plan for one pass.
-
-    Only ``(url, html)``-derived columns enter the Python worker; all
-    metadata columns ride along JVM-side (SURVEY.md §4: project only
-    what the black-box UDF needs).
-
-    The kernel UDF is CPU-bound, so the scan must yield at least
-    ``min_parallelism`` partitions (default 2× default parallelism =
-    ≥2 task waves). A 100 TB crawl arrives as many files and skips
-    this; a small local corpus is one parquet file → one partition →
-    a single-threaded UDF without the explicit repartition.
-    """
-    spark = pages.sparkSession
-    target = min_parallelism or spark.sparkContext.defaultParallelism * 2
-    if pages.rdd.getNumPartitions() < target:
-        pages = pages.repartition(target)
-    # Payload cap (reference's ≤2048px image downscale analogue,
-    # extraction.py:77-83 / SURVEY.md §2.2 P10): bound per-doc bytes
-    # entering the Python worker so one pathological page can't blow an
-    # Arrow batch. Docs at the cap are flagged via a truncation warning
-    # appended downstream of the kernel.
+def project_extraction(pages: DataFrame, run_id: str, n_buckets: int) -> DataFrame:
+    """Payload cap + kernel UDF + output projection — the part of the
+    plan shared VERBATIM by the batch pipeline and the streaming twin
+    (stream-safe: no repartition, no rdd access)."""
     truncated = F.length(F.col("html")) > MAX_DOC_BYTES
     pages = pages.withColumn("_truncated", truncated).withColumn(
-        "html", F.when(truncated, F.substring(F.col("html"), 1, MAX_DOC_BYTES)).otherwise(F.col("html"))
+        "html",
+        F.when(
+            truncated, F.substring(F.col("html"), 1, MAX_DOC_BYTES)
+        ).otherwise(F.col("html")),
     )
     extracted = pages.withColumn("extraction", extract_udf(F.col("html")))
     return extracted.select(
@@ -111,6 +95,35 @@ def extraction_plan(
     )
 
 
+def extraction_plan(
+    pages: DataFrame,
+    run_id: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Build the logical plan for one pass.
+
+    Only ``(url, html)``-derived columns enter the Python worker; all
+    metadata columns ride along JVM-side (SURVEY.md §4: project only
+    what the black-box UDF needs).
+
+    The kernel UDF is CPU-bound, so the scan must yield at least
+    ``min_parallelism`` partitions (default 2× default parallelism =
+    ≥2 task waves). A 100 TB crawl arrives as many files and skips
+    this; a small local corpus is one parquet file → one partition →
+    a single-threaded UDF without the explicit repartition.
+    """
+    spark = pages.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism * 2
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
+    # Payload cap + UDF + projection shared verbatim with the streaming
+    # twin (reference's ≤2048px image downscale analogue, SURVEY.md
+    # §2.2 P10: bound per-doc bytes so one pathological page can't blow
+    # an Arrow batch; capped docs carry a truncation warning).
+    return project_extraction(pages, run_id, n_buckets)
+
+
 def run_extraction(
     spark: SparkSession,
     input_path: str,
@@ -129,6 +142,17 @@ def run_extraction(
     bound recomputation after preemption).
     """
     table = SnapshotTable(output_root)
+    # Resume invariant: the bucketing fanout is baked into every
+    # committed row's bucket id — resuming with a different n_buckets
+    # would re-hash urls into different buckets, silently duplicating
+    # re-extracted rows and never scheduling ids ≥ the new fanout.
+    prev_nb = table.table_property("n_buckets")
+    if prev_nb is not None and int(prev_nb) != n_buckets:
+        raise ValueError(
+            f"table at {output_root!r} was written with n_buckets={prev_nb}; "
+            f"resuming with n_buckets={n_buckets} would corrupt the bucket "
+            "watermark — pass the original fanout"
+        )
     done = table.committed_buckets()
     pending = [b for b in range(n_buckets) if b not in done]
     if not pending:
@@ -191,7 +215,10 @@ def run_extraction(
         ]
         # Buckets with zero rows still count as committed (watermark
         # must advance past empty partitions).
-        table.commit(chunk, run_id, metrics, commit_id=commit_id)
+        table.commit(
+            chunk, run_id, metrics, commit_id=commit_id,
+            properties={"n_buckets": n_buckets},
+        )
         committed.extend(chunk)
         total_docs += n_docs
     return {

@@ -29,9 +29,18 @@ def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
         {1, 2, n - 1, n}
         | {min(int(3 + i * stride), n) for i in range(middle)}
     )
+    # Rank on a url-only projection and semi-join the selected urls
+    # back: the unpartitioned global sort is unavoidable for exact
+    # ranks, but it must carry 8-byte url strings, not multi-MB html
+    # payloads, through the single sort task.
     w = Window.orderBy("url")
-    ranked = pages.withColumn("_rn", F.row_number().over(w))
-    return ranked.filter(F.col("_rn").isin(indices)).drop("_rn")
+    picked_urls = (
+        pages.select("url")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn").isin(indices))
+        .select("url")
+    )
+    return pages.join(F.broadcast(picked_urls), "url", "left_semi")
 
 
 def profile_corpus(spark: SparkSession, input_path: str, max_docs: int = 64) -> dict:
@@ -41,8 +50,10 @@ def profile_corpus(spark: SparkSession, input_path: str, max_docs: int = 64) -> 
     from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
 
     pages = spark.read.parquet(input_path)
-    sample = representative_sample(pages, max_docs)
-    extracted = extraction_plan(sample, run_id="profile", min_parallelism=4)
+    # the ≤max_docs sample feeds four separate actions below — persist
+    # it so the sort + extraction UDF run once, not four times
+    sample = representative_sample(pages, max_docs).persist()
+    extracted = extraction_plan(sample, run_id="profile", min_parallelism=4).persist()
 
     stats = extracted.agg(
         F.count("*").alias("n_sampled"),
@@ -65,6 +76,8 @@ def profile_corpus(spark: SparkSession, input_path: str, max_docs: int = 64) -> 
         r["lang"]: r["n"]
         for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
+    extracted.unpersist()
+    sample.unpersist()
     return {
         "n_sampled": int(stats["n_sampled"]),
         "avg_chars": float(stats["avg_chars"]),

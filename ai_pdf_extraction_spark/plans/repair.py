@@ -26,7 +26,7 @@ def repair_with_rules(df: DataFrame, rules: list[str]) -> DataFrame:
     fields = {name: F.col(name) for name in df.columns}
     repaired_markers = []
     out = df
-    for rule in rules:
+    for i, rule in enumerate(rules):
         if "==" not in rule:
             continue
         lhs, rhs = (side.strip() for side in rule.split("==", 1))
@@ -36,16 +36,19 @@ def repair_with_rules(df: DataFrame, rules: list[str]) -> DataFrame:
             continue  # plan-time sanity check (validation.py:288-342)
         rhs_col = compile_side(rhs, fields)
         was_null = F.col(lhs).isNull() & rhs_col.isNotNull()
-        out = out.withColumn(
-            f"__repaired_{lhs}", was_null
-        ).withColumn(lhs, F.coalesce(F.col(lhs), rhs_col))
-        repaired_markers.append(
-            F.when(F.col(f"__repaired_{lhs}"), F.lit(lhs))
+        # marker keyed per RULE, not per lhs: two rules offering
+        # alternative derivations of the same field must not overwrite
+        # each other's marker (the second rule's was_null is False
+        # after the first repaired the value)
+        marker = f"__repaired_{i}_{lhs}"
+        out = out.withColumn(marker, was_null).withColumn(
+            lhs, F.coalesce(F.col(lhs), rhs_col)
         )
+        repaired_markers.append(F.when(F.col(marker), F.lit(lhs)))
     if repaired_markers:
         out = out.withColumn(
             "repaired_fields",
-            F.array_compact(F.array(*repaired_markers)),
+            F.array_distinct(F.array_compact(F.array(*repaired_markers))),
         )
         out = out.drop(*[c for c in out.columns if c.startswith("__repaired_")])
     else:

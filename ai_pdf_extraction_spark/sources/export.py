@@ -106,11 +106,16 @@ def export_json(
     reference stamps ``new Date().toISOString()``).
     """
     os.makedirs(path, exist_ok=True)
+    # persist around the write + envelope agg: df is typically the raw
+    # extraction plan, and without the cache the kernel UDF would run
+    # the whole corpus twice (once per action)
+    df = df.persist()
     df.write.mode("overwrite").json(os.path.join(path, "results"))
     agg = [F.count("*").alias("total_documents")]
     if confidence_col:
         agg.append(F.round(F.avg(confidence_col), 3).alias("average_confidence"))
     row = df.agg(*agg).collect()[0]
+    df.unpersist()
     envelope = {
         "schema": schema_name,
         "batch_id": batch_id,

@@ -60,6 +60,17 @@ class SnapshotTable:
             out.update(snap["buckets"])
         return out
 
+    def table_property(self, key: str):
+        """Latest non-null value of a manifest property along the
+        chain (e.g. ``n_buckets`` — the bucketing fanout the table's
+        data was hashed with)."""
+        value = None
+        for snap in self.snapshots():
+            v = snap.get("properties", {}).get(key)
+            if v is not None:
+                value = v
+        return value
+
     def committed_commit_ids(self) -> set[str]:
         """Commit ids reachable from the manifest chain, minus commits
         superseded by a compaction. Data written under a commit id that
@@ -105,12 +116,14 @@ class SnapshotTable:
         metrics: list[dict] | None = None,
         commit_id: str | None = None,
         replaces: list[str] | None = None,
+        properties: dict | None = None,
     ) -> dict:
         """Commit a snapshot manifest (data already written under
         ``commit_id``). The ``os.replace`` rename is the atomicity
         point — a crash before it leaves the data files invisible.
         ``replaces`` marks prior commit ids superseded by this one
-        (compaction)."""
+        (compaction); ``properties`` carries table-level invariants
+        (e.g. the bucketing fanout) checked on resume."""
         parent = self.current_snapshot()
         seq = (parent["sequence"] + 1) if parent else 0
         snap = {
@@ -122,6 +135,7 @@ class SnapshotTable:
             "buckets": sorted(int(b) for b in buckets),
             "metrics": metrics or [],
             "replaces": replaces or [],
+            "properties": properties or {},
         }
         tmp = os.path.join(self.manifest_dir, f".tmp-{snap['snapshot_id']}")
         with open(tmp, "w") as fh:
@@ -189,13 +203,20 @@ class SnapshotTable:
             return {"compacted": 0, "replaces": []}
         df = self.read(spark).drop("commit_id")
         new_id = self.new_commit_id()
-        n = df.count()
         (
             df.withColumn("commit_id", F.lit(new_id))
             .repartition("bucket")
             .write.partitionBy("bucket", "commit_id")
             .mode("append")
             .parquet(self.data_dir)
+        )
+        # row count from the freshly written commit's parquet metadata —
+        # a pre-write df.count() would re-read every payload twice
+        n = (
+            spark.read.option("basePath", self.data_dir)
+            .parquet(self.data_dir)
+            .filter(F.col("commit_id") == new_id)
+            .count()
         )
         self.commit(
             sorted(self.committed_buckets()),

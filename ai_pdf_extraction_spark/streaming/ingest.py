@@ -26,8 +26,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ai_pdf_extraction_spark.operators.extract import extract_udf
-from ai_pdf_extraction_spark.plans.partitioning import url_bucket, url_host
+from ai_pdf_extraction_spark.plans.pipeline import project_extraction
 
 PAGES_SCHEMA = StructType(
     [
@@ -43,29 +42,15 @@ PAGES_SCHEMA = StructType(
 def extraction_stream(
     spark: SparkSession, input_dir: str, run_id: str, n_buckets: int = 64
 ) -> DataFrame:
-    """Streaming DataFrame with the batch pipeline's output schema."""
+    """Streaming DataFrame with the batch pipeline's output schema —
+    the SAME projection function (payload cap, field_confidences,
+    truncation warnings included), so the schemas can't drift."""
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 8)  # bound micro-batch memory
         .parquet(input_dir)
     )
-    extracted = pages.withColumn("extraction", extract_udf(F.col("html")))
-    return extracted.select(
-        "url",
-        "warc_ts",
-        "lang",
-        url_host().alias("host"),
-        F.col("extraction.content_type").alias("content_type"),
-        F.col("extraction.extracted_text").alias("extracted_text"),
-        F.col("extraction.spans").alias("spans"),
-        F.col("extraction.parse_ok").alias("parse_ok"),
-        F.col("extraction.warnings").alias("warnings"),
-        F.col("extraction.confidence").alias("confidence"),
-        F.col("extraction.n_chars").alias("n_chars"),
-        F.col("extraction.n_spans").alias("n_spans"),
-        F.lit(run_id).alias("run_id"),
-        url_bucket(n_buckets=n_buckets).alias("bucket"),
-    )
+    return project_extraction(pages, run_id, n_buckets)
 
 
 def run_available_now(
@@ -76,7 +61,10 @@ def run_available_now(
     run_id: str = "stream",
     timeout_sec: int = 300,
 ) -> None:
-    """Drain all currently-available input files and stop."""
+    """Drain all currently-available input files and stop. Raises if
+    the backlog did not fully drain within ``timeout_sec`` — a partial
+    drain must never masquerade as a complete one (the checkpoint makes
+    a re-run resume exactly where this one stopped)."""
     stream = extraction_stream(spark, input_dir, run_id)
     query = (
         stream.writeStream.format("parquet")
@@ -86,9 +74,13 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
-    if query.isActive:  # pragma: no cover - defensive
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:  # pragma: no cover - host-speed dependent
         query.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish in {timeout_sec}s; "
+            "the checkpoint preserves progress — re-run to resume"
+        )
 
 
 def hourly_counts_stream(pages_stream: DataFrame) -> DataFrame:

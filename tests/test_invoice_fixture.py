@@ -142,3 +142,30 @@ def test_invoice_export_round_trip(spark, tmp_path):
     )
     assert env["total_documents"] == 4
     assert env["average_confidence"] == 0.95
+
+
+def test_repair_alternative_rules_same_field(spark):
+    """Two rules deriving the same field must not clobber each other's
+    repair markers (round-2 review regression)."""
+    from pyspark.sql import Row
+
+    from ai_pdf_extraction_spark.plans.repair import repair_with_rules
+
+    df = spark.createDataFrame(
+        [
+            Row(f="a.pdf", total=None, subtotal=10.0, tax=2.0, gross=None, disc=None),
+            Row(f="b.pdf", total=None, subtotal=None, tax=None, gross=15.0, disc=3.0),
+            Row(f="c.pdf", total=9.0, subtotal=1.0, tax=1.0, gross=1.0, disc=1.0),
+        ]
+    )
+    out = {
+        r["f"]: r
+        for r in repair_with_rules(
+            df, ["total == subtotal + tax", "total == gross - disc"]
+        ).collect()
+    }
+    assert out["a.pdf"]["total"] == 12.0
+    assert out["a.pdf"]["repaired_fields"] == ["total"]  # not [] and not doubled
+    assert out["b.pdf"]["total"] == 12.0  # second rule fills it
+    assert out["b.pdf"]["repaired_fields"] == ["total"]
+    assert out["c.pdf"]["repaired_fields"] == []

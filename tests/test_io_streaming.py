@@ -158,3 +158,33 @@ def test_profile_corpus(spark, corpus_dir):
     assert "title" in report["span_kind_mix"]
     assert report["output_schema"].startswith("struct<extracted_text:string")
     assert 0.0 <= report["parse_fail_rate"] <= 0.2
+
+
+def test_resume_rejects_different_n_buckets(spark, tmp_path, corpus_dir):
+    """Resuming with a different bucketing fanout would re-hash urls
+    into different buckets (silent duplication + never-scheduled ids) —
+    the manifest records n_buckets and the run refuses a mismatch."""
+    import pytest as _pytest
+
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+
+    out = str(tmp_path / "nb_guard")
+    pages = os.path.join(corpus_dir, "pages.parquet")
+    run_extraction(spark, pages, out, run_id="r1", n_buckets=16)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        run_extraction(spark, pages, out, run_id="r2", n_buckets=32)
+    # same fanout resumes fine (no-op)
+    res = run_extraction(spark, pages, out, run_id="r3", n_buckets=16)
+    assert res["committed"] == []
+
+
+def test_batch_status_on_committed_empty_table(spark, tmp_path):
+    """A committed-but-empty table (all-empty input shard) must report
+    zero docs, not crash with UNABLE_TO_INFER_SCHEMA."""
+    from ai_pdf_extraction_spark.plans.metrics import batch_status
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    table = SnapshotTable(str(tmp_path / "empty_tbl"))
+    table.commit([0, 1], run_id="r1", commit_id=table.new_commit_id())
+    status = batch_status(spark, table, n_buckets=4)
+    assert status["n_docs"] == 0 and status["buckets_done"] == 2

@@ -158,3 +158,26 @@ def test_token_budget_single_shuffle(spark):
     plan = _plan(e.q44_token_budget(spark, SF_DIR))
     assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
     assert "Window" in plan
+
+
+def test_output_columns_contract(spark, corpus_dir):
+    """OUTPUT_COLUMNS is the schema contract — it must match what
+    extraction_plan actually emits (a stale copy of this list is how
+    the streaming select drifted in round 1)."""
+    from ai_pdf_extraction_spark.plans.pipeline import OUTPUT_COLUMNS, extraction_plan
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    plan = extraction_plan(pages, run_id="contract-check")
+    assert tuple(plan.columns) == OUTPUT_COLUMNS
+
+
+def test_streaming_schema_matches_batch(spark, corpus_dir):
+    """The streaming twin shares the batch projection verbatim —
+    identical column names AND types, field_confidences included."""
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+    from ai_pdf_extraction_spark.streaming.ingest import extraction_stream
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    batch = extraction_plan(pages, run_id="r")
+    stream = extraction_stream(spark, os.path.join(corpus_dir, "pages.parquet"), "r")
+    assert stream.schema == batch.schema
