@@ -1516,9 +1516,10 @@ with raw as (
 ), s1 as (select event_id, raw_url,
             regexp_replace(raw_url, '#.*$', '', 'g') as u from raw
 ), s2 as (select event_id, raw_url,
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+            regexp_replace(regexp_replace(regexp_replace(u,
+              '(?i)\?((?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)+', '?', 'g'),
               '(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-              '\?&', '?', 'g'), '^([^?&]+)&', '\1?'), '[?&]$', '', 'g') as u from s1
+              '[?&]$', '', 'g') as u from s1
 ), s3 as (select event_id, raw_url,
             case when regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) = ''
                  then u
@@ -1530,7 +1531,12 @@ with raw as (
               '^(https://[^/:?]+):443([/?]|$)', '\1\2'),
               '^(http://[^/:?]+):80([/?]|$)', '\1\2') as u from s3
 ), s5 as (select event_id, raw_url,
-            regexp_replace(u, '([^:/])//+', '\1/', 'g') as u from s4
+            case when strpos(u, '?') > 0
+                 then regexp_replace(substr(u, 1, strpos(u, '?') - 1),
+                                     '([^:/])//+', '\1/', 'g')
+                      || substr(u, strpos(u, '?'))
+                 else regexp_replace(u, '([^:/])//+', '\1/', 'g')
+            end as u from s4
 )
 select event_id, raw_url,
   regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/($|\?)', '\1\2') as canonical_url

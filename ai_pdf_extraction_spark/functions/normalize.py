@@ -84,20 +84,23 @@ def parse_date(col: Column | str) -> Column:
     # pure-numeric hyphen forms matched earlier in the coalesce)
     cap = F.initcap(c)
     spaced = F.initcap(F.translate(c, "-", " "))
+    # single-letter numeric patterns (M/d) accept 1 OR 2 digits, so
+    # '1/5/2024' and '2024-1-5' parse like dateutil does; MM/dd would
+    # silently null them
     return F.coalesce(
-        F.try_to_date(c, "yyyy-MM-dd"),
-        F.try_to_date(c, "MM/dd/yyyy"),
-        F.try_to_date(c, "dd/MM/yyyy"),
+        F.try_to_date(c, "yyyy-M-d"),
+        F.try_to_date(c, "M/d/yyyy"),
+        F.try_to_date(c, "d/M/yyyy"),
         F.try_to_date(cap, "MMMM d, yyyy"),
         F.try_to_date(cap, "MMM d, yyyy"),
         F.try_to_date(cap, "d MMMM yyyy"),
         F.try_to_date(cap, "d MMM yyyy"),
         F.try_to_date(cap, "MMMM d yyyy"),
         F.try_to_date(cap, "MMM d yyyy"),
-        F.try_to_date(c, "yyyy/MM/dd"),
-        F.try_to_date(c, "yyyy.MM.dd"),
-        F.try_to_date(c, "MM.dd.yyyy"),
-        F.try_to_date(c, "dd.MM.yyyy"),
+        F.try_to_date(c, "yyyy/M/d"),
+        F.try_to_date(c, "yyyy.M.d"),
+        F.try_to_date(c, "M.d.yyyy"),
+        F.try_to_date(c, "d.M.yyyy"),
         F.try_to_date(spaced, "d MMM yyyy"),
         F.try_to_date(spaced, "MMM d yyyy"),
         F.try_to_date(spaced, "d MMMM yyyy"),

@@ -30,18 +30,29 @@ class RuleCompileError(ValueError):
     pass
 
 
+def _require_arity(name: str, args: list, lo: int, hi: int | None = None) -> None:
+    hi = lo if hi is None else hi
+    if not (lo <= len(args) <= hi):
+        want = str(lo) if lo == hi else f"{lo}-{hi}"
+        raise RuleCompileError(f"{name}() takes {want} argument(s), got {len(args)}")
+
+
 def _compile_call(node: ast.Call, fields: dict[str, Column]) -> Column:
     if not isinstance(node.func, ast.Name):
         raise RuleCompileError("only plain function calls allowed")
+    if node.keywords:
+        # silently dropping kwargs would compile a DIFFERENT expression
+        # than the rule author wrote (e.g. round(a, ndigits=2) → round(a, 0))
+        raise RuleCompileError("keyword arguments are not allowed in rules")
     name = node.func.id
     args = [_compile_expr(a, fields) for a in node.args]
     if name == "sum":
-        if len(args) != 1:
-            raise RuleCompileError("sum() takes one array argument")
-        return F.aggregate(args[0], F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        _require_arity(name, args, 1)
+        return F.aggregate(
+            args[0], F.lit(0.0), lambda acc, x: acc + x.try_cast("double")
+        )
     if name == "len":
-        if len(args) != 1:
-            raise RuleCompileError("len() takes one array argument")
+        _require_arity(name, args, 1)
         return F.size(args[0]).cast("double")
     if name == "round":
         if len(args) == 1:
@@ -50,18 +61,25 @@ def _compile_call(node: ast.Call, fields: dict[str, Column]) -> Column:
             return F.round(args[0], int(node.args[1].value))
         raise RuleCompileError("round() precision must be a literal int")
     if name == "abs":
+        _require_arity(name, args, 1)
         return F.abs(args[0])
     if name == "min":
+        _require_arity(name, args, 2, 99)
         return F.least(*args)
     if name == "max":
+        _require_arity(name, args, 2, 99)
         return F.greatest(*args)
     if name == "sqrt":
+        _require_arity(name, args, 1)
         return F.sqrt(args[0])
     if name == "log":
+        _require_arity(name, args, 1)
         return F.log(args[0])
     if name == "log10":
+        _require_arity(name, args, 1)
         return F.log10(args[0])
     if name == "pow":
+        _require_arity(name, args, 2)
         return F.pow(args[0], args[1])
     raise RuleCompileError(f"function '{name}' not in allowlist")
 
@@ -89,7 +107,11 @@ def _compile_expr(node: ast.AST, fields: dict[str, Column]) -> Column:
         if isinstance(node.op, ast.Mult):
             return left * right
         if isinstance(node.op, ast.Div):
-            return left / right
+            # ANSI mode: plain '/' raises DIVIDE_BY_ZERO and kills the
+            # job; try_divide yields null → the rule is skipped for
+            # that row, matching the reference's per-document
+            # exception handling
+            return F.try_divide(left, right)
         if isinstance(node.op, ast.Pow):
             return F.pow(left, right)
         raise RuleCompileError(f"operator {type(node.op).__name__} not allowed")
@@ -111,7 +133,9 @@ def compile_side(expr: str, fields: dict[str, Column]) -> Column:
         tree = ast.parse(expr.strip(), mode="eval")
     except SyntaxError as exc:
         raise RuleCompileError(f"cannot parse '{expr}': {exc}") from exc
-    return _compile_expr(tree, fields).cast("double")
+    # try_cast: a rule touching a non-numeric string column must yield
+    # null (rule skipped for that row), not an ANSI cast crash
+    return _compile_expr(tree, fields).try_cast("double")
 
 
 def compile_rule(rule: str, fields: dict[str, Column]) -> Column:
@@ -144,8 +168,11 @@ def rule_fields(rule: str) -> set[str]:
     for side in rule.split("=="):
         try:
             tree = ast.parse(side.strip(), mode="eval")
-        except SyntaxError:
-            continue
+        except SyntaxError as exc:
+            # swallowing this returned a partial/empty set, letting an
+            # unparseable rule sail through the subset guard and crash
+            # at compile time instead of being skipped
+            raise RuleCompileError(f"cannot parse '{side.strip()}': {exc}") from exc
         for node in ast.walk(tree):
             if isinstance(node, ast.Name):
                 names.add(node.id)

@@ -19,11 +19,54 @@ def _as_double(vec_col: str):
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
-def _cosine(av, bv):
-    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda a, x: a + x * x))
-    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda a, x: a + x * x))
-    return dot / (na * nb)
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _side(
+    df,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str,
+    norm_alias: str,
+    extra: dict | None = None,
+):
+    """Project (id, double vector, PRECOMPUTED norm [, extras]): norms
+    cost O(rows·d) here vs O(queries·rows·d) if recomputed per pair
+    inside the join."""
+    v = _as_double(vec_col)
+    cols = [
+        F.col(id_col).alias(id_alias),
+        v.alias(vec_alias),
+        _norm(v).alias(norm_alias),
+    ]
+    for alias, col in (extra or {}).items():
+        cols.append(col.alias(alias))
+    return df.select(*cols)
+
+
+def _ranked_topk(q, c, pred, k: int):
+    """Score-join + per-query top-k shared by all three variants —
+    rounding and tie-break semantics live in exactly one place.
+    try_divide: a zero-norm vector (padded/empty doc) yields null cos
+    (sorted last) instead of an ANSI DIVIDE_BY_ZERO job failure."""
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = c.join(F.broadcast(q), pred).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.try_divide(dot, F.col("qn") * F.col("cn")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 def cosine_topk(
@@ -42,26 +85,9 @@ def cosine_topk(
     across engines/float summation orders; ties break by neighbor id.
     Self-matches are excluded.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    q = _side(queries, id_col, vec_col, "query_id", "qv", "qn")
+    c = _side(emb, id_col, vec_col, "neighbor_id", "cv", "cn")
+    return _ranked_topk(q, c, F.col("query_id") != F.col("neighbor_id"), k)
 
 
 def lsh_planes(n_planes: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
@@ -104,29 +130,17 @@ def lsh_topk(
     brute force is the fallback and recall trades against candidate
     count. Same output shape as ``cosine_topk``."""
     planes = lsh_planes(n_planes, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("qb"),
+    q = _side(queries, id_col, vec_col, "query_id", "qv", "qn").withColumn(
+        "qb", lsh_bucket(F.col("qv"), planes)
     )
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("cb"),
+    c = _side(emb, id_col, vec_col, "neighbor_id", "cv", "cn").withColumn(
+        "cb", lsh_bucket(F.col("cv"), planes)
     )
-    scored = c.join(
-        F.broadcast(q),
+    return _ranked_topk(
+        q,
+        c,
         (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
+        k,
     )
 
 
@@ -142,30 +156,17 @@ def ivf_topk(
     (nprobe=1). Same output shape as ``cosine_topk``; recall < 1.0 by
     design — the scale path trades exactness for a candidate set
     |cluster| ≪ |corpus|."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-        F.col(cluster_col).alias("qc"),
+    qs = _side(
+        queries, id_col, vec_col, "query_id", "qv", "qn",
+        extra={"qc": F.col(cluster_col)},
     )
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("cv"),
-        F.col(cluster_col).alias("cc"),
+    cs = _side(
+        emb, id_col, vec_col, "neighbor_id", "cv", "cn",
+        extra={"cc": F.col(cluster_col)},
     )
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("qc") == F.col("cc")) & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
+    return _ranked_topk(
+        qs,
+        cs,
+        (F.col("qc") == F.col("cc")) & (F.col("query_id") != F.col("neighbor_id")),
+        k,
     )

@@ -20,12 +20,15 @@ def canonicalize_url(col: Column | str = "url") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # 1. drop fragment
     u = F.regexp_replace(c, r"#.*$", "")
-    # 2. strip tracking params (any position), then tidy separators
+    # 2a. a run of tracking params straight after '?' keeps the '?'
+    #     for whatever follows ('?utm_a=1&utm_b=2&q=1' → '?q=1') —
+    #     NEVER promote a bare '&' to '?' afterwards: that rewrite
+    #     corrupted urls with a literal '&' in the path
+    u = F.regexp_replace(
+        u, r"(?i)\?(?:(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)+", "?"
+    )
+    # 2b. remaining tracking params (lone '?t=..' or mid/trailing '&t=..')
     u = F.regexp_replace(u, r"(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
-    u = F.regexp_replace(u, r"\?&", "?")
-    # stripping '?utm_…' can leave '&q=…' with no '?' — promote the
-    # first '&' back to '?'
-    u = F.regexp_replace(u, r"^([^?&]+)&", r"$1?")
     u = F.regexp_replace(u, r"[?&]$", "")
     # 3. lowercase scheme://host (leave path/query case alone)
     head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1))
@@ -35,8 +38,13 @@ def canonicalize_url(col: Column | str = "url") -> Column:
     #    lookarounds, so keep these patterns lookaround-free)
     u = F.regexp_replace(u, r"^(https://[^/:?]+):443([/?]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?]+):80([/?]|$)", r"$1$2")
-    # 5. collapse duplicate slashes in the path (not the scheme's //)
-    u = F.regexp_replace(u, r"([^:/])//+", r"$1/")
+    # 5. collapse duplicate slashes in the PATH only — the query string
+    #    (e.g. a redirect-target param carrying its own url) must stay
+    #    byte-identical
+    qpos = F.instr(u, "?")
+    path = F.when(qpos > 0, F.substring(u, F.lit(1), qpos - 1)).otherwise(u)
+    query = F.when(qpos > 0, F.substring(u, qpos, F.length(u))).otherwise(F.lit(""))
+    u = F.concat(F.regexp_replace(path, r"([^:/])//+", r"$1/"), query)
     # 6. trailing slash on a non-root path
     u = F.regexp_replace(u, r"(://[^/?]+/[^?]*[^/?])/($|\?)", r"$1$2")
     return u

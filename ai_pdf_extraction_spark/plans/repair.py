@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ai_pdf_extraction_spark.functions.rules import compile_side, rule_fields
+from ai_pdf_extraction_spark.functions.rules import (
+    RuleCompileError,
+    compile_side,
+    rule_fields,
+)
 
 
 def repair_with_rules(df: DataFrame, rules: list[str]) -> DataFrame:
@@ -32,9 +36,12 @@ def repair_with_rules(df: DataFrame, rules: list[str]) -> DataFrame:
         lhs, rhs = (side.strip() for side in rule.split("==", 1))
         if lhs not in df.columns:
             continue  # only bare-column targets are derivable
-        if not rule_fields(rhs) <= set(df.columns):
-            continue  # plan-time sanity check (validation.py:288-342)
-        rhs_col = compile_side(rhs, fields)
+        try:
+            if not rule_fields(rhs) <= set(df.columns):
+                continue  # plan-time sanity check (validation.py:288-342)
+            rhs_col = compile_side(rhs, fields)
+        except RuleCompileError:
+            continue  # malformed rule: skip, like every other bad shape
         was_null = F.col(lhs).isNull() & rhs_col.isNotNull()
         # marker keyed per RULE, not per lhs: two rules offering
         # alternative derivations of the same field must not overwrite

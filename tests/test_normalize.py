@@ -91,6 +91,10 @@ DATE_CASES = [
     ("15 Jan 2024", datetime.date(2024, 1, 15)),
     ("January 15 2024", datetime.date(2024, 1, 15)),
     ("JANUARY 15, 2024", datetime.date(2024, 1, 15)),
+    # single-digit numerics (dateutil parses these; MM/dd nulled them)
+    ("1/5/2024", datetime.date(2024, 1, 5)),
+    ("2024-1-5", datetime.date(2024, 1, 5)),
+    ("2024/1/5", datetime.date(2024, 1, 5)),
 ]
 
 
@@ -216,3 +220,48 @@ def test_rule_rejects_bad_input():
 
 def test_rule_fields_extraction():
     assert rule_fields("total == sum(items) + tax") == {"total", "items", "tax"}
+
+
+def test_rule_division_by_zero_yields_null(spark):
+    """ANSI '/' would kill the job; the compiled rule must skip the row
+    (null) like the reference's per-document exception handling."""
+    assert _rule_eval(spark, "a / b == c", a=1.0, b=0.0, c=5.0) is None
+
+
+def test_rule_on_string_field_yields_null(spark):
+    """repair builds fields from ALL columns; a rule touching a
+    non-numeric string column must yield null, not an ANSI cast crash."""
+    df = spark.createDataFrame([("abc", 1.0)], "s string, a double")
+    got = df.select(
+        compile_rule("s == a", {"s": F.col("s"), "a": F.col("a")}).alias("ok")
+    ).first()["ok"]
+    assert got is None
+
+
+def test_rule_rejects_kwargs_and_bad_arity():
+    from ai_pdf_extraction_spark.functions.rules import compile_side
+
+    with pytest.raises(RuleCompileError):  # kwargs silently changed semantics
+        compile_side("round(a, ndigits=2)", {"a": F.lit(1.234)})
+    with pytest.raises(RuleCompileError):
+        compile_side("pow(a)", {"a": F.lit(2.0)})
+    with pytest.raises(RuleCompileError):
+        compile_side("min(a)", {"a": F.lit(2.0)})
+    with pytest.raises(RuleCompileError):
+        compile_side("sqrt()", {})
+
+
+def test_rule_fields_raises_on_unparseable():
+    """rule_fields is the plan-time guard — a partial/empty set for an
+    unparseable rule would let it through to crash at compile time."""
+    with pytest.raises(RuleCompileError):
+        rule_fields("total == b +")
+
+
+def test_repair_skips_unparseable_rule(spark):
+    from ai_pdf_extraction_spark.plans.repair import repair_with_rules
+
+    df = spark.createDataFrame([(None, 2.0)], "a double, b double")
+    out = repair_with_rules(df, ["a == b +", "a == b"]).first()
+    assert out["a"] == 2.0  # bad rule skipped, good rule applied
+    assert out["repaired_fields"] == ["a"]

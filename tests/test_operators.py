@@ -185,6 +185,21 @@ def test_simhash_close_for_near_dups(spark, docs):
     assert ham_12 < ham_13, "near-dup must be closer in hamming space"
 
 
+def test_ann_zero_vector_does_not_crash(spark):
+    """A zero-norm embedding (padded/empty doc) must not DIVIDE_BY_ZERO
+    the job under ANSI mode; its pairs rank last with null cosine."""
+    from ai_pdf_extraction_spark.operators.similarity import cosine_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0]), (4, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, emb.filter("vec_id = 1"), k=3)
+    got = {r["neighbor_id"]: r for r in out.collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[3]["cos"] is None  # zero vector → null, sorted last
+    assert got[3]["rank"] == 3
+    assert got[4]["rank"] == 1  # cos ≈ 0.707 beats orthogonal 0.0
+
+
 def test_embedding_near_dup_and_topk(spark):
     from ai_pdf_extraction_spark.operators.dedup import embedding_near_dup_pairs
     from ai_pdf_extraction_spark.operators.similarity import cosine_topk, ivf_topk
@@ -357,6 +372,18 @@ def test_url_canonicalization(spark):
         ("https://h.com/", "https://h.com/"),  # root slash survives
         ("https://h.com/a?gclid=1&utm_medium=m&keep=1", "https://h.com/a?keep=1"),
         ("not a url at all", "not a url at all"),
+        # round-2 review regressions:
+        # a literal '&' in the PATH must never be promoted to '?'
+        ("https://example.com/foo&bar", "https://example.com/foo&bar"),
+        ("http://h/a&b?q=1", "http://h/a&b?q=1"),
+        # duplicate-slash collapse is path-only; query values keep '//'
+        ("https://a.com/p?u=http://x.com//y", "https://a.com/p?u=http://x.com//y"),
+        ("https://a.com//p//q?u=http://x.com//y",
+         "https://a.com/p/q?u=http://x.com//y"),
+        # leading tracking run followed by a real param
+        ("https://h.com/a?utm_a=1&utm_b=2&q=1", "https://h.com/a?q=1"),
+        # only tracking params → query gone entirely
+        ("https://h.com/a?utm_a=1&utm_b=2", "https://h.com/a"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
