@@ -97,7 +97,9 @@ def simhash64_rows(rows: list[tuple[int, str]]) -> list[dict]:
     """
     import re
 
-    ws = re.compile(r"\s+")
+    # re.ASCII: Java's \s (Spark) and RE2's \s (DuckDB) are ASCII-only;
+    # Python's default \s would also split on U+00A0 etc. and diverge
+    ws = re.compile(r"\s+", re.ASCII)
     out: list[dict] = []
     for doc_id, text in rows:
         if text is None:

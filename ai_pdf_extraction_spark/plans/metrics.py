@@ -47,8 +47,10 @@ def batch_status(spark: SparkSession, table: SnapshotTable, n_buckets: int) -> d
         "progress_pct": round(100.0 * len(committed) / n_buckets, 2),
         "buckets_done": len(committed),
         "n_buckets": n_buckets,
-        "n_docs": int(row["n_docs"]),
-        "n_parse_fail": int(row["n_parse_fail"]),
+        # `or 0`: zero committed ROWS with orphaned files present reads
+        # as an empty frame where sum() is NULL, not 0
+        "n_docs": int(row["n_docs"] or 0),
+        "n_parse_fail": int(row["n_parse_fail"] or 0),
     }
 
 

@@ -27,7 +27,14 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # Respect a launcher-provided master (spark-submit --master yarn):
+    # setting .master() here would override it at getOrCreate and run
+    # the whole job local on the driver node. Only default to local
+    # when neither the caller nor the launcher supplied one.
+    from pyspark import SparkConf
+
+    launcher_master = SparkConf().get("spark.master", None)
+    master = master or launcher_master or f"local[{cpus}]"
     # local[N] → N; a real cluster master string falls back to cpus.
     if shuffle_partitions is None:
         if master.startswith("local["):
@@ -66,12 +73,44 @@ def build_session(
     return spark
 
 
+def _package_manifest(pkg_dir: str) -> list[tuple[str, str]]:
+    """Sorted (abs path, archive-relative path) of the package's .py
+    files — single source of truth for both zip producers."""
+    pkg_name = os.path.basename(pkg_dir)
+    out: list[tuple[str, str]] = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for name in sorted(files):
+            if name.endswith(".py"):
+                full = os.path.join(root, name)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                out.append((full, rel))
+    return sorted(out)
+
+
+def make_package_zip(dest: str, pkg_dir: str | None = None) -> str:
+    """Build the ``--py-files`` zip of this package at ``dest``
+    (atomic: temp file + rename). Shared by ``_ship_package`` and
+    ``tools/make_pyfiles_zip.py`` so the two can never drift."""
+    import uuid
+    import zipfile
+
+    pkg_dir = pkg_dir or os.path.dirname(os.path.abspath(__file__))
+    tmp = f"{dest}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for full, rel in _package_manifest(pkg_dir):
+            zf.write(full, rel)
+    os.replace(tmp, dest)
+    return dest
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors (the ``spark-submit --py-files``
     contract from the north_rule, applied programmatically so Python
     workers resolve the kernel imports regardless of driver cwd)."""
+    import hashlib
     import tempfile
-    import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     if not os.path.isdir(pkg_dir):
@@ -79,26 +118,16 @@ def _ship_package(spark: SparkSession) -> None:
         # the package to executors) — nothing to do
         return
     pkg_name = os.path.basename(pkg_dir)
-    # cache key = newest source mtime across the whole tree (the dir's
-    # own mtime misses edits inside subpackages → stale code shipped)
-    newest = 0.0
-    for root, _dirs, files in os.walk(pkg_dir):
-        for name in files:
-            if name.endswith(".py"):
-                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+    # Cache key = digest over (relpath, mtime_ns, size) of every file:
+    # a max-mtime key missed deletions/renames and same-second edits,
+    # shipping stale code — exactly what the cache must never do.
+    h = hashlib.md5()
+    for full, rel in _package_manifest(pkg_dir):
+        st = os.stat(full)
+        h.update(f"{rel}|{st.st_mtime_ns}|{st.st_size}\n".encode())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-{newest:.0f}.zip"
+        tempfile.gettempdir(), f"{pkg_name}-{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for name in files:
-                    if name.endswith(".py"):
-                        full = os.path.join(root, name)
-                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                        zf.write(full, rel)
-        os.replace(tmp, zip_path)
+        make_package_zip(zip_path, pkg_dir)
     spark.sparkContext.addPyFile(zip_path)

@@ -94,8 +94,14 @@ def _measure(cpus: int, corpus: str, warm: str, n_splits: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    res = json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        # surface the child's real traceback instead of an IndexError
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}) failed with rc={out.returncode}"
+        )
+    res = json.loads(lines[-1])
     print(res, file=sys.stderr)
     return res
 
@@ -176,7 +182,7 @@ def main() -> int:
         "synthetic pages, seed 42, 64 input files, best of 3 runs, JVM +",
         "Python workers pre-warmed).",
         "",
-        f"**Primary pair (N={LEVELS[0]} → 4N={LEVELS[-1]}):**",
+        f"**Primary pair (N={LEVELS[0]} → {LEVELS[-1] // LEVELS[0]}N={LEVELS[-1]}):**",
         "",
         "| parallelism | wall sec | docs/sec |",
         "|---|---|---|",
@@ -185,8 +191,12 @@ def main() -> int:
         md.append(f"| local[{r['cpus']}] | {r['sec']} | {r['docs_per_sec']} |")
     md += [
         "",
-        f"**Scaling efficiency = (T_4N/T_N)/4 = {efficiency}** "
-        f"({'PASS' if efficiency >= 0.8 else 'FAIL'} vs ≥0.8 target)",
+        f"**Scaling efficiency = (throughput_{LEVELS[-1]}/throughput_{LEVELS[0]})"
+        f"/{int(factor)} = {efficiency}** "
+        f"({'PASS' if efficiency >= 0.8 else 'FAIL'} vs ≥0.8 target"
+        + ("" if factor == 4 else f"; NOTE: measured factor is {int(factor)}x, "
+           "the north_rule target is defined for a 4x pair")
+        + ")",
         "",
         "### Why N=1→4 and not 8→32",
         "",

@@ -53,6 +53,12 @@ def _num_kind(s: pd.Series) -> str | None:
     if pd.api.types.is_integer_dtype(s):
         return "int"
     if pd.api.types.is_float_dtype(s):
+        # nullable ints round-trip through pandas as float64 with NaNs;
+        # normalize that upcast back to int-kind so the guard below
+        # compares the ORIGINAL kinds, not pandas artifacts
+        nn = s.dropna()
+        if len(s) != len(nn) and len(nn) and (nn == nn.astype("int64")).all():
+            return "int"
         return "float"
     return None
 
@@ -69,9 +75,7 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
     # driver green — this is exactly what bit q11/q32 in round 1.
     for c in spark_df.columns:
         ka, kb = _num_kind(spark_df[c]), _num_kind(duck_df[c])
-        if ka and kb and ka != kb and not (
-            spark_df[c].isna().any() or duck_df[c].isna().any()
-        ):
+        if ka and kb and ka != kb:
             return (
                 f"column '{c}' dtype kind mismatch: spark={spark_df[c].dtype} "
                 f"duck={duck_df[c].dtype} — driver hash would fail; cast the "
@@ -110,6 +114,14 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently checking nothing would print a false
+        # '0 failures' — the gate must not green-light a no-op
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        print(f"known: {sorted(qs)}")
+        spark.stop()
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
