@@ -54,6 +54,92 @@ def test_extraction_is_deterministic(data):
     assert a.parse_ok == b.parse_ok
 
 
+_TAGS = (
+    ("p", ""),
+    ("div", ""),
+    ("div", ' class="advert"'),
+    ("div", ' id="sidebar"'),
+    ("ul", ""),
+    ("li", ""),
+    ("h2", ""),
+    ("span", ""),
+    ("a", ' href="/x"'),
+    ("a", ' class="share" href="#"'),
+    ("b", ""),
+)
+
+_LEAF = st.one_of(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon words tokens".split()),
+        min_size=1,
+        max_size=10,
+    ).map(lambda ws: " ".join(ws) + "."),
+    st.just('<img src="/x.png">'),
+    st.just('<img class="advert" src="/ad.png"/>'),
+    st.just("<br/>"),
+    st.just("<!-- a comment <p>hidden</p> -->"),
+    st.just("A &amp; B entities &lt;kept&gt;."),
+)
+
+_NODE = st.recursive(
+    _LEAF,
+    lambda inner: st.tuples(st.sampled_from(_TAGS), st.lists(inner, max_size=4)).map(
+        lambda t: f"<{t[0][0]}{t[0][1]}>{''.join(t[1])}</{t[0][0]}>"
+    ),
+    max_leaves=24,
+)
+
+_DOC = st.lists(_NODE, max_size=6).map(
+    lambda parts: "<html><body>" + "".join(parts) + "</body></html>"
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_DOC)
+def test_scanner_matches_stdlib_htmlparser(markup):
+    """The compiled-regex scanner claims HTMLParser-equivalent events
+    for well-formed markup — pin it: driving the same handler through
+    stdlib html.parser must yield identical blocks and evidence."""
+    from html.parser import HTMLParser
+
+    from ai_pdf_extraction_spark.kernels.html_extract import (
+        _MainContentParser,
+        _scan,
+    )
+
+    class _StdlibDriver(HTMLParser):
+        def __init__(self, sink):
+            super().__init__(convert_charrefs=True)
+            self.sink = sink
+
+        def handle_starttag(self, tag, attrs):
+            self.sink.handle_starttag(tag, attrs)
+
+        def handle_endtag(self, tag):
+            self.sink.handle_endtag(tag)
+
+        def handle_startendtag(self, tag, attrs):
+            self.sink.handle_startendtag(tag, attrs)
+
+        def handle_data(self, data):
+            self.sink.handle_data(data)
+
+    ours = _MainContentParser()
+    _scan(markup, ours)
+    ours.close()
+
+    theirs = _MainContentParser()
+    drv = _StdlibDriver(theirs)
+    drv.feed(markup)
+    drv.close()
+    theirs.close()
+
+    assert ours.blocks == theirs.blocks
+    assert ours.candidate_chars == theirs.candidate_chars
+    assert ours.kind_candidate == theirs.kind_candidate
+    assert ours.kind_kept == theirs.kind_kept
+
+
 def test_flate_compressed_pdf_extracts():
     raw = b"BT /F1 24 Tf 72 720 Td (Compressed title here) Tj ET"
     deflated = zlib.compress(raw)
