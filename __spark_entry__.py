@@ -30,8 +30,15 @@ def _ensure_shipped(spark: SparkSession) -> None:
         from ai_pdf_extraction_spark.session import _ship_package
 
         _ship_package(spark)
-    except Exception:
-        pass  # already shipped under the same name, or zip-imported
+    except Exception as exc:
+        # Expected: "path added already" when a zip with the same
+        # digest name was shipped by an earlier query. Anything else
+        # (unwritable /tmp, zip build failure) must not be silent —
+        # executors would later die with a bare ModuleNotFoundError.
+        if "added already" not in str(exc):
+            import warnings
+
+            warnings.warn(f"package shipping failed: {exc!r}", stacklevel=2)
 
 
 # ---------------------------------------------------------------------------
@@ -402,18 +409,27 @@ def _q23_golden_path() -> str:
     (``oracle/xxh64.py``), pinned against Spark in pytest.
 
     The sf dir comes from ``SPARK_GRAFT_CONTRACT_SF`` (set by
-    ``tools/check_contract.py``) and defaults to the driver's sf0.01 —
-    the golden is keyed per sf dir so local checks at other scales
-    compare against the right input."""
-    import os as _os
+    ``tools/check_contract.py``) and defaults to the driver's sf0.01.
+    The cache key covers the twin's semantics version AND the source
+    table's (mtime_ns, size) digest — a regenerated documents.parquet
+    must never be compared against a stale golden."""
+    import hashlib
 
-    from ai_pdf_extraction_spark.oracle.xxh64 import write_simhash_golden
+    from ai_pdf_extraction_spark.oracle.xxh64 import (
+        TWIN_VERSION,
+        write_simhash_golden,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
-    src = _os.path.join(sf_dir, "documents.parquet")
-    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_simhash64_golden_v2_{tag}.parquet"
-    if not _os.path.exists(out) and _os.path.exists(src):
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if os.path.exists(src):
+        st = os.stat(src)
+        digest = hashlib.md5(f"{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
+    else:
+        digest = "missing"
+    out = f"/tmp/spark_graft_simhash64_golden_t{TWIN_VERSION}_{tag}_{digest}.parquet"
+    if not os.path.exists(out) and os.path.exists(src):
         write_simhash_golden(src, out)
     return out
 
@@ -638,16 +654,14 @@ def _ensure_q34_fixtures() -> tuple[str, str]:
     parquet — the single-process oracle-kernel run (the analogue of the
     reference's stored ``extraction_results.json`` corpora). Pure
     pyarrow, no Spark, so ``oracle_sql()`` can build it too."""
-    import os as _os
-
     from ai_pdf_extraction_spark.corpus import write_pages_parquet
     from ai_pdf_extraction_spark.corpus.generate import generate_pages
     from ai_pdf_extraction_spark.oracle.run_reference import write_golden_parquet
 
     pages_path, golden_path = _q34_fixture_paths()
-    if not _os.path.exists(pages_path):
+    if not os.path.exists(pages_path):
         write_pages_parquet(pages_path, 600, seed=13, n_files=4)
-    if not _os.path.exists(golden_path):
+    if not os.path.exists(golden_path):
         write_golden_parquet(golden_path, generate_pages(600, seed=13))
     return pages_path, golden_path
 
@@ -984,6 +998,31 @@ jacc as (
 )
 """
 
+# Quality-scored documents CTE — ONE copy of the quality_score formula
+# (operators/text_analysis.quality_score lockstep), shared by the q18,
+# q36, and q44 oracles; drift between copies broke lockstep before.
+_SCORED_CTE = r"""scored as (
+  select doc_id, lang,
+    round(least(n_tokens / 50.0, 1.0) * 0.4
+      + least((stop_hits * 1.0 / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
+      + (case when nonspace * 1.0 / greatest(n_tokens, 1) between 3.0 and 8.0
+              then 1.0 else 0.5 end) * 0.3, 4) as quality,
+    n_tokens
+  from (
+    select doc_id, lang,
+      case when length(trim(text)) = 0 then 0
+           else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens,
+      cast((length(padded) - length(replace(padded, ' the ', ''))) / 5
+         + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+         + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+         + (length(padded) - length(replace(padded, ' to ', ''))) / 4 as bigint)
+        as stop_hits,
+      length(regexp_replace(text, '\s', '', 'g')) as nonspace
+    from (select doc_id, lang, text, ' ' || lower(text) || ' ' as padded
+          from documents)
+  )
+)"""
+
 _COS_EXPR = (
     "round(list_sum(list_transform(list_zip(a.embedding, b.embedding),"
     " x -> x[1]::DOUBLE * x[2]::DOUBLE))"
@@ -1127,25 +1166,7 @@ where ('0x' || substr(md5(lang || ':' || doc_id), 1, 4))::int / 65536.0
 
 
 def oracle_sql() -> dict[str, str]:
-    quality_sql = """
-select doc_id,
-  round(
-    least(n_tokens / 50.0, 1.0) * 0.4
-    + least((stop_hits * 1.0 / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
-    + (case when nonspace * 1.0 / greatest(n_tokens, 1) between 3.0 and 8.0
-            then 1.0 else 0.5 end) * 0.3, 4) as quality
-from (
-  select doc_id,
-    case when length(trim(text)) = 0 then 0
-         else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens,
-    cast((length(padded) - length(replace(padded, ' the ', ''))) / 5
-       + (length(padded) - length(replace(padded, ' and ', ''))) / 5
-       + (length(padded) - length(replace(padded, ' of ', ''))) / 4
-       + (length(padded) - length(replace(padded, ' to ', ''))) / 4 as bigint) as stop_hits,
-    length(regexp_replace(text, '\\s', '', 'g')) as nonspace
-  from (select doc_id, text, ' ' || lower(text) || ' ' as padded from documents)
-)
-"""
+    quality_sql = f"with {_SCORED_CTE} select doc_id, quality from scored"
     lang_score = (
         lambda m: f"cast((length(padded) - length(replace(padded, '{m}', ''))) / {len(m)} as bigint)"
     )
@@ -1349,29 +1370,9 @@ from documents
         "q45_neardup_clusters": _neardup_clusters_sql(),
         "q42_repetition_signals": _REPETITION_SQL,
         "q43_stratified_sample": _STRATIFIED_SAMPLE_SQL,
-        "q44_token_budget": r"""
-with base as (
-  select doc_id, lang, text, ' ' || lower(text) || ' ' as padded from documents
-), feat as (
-  select doc_id, lang,
-    case when length(trim(text)) = 0 then 0
-         else len(regexp_split_to_array(trim(text), '\s+')) end as n_tokens,
-    cast((length(padded) - length(replace(padded, ' the ', ''))) / 5
-       + (length(padded) - length(replace(padded, ' and ', ''))) / 5
-       + (length(padded) - length(replace(padded, ' of ', ''))) / 4
-       + (length(padded) - length(replace(padded, ' to ', ''))) / 4 as bigint)
-      as stop_hits,
-    length(regexp_replace(text, '\s', '', 'g')) as nonspace
-  from base
-), scored as (
-  select doc_id, lang,
-    round(least(n_tokens / 50.0, 1.0) * 0.4
-      + least((stop_hits * 1.0 / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
-      + (case when nonspace * 1.0 / greatest(n_tokens, 1) between 3.0 and 8.0
-              then 1.0 else 0.5 end) * 0.3, 4) as quality,
-    n_tokens
-  from feat
-), c as (
+        "q44_token_budget": f"""
+with {_SCORED_CTE},
+c as (
   select doc_id, lang, quality, n_tokens,
     (sum(n_tokens) over (partition by lang order by quality desc, doc_id
                          rows unbounded preceding))::bigint as cum_tokens
@@ -1480,26 +1481,7 @@ canon as (
   ) where doc_id = canonical_id
 ),
 near_losers as (select distinct id_b as doc_id from jacc where jaccard >= 0.8),
-scored as (
-  select doc_id, lang,
-    round(
-      least(n_tokens / 50.0, 1.0) * 0.4
-      + least((stop_hits * 1.0 / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
-      + (case when nonspace * 1.0 / greatest(n_tokens, 1) between 3.0 and 8.0
-              then 1.0 else 0.5 end) * 0.3, 4) as quality,
-    n_tokens
-  from (
-    select doc_id, lang,
-      case when length(trim(text)) = 0 then 0
-           else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens,
-      cast((length(padded) - length(replace(padded, ' the ', ''))) / 5
-         + (length(padded) - length(replace(padded, ' and ', ''))) / 5
-         + (length(padded) - length(replace(padded, ' of ', ''))) / 4
-         + (length(padded) - length(replace(padded, ' to ', ''))) / 4 as bigint) as stop_hits,
-      length(regexp_replace(text, '\\s', '', 'g')) as nonspace
-    from (select doc_id, lang, text, ' ' || lower(text) || ' ' as padded from documents)
-  )
-)
+{_SCORED_CTE}
 select s.doc_id, s.lang, s.quality, s.n_tokens
 from scored s
 join canon using (doc_id)

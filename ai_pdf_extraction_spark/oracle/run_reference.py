@@ -67,6 +67,12 @@ def extract_rows(pages: list[dict]) -> list[dict]:
 
 
 def write_golden_parquet(path: str, pages: list[dict]) -> int:
+    """Atomic (temp + rename): callers treat 'path exists' as
+    cache-valid, so an interrupted run must never leave a truncated
+    golden behind."""
+    import os
+    import uuid
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -106,5 +112,7 @@ def write_golden_parquet(path: str, pages: list[dict]) -> int:
             "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
         }
     )
-    pq.write_table(table, path)
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
     return len(rows)
