@@ -59,6 +59,23 @@ def _persist_shingles(sh: DataFrame) -> DataFrame:
     return sh
 
 
+# Same lifecycle pattern for neardup_clusters' final label frontier:
+# the returned plan references the persisted labels, so the call can't
+# unpersist its own cache — the next call evicts the previous one.
+_LABEL_CACHE: list[DataFrame] = []
+
+
+def _register_labels(labels: DataFrame) -> DataFrame:
+    for old in _LABEL_CACHE:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _LABEL_CACHE.clear()
+    _LABEL_CACHE.append(labels)
+    return labels
+
+
 def _df_capped(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds the cap. ``sh``
     is distinct per (doc, shingle), so count(*) per shingle = DF.
@@ -360,12 +377,14 @@ def neardup_clusters(
             break
     else:
         edges.unpersist()
+        labels.unpersist()
         raise RuntimeError(
             f"neardup_clusters did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter) — raise max_iter; "
             "labels would be silently non-minimal otherwise"
         )
     edges.unpersist()
+    _register_labels(labels)
     w = Window.partitionBy("label")
     out = labels.select(
         F.col("node").alias(id_col),
@@ -376,18 +395,19 @@ def neardup_clusters(
     return out
 
 
-def simhash_sketch(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+def _simhash_bits(
+    docs: DataFrame, id_col: str, text_col: str, token_hash, bits: int
 ) -> DataFrame:
-    """64-bit SimHash per doc from xxhash64 token hashes (JVM-side bit
-    arithmetic, no UDF). No DuckDB oracle: xxhash64 has no DuckDB
-    equivalent — the driver runs a rows-only check for this one.
-    Output: (id, simhash bigint, band0..band3 smallint)."""
+    """Shared SimHash scaffold: tokenize → explode → per-bit ±1 votes →
+    majority bits. ``token_hash`` maps the ``word`` Column to an
+    integer hash Column — the ONLY thing the 64-bit production sketch
+    and its 16-bit oracle twin differ in, so tokenization can never
+    drift between them. Output: (id, simhash long)."""
     words = F.explode(
         F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     ).alias("word")
     tok = _ensure_parallel(docs, id_col).select(F.col(id_col), words)
-    h = F.xxhash64(F.col("word"))
+    h = token_hash(F.col("word"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -400,7 +420,17 @@ def simhash_sketch(
         sim = sim + F.when(
             F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
-    out = sums.select(F.col(id_col), sim.alias("simhash"))
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_sketch(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64 token hashes (JVM-side bit
+    arithmetic, no UDF). Oracle: a golden parquet from the independent
+    pure-Python XXH64 twin (``oracle/xxh64.py``).
+    Output: (id, simhash bigint, band0..band3 int)."""
+    out = _simhash_bits(docs, id_col, text_col, F.xxhash64, bits)
     for band in range(4):
         out = out.withColumn(
             f"band{band}",
@@ -414,25 +444,15 @@ def simhash16_sketch(
 ) -> DataFrame:
     """16-bit SimHash from md5-derived token hashes — the
     oracle-checkable twin of ``simhash_sketch`` (md5 exists verbatim in
-    DuckDB; xxhash64 does not). Production uses the 64-bit xxhash64
-    version; this one pins the algorithm cross-engine.
+    DuckDB; xxhash64 does not); shares the full scaffold via
+    ``_simhash_bits`` so only the hash can differ.
     Output: (id, simhash16 int)."""
-    words = F.explode(
-        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    ).alias("word")
-    tok = _ensure_parallel(docs, id_col).select(F.col(id_col), words)
-    h16 = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("int")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h16, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(16)
-    ]
-    sums = tok.groupBy(id_col).agg(*bit_sums)
-    sim = F.lit(0)
-    for i in range(16):
-        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
-    return sums.select(F.col(id_col), sim.cast("int").alias("simhash16"))
+    def h16(word):
+        return F.conv(F.substring(F.md5(word), 1, 4), 16, 10).cast("int")
+
+    return _simhash_bits(docs, id_col, text_col, h16, 16).select(
+        F.col(id_col), F.col("simhash").cast("int").alias("simhash16")
+    )
 
 
 def embedding_near_dup_pairs(
@@ -477,9 +497,18 @@ def embedding_near_dup_pairs(
                 ),
             )
         ).alias("bp"),
-    ).dropDuplicates(["_id", "bp"])
+    )
+    # NOTE: no dropDuplicates needed — for a fixed blk the structs
+    # (least(blk,o), greatest(blk,o)) over o are pairwise distinct, and
+    # deduplicating would shuffle the whole vector-carrying relation a
+    # second time for nothing.
 
     out_schema = "id_a long, id_b long, cos double"
+
+    def _round_half_away(x: np.ndarray) -> np.ndarray:
+        # np.round is banker's (half-even); the DuckDB oracle and
+        # F.round are half away from zero — lockstep demands the same
+        return np.sign(x) * np.floor(np.abs(x) * 10_000 + 0.5) / 10_000
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ba = int(pdf["bp"].iloc[0]["ba"])
@@ -490,21 +519,22 @@ def embedding_near_dup_pairs(
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
         blks = pdf["blk"].to_numpy()
+        # threshold BEFORE materializing id/pair arrays: matches are
+        # sparse, so only the boolean mask is ever O(n·m)
         if ba == bb:
-            cos = unit @ unit.T
-            ia, ib = np.triu_indices(len(ids), k=1)
+            cos = _round_half_away(unit @ unit.T)
+            hit = np.triu(cos >= threshold, k=1)
+            ia, ib = np.nonzero(hit)
             id_a, id_b, c = ids[ia], ids[ib], cos[ia, ib]
         else:
             ma, mb = blks == ba, blks == bb
-            cos = unit[ma] @ unit[mb].T
-            ia, ib = np.nonzero(np.ones_like(cos, dtype=bool))
+            cos = _round_half_away(unit[ma] @ unit[mb].T)
+            ia, ib = np.nonzero(cos >= threshold)
             id_a, id_b, c = ids[ma][ia], ids[mb][ib], cos[ia, ib]
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
-        keep = lo < hi
-        c = np.round(c[keep], 4)
-        mask = c >= threshold
-        return pd.DataFrame({"id_a": lo[keep][mask], "id_b": hi[keep][mask], "cos": c[mask]})
+        keep = lo < hi  # drops self-pairs only (ids are unique)
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "cos": c[keep]})
 
     return (
         expanded.groupBy("bp")

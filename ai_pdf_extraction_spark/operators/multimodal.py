@@ -57,13 +57,27 @@ FEATURES_SCHEMA = StructType(
     ]
 )
 
-_MAGIC = (
-    (b"\x89PNG", "image", "png"),
-    (b"\xff\xd8\xff", "image", "jpeg"),
-    (b"RIFF", "audio", "wav"),
-    (b"\x00\x00\x00\x18ftyp", "video", "mp4"),
-    (b"\x00\x00\x00\x20ftyp", "video", "mp4"),
-)
+def sniff_bytes(raw: bytes) -> tuple[str, str | None]:
+    """(media_type, format) from magic bytes — single source of truth
+    for the Python path; :func:`sniff_media_type` is its Column twin.
+    RIFF is a CONTAINER: bytes 8..12 distinguish WAV/WebP/AVI. MP4 is
+    detected by the ``ftyp`` box at offset 4 regardless of box size
+    (hardcoding 0x18/0x20 missed common isom files)."""
+    if raw.startswith(b"\x89PNG"):
+        return ("image", "png")
+    if raw.startswith(b"\xff\xd8\xff"):
+        return ("image", "jpeg")
+    if raw.startswith(b"RIFF") and len(raw) >= 12:
+        kind = raw[8:12]
+        if kind == b"WAVE":
+            return ("audio", "wav")
+        if kind == b"WEBP":
+            return ("image", "webp")
+        if kind == b"AVI ":
+            return ("video", "avi")
+    if raw[4:8] == b"ftyp":
+        return ("video", "mp4")
+    return ("unknown", None)
 
 
 def base64_payload(col: str = "media"):
@@ -83,14 +97,28 @@ def decode_base64_payload(col: str = "media_b64"):
 def sniff_media_type(col: str = "media"):
     """Magic-byte content sniffing as a Column expression (the binary
     analogue of the reference's ``%PDF`` check,
-    ``pdf_service.py:84-87``)."""
+    ``pdf_service.py:84-87``). Keep in lockstep with
+    :func:`sniff_bytes` — pinned by test_sniff_column_matches_python."""
     c = F.col(col)
-    expr = F.lit("unknown")
-    for magic, _mtype, fmt in reversed(_MAGIC):
-        expr = F.when(
-            F.substring(c, 1, len(magic)) == F.lit(magic), F.lit(fmt)
-        ).otherwise(expr)
-    return expr
+    riff_kind = F.substring(c, 9, 4)
+    return (
+        F.when(F.substring(c, 1, 4) == F.lit(b"\x89PNG"), F.lit("png"))
+        .when(F.substring(c, 1, 3) == F.lit(b"\xff\xd8\xff"), F.lit("jpeg"))
+        .when(
+            (F.substring(c, 1, 4) == F.lit(b"RIFF")) & (riff_kind == F.lit(b"WAVE")),
+            F.lit("wav"),
+        )
+        .when(
+            (F.substring(c, 1, 4) == F.lit(b"RIFF")) & (riff_kind == F.lit(b"WEBP")),
+            F.lit("webp"),
+        )
+        .when(
+            (F.substring(c, 1, 4) == F.lit(b"RIFF")) & (riff_kind == F.lit(b"AVI ")),
+            F.lit("avi"),
+        )
+        .when(F.substring(c, 5, 4) == F.lit(b"ftyp"), F.lit("mp4"))
+        .otherwise(F.lit("unknown"))
+    )
 
 
 def _fake_features(data: bytes) -> tuple[float, list[float]]:
@@ -131,24 +159,17 @@ def extract_media_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_features(bytes(b) if b is not None else b"") for b in pdf[bytes_col]]
-            formats = []
-            mtypes = []
-            for b in pdf[bytes_col]:
-                raw = bytes(b) if b is not None else b""
-                mtype, fmt = "unknown", None
-                for magic, mt, f in _MAGIC:
-                    if raw.startswith(magic):
-                        mtype, fmt = mt, f
-                        break
-                mtypes.append(mtype)
-                formats.append(fmt)
+            # ONE bytes() conversion per row (multi-MB payloads; three
+            # separate passes each re-copied the buffer)
+            raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
+            feats = [_fake_features(raw) for raw in raws]
+            sniffed = [sniff_bytes(raw) for raw in raws]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "media_type": mtypes,
-                    "format": formats,
-                    "n_bytes": [len(bytes(b)) if b is not None else 0 for b in pdf[bytes_col]],
+                    "media_type": [s[0] for s in sniffed],
+                    "format": [s[1] for s in sniffed],
+                    "n_bytes": [len(raw) for raw in raws],
                     "byte_entropy": [f[0] for f in feats],
                     "histogram": [f[1] for f in feats],
                 }
@@ -170,9 +191,17 @@ def frame_sample_plan(
     first = F.sequence(F.lit(0), F.least(F.lit(1), total - 1))
     last = F.sequence(F.greatest(total - 2, F.lit(0)), total - 1)
     stride = F.greatest((total - 4) / F.lit(max(n_frames - 4, 1)), F.lit(1.0))
-    middle = F.transform(
-        F.sequence(F.lit(1), F.lit(max(n_frames - 4, 0))),
-        lambda i: (F.lit(2.0) + (i - 1).cast("double") * stride).cast("long"),
+    n_mid = max(n_frames - 4, 0)
+    # sequence(1, 0) would be DESCENDING [1, 0] (the dedup.py:_word_
+    # shingles pitfall), injecting a spurious middle index for
+    # n_frames <= 4 — build the empty middle explicitly
+    middle = (
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_mid)),
+            lambda i: (F.lit(2.0) + (i - 1).cast("double") * stride).cast("long"),
+        )
+        if n_mid > 0
+        else F.array().cast("array<bigint>")
     )
     indices = F.slice(
         F.array_sort(

@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 # Shared Java/RE2 syntax only: no lookaround, no backrefs.
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
-# conservative: 8+ digit runs with separators, optional leading +
-PHONE_RE = r"\+?\d[\d\s().\-]{7,}\d"
+# conservative: 8+ digit runs with separators, optional leading +.
+# Separator class is SPACE (not \s): tabs/newlines end a phone, so two
+# unrelated numbers on adjacent lines ("…2020\n2021 was…") are never
+# merged and redacted as one.
+PHONE_RE = r"\+?\d[\d ().\-]{7,}\d"
 
 # Scrub order matters and is part of the contract: emails first (the
 # local part would otherwise feed the phone pattern), then IPs (dotted

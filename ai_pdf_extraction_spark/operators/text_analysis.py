@@ -70,8 +70,10 @@ def lang_scores(col: Column | str = "text") -> dict[str, Column]:
 
 
 def lang_guess(col: Column | str = "text") -> Column:
-    """Argmax over marker scores; ties and all-zero → 'und'
-    (undetermined). Deterministic tie-break by fixed language order."""
+    """Argmax over marker scores; all-zero → 'und' (undetermined).
+    Non-zero ties resolve deterministically by fixed language order
+    (LANG_MARKERS insertion order) — mirrored exactly by the q17
+    oracle, so keep the two in lockstep."""
     scores = lang_scores(col)
     best = F.greatest(*scores.values())
     expr = F.lit("und")

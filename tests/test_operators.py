@@ -310,23 +310,37 @@ def test_multimodal_features_and_sampling(spark):
         sniff_media_type,
     )
 
+    from ai_pdf_extraction_spark.operators.multimodal import sniff_bytes
+
     rows = [
         (1, b"\x89PNG\r\n" + bytes(range(250))),
         (2, b"\xff\xd8\xff\xe0" + b"jpegdata" * 10),
-        (3, b"RIFF" + b"\x00" * 40),
+        (3, b"RIFF\x24\x08\x00\x00WAVEfmt " + b"\x00" * 32),  # real WAV layout
         (4, b""),
+        (5, b"RIFF\x00\x01\x00\x00WEBPVP8 " + b"\x00" * 16),  # RIFF container ≠ wav
+        (6, b"\x00\x00\x00\x1cftypisom" + b"\x00" * 16),  # ftyp box size 0x1c
+        (7, b"RIFF" + b"\x00" * 40),  # RIFF with unknown kind → unknown
     ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
     assert feats[1]["format"] == "png" and feats[1]["media_type"] == "image"
     assert feats[2]["format"] == "jpeg"
-    assert feats[3]["media_type"] == "audio"
+    assert feats[3]["media_type"] == "audio" and feats[3]["format"] == "wav"
     assert feats[4]["n_bytes"] == 0 and feats[4]["byte_entropy"] == 0.0
+    assert feats[5]["media_type"] == "image" and feats[5]["format"] == "webp"
+    assert feats[6]["media_type"] == "video" and feats[6]["format"] == "mp4"
+    assert feats[7]["media_type"] == "unknown"
     assert len(feats[1]["histogram"]) == 16
     assert abs(sum(feats[1]["histogram"]) - 1.0) < 1e-4
 
-    sniffed = df.select("media_id", sniff_media_type().alias("fmt")).collect()
-    assert {r["media_id"]: r["fmt"] for r in sniffed}[1] == "png"
+    # Column sniffing stays in lockstep with the Python sniffer
+    sniffed = {
+        r["media_id"]: r["fmt"]
+        for r in df.select("media_id", sniff_media_type().alias("fmt")).collect()
+    }
+    for mid, raw in rows:
+        expect = sniff_bytes(raw)[1] or "unknown"
+        assert sniffed[mid] == expect, (mid, sniffed[mid], expect)
 
     frames = spark.createDataFrame([(1, 20), (2, 3), (3, 100)], "media_id long, n_frames int")
     sampled = {r["media_id"]: r["sample_frames"] for r in frame_sample_plan(frames, n_frames=6).collect()}
@@ -334,6 +348,14 @@ def test_multimodal_features_and_sampling(spark):
     assert len(sampled[1]) == 6
     assert sampled[2] == [0, 1, 2]  # fewer frames than budget
     assert all(0 <= i < 100 for i in sampled[3]) and len(sampled[3]) == 6
+    # n_frames <= 4: NO middle stride (sequence(1,0) is descending —
+    # the empty-middle guard); exactly first-2 + last-2
+    sampled4 = {
+        r["media_id"]: r["sample_frames"]
+        for r in frame_sample_plan(frames, n_frames=4).collect()
+    }
+    assert sampled4[1] == [0, 1, 18, 19]
+    assert sampled4[3] == [0, 1, 98, 99]
 
     from ai_pdf_extraction_spark.operators.multimodal import decode_media
 

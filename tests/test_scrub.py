@@ -40,6 +40,24 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[2]["p"] == 0
 
 
+def test_phone_does_not_merge_across_lines(spark):
+    """The phone separator class is space-only: two unrelated numbers
+    on adjacent lines (years, page numbers) must not be redacted as one
+    phone (round-2 review regression)."""
+    from ai_pdf_extraction_spark.operators.scrub import scrub_pii
+
+    rows = [
+        (1, "In 2020\n2021 was better for data quality overall"),
+        (2, "tabs\t12345678\t87654321 stay separate numbers"),
+        (3, "real phone +1 555 010 4477 still redacts"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", scrub_pii("text").alias("s")).collect()}
+    assert got[1] == rows[0][1]  # untouched
+    assert "<PHONE>" not in got[2]
+    assert got[3] == "real phone <PHONE> still redacts"
+
+
 def test_repetition_signals(spark):
     from ai_pdf_extraction_spark.operators.text_analysis import repetition_signals
 
