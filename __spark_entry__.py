@@ -1158,7 +1158,8 @@ from per_row p left join shares using (doc_id)
 
 _STRATIFIED_SAMPLE_SQL = """
 select doc_id, lang from documents
-where ('0x' || substr(md5(lang || ':' || doc_id), 1, 4))::int / 65536.0
+where ('0x' || substr(md5(coalesce(lang, '__null__') || ':' || doc_id), 1, 4))::int
+        / 65536.0
       < case when lang = 'de' then 1.0
              when lang = 'en' then 0.5
              else 0.1 end

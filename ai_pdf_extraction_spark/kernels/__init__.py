@@ -18,7 +18,9 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 # v2: round-2 robustness fixes (void-element boiler, self-close
 #     recovery, implied </head>, link-depth recovery, inline boiler
 #     masking, PDF hex-string dicts + operand guards)
-KERNEL_VERSION = 2
+# v3: stale inline-boiler entries unwind at block flush; self-close
+#     recovery skips '/' inside unquoted attribute values
+KERNEL_VERSION = 3
 
 
 def extract_document(data: bytes) -> ExtractionResult:

@@ -190,11 +190,15 @@ class _MainContentParser:
         return False
 
     def _flush(self) -> None:
-        # Anchors do not survive a block boundary (libxml2-style
-        # recovery, which the trafilatura family inherits): an
-        # unclosed <a> must not poison the link ratio of every
-        # later block in the document.
+        # Inline elements do not survive a block boundary (libxml2-style
+        # recovery, which the trafilatura family inherits): an unclosed
+        # <a> must not poison the link ratio of every later block, and
+        # an unclosed INLINE boiler element (<a class="share"> with no
+        # </a>) must not leave the rest of the document in boiler mode.
         self._link_depth = 0
+        while self._boiler_stack and not self._boiler_stack[-1][2]:
+            self._boiler_stack.pop()
+            self._boiler_depth -= 1
         block = self._current
         self._current = None
         if block is None:
@@ -416,9 +420,18 @@ def _scan(markup: str, handler: _MainContentParser) -> None:
             pos = lt + 1
             continue
         closing, tag, rawattrs, selfclose = m.groups()
-        # the greedy attrs group consumes a trailing '/', so the (/?)
-        # group alone never fires — recover XHTML-style self-closes here
-        if not selfclose and rawattrs and rawattrs.endswith("/"):
+        # The greedy attrs group consumes a trailing '/', so the (/?)
+        # group alone never fires — recover XHTML-style self-closes
+        # here. Only when the '/' is NOT part of an unquoted attribute
+        # value (href=http://x.com/a/ must stay an ordinary start tag,
+        # matching stdlib HTMLParser): the char before it must be
+        # whitespace, a quote, or nothing.
+        if (
+            not selfclose
+            and rawattrs
+            and rawattrs.endswith("/")
+            and (len(rawattrs) == 1 or rawattrs[-2] in " \t\n\r\"'")
+        ):
             selfclose = "/"
             rawattrs = rawattrs[:-1]
         tag = tag.lower()

@@ -82,9 +82,13 @@ def stratified_hash_sample(
     and runs (no RNG state), stable under repartitioning — the property
     a 10^12-doc mixing job needs so retries/resumes pick identical
     rows. One narrow filter; no shuffle."""
+    # null-safe stratum key: concat_ws SKIPS nulls while the SQL
+    # oracle's '||' null-propagates — coalesce in BOTH engines so a
+    # null stratum deterministically samples at default_rate
+    stratum = F.coalesce(F.col(strata_col), F.lit("__null__"))
     u = (
         F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col))), 1, 4),
+            F.substring(F.md5(F.concat_ws(":", stratum, F.col(id_col))), 1, 4),
             16,
             10,
         ).cast("double")

@@ -37,11 +37,14 @@ def batch_status(spark: SparkSession, table: SnapshotTable, n_buckets: int) -> d
             )
             .collect()[0]
         )
-    except AnalysisException:
+    except AnalysisException as exc:
         # committed-but-empty table: buckets were committed (watermark
         # advanced) but an all-empty input wrote zero parquet files —
         # UNABLE_TO_INFER_SCHEMA must not crash a successful run's
-        # status poll
+        # status poll. Any OTHER analysis error (schema drift, corrupt
+        # path) is a real failure and must surface, not read as 0 docs.
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
         row = {"n_docs": 0, "n_parse_fail": 0}
     return {
         "progress_pct": round(100.0 * len(committed) / n_buckets, 2),

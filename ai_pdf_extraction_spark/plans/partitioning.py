@@ -77,8 +77,11 @@ def salted_join(
     precondition as broadcast)."""
     fact = skewed.withColumn(
         "_salt",
+        # the row counter is folded INTO the hash (never added after:
+        # bigint + bigint can overflow, which ANSI mode turns into an
+        # ARITHMETIC_OVERFLOW job failure)
         F.pmod(
-            F.xxhash64(*skewed.columns) + F.monotonically_increasing_id(),
+            F.xxhash64(*skewed.columns, F.monotonically_increasing_id()),
             F.lit(n_salts),
         ).cast("int"),
     )

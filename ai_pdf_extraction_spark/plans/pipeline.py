@@ -197,7 +197,9 @@ def run_extraction(
                 )
                 .collect()
             )
-        except AnalysisException:
+        except AnalysisException as exc:
+            if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise  # real failure, not the empty-chunk case
             stats = []
         n_docs = sum(r["n_docs"] for r in stats)
         metrics = [

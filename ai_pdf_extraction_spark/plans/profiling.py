@@ -36,11 +36,20 @@ def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
     w = Window.orderBy("url")
     picked_urls = (
         pages.select("url")
+        .distinct()
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn").isin(indices))
         .select("url")
     )
-    return pages.join(F.broadcast(picked_urls), "url", "left_semi")
+    joined = pages.join(F.broadcast(picked_urls), "url", "left_semi")
+    # duplicate urls (recrawls) would each match the semi-join; keep one
+    # deterministic row per url so the sample stays ≤ max_docs
+    w_dup = Window.partitionBy("url").orderBy(F.xxhash64(F.col("html")))
+    return (
+        joined.withColumn("_dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
 
 
 def profile_corpus(spark: SparkSession, input_path: str, max_docs: int = 64) -> dict:

@@ -79,6 +79,10 @@ _LEAF = st.one_of(
     st.just("<br/>"),
     st.just("<!-- a comment <p>hidden</p> -->"),
     st.just("A &amp; B entities &lt;kept&gt;."),
+    # unquoted attribute values, incl. ones ending in '/' (must NOT be
+    # taken as self-closes — stdlib parses them as plain start tags)
+    st.just("<a href=http://x.com/a/>unquoted link text</a>"),
+    st.just("<img src=/banner.png/>"),
 )
 
 _NODE = st.recursive(

@@ -131,6 +131,19 @@ def test_html_real_world_recovery():
         (b"<body><textarea>Write a comment here please, long.</textarea>"
          b"<p>Real content paragraph long enough to keep around.</p></body>",
          "Real content", "comment here"),
+        # an UNCLOSED inline boiler element unwinds at the block
+        # boundary instead of leaving the whole document in boiler mode
+        (b'<body><p>Follow us <a class="share" href="#">Share</p>'
+         b"<p>The genuine later article paragraph, long enough to keep.</p></body>",
+         "genuine later article", "Share"),
+        # unquoted attribute values ending in '/' are NOT self-closes
+        # (stdlib-HTMLParser equivalence): the anchor opens normally,
+        # so this link-dominated block is dropped by the link ratio
+        (b"<div><a href=http://x.com/a/>one link</a> "
+         b"<a href=http://x.com/b/>two link</a> "
+         b"<a href=http://x.com/c/>three link</a> tiny tail.</div>"
+         b"<p>Kept normal paragraph with plenty of characters in it.</p>",
+         "Kept normal paragraph", "one link"),
     ]
     for html, want, reject in cases:
         res = extract_html(html)
