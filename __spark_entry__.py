@@ -844,12 +844,14 @@ def q36_curated_corpus(spark, sf_dir):
     """Capstone curation pass — what a training-data pipeline actually
     emits: documents that (a) clear the quality threshold, (b) are the
     canonical copy of their exact-dup group, and (c) are not the higher
-    id of a near-duplicate pair (n-gram Jaccard ≥ 0.8). One scan, one
-    fingerprint window, one shingle join; survivors carry their quality
-    and token count."""
+    id of a near-duplicate pair (MinHash-LSH candidates verified at
+    n-gram Jaccard ≥ 0.8). Near-dup pairs come from the banded-LSH
+    scale path (``minhash_lsh_pairs``, the q22-verified operator), NOT
+    the all-pairs shingle self-join — at corpus scale the candidate
+    set is the only thing that gets Jaccard-verified."""
     from ai_pdf_extraction_spark.operators.dedup import (
         exact_dedup,
-        ngram_jaccard_pairs,
+        minhash_lsh_pairs,
     )
     from ai_pdf_extraction_spark.operators.text_analysis import (
         quality_score,
@@ -865,7 +867,9 @@ def q36_curated_corpus(spark, sf_dir):
     )
     canon = exact_dedup(d).filter(~F.col("is_dup")).select("doc_id")
     near_losers = (
-        ngram_jaccard_pairs(d, threshold=0.8).select(F.col("id_b").alias("doc_id")).distinct()
+        minhash_lsh_pairs(d, n=3, k=12, bands=4, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
     )
     return (
         scored.join(canon, "doc_id")
@@ -1474,14 +1478,18 @@ select event_id,
 from events
 """,
         "q36_curated_corpus": f"""
-with {_SHINGLES_CTE},
+with {_minhash_cte()},
 fp as (select doc_id, {fingerprint_expr} as fp from documents),
 canon as (
   select doc_id from (
     select doc_id, min(doc_id) over (partition by fp) as canonical_id from fp
   ) where doc_id = canonical_id
 ),
-near_losers as (select distinct id_b as doc_id from jacc where jaccard >= 0.8),
+near_losers as (
+  select distinct cand.id_b as doc_id
+  from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
+  where jacc.jaccard >= 0.8
+),
 {_SCORED_CTE}
 select s.doc_id, s.lang, s.quality, s.n_tokens
 from scored s
