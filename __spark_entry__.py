@@ -1171,6 +1171,19 @@ where ('0x' || substr(md5(coalesce(lang, '__null__') || ':' || doc_id), 1, 4))::
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB oracle SQL per query key.
+
+    CONTRACT: the q23 oracle embeds a golden-parquet path that is
+    materialized from the documents table in
+    ``$SPARK_GRAFT_CONTRACT_SF`` (default ``/root/testdata/sf0.01``,
+    the driver's compare scale) at the moment this function is called.
+    A driver comparing at any OTHER sf dir must export
+    ``SPARK_GRAFT_CONTRACT_SF=<sf_dir>`` *before* calling
+    ``oracle_sql()`` (``tools/check_contract.py`` does) — otherwise q23
+    compares against a golden built from the wrong table and
+    mismatches loudly. (The q34/q39 goldens are sf-independent: they
+    derive from the fixed 600-doc fixture corpus, keyed on
+    CORPUS_VERSION + KERNEL_VERSION.)"""
     quality_sql = f"with {_SCORED_CTE} select doc_id, quality from scored"
     lang_score = (
         lambda m: f"cast((length(padded) - length(replace(padded, '{m}', ''))) / {len(m)} as bigint)"

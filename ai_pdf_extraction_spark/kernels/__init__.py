@@ -20,7 +20,11 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #     masking, PDF hex-string dicts + operand guards)
 # v3: stale inline-boiler entries unwind at block flush; self-close
 #     recovery skips '/' inside unquoted attribute values
-KERNEL_VERSION = 3
+# v4: container-level inline boiler flushes its implicit block when the
+#     boiler stack drains (sibling text survives); a new <a> implies
+#     closing an open boiler <a> (HTML5 anchors-never-nest applied to
+#     the boiler stack, not just link depth)
+KERNEL_VERSION = 4
 
 
 def extract_document(data: bytes) -> ExtractionResult:

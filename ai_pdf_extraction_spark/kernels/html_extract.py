@@ -232,6 +232,29 @@ class _MainContentParser:
         self._flush()
         self._current = _Block(kind, boiler=self._boiler_depth > 0)
 
+    def _pop_boiler(self) -> None:
+        """Close the top boiler-stack entry, mirroring its entry mode.
+
+        Leaving a block-level boiler subtree ends any open boiler block
+        (following bare text must not be swallowed). Leaving an INLINE
+        boiler element normally keeps the enclosing live block open —
+        but if the element opened while no block was current (e.g.
+        ``<div><a class="share">Share</a> sibling text``), the implicit
+        block created for its masked text is itself a boiler block, and
+        keeping it open would swallow the sibling text; flush it once
+        the stack drains so following text starts a fresh live block.
+        """
+        entry = self._boiler_stack.pop()
+        self._boiler_depth -= 1
+        if entry[2]:
+            self._flush()
+        elif (
+            self._boiler_depth == 0
+            and self._current is not None
+            and self._current.boiler
+        ):
+            self._flush()
+
     # -- HTMLParser hooks ----------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -252,6 +275,13 @@ class _MainContentParser:
                     self._skip_depth -= 1
             if self._skip_depth:
                 return
+        if tag == "a" and self._boiler_stack and self._boiler_stack[-1][0] == "a":
+            # Anchors never nest (HTML5): a new <a> implies closing an
+            # open boiler <a> before it opens. Apply the rule to the
+            # boiler stack too — not just link depth — else legitimate
+            # text after the inner anchor stays masked until a second
+            # </a> that the real DOM never pairs with the outer.
+            self._pop_boiler()
         if tag in _BOILER_TAGS or self._attr_is_boiler(attrs):
             self._boiler_depth += 1
             # Block-level boilerplate terminates the open block (on
@@ -315,14 +345,7 @@ class _MainContentParser:
             if entry[1]:
                 entry[1] -= 1  # closes a nested same-named element
             else:
-                self._boiler_stack.pop()
-                self._boiler_depth -= 1
-                # Leaving a block-level boiler subtree ends any open
-                # boiler block (following bare text must not be
-                # swallowed); an inline one leaves the enclosing
-                # live block open.
-                if entry[2]:
-                    self._flush()
+                self._pop_boiler()
                 return
         if tag == "a":
             self._link_depth = 0

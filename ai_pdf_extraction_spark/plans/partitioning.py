@@ -66,24 +66,28 @@ def salted_join(
     key: str,
     n_salts: int = DEFAULT_N_SALTS,
 ) -> DataFrame:
-    """Skew-safe equi-join: the skewed fact side gets a salt (hash of
-    the whole row, with a per-partition row counter mixed in so even
-    FULLY IDENTICAL rows of a hot key still spread), the dim side is
-    exploded ×``n_salts``, and the join key becomes (key, salt) — one
-    hot key spreads over ``n_salts`` reducers. AQE's skew-join split
-    covers sort-merge joins after the fact; this handles it at plan
-    time and also works for aggregations feeding the join. Dim side
-    grows ×n_salts — only for genuinely small dims (the same
-    precondition as broadcast)."""
+    """Skew-safe equi-join: the skewed fact side gets a salt (a
+    DETERMINISTIC hash of the whole row), the dim side is exploded
+    ×``n_salts``, and the join key becomes (key, salt) — one hot key
+    spreads over ``n_salts`` reducers. AQE's skew-join split covers
+    sort-merge joins after the fact; this handles it at plan time and
+    also works for aggregations feeding the join. Dim side grows
+    ×n_salts — only for genuinely small dims (the same precondition as
+    broadcast).
+
+    The salt is a pure function of the row so the shuffle key is
+    stable across task re-execution: a nondeterministic disambiguator
+    (monotonically_increasing_id, rand) would let recomputed rows hash
+    to different salts than the lost originals after a fetch failure —
+    the SPARK-23207 duplicate/loss hazard. The trade-off: rows that
+    are FULL duplicates (every column equal) share a salt. A hot JOIN
+    key still spreads — its rows differ in the other columns — and
+    full-row duplicates are what exact dedup removes upstream; if a
+    pathological all-columns-identical hot set matters, dedup first.
+    """
     fact = skewed.withColumn(
         "_salt",
-        # the row counter is folded INTO the hash (never added after:
-        # bigint + bigint can overflow, which ANSI mode turns into an
-        # ARITHMETIC_OVERFLOW job failure)
-        F.pmod(
-            F.xxhash64(*skewed.columns, F.monotonically_increasing_id()),
-            F.lit(n_salts),
-        ).cast("int"),
+        F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int"),
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

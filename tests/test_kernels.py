@@ -144,6 +144,24 @@ def test_html_real_world_recovery():
          b"<a href=http://x.com/c/>three link</a> tiny tail.</div>"
          b"<p>Kept normal paragraph with plenty of characters in it.</p>",
          "Kept normal paragraph", "one link"),
+        # round-3: inline boiler element opened at CONTAINER level (no
+        # block current) must not swallow following sibling bare text
+        (b'<body><div><a class="share" href="#">Share</a>'
+         b" The first sibling sentence must survive extraction fine."
+         b"</div></body>",
+         "first sibling sentence must survive", "Share"),
+        # round-3: HTML5 anchors never nest — a new <a> inside an open
+        # boiler <a> implies closing it, so trailing text is live
+        (b'<body><p>Intro words here <a class="share">Share'
+         b'<a href="/x">inner anchor text</a>'
+         b" and the trailing legit clause stays in the article.</p></body>",
+         "trailing legit clause stays", "Share"),
+        # round-3: nested boiler anchor inside boiler anchor — implied
+        # close keeps depth bounded; sibling tail text survives
+        (b'<body><div><a class="share">s one'
+         b'<a class="social">s two</a>'
+         b" live tail text after the social cluster, long enough.</div></body>",
+         "live tail text after the social cluster", "s one"),
     ]
     for html, want, reject in cases:
         res = extract_html(html)

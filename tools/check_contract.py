@@ -47,18 +47,24 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _num_kind(s: pd.Series) -> str | None:
+def _num_kind(s: pd.Series, other: pd.Series) -> str | None:
     if pd.api.types.is_bool_dtype(s) or str(s.dtype) == "boolean":
         return None
     if pd.api.types.is_integer_dtype(s):
         return "int"
     if pd.api.types.is_float_dtype(s):
-        # nullable ints round-trip through pandas as float64 with NaNs;
-        # normalize that upcast back to int-kind so the guard below
-        # compares the ORIGINAL kinds, not pandas artifacts
-        nn = s.dropna()
-        if len(s) != len(nn) and len(nn) and (nn == nn.astype("int64")).all():
-            return "int"
+        # Nullable ints round-trip through pandas as float64 with NaNs.
+        # Normalize that upcast back to int-kind ONLY when the OTHER
+        # side is integer-typed (then float64-with-NaN-integral is the
+        # pandas artifact); if both sides are float64, a genuine DOUBLE
+        # with integral values (e.g. a round() result with nulls) must
+        # keep flagging as 'float' — the driver serializes '3.0' there,
+        # and symmetric normalization would false-negative exactly the
+        # q11/q32 failure class this guard predicts.
+        if pd.api.types.is_integer_dtype(other):
+            nn = s.dropna()
+            if len(s) != len(nn) and len(nn) and (nn == nn.astype("int64")).all():
+                return "int"
         return "float"
     return None
 
@@ -74,7 +80,8 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
     # even when numerically equal.  Flag it here so local green predicts
     # driver green — this is exactly what bit q11/q32 in round 1.
     for c in spark_df.columns:
-        ka, kb = _num_kind(spark_df[c]), _num_kind(duck_df[c])
+        ka = _num_kind(spark_df[c], duck_df[c])
+        kb = _num_kind(duck_df[c], spark_df[c])
         if ka and kb and ka != kb:
             return (
                 f"column '{c}' dtype kind mismatch: spark={spark_df[c].dtype} "
