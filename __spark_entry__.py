@@ -666,6 +666,25 @@ def _ensure_q34_fixtures() -> tuple[str, str]:
     return pages_path, golden_path
 
 
+def _q46_golden_path() -> str:
+    """Exploded structured-table-rows golden (q46): one row per
+    (url, t_idx, r_idx, key). Same corpus/kernel cache keying as q34."""
+    from ai_pdf_extraction_spark.oracle.run_reference import write_table_rows_golden
+
+    base, _ = _q34_fixture_paths()
+    from ai_pdf_extraction_spark.kernels import KERNEL_VERSION
+
+    path = base + f"_tables_k{KERNEL_VERSION}.parquet"
+    if not os.path.exists(path):
+        from ai_pdf_extraction_spark.corpus.generate import generate_pages
+
+        try:
+            write_table_rows_golden(path, generate_pages(600, seed=13))
+        except Exception:
+            pass  # degrade to a loud read_parquet error at oracle time
+    return path
+
+
 def _signature_cols(df: DataFrame) -> DataFrame:
     """Byte-level signatures of the extraction payload so the driver's
     value hash covers the full result, not just counts: md5 of the
@@ -700,6 +719,30 @@ def _signature_cols(df: DataFrame) -> DataFrame:
                 ),
             ),
         ).alias("fc_sig"),
+        F.col("n_pages"),
+        F.size("tables").alias("n_tables"),
+        # canonical table serialization — the Column twin of
+        # kernels.types.tables_signature (entries k=v sorted by key,
+        # ',' entries / ';' rows / '|' tables)
+        F.concat_ws(
+            "|",
+            F.transform(
+                "tables",
+                lambda t: F.concat_ws(
+                    ";",
+                    F.transform(
+                        t,
+                        lambda r: F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.array_sort(F.map_entries(r)),
+                                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ).alias("tables_sig"),
     )
 
 
@@ -733,6 +776,33 @@ def q39_field_confidences(spark, sf_dir):
             F.try_element_at(F.col("field_confidences"), F.lit(k)).alias(f"conf_{k}")
             for k in FIELD_KINDS
         ],
+    )
+
+
+def q46_table_rows(spark, sf_dir):
+    """Structured table-row extraction — the reference's ``array``
+    FieldType (array-of-objects rows, e.g. SEC 8-K
+    ``securities_registered``; ``validation.py:467-488``) — exploded to
+    one row per (url, table, row, key) and value-hashed against the
+    single-process oracle kernel's exploded golden parquet. The
+    nested payload itself rides the output table as
+    ``tables array<array<map<string,string>>>``."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+
+    pages_path, _ = _ensure_q34_fixtures()
+    plan = extraction_plan(spark.read.parquet(pages_path), run_id="contract")
+    t = plan.select(
+        "url", F.posexplode("tables").alias("t_idx", "tbl")
+    )
+    r = t.select(
+        "url", "t_idx", F.posexplode("tbl").alias("r_idx", "rec")
+    )
+    return r.select(
+        "url",
+        F.col("t_idx").cast("int").alias("t_idx"),
+        F.col("r_idx").cast("int").alias("r_idx"),
+        F.explode("rec").alias("key", "value"),
     )
 
 
@@ -960,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_stratified_sample": q43_stratified_sample,
         "q44_token_budget": q44_token_budget,
         "q45_neardup_clusters": q45_neardup_clusters,
+        "q46_table_rows": q46_table_rows,
     }
 
 
@@ -1370,8 +1441,12 @@ select url, content_type, parse_ok, confidence, n_chars, n_spans,
     s -> s['start']::varchar || ':' || s['end']::varchar || ':' || s['kind']),
     ';'), '') as spans_sig,
   coalesce(array_to_string(warnings, '|'), '') as warnings_sig,
-  fc_sig
+  fc_sig, n_pages, n_tables, tables_sig
 from read_parquet('{_q34_golden_path()}')
+""",
+        "q46_table_rows": f"""
+select url, t_idx, r_idx, key, value
+from read_parquet('{_q46_golden_path()}')
 """,
         "q39_field_confidences": f"""
 select url, conf_title, conf_paragraph, conf_list_item, conf_table_text

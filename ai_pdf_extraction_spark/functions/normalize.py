@@ -151,9 +151,43 @@ def normalize_field_name(col: Column | str) -> Column:
 
 
 def clean_null_from_array(col: Column | str) -> Column:
-    """Drop nulls from an array — the reference's recursive
-    "List Stutter" fix (``validation.py:138-154``)."""
+    """Drop nulls from a FLAT array — the single-level case of the
+    reference's "List Stutter" fix (``validation.py:138-154``). For
+    nested payloads use :func:`clean_null_from_arrays_deep`."""
     return F.filter(_c(col), lambda x: x.isNotNull())
+
+
+def clean_null_from_arrays_deep(col: Column | str, dtype) -> Column:
+    """Recursive "List Stutter" fix (``validation.py:138-154``): drop
+    null items from every array at every nesting level of a complex
+    column, driven by its DataType (arrays filter then recurse into
+    elements; maps/structs recurse into values/fields; atoms pass
+    through). Pure Column expressions — identity wraps are skipped so
+    simple element types add no HOF layer."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _complex(dt) -> bool:
+        return isinstance(dt, (ArrayType, MapType, StructType))
+
+    def _walk(c: Column, dt) -> Column:
+        if isinstance(dt, ArrayType):
+            cleaned = F.filter(c, lambda x: x.isNotNull())
+            if _complex(dt.elementType):
+                return F.transform(cleaned, lambda x: _walk(x, dt.elementType))
+            return cleaned
+        if isinstance(dt, MapType):
+            if _complex(dt.valueType):
+                return F.transform_values(c, lambda _k, v: _walk(v, dt.valueType))
+            return c
+        if isinstance(dt, StructType):
+            if not any(_complex(f.dataType) for f in dt.fields):
+                return c
+            return F.struct(
+                *[_walk(c[f.name], f.dataType).alias(f.name) for f in dt.fields]
+            )
+        return c
+
+    return _walk(_c(col), dtype)
 
 
 def required_empty_warning(col: Column | str, field_name: str) -> Column:

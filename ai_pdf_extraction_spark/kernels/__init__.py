@@ -24,7 +24,9 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #     boiler stack drains (sibling text survives); a new <a> implies
 #     closing an open boiler <a> (HTML5 anchors-never-nest applied to
 #     the boiler stack, not just link depth)
-KERNEL_VERSION = 4
+# v5: structured table payload (array-of-row-maps per <table> — the
+#     reference's `array` FieldType) + n_pages page-count probe
+KERNEL_VERSION = 5
 
 
 def extract_document(data: bytes) -> ExtractionResult:

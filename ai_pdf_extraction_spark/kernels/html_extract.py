@@ -26,7 +26,11 @@ from __future__ import annotations
 
 import re
 
-from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
+from ai_pdf_extraction_spark.kernels.types import (
+    ExtractionResult,
+    Span,
+    clean_null_nested,
+)
 
 # Subtrees that never contain main content.
 _SKIP_TAGS = frozenset(
@@ -148,6 +152,34 @@ class _Block:
         self.boiler = boiler
 
 
+_KEY_STRIP_RE = re.compile(r"[^a-z0-9_]")
+_KEY_SEP_RE = re.compile(r"[-\s]+")
+_KEY_SQUEEZE_RE = re.compile(r"_+")
+
+
+def _norm_key(header: str) -> str:
+    """Header text → snake_case field name (the reference's field-name
+    rule ``models.py:63-71`` — lowercase, ``-``→``_`` — extended to
+    free-text headers: whitespace also becomes ``_``, any other
+    non-alnum is stripped, runs of ``_`` collapse)."""
+    key = _KEY_SEP_RE.sub("_", header.strip().lower())
+    key = _KEY_STRIP_RE.sub("", key)
+    return _KEY_SQUEEZE_RE.sub("_", key).strip("_")
+
+
+class _TableCtx:
+    """In-flight structured capture of one <table> subtree."""
+
+    __slots__ = ("rows", "row", "row_th", "cell", "dropped")
+
+    def __init__(self, dropped: bool) -> None:
+        self.rows: list[tuple[bool, list[str]]] = []  # (had_th, cells)
+        self.row: list[str] | None = None
+        self.row_th = False
+        self.cell: list[str] | None = None
+        self.dropped = dropped  # opened inside a boiler subtree
+
+
 class _MainContentParser:
     """Streams the DOM once, segmenting text into classified blocks.
 
@@ -172,6 +204,13 @@ class _MainContentParser:
         # boiler mode until the *outer* close tag.
         self._boiler_stack: list[list] = []
         self._current: _Block | None = None
+        # Structured table capture (the reference's ``array`` FieldType
+        # — array-of-objects rows, SEC 8-K ``securities_registered``
+        # shape): PARALLEL bookkeeping, never feeds the text/span
+        # stream. A stack because tables nest; a nested table's cells
+        # belong to the inner table only.
+        self.tables: list[list[dict[str, str]]] = []
+        self._table_stack: list[_TableCtx] = []
 
     # -- helpers -------------------------------------------------------
 
@@ -232,6 +271,59 @@ class _MainContentParser:
         self._flush()
         self._current = _Block(kind, boiler=self._boiler_depth > 0)
 
+    # -- structured table capture --------------------------------------
+
+    def _table_end_cell(self, ctx: _TableCtx) -> None:
+        if ctx.cell is not None:
+            if ctx.row is None:
+                ctx.row = []
+            ctx.row.append(_WS_RE.sub(" ", "".join(ctx.cell)).strip())
+            ctx.cell = None
+
+    def _table_end_row(self, ctx: _TableCtx) -> None:
+        self._table_end_cell(ctx)
+        if ctx.row is not None:
+            ctx.rows.append((ctx.row_th, ctx.row))
+            ctx.row = None
+        ctx.row_th = False
+
+    def _table_finalize(self) -> None:
+        """Close the top table: first row with a <th> becomes the
+        header (keys via ``_norm_key``; empty/duplicate headers get
+        positional ``col_N`` / ``_2`` names); remaining rows map header
+        → cell. Empty cells become None, all-empty rows become None,
+        then the recursive null filter (reference "List Stutter" fix,
+        ``validation.py:138-154``) drops them — empty cells as omitted
+        map keys is the map-type adaptation of the reference's
+        empty-value→None rule (``validation.py:456-464``)."""
+        ctx = self._table_stack.pop()
+        self._table_end_row(ctx)
+        if ctx.dropped or not ctx.rows:
+            return
+        rows = ctx.rows
+        if rows[0][0]:  # header row present
+            raw_headers, data_rows = rows[0][1], rows[1:]
+        else:  # headerless table: positional keys, every row is data
+            raw_headers, data_rows = [], rows
+        headers: list[str] = []
+        seen: dict[str, int] = {}
+        for i, h in enumerate(raw_headers):
+            key = _norm_key(h) or f"col_{i + 1}"
+            n = seen.get(key, 0) + 1
+            seen[key] = n
+            headers.append(key if n == 1 else f"{key}_{n}")
+        out_rows: list[dict[str, str] | None] = []
+        for _, cells in data_rows:
+            row = {
+                (headers[i] if i < len(headers) else f"col_{i + 1}"): (c or None)
+                for i, c in enumerate(cells)
+            }
+            row = {k: v for k, v in row.items() if v is not None}
+            out_rows.append(row or None)
+        cleaned = clean_null_nested(out_rows)
+        if cleaned:
+            self.tables.append(cleaned)
+
     def _pop_boiler(self) -> None:
         """Close the top boiler-stack entry, mirroring its entry mode.
 
@@ -275,6 +367,24 @@ class _MainContentParser:
                     self._skip_depth -= 1
             if self._skip_depth:
                 return
+        if tag == "table":
+            self._table_stack.append(
+                _TableCtx(
+                    dropped=self._boiler_depth > 0 or self._attr_is_boiler(attrs)
+                )
+            )
+        elif self._table_stack:
+            ctx = self._table_stack[-1]
+            if tag == "tr":
+                self._table_end_row(ctx)
+                ctx.row = []
+            elif tag in ("td", "th"):
+                self._table_end_cell(ctx)
+                if ctx.row is None:
+                    ctx.row = []
+                ctx.cell = []
+                if tag == "th":
+                    ctx.row_th = True
         if tag == "a" and self._boiler_stack and self._boiler_stack[-1][0] == "a":
             # Anchors never nest (HTML5): a new <a> implies closing an
             # open boiler <a> before it opens. Apply the rule to the
@@ -340,6 +450,13 @@ class _MainContentParser:
             return
         if self._skip_depth:
             return
+        if self._table_stack and tag in ("table", "tr", "td", "th"):
+            if tag == "table":
+                self._table_finalize()
+            elif tag == "tr":
+                self._table_end_row(self._table_stack[-1])
+            else:
+                self._table_end_cell(self._table_stack[-1])
         if self._boiler_stack and self._boiler_stack[-1][0] == tag:
             entry = self._boiler_stack[-1]
             if entry[1]:
@@ -356,6 +473,10 @@ class _MainContentParser:
     def handle_data(self, data: str) -> None:
         if self._skip_depth or not data:
             return
+        if self._table_stack:
+            ctx = self._table_stack[-1]
+            if ctx.cell is not None and not ctx.dropped and not self._boiler_depth:
+                ctx.cell.append(data)
         if (
             self._boiler_depth
             and self._current is not None
@@ -374,6 +495,10 @@ class _MainContentParser:
             self._current.link_chars += len(_WS_RE.sub(" ", data).strip())
 
     def close(self) -> None:
+        # truncated html: unclosed tables still finalize (libxml2-style
+        # recovery — whatever rows were parsed are kept)
+        while self._table_stack:
+            self._table_finalize()
         self._flush()
 
 
@@ -544,4 +669,6 @@ def extract_html(data: bytes) -> ExtractionResult:
         content_type="html",
         confidence=confidence,
         field_confidences=field_confidences,
+        tables=parser.tables,
+        n_pages=1 if parse_ok else 0,
     )

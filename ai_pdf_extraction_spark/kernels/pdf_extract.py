@@ -395,4 +395,10 @@ def extract_pdf(data: bytes) -> ExtractionResult:
         content_type="pdf",
         confidence=confidence,
         field_confidences=field_confidences,
+        # page-count probe (reference S3, ``pdf_service.py:148-179``):
+        # one content stream per page in this corpus format. Structured
+        # ``tables`` stay empty for PDFs — the reference's table rows
+        # come from the LLM reading layout; the deterministic analogue
+        # (column-aligned bbox clustering) is a documented seam.
+        n_pages=len(streams),
     )

@@ -46,6 +46,19 @@ class ExtractionResult:
     # HTML = kept/candidate chars of that kind, PDF = the stream-parse
     # ratio for each kind present.
     field_confidences: dict[str, float] = field(default_factory=dict)
+    # Structured table payload — the deterministic analogue of the
+    # reference's ``array`` FieldType (array-of-objects rows, e.g. the
+    # SEC 8-K ``securities_registered`` field,
+    # ``app/test-pdfs/SEC 8-K/extraction_results.json``; validated at
+    # ``services/ai/validation.py:467-488``). One entry per accepted
+    # <table>: a list of rows, each row a {normalized_header: cell}
+    # dict with empty cells removed (the "List Stutter" null filter,
+    # ``validation.py:138-154``, applied recursively).
+    tables: list[list[dict[str, str]]] = field(default_factory=list)
+    # Page-count probe (reference S3, ``services/pdf_service.py:148-179``):
+    # content-stream pages for PDFs, 1 for a parsed HTML page, 0 on
+    # parse failure.
+    n_pages: int = 0
 
     @property
     def n_chars(self) -> int:
@@ -54,3 +67,33 @@ class ExtractionResult:
     @property
     def n_spans(self) -> int:
         return len(self.spans)
+
+    @property
+    def n_tables(self) -> int:
+        return len(self.tables)
+
+
+def clean_null_nested(data):
+    """Recursively remove None items from lists anywhere in a nested
+    dict/list structure — byte-for-byte the reference's "List Stutter"
+    fix (``services/ai/validation.py:138-154``), shared by the kernels
+    and the pytest oracle."""
+    if isinstance(data, dict):
+        return {k: clean_null_nested(v) for k, v in data.items()}
+    if isinstance(data, list):
+        return [clean_null_nested(item) for item in data if item is not None]
+    return data
+
+
+def tables_signature(tables: list[list[dict[str, str]]]) -> str:
+    """Canonical serialization of the structured table payload, for
+    golden-vs-Spark value hashing: entries ``key=value`` sorted by key
+    and joined with ``,``; rows joined with ``;``; tables joined with
+    ``|``. The Spark twin builds the identical string from the nested
+    column with transform/map_entries (``__spark_entry__._tables_sig``)."""
+    return "|".join(
+        ";".join(
+            ",".join(f"{k}={v}" for k, v in sorted(row.items())) for row in table
+        )
+        for table in tables
+    )

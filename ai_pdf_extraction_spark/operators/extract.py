@@ -50,6 +50,16 @@ EXTRACTION_TYPE = StructType(
         StructField("field_confidences", MapType(StringType(), DoubleType()), False),
         StructField("n_chars", LongType(), False),
         StructField("n_spans", IntegerType(), False),
+        # structured table rows — the reference's `array` FieldType
+        # (array-of-objects, validation.py:467-488): one entry per
+        # accepted <table>, each an array of {header: cell} row maps
+        StructField(
+            "tables",
+            ArrayType(ArrayType(MapType(StringType(), StringType()))),
+            False,
+        ),
+        # page-count probe (reference S3, pdf_service.py:148-179)
+        StructField("n_pages", IntegerType(), False),
     ]
 )
 
@@ -71,6 +81,8 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
     fconfs: list[dict] = []
     n_chars: list[int] = []
     n_spans: list[int] = []
+    tables: list[list] = []
+    n_pages: list[int] = []
     for raw in html:
         res = extract_document(bytes(raw) if raw is not None else b"")
         texts.append(res.text)
@@ -82,6 +94,8 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
         fconfs.append(dict(res.field_confidences))
         n_chars.append(res.n_chars)
         n_spans.append(res.n_spans)
+        tables.append(res.tables)
+        n_pages.append(res.n_pages)
     return pd.DataFrame(
         {
             "extracted_text": texts,
@@ -93,6 +107,8 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
             "field_confidences": fconfs,
             "n_chars": n_chars,
             "n_spans": n_spans,
+            "tables": tables,
+            "n_pages": n_pages,
         }
     )
 

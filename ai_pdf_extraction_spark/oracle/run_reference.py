@@ -11,6 +11,7 @@ fixtures without a JVM.
 from __future__ import annotations
 
 from ai_pdf_extraction_spark.kernels import extract_document
+from ai_pdf_extraction_spark.kernels.types import tables_signature
 
 GOLDEN_COLUMNS = (
     "url",
@@ -27,6 +28,9 @@ GOLDEN_COLUMNS = (
     "conf_table_text",
     "n_chars",
     "n_spans",
+    "n_pages",
+    "n_tables",
+    "tables_sig",
 )
 
 # span kinds that can carry a per-field confidence (FIXTURES.md §2)
@@ -61,6 +65,9 @@ def extract_rows(pages: list[dict]) -> list[dict]:
                 **{f"conf_{k}": fc.get(k) for k in FIELD_KINDS},
                 "n_chars": res.n_chars,
                 "n_spans": res.n_spans,
+                "n_pages": res.n_pages,
+                "n_tables": res.n_tables,
+                "tables_sig": tables_signature(res.tables),
             }
         )
     return out
@@ -110,9 +117,52 @@ def write_golden_parquet(path: str, pages: list[dict]) -> int:
             },
             "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
             "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+            "n_pages": pa.array([r["n_pages"] for r in rows], pa.int32()),
+            "n_tables": pa.array([r["n_tables"] for r in rows], pa.int32()),
+            "tables_sig": pa.array([r["tables_sig"] for r in rows], pa.string()),
         }
     )
     tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return len(rows)
+
+
+def write_table_rows_golden(path: str, pages: list[dict]) -> int:
+    """Exploded structured-table rows golden: one row per (url, table,
+    row, key) — the DuckDB oracle for the q46 array-of-struct query
+    reads this flat shape directly (no nested-map surgery in SQL)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    urls: list[str] = []
+    t_idx: list[int] = []
+    r_idx: list[int] = []
+    keys: list[str] = []
+    values: list[str] = []
+    for row in pages:
+        res = extract_document(row["html"])
+        for ti, tbl in enumerate(res.tables):
+            for ri, rec in enumerate(tbl):
+                for k, v in rec.items():
+                    urls.append(row["url"])
+                    t_idx.append(ti)
+                    r_idx.append(ri)
+                    keys.append(k)
+                    values.append(v)
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "t_idx": pa.array(t_idx, pa.int32()),
+            "r_idx": pa.array(r_idx, pa.int32()),
+            "key": pa.array(keys, pa.string()),
+            "value": pa.array(values, pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return len(urls)

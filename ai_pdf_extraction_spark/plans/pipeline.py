@@ -51,6 +51,8 @@ OUTPUT_COLUMNS = (
     "field_confidences",
     "n_chars",
     "n_spans",
+    "tables",
+    "n_pages",
     "run_id",
     "bucket",
 )
@@ -90,6 +92,8 @@ def project_extraction(pages: DataFrame, run_id: str, n_buckets: int) -> DataFra
         F.col("extraction.field_confidences").alias("field_confidences"),
         F.col("extraction.n_chars").alias("n_chars"),
         F.col("extraction.n_spans").alias("n_spans"),
+        F.col("extraction.tables").alias("tables"),
+        F.col("extraction.n_pages").alias("n_pages"),
         F.lit(run_id).alias("run_id"),
         url_bucket(n_buckets=n_buckets).alias("bucket"),
     )

@@ -56,7 +56,12 @@ def flatten_for_csv(
         if expand_conf and field.name == confidence_map_col:
             continue  # replaced by the <field>_confidence columns below
         if isinstance(field.dataType, ArrayType):
-            if isinstance(field.dataType.elementType, StructType):
+            # struct/array/map elements all take the reference's
+            # ' | '-joined-JSON treatment (covers the nested `tables`
+            # payload: array<array<map<string,string>>>)
+            if isinstance(
+                field.dataType.elementType, (StructType, ArrayType, MapType)
+            ):
                 cols.append(csv_cell(field.name, True).alias(field.name))
             else:
                 cols.append(
