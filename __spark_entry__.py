@@ -468,12 +468,39 @@ def q25_ann_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+_IVF_CACHE: dict[str, list] = {}
+
+
+def _ivf_centroids(sf_dir: str) -> list:
+    """Deterministic k-means coarse quantizer for ``sf_dir``'s
+    embeddings table (trained once per path; Spark-free so
+    ``oracle_sql()`` trains the identical centroids — same
+    ``SPARK_GRAFT_CONTRACT_SF`` contract as the q23 golden)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    got = _IVF_CACHE.get(path)
+    if got is None:
+        from ai_pdf_extraction_spark.operators.similarity import (
+            load_embedding_sample,
+            train_ivf_centroids,
+        )
+
+        got = train_ivf_centroids(
+            load_embedding_sample(path), n_clusters=8, n_iters=10, seed=13
+        )
+        _IVF_CACHE[path] = got
+    return got
+
+
 def q26_ivf_topk(spark, sf_dir):
+    """IVF ANN with a REAL trained coarse quantizer: deterministic
+    k-means centroids (offline, on a bounded pyarrow sample) embedded
+    as plan-time literals; assignment is a pure Column argmin on both
+    the corpus and query sides — no precomputed cluster column."""
     from ai_pdf_extraction_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=5)
+    return ivf_topk(emb, queries, k=5, centroids=_ivf_centroids(sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1106,6 +1133,43 @@ _COS_EXPR = (
 )
 
 
+def _ivf_sql(centroids: list, k: int = 5) -> str:
+    """q26 oracle: the SAME trained centroid literals as the Spark
+    plan, assignment = first-index argmin of rounded squared-L2
+    (list_position mirrors array_position's first-match rule), then
+    in-cluster cosine top-k."""
+
+    def dist(c: list) -> str:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        return (
+            "round(list_sum(list_transform(list_zip(embedding, " + lit + "), "
+            "x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2]))), 6)"
+        )
+
+    dlist = ",\n    ".join(dist(c) for c in centroids)
+    return f"""
+with darr as (
+  select vec_id, embedding, [{dlist}] as dl from embeddings
+),
+assign as (
+  select vec_id, embedding, list_position(dl, list_min(dl)) - 1 as cluster
+  from darr
+),
+scored as (
+  select b.vec_id as query_id, a.vec_id as neighbor_id,
+    {_COS_EXPR.format(r=6)} as cos
+  from assign a
+  join assign b on b.vec_id < 5 and a.vec_id != b.vec_id
+                and a.cluster = b.cluster
+)
+select query_id, neighbor_id, cos, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cos desc, neighbor_id asc) as rank
+  from scored
+) where rank <= {k}
+"""
+
+
 def _minhash_cte(k: int = 12, bands: int = 4) -> str:
     """Shingles + MinHash signature + banded LSH candidate CTEs, ending
     with ``cand(id_a, id_b)`` — shared by q22 and q45."""
@@ -1494,20 +1558,11 @@ select query_id, neighbor_id, cos, rank from (
   from scored
 ) where rank <= 5
 """,
-        "q26_ivf_topk": f"""
-with scored as (
-  select b.vec_id as query_id, a.vec_id as neighbor_id,
-    {_COS_EXPR.format(r=6)} as cos
-  from embeddings a
-  join embeddings b on b.vec_id < 5 and a.vec_id != b.vec_id
-                    and a.label = b.label
-)
-select query_id, neighbor_id, cos, rank from (
-  select *, row_number() over (partition by query_id
-                               order by cos desc, neighbor_id asc) as rank
-  from scored
-) where rank <= 5
-""",
+        "q26_ivf_topk": _ivf_sql(
+            _ivf_centroids(
+                os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+            )
+        ),
         "q27_hourly_event_counts": """
 select date_trunc('hour', ts) as hour, event_type,
   count(*) as n_events, round(sum(value), 2) as sum_value

@@ -61,6 +61,59 @@ def parse_currency(col: Column | str) -> Column:
     return normalized.try_cast("double")
 
 
+# Currency-token detection (the symbol/ISO half of price-parser that
+# parse_currency's numeric path drops — reference validation.py:34-82
+# gets it free from Price.fromstring().currency). ISO codes match on
+# word boundaries; multi-char symbol prefixes (US$, R$) before bare $.
+_ISO_CODES = (
+    "USD|EUR|GBP|JPY|CHF|CAD|AUD|NZD|CNY|HKD|SGD|SEK|NOK|DKK|PLN|INR|"
+    "BRL|MXN|RUB|KRW|TRY|ZAR"
+)
+_SYMBOLS = r"US\$|R\$|C\$|A\$|NZ\$|HK\$|S\$|\$|€|£|¥|₹|₩|₽|¢"
+_CURRENCY_TOKEN_RE = rf"(\b(?:{_ISO_CODES})\b|{_SYMBOLS})"
+
+# Unambiguous symbol → ISO 4217. '$' resolves to USD (price-parser's
+# own default locale bias) and '¥' to JPY — documented guesses for the
+# genuinely ambiguous glyphs; '¢' stays unmapped (a subunit, not a
+# currency).
+_SYMBOL_TO_ISO = {
+    "US$": "USD",
+    "$": "USD",
+    "€": "EUR",
+    "£": "GBP",
+    "¥": "JPY",
+    "₹": "INR",
+    "₩": "KRW",
+    "₽": "RUB",
+    "R$": "BRL",
+    "C$": "CAD",
+    "A$": "AUD",
+    "NZ$": "NZD",
+    "HK$": "HKD",
+    "S$": "SGD",
+}
+
+
+def detect_currency(col: Column | str) -> Column:
+    """First currency token in the string, verbatim ('€', 'US$',
+    'USD') — prefix and SUFFIX positions both match ('1.234,56 €').
+    Null when nothing matches (plain numbers stay code-less)."""
+    tok = F.regexp_extract(_c(col).cast("string"), _CURRENCY_TOKEN_RE, 1)
+    return F.when(tok == "", F.lit(None).cast("string")).otherwise(tok)
+
+
+def currency_code(col: Column | str) -> Column:
+    """ISO-4217 companion column for :func:`parse_currency`: a
+    detected ISO code passes through; unambiguous symbols map via
+    ``_SYMBOL_TO_ISO``; anything else (no token, unmapped symbol) is
+    null. Pure Column expressions — the numeric path is untouched."""
+    tok = detect_currency(col)
+    mapped = F.when(tok.rlike(f"^(?:{_ISO_CODES})$"), tok)  # else null
+    for sym, iso in _SYMBOL_TO_ISO.items():
+        mapped = F.when(tok == sym, F.lit(iso)).otherwise(mapped)
+    return mapped
+
+
 def parse_date(col: Column | str) -> Column:
     """Date string → DateType (``validation.py:85-135``).
 

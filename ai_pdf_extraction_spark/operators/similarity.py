@@ -1,12 +1,16 @@
 """Similarity search over an embedding column (``array<float>``).
 
-Brute-force cosine top-k is the correctness baseline; the IVF-style
-variant restricts the candidate set to the query's coarse cluster
-(here the precomputed ``label`` column stands in for a k-means coarse
-quantizer — at 100 TB you'd train centroids offline, broadcast them,
-and assign via a vectorized pandas UDF). Both are pure DataFrame ops:
-the probe side is tiny and **broadcast**, so the scan side streams
-without a shuffle.
+Brute-force cosine top-k is the correctness baseline; the IVF variant
+restricts the candidate set to the query's coarse cluster. The coarse
+quantizer is a REAL deterministic k-means (``train_ivf_centroids``:
+fixed seed, fixed iteration count, k-means++ init) trained offline on
+a bounded deterministic sample (``load_embedding_sample`` — Spark-free
+pyarrow read, so the DuckDB oracle trains the identical centroids);
+the trained centroids embed as plan-time literals (the ``lsh_planes``
+pattern) and assignment is a pure Column argmin — at 100 TB the
+centroids broadcast by closure and the scan side streams without a
+shuffle. All variants are pure DataFrame ops: the probe side is tiny
+and **broadcast**.
 """
 
 from __future__ import annotations
@@ -144,26 +148,121 @@ def lsh_topk(
     )
 
 
+def load_embedding_sample(
+    parquet_path: str, max_rows: int = 4096, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic, Spark-free training sample for the coarse
+    quantizer: rows sorted by id, strided down to ≤ ``max_rows``.
+
+    Spark-free (pyarrow) on purpose — ``oracle_sql()`` must train the
+    IDENTICAL centroids without a session. At 100 TB the analogous
+    offline step samples ~1e6 vectors via
+    ``pmod(xxhash64(id), stride) = 0`` into the trainer; IVF coarse
+    quantizers train on a bounded sample regardless of corpus size
+    (the candidate-list structure, not the training set, is what
+    scales)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t[id_col].to_pylist()
+    vecs = t[vec_col].to_pylist()
+    rows = sorted(zip(ids, vecs))
+    stride = max(1, -(-len(rows) // max_rows))
+    return [[float(x) for x in v] for _, v in rows[::stride]][:max_rows]
+
+
+def train_ivf_centroids(
+    vectors: list[list[float]],
+    n_clusters: int = 8,
+    n_iters: int = 10,
+    seed: int = 13,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means: k-means++ init from a fixed
+    RandomState, exactly ``n_iters`` iterations, empty clusters
+    reseeded to the deterministic farthest point. Centroids round to 6
+    so the identical literals embed in both the Spark plan and the
+    DuckDB oracle SQL (the ``lsh_planes`` pattern)."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    n = len(X)
+    rs = np.random.RandomState(seed)
+    # k-means++ seeding
+    centers = [X[rs.randint(n)]]
+    for _ in range(1, min(n_clusters, n)):
+        d2 = np.min(
+            [np.sum((X - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        total = d2.sum()
+        if total <= 0:
+            centers.append(X[rs.randint(n)])
+            continue
+        centers.append(X[np.searchsorted(np.cumsum(d2 / total), rs.rand())])
+    C = np.asarray(centers)
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+            else:  # deterministic reseed: globally farthest point
+                C[j] = X[d2.min(axis=1).argmax()]
+    return [[round(float(x), 6) for x in c] for c in C]
+
+
+def ivf_assign(vec_col, centroids: list[list[float]]):
+    """Coarse-quantizer assignment as a pure Column expression: argmin
+    of per-centroid squared-L2 distance (rounded to 6 for cross-engine
+    float parity; ties break to the lowest centroid index — both
+    ``array_position`` and DuckDB ``list_position`` return the first
+    match). Centroid literals ride the plan (broadcast by closure)."""
+    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.round(d2, 6))
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
     cluster_col: str = "label",
 ) -> DataFrame:
     """IVF-bucketed ANN: search only the query's coarse cluster
-    (nprobe=1). Same output shape as ``cosine_topk``; recall < 1.0 by
-    design — the scale path trades exactness for a candidate set
+    (nprobe=1). With ``centroids`` (the trained quantizer) both sides
+    are assigned via :func:`ivf_assign`; without, a precomputed
+    ``cluster_col`` is trusted (legacy/externally-clustered corpora).
+    Same output shape as ``cosine_topk``; recall < 1.0 by design — the
+    scale path trades exactness for a candidate set
     |cluster| ≪ |corpus|."""
-    qs = _side(
-        queries, id_col, vec_col, "query_id", "qv", "qn",
-        extra={"qc": F.col(cluster_col)},
-    )
-    cs = _side(
-        emb, id_col, vec_col, "neighbor_id", "cv", "cn",
-        extra={"cc": F.col(cluster_col)},
-    )
+    if centroids is not None:
+        cluster = lambda vcol: ivf_assign(vcol, centroids)  # noqa: E731
+        qs = _side(queries, id_col, vec_col, "query_id", "qv", "qn")
+        qs = qs.withColumn("qc", cluster(F.col("qv")))
+        cs = _side(emb, id_col, vec_col, "neighbor_id", "cv", "cn")
+        cs = cs.withColumn("cc", cluster(F.col("cv")))
+    else:
+        qs = _side(
+            queries, id_col, vec_col, "query_id", "qv", "qn",
+            extra={"qc": F.col(cluster_col)},
+        )
+        cs = _side(
+            emb, id_col, vec_col, "neighbor_id", "cv", "cn",
+            extra={"cc": F.col(cluster_col)},
+        )
     return _ranked_topk(
         qs,
         cs,

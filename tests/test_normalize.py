@@ -106,6 +106,41 @@ def test_parse_currency_lone_comma_decimal(spark):
     assert _eval_str(spark, parse_currency, "1234,5") == pytest.approx(1234.5)
 
 
+CURRENCY_CODE_CASES = [
+    # (raw, detected token, ISO code)
+    ("$1,234.56", "$", "USD"),
+    ("US$ 99.50", "US$", "USD"),
+    ("€1.234,56", "€", "EUR"),
+    ("1.234,56 €", "€", "EUR"),  # suffix symbol (EU layout)
+    ("£500.00", "£", "GBP"),
+    ("¥1,234", "¥", "JPY"),
+    ("1000 USD", "USD", "USD"),
+    ("eur 5", None, None),  # ISO codes are case-sensitive uppercase
+    ("R$ 12,50", "R$", "BRL"),
+    ("₹ 1,00,000", "₹", "INR"),
+    ("99 ¢", "¢", None),  # subunit: detected but not an ISO code
+    ("1234.56", None, None),  # plain number: code-less
+    ("", None, None),
+]
+
+
+@pytest.mark.parametrize("raw,token,iso", CURRENCY_CODE_CASES)
+def test_currency_code_detection(spark, raw, token, iso):
+    from ai_pdf_extraction_spark.functions.normalize import (
+        currency_code,
+        detect_currency,
+    )
+
+    assert _eval_str(spark, detect_currency, raw) == token
+    assert _eval_str(spark, currency_code, raw) == iso
+
+
+def test_currency_code_keeps_numeric_path_byte_stable(spark):
+    """The companion column must not perturb parse_currency."""
+    for raw, expect in [("US$ 99.50", 99.5), ("1.234,56 €", 1234.56)]:
+        assert _eval_str(spark, parse_currency, raw) == pytest.approx(expect)
+
+
 @pytest.mark.parametrize("raw,expected", DATE_CASES)
 def test_parse_date(spark, raw, expected):
     assert _eval_str(spark, parse_date, raw) == expected

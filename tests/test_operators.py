@@ -224,6 +224,42 @@ def test_embedding_near_dup_and_topk(spark):
     assert ids == {2, 5}, "IVF must only search the query's cluster"
 
 
+def test_ivf_trained_quantizer(spark):
+    """Real coarse quantizer: deterministic across calls, separates
+    two obvious clusters, and the trained ivf_topk path returns only
+    same-cluster neighbors."""
+    from ai_pdf_extraction_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    # two tight clusters around e1 and e2
+    vecs = [[1.0 + 0.01 * i, 0.02 * i, 0.0, 0.0] for i in range(6)] + [
+        [0.02 * i, 1.0 + 0.01 * i, 0.0, 0.0] for i in range(6)
+    ]
+    c1 = train_ivf_centroids(vecs, n_clusters=2, n_iters=5, seed=3)
+    c2 = train_ivf_centroids(vecs, n_clusters=2, n_iters=5, seed=3)
+    assert c1 == c2, "same seed + iters must reproduce centroids exactly"
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = emb.select(
+        "vec_id",
+        ivf_assign(
+            F.transform("embedding", lambda x: x.cast("double")), c1
+        ).alias("c"),
+    ).collect()
+    by_id = {r["vec_id"]: r["c"] for r in assigned}
+    first = {by_id[i] for i in range(6)}
+    second = {by_id[i] for i in range(6, 12)}
+    assert len(first) == 1 and len(second) == 1 and first != second
+
+    got = ivf_topk(emb, emb.filter("vec_id = 0"), k=20, centroids=c1).collect()
+    assert {r["neighbor_id"] for r in got} == {1, 2, 3, 4, 5}
+
+
 def test_text_analysis_columns(spark):
     from ai_pdf_extraction_spark.operators.text_analysis import (
         lang_guess,
