@@ -136,9 +136,19 @@ def _word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataF
 
     Built entirely from array functions: split → sequence of start
     indices → transform to joined n-grams → explode. JVM-side only.
-    """
+
+    The word array is PROJECTED first (its own select) so the transform
+    lambda references a bound attribute: inlining ``split(...)`` into
+    the lambda body makes Catalyst recompute the split per element (no
+    CSE across HOF lambdas) — O(words²) work per doc, measured ~2×
+    on the whole shingle leg. Multi-use of the non-cheap alias keeps
+    CollapseProject from re-inlining it."""
     docs = _ensure_parallel(docs, id_col)
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_words"),
+    )
+    words = F.col("_words")
     n_words = F.size(words)
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] —
     # docs shorter than n words have no shingles
@@ -149,7 +159,7 @@ def _word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataF
         starts,
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
     )
-    return docs.select(
+    return base.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
