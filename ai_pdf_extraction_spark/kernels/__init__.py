@@ -26,7 +26,9 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #     the boiler stack, not just link depth)
 # v5: structured table payload (array-of-row-maps per <table> — the
 #     reference's `array` FieldType) + n_pages page-count probe
-KERNEL_VERSION = 5
+# v6: PDF structured tables — column-aligned multi-run baselines
+#     (x within ±3pt of the block's first line) → header + row maps
+KERNEL_VERSION = 6
 
 
 def extract_document(data: bytes) -> ExtractionResult:

@@ -29,7 +29,7 @@ import re
 from ai_pdf_extraction_spark.kernels.types import (
     ExtractionResult,
     Span,
-    clean_null_nested,
+    table_records,
 )
 
 # Subtrees that never contain main content.
@@ -150,21 +150,6 @@ class _Block:
         self.parts: list[str] = []
         self.link_chars = 0
         self.boiler = boiler
-
-
-_KEY_STRIP_RE = re.compile(r"[^a-z0-9_]")
-_KEY_SEP_RE = re.compile(r"[-\s]+")
-_KEY_SQUEEZE_RE = re.compile(r"_+")
-
-
-def _norm_key(header: str) -> str:
-    """Header text → snake_case field name (the reference's field-name
-    rule ``models.py:63-71`` — lowercase, ``-``→``_`` — extended to
-    free-text headers: whitespace also becomes ``_``, any other
-    non-alnum is stripped, runs of ``_`` collapse)."""
-    key = _KEY_SEP_RE.sub("_", header.strip().lower())
-    key = _KEY_STRIP_RE.sub("", key)
-    return _KEY_SQUEEZE_RE.sub("_", key).strip("_")
 
 
 class _TableCtx:
@@ -288,39 +273,21 @@ class _MainContentParser:
         ctx.row_th = False
 
     def _table_finalize(self) -> None:
-        """Close the top table: first row with a <th> becomes the
-        header (keys via ``_norm_key``; empty/duplicate headers get
-        positional ``col_N`` / ``_2`` names); remaining rows map header
-        → cell. Empty cells become None, all-empty rows become None,
-        then the recursive null filter (reference "List Stutter" fix,
-        ``validation.py:138-154``) drops them — empty cells as omitted
-        map keys is the map-type adaptation of the reference's
-        empty-value→None rule (``validation.py:456-464``)."""
+        """Close the top table: a first row containing a <th> becomes
+        the header; a headerless table keeps positional keys for every
+        row. Row-map construction (key normalization, empty-cell
+        omission, List-Stutter filter) is the shared
+        ``types.table_records`` — one copy for both kernels."""
         ctx = self._table_stack.pop()
         self._table_end_row(ctx)
         if ctx.dropped or not ctx.rows:
             return
         rows = ctx.rows
         if rows[0][0]:  # header row present
-            raw_headers, data_rows = rows[0][1], rows[1:]
+            header, data = rows[0][1], [cells for _, cells in rows[1:]]
         else:  # headerless table: positional keys, every row is data
-            raw_headers, data_rows = [], rows
-        headers: list[str] = []
-        seen: dict[str, int] = {}
-        for i, h in enumerate(raw_headers):
-            key = _norm_key(h) or f"col_{i + 1}"
-            n = seen.get(key, 0) + 1
-            seen[key] = n
-            headers.append(key if n == 1 else f"{key}_{n}")
-        out_rows: list[dict[str, str] | None] = []
-        for _, cells in data_rows:
-            row = {
-                (headers[i] if i < len(headers) else f"col_{i + 1}"): (c or None)
-                for i, c in enumerate(cells)
-            }
-            row = {k: v for k, v in row.items() if v is not None}
-            out_rows.append(row or None)
-        cleaned = clean_null_nested(out_rows)
+            header, data = None, [cells for _, cells in rows]
+        cleaned = table_records(header, data)
         if cleaned:
             self.tables.append(cleaned)
 

@@ -25,7 +25,11 @@ from __future__ import annotations
 
 import re
 
-from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
+from ai_pdf_extraction_spark.kernels.types import (
+    ExtractionResult,
+    Span,
+    table_records,
+)
 
 # The dict group tolerates hex strings (<DEADBEEF>) and one level of
 # nested <<...>> (each side allowing hex strings) — a lone <...> inside
@@ -302,7 +306,8 @@ def extract_pdf(data: bytes) -> ExtractionResult:
         )
 
     # One content stream per page in our corpus; page order = file order.
-    lines: list[tuple[int, float, float, float, str]] = []  # page,-y,x,size,text
+    # page, -y, x, size, text, x-sorted (x, run) parts
+    lines: list[tuple[int, float, float, float, str, list]] = []
     n_parsed_streams = 0
     for page, stream in enumerate(streams):
         try:
@@ -319,11 +324,12 @@ def extract_pdf(data: bytes) -> ExtractionResult:
 
         def flush_line() -> None:
             if cur_parts and cur_y is not None:
-                text = " ".join(
-                    t for _, t in sorted(cur_parts, key=lambda p: p[0])
-                ).strip()
+                ordered = sorted(cur_parts, key=lambda p: p[0])
+                text = " ".join(t for _, t in ordered).strip()
                 if text:
-                    lines.append((page, -cur_y, cur_parts[0][0], cur_size, text))
+                    lines.append(
+                        (page, -cur_y, cur_parts[0][0], cur_size, text, ordered)
+                    )
 
         for y, x, size, text in runs:
             if cur_y is None or abs(y - cur_y) > _LINE_Y_TOL:
@@ -346,12 +352,53 @@ def extract_pdf(data: bytes) -> ExtractionResult:
     # Reading order: (page, top-to-bottom, left-to-right).
     lines.sort(key=lambda ln: (ln[0], ln[1], ln[2]))
 
+    # Structured table capture (the deterministic analogue of the
+    # reference's LLM reading PDF layout tables — `array` FieldType,
+    # ``validation.py:467-488``): a table block is ≥2 consecutive
+    # multi-run lines (≥2 x-separated text runs on one baseline — one
+    # run per cell) whose column x-positions align within ±3pt of the
+    # block's first line. The first aligned line is the header row;
+    # row-map construction is the shared ``types.table_records``. The
+    # text/span stream is UNTOUCHED — cells still read left-to-right
+    # inside their line.
+    tables: list[list[dict[str, str]]] = []
+    _blk_rows: list[list[str]] = []
+    _blk_xs: list[float] = []
+    _blk_page = -1
+
+    def _flush_table_block() -> None:
+        nonlocal _blk_rows, _blk_xs
+        if len(_blk_rows) >= 2:
+            cleaned = table_records(_blk_rows[0], _blk_rows[1:])
+            if cleaned:
+                tables.append(cleaned)
+        _blk_rows, _blk_xs = [], []
+
+    for page, _neg_y, _x, _size, _text, parts in lines:
+        xs = [px for px, _ in parts]
+        cells = [t for _, t in parts]
+        is_row = len(parts) >= 2
+        aligned = (
+            is_row
+            and _blk_rows
+            and page == _blk_page
+            and len(xs) == len(_blk_xs)
+            and all(abs(a - b) <= 3.0 for a, b in zip(xs, _blk_xs))
+        )
+        if aligned:
+            _blk_rows.append(cells)
+        else:
+            _flush_table_block()
+            if is_row:
+                _blk_rows, _blk_xs, _blk_page = [cells], xs, page
+    _flush_table_block()
+
     # Group lines into blocks by vertical gap.
     blocks: list[tuple[str, str]] = []  # (kind, text)
     cur_lines: list[str] = []
     cur_kind = "paragraph"
     prev: tuple[int, float, float] | None = None  # page, -y, size
-    for page, neg_y, _x, size, text in lines:
+    for page, neg_y, _x, size, text, _parts in lines:
         new_block = False
         if prev is None:
             new_block = True
@@ -396,9 +443,7 @@ def extract_pdf(data: bytes) -> ExtractionResult:
         confidence=confidence,
         field_confidences=field_confidences,
         # page-count probe (reference S3, ``pdf_service.py:148-179``):
-        # one content stream per page in this corpus format. Structured
-        # ``tables`` stay empty for PDFs — the reference's table rows
-        # come from the LLM reading layout; the deterministic analogue
-        # (column-aligned bbox clustering) is a documented seam.
+        # one content stream per page in this corpus format
         n_pages=len(streams),
+        tables=tables,
     )

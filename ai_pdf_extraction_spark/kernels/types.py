@@ -73,6 +73,52 @@ class ExtractionResult:
         return len(self.tables)
 
 
+import re as _re
+
+_KEY_STRIP_RE = _re.compile(r"[^a-z0-9_]")
+_KEY_SEP_RE = _re.compile(r"[-\s]+")
+_KEY_SQUEEZE_RE = _re.compile(r"_+")
+
+
+def norm_field_key(header: str) -> str:
+    """Header text → snake_case field name (the reference's field-name
+    rule ``models.py:63-71`` — lowercase, ``-``→``_`` — extended to
+    free-text headers: whitespace also becomes ``_``, any other
+    non-alnum is stripped, runs of ``_`` collapse)."""
+    key = _KEY_SEP_RE.sub("_", header.strip().lower())
+    key = _KEY_STRIP_RE.sub("", key)
+    return _KEY_SQUEEZE_RE.sub("_", key).strip("_")
+
+
+def table_records(
+    header_cells: list[str] | None, data_rows: list[list[str]]
+) -> list[dict[str, str]]:
+    """Raw table cells → the reference's array-of-objects rows, shared
+    by the HTML and PDF kernels (one copy — kernel parity is by
+    construction). Header cells normalize via ``norm_field_key``
+    (empty → positional ``col_N``, duplicates suffix ``_2``…); data
+    cells beyond the header get ``col_N``; empty cells become None →
+    omitted keys (the map-type adaptation of ``validation.py:456-464``)
+    and all-empty rows become None → removed by the recursive
+    List-Stutter filter (``validation.py:138-154``)."""
+    headers: list[str] = []
+    seen: dict[str, int] = {}
+    for i, h in enumerate(header_cells or []):
+        key = norm_field_key(h) or f"col_{i + 1}"
+        n = seen.get(key, 0) + 1
+        seen[key] = n
+        headers.append(key if n == 1 else f"{key}_{n}")
+    out_rows: list[dict[str, str] | None] = []
+    for cells in data_rows:
+        row = {
+            (headers[i] if i < len(headers) else f"col_{i + 1}"): (c or None)
+            for i, c in enumerate(cells)
+        }
+        row = {k: v for k, v in row.items() if v is not None}
+        out_rows.append(row or None)
+    return clean_null_nested(out_rows)
+
+
 def clean_null_nested(data):
     """Recursively remove None items from lists anywhere in a nested
     dict/list structure — byte-for-byte the reference's "List Stutter"

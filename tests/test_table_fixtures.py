@@ -160,6 +160,70 @@ def test_table_rows_end_to_end_spark(spark, tmp_path):
     assert sec["n_pages"] == 1 and sec["n_tables"] == 2
 
 
+def _pdf_with_table(rows: list[tuple[str, ...]], col_gaps=(200, 120)) -> bytes:
+    """Minimal single-page PDF whose table rows are one Td-moved run
+    per cell on a shared baseline."""
+    parts = [
+        "BT /F1 24 Tf 72 720 Td (Attendance Report) Tj ET",
+        "BT /F1 12 Tf 72 680 Td 16 TL (This is the intro paragraph line one.)"
+        " Tj T* (And intro line two of the text.) Tj ET",
+    ]
+    y = 600
+    for r in rows:
+        seg = f"BT /F1 10 Tf 72 {y} Td ({r[0]}) Tj"
+        for gap, cell in zip(col_gaps, r[1:]):
+            seg += f" {gap} 0 Td ({cell}) Tj"
+        parts.append(seg + " ET")
+        y -= 14
+    stream = "\n".join(parts).encode("latin-1")
+    return (
+        b"%PDF-1.4\n1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj\n"
+        b"4 0 obj<</Length " + str(len(stream)).encode() + b">>stream\n"
+        + stream + b"\nendstream endobj\ntrailer<</Root 1 0 R>>\n%%EOF"
+    )
+
+
+def test_pdf_table_rows_kernel():
+    """School-attendance-style stats table from PDF layout: aligned
+    column runs become header+row maps; pinned literals, and the
+    text/span stream still carries the cells in reading order."""
+    from ai_pdf_extraction_spark.kernels import extract_document
+
+    pdf = _pdf_with_table(
+        [
+            ("Education Level", "Year", "Attendance Rate"),
+            ("K-2", "2023", "90.8"),
+            ("K-2", "2024", "90.5"),
+            ("3-6", "2024", "89.7"),
+        ]
+    )
+    res = extract_document(pdf)
+    assert res.parse_ok and res.content_type == "pdf"
+    assert res.tables == [
+        [
+            {"education_level": "K-2", "year": "2023", "attendance_rate": "90.8"},
+            {"education_level": "K-2", "year": "2024", "attendance_rate": "90.5"},
+            {"education_level": "3-6", "year": "2024", "attendance_rate": "89.7"},
+        ]
+    ]
+    assert "Education Level Year Attendance Rate" in res.text
+    assert res.n_pages == 1
+
+
+def test_pdf_misaligned_columns_are_not_a_table():
+    """Two multi-run lines whose columns do NOT align (second line's
+    cells sit 40pt off) must not fuse into a table block."""
+    from ai_pdf_extraction_spark.kernels import extract_document
+
+    pdf = _pdf_with_table(
+        [("Left Col", "Right Col")], col_gaps=(200,)
+    )  # single multi-run line: below the 2-line minimum
+    res = extract_document(pdf)
+    assert res.tables == []
+
+
 def test_clean_null_deep_matches_reference_semantics(spark):
     """Spark clean_null_from_arrays_deep == the reference's recursive
     _clean_null_from_arrays (validation.py:138-154) == the kernel-side
