@@ -66,6 +66,14 @@ _TAGS = (
     ("a", ' href="/x"'),
     ("a", ' class="share" href="#"'),
     ("b", ""),
+    # table machinery — the recursive generator will also produce
+    # PATHOLOGICAL nestings (td outside table, table inside td, tr
+    # inside tr): structured capture must stay equivalent and sane
+    ("table", ""),
+    ("table", ' class="advert"'),
+    ("tr", ""),
+    ("td", ""),
+    ("th", ""),
 )
 
 _LEAF = st.one_of(
@@ -142,6 +150,26 @@ def test_scanner_matches_stdlib_htmlparser(markup):
     assert ours.candidate_chars == theirs.candidate_chars
     assert ours.kind_candidate == theirs.kind_candidate
     assert ours.kind_kept == theirs.kind_kept
+    assert ours.tables == theirs.tables
+
+
+@settings(max_examples=150, deadline=None)
+@given(_DOC)
+def test_table_payload_invariants(markup):
+    """Whatever the markup, the structured payload obeys its contract:
+    keys are normalized snake_case (or positional col_N), values are
+    non-empty strings, no row is empty, no table has zero rows."""
+    import re
+
+    res = extract_html(markup.encode("utf-8"))
+    key_re = re.compile(r"^[a-z0-9_]+$")
+    for table in res.tables:
+        assert len(table) >= 1
+        for row in table:
+            assert isinstance(row, dict) and row
+            for k, v in row.items():
+                assert key_re.match(k), k
+                assert isinstance(v, str) and v.strip() == v and v
 
 
 def test_flate_compressed_pdf_extracts():
