@@ -976,6 +976,44 @@ def q36_curated_corpus(spark, sf_dir):
     )
 
 
+def q47_currency_codes(spark, sf_dir):
+    """Currency symbol/ISO detection + numeric parse (§2.7 F1 — the
+    price-parser ``currency`` half, ``validation.py:34-82``) over ten
+    deterministic format families synthesized from doc_id. The oracle
+    computes each family's expected amount ARITHMETICALLY (not by
+    re-implementing the parser), so parse_currency is checked against
+    independent ground truth per format."""
+    from ai_pdf_extraction_spark.functions.normalize import (
+        currency_code,
+        detect_currency,
+        parse_currency,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = (F.pmod(F.col("doc_id"), 900) + 100).cast("int").cast("string")
+    cc = F.lpad(F.pmod(F.col("doc_id"), 100).cast("string"), 2, "0")
+    m = F.pmod(F.col("doc_id"), 10)
+    raw = (
+        F.when(m == 0, F.concat(F.lit("$"), i, F.lit("."), cc))
+        .when(m == 1, F.concat(F.lit("€"), i, F.lit(","), cc))
+        .when(m == 2, F.concat(F.lit("£"), i))
+        .when(m == 3, F.concat(i, F.lit(" USD")))
+        .when(m == 4, F.concat(F.lit("US$ "), i))
+        .when(m == 5, F.concat(i, F.lit(","), cc, F.lit(" €")))
+        .when(m == 6, F.concat(F.lit("¥"), i))
+        .when(m == 7, F.concat(F.lit("R$ "), i, F.lit(","), cc))
+        .when(m == 8, F.concat(i, F.lit("."), cc))
+        .otherwise(F.concat(F.lit("1."), i, F.lit(","), cc, F.lit(" EUR")))
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw"),
+        detect_currency(raw).alias("token"),
+        currency_code(raw).alias("code"),
+        F.round(parse_currency(raw), 2).alias("amount"),
+    )
+
+
 def q37_url_canonicalize(spark, sf_dir):
     """URL canonicalization (crawl-dedup key normalization): messy
     urls deterministically synthesized from events rows, canonicalized
@@ -1058,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_token_budget": q44_token_budget,
         "q45_neardup_clusters": q45_neardup_clusters,
         "q46_table_rows": q46_table_rows,
+        "q47_currency_codes": q47_currency_codes,
     }
 
 
@@ -1511,6 +1550,42 @@ from read_parquet('{_q34_golden_path()}')
         "q46_table_rows": f"""
 select url, t_idx, r_idx, key, value
 from read_parquet('{_q46_golden_path()}')
+""",
+        "q47_currency_codes": """
+with base as (
+  select doc_id, doc_id % 10 as m,
+    (doc_id % 900 + 100) as i,
+    (doc_id % 900 + 100)::varchar as istr,
+    lpad((doc_id % 100)::varchar, 2, '0') as cc,
+    (doc_id % 100) / 100.0 as frac
+  from documents
+)
+select doc_id,
+  case m when 0 then '$' || istr || '.' || cc
+         when 1 then '€' || istr || ',' || cc
+         when 2 then '£' || istr
+         when 3 then istr || ' USD'
+         when 4 then 'US$ ' || istr
+         when 5 then istr || ',' || cc || ' €'
+         when 6 then '¥' || istr
+         when 7 then 'R$ ' || istr || ',' || cc
+         when 8 then istr || '.' || cc
+         else '1.' || istr || ',' || cc || ' EUR' end as raw,
+  case m when 0 then '$' when 1 then '€' when 2 then '£'
+         when 3 then 'USD' when 4 then 'US$' when 5 then '€'
+         when 6 then '¥' when 7 then 'R$' when 8 then null
+         else 'EUR' end as token,
+  case m when 0 then 'USD' when 1 then 'EUR' when 2 then 'GBP'
+         when 3 then 'USD' when 4 then 'USD' when 5 then 'EUR'
+         when 6 then 'JPY' when 7 then 'BRL' when 8 then null
+         else 'EUR' end as code,
+  round(case m when 0 then i + frac when 1 then i + frac
+               when 2 then i + 0.0 when 3 then i + 0.0
+               when 4 then i + 0.0 when 5 then i + frac
+               when 6 then i + 0.0 when 7 then i + frac
+               when 8 then i + frac
+               else 1000 + i + frac end, 2) as amount
+from base
 """,
         "q39_field_confidences": f"""
 select url, conf_title, conf_paragraph, conf_list_item, conf_table_text

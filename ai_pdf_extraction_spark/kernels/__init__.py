@@ -28,7 +28,9 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #     reference's `array` FieldType) + n_pages page-count probe
 # v6: PDF structured tables — column-aligned multi-run baselines
 #     (x within ±3pt of the block's first line) → header + row maps
-KERNEL_VERSION = 6
+# v7: colspan-aware HTML table capture (placeholder cells keep later
+#     columns under their headers)
+KERNEL_VERSION = 7
 
 
 def extract_document(data: bytes) -> ExtractionResult:

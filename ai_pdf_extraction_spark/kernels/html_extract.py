@@ -155,13 +155,14 @@ class _Block:
 class _TableCtx:
     """In-flight structured capture of one <table> subtree."""
 
-    __slots__ = ("rows", "row", "row_th", "cell", "dropped")
+    __slots__ = ("rows", "row", "row_th", "cell", "cell_pad", "dropped")
 
     def __init__(self, dropped: bool) -> None:
         self.rows: list[tuple[bool, list[str]]] = []  # (had_th, cells)
         self.row: list[str] | None = None
         self.row_th = False
         self.cell: list[str] | None = None
+        self.cell_pad = 0  # colspan-1 placeholder cells after this cell
         self.dropped = dropped  # opened inside a boiler subtree
 
 
@@ -263,7 +264,9 @@ class _MainContentParser:
             if ctx.row is None:
                 ctx.row = []
             ctx.row.append(_WS_RE.sub(" ", "".join(ctx.cell)).strip())
+            ctx.row.extend([""] * ctx.cell_pad)
             ctx.cell = None
+        ctx.cell_pad = 0
 
     def _table_end_row(self, ctx: _TableCtx) -> None:
         self._table_end_cell(ctx)
@@ -349,6 +352,14 @@ class _MainContentParser:
                 self._table_end_cell(ctx)
                 if ctx.row is None:
                     ctx.row = []
+                # colspan=N keeps later columns aligned with their
+                # headers: the spanning cell is followed by N-1 empty
+                # placeholder cells (they become omitted keys). rowspan
+                # is NOT simulated — a deterministic-layout trade-off.
+                for name, value in attrs:
+                    if name == "colspan" and value and value.isdigit():
+                        ctx.cell_pad = min(int(value), 100) - 1
+                        break
                 ctx.cell = []
                 if tag == "th":
                     ctx.row_th = True
@@ -473,7 +484,7 @@ _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*'
 _ATTR_RE = re.compile(
     r"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
 )
-_ATTR_HINT_RE = re.compile(r"class|id|role", re.IGNORECASE)
+_ATTR_HINT_RE = re.compile(r"class|id|role|colspan", re.IGNORECASE)
 # raw-text elements whose content must not be tag-scanned
 _RAWTEXT_END = {
     "script": re.compile(r"</script\s*>", re.IGNORECASE),

@@ -232,6 +232,28 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+def ivf_probes(vec_col, centroids: list[list[float]], nprobe: int):
+    """The query's ``nprobe`` nearest coarse clusters, as an int array
+    ordered by distance (ties → lower index; array_sort on (d, i)
+    structs is lexicographic)."""
+    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    entries = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(
+            F.struct(F.round(d2, 6).alias("d"), F.lit(i).alias("i"))
+        )
+    ordered = F.array_sort(F.array(*entries))
+    return F.transform(
+        F.slice(ordered, 1, nprobe), lambda e: e["i"].cast("int")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -240,21 +262,26 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     cluster_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed ANN: search only the query's coarse cluster
-    (nprobe=1). With ``centroids`` (the trained quantizer) both sides
-    are assigned via :func:`ivf_assign`; without, a precomputed
-    ``cluster_col`` is trusted (legacy/externally-clustered corpora).
-    Same output shape as ``cosine_topk``; recall < 1.0 by design — the
-    scale path trades exactness for a candidate set
-    |cluster| ≪ |corpus|."""
+    """IVF-bucketed ANN: search the query's ``nprobe`` nearest coarse
+    clusters. With ``centroids`` (the trained quantizer) the corpus
+    side is assigned via :func:`ivf_assign` and the query side probes
+    via :func:`ivf_probes`; without, a precomputed ``cluster_col`` is
+    trusted (legacy/externally-clustered corpora; nprobe must be 1).
+    Same output shape as ``cosine_topk``; recall rises with nprobe
+    (nprobe = n_clusters degenerates to exact brute force) — the scale
+    knob trades candidate-set size |nprobe·cluster| ≪ |corpus| against
+    recall, exactly FAISS's IVF contract."""
     if centroids is not None:
-        cluster = lambda vcol: ivf_assign(vcol, centroids)  # noqa: E731
         qs = _side(queries, id_col, vec_col, "query_id", "qv", "qn")
-        qs = qs.withColumn("qc", cluster(F.col("qv")))
+        qs = qs.withColumn("qp", ivf_probes(F.col("qv"), centroids, nprobe))
         cs = _side(emb, id_col, vec_col, "neighbor_id", "cv", "cn")
-        cs = cs.withColumn("cc", cluster(F.col("cv")))
+        cs = cs.withColumn("cc", ivf_assign(F.col("cv"), centroids))
+        pred = F.array_contains(F.col("qp"), F.col("cc"))
     else:
+        if nprobe != 1:
+            raise ValueError("nprobe > 1 requires trained centroids")
         qs = _side(
             queries, id_col, vec_col, "query_id", "qv", "qn",
             extra={"qc": F.col(cluster_col)},
@@ -263,9 +290,10 @@ def ivf_topk(
             emb, id_col, vec_col, "neighbor_id", "cv", "cn",
             extra={"cc": F.col(cluster_col)},
         )
+        pred = F.col("qc") == F.col("cc")
     return _ranked_topk(
         qs,
         cs,
-        (F.col("qc") == F.col("cc")) & (F.col("query_id") != F.col("neighbor_id")),
+        pred & (F.col("query_id") != F.col("neighbor_id")),
         k,
     )

@@ -73,7 +73,8 @@ _TAGS = (
     ("table", ' class="advert"'),
     ("tr", ""),
     ("td", ""),
-    ("th", ""),
+    ("td", ' colspan="2"'),
+    ("th", ' colspan="3"'),
 )
 
 _LEAF = st.one_of(

@@ -259,6 +259,18 @@ def test_ivf_trained_quantizer(spark):
     got = ivf_topk(emb, emb.filter("vec_id = 0"), k=20, centroids=c1).collect()
     assert {r["neighbor_id"] for r in got} == {1, 2, 3, 4, 5}
 
+    # nprobe = n_clusters degenerates to exact brute force
+    from ai_pdf_extraction_spark.operators.similarity import cosine_topk
+
+    brute = cosine_topk(emb, emb.filter("vec_id = 0"), k=4).collect()
+    probed = ivf_topk(
+        emb, emb.filter("vec_id = 0"), k=4, centroids=c1, nprobe=2
+    ).collect()
+    key = lambda r: (r["rank"], r["neighbor_id"])  # noqa: E731
+    assert sorted([(r["rank"], r["neighbor_id"], r["cos"]) for r in probed]) == sorted(
+        [(r["rank"], r["neighbor_id"], r["cos"]) for r in brute]
+    )
+
 
 def test_text_analysis_columns(spark):
     from ai_pdf_extraction_spark.operators.text_analysis import (

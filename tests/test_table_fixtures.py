@@ -160,6 +160,26 @@ def test_table_rows_end_to_end_spark(spark, tmp_path):
     assert sec["n_pages"] == 1 and sec["n_tables"] == 2
 
 
+def test_colspan_keeps_columns_aligned():
+    """A colspan=N cell is followed by N-1 placeholder cells so later
+    columns keep their header keys (the SEC voting-table shape)."""
+    from ai_pdf_extraction_spark.kernels import extract_document
+
+    html = (
+        b"<body><table>"
+        b'<tr><th>Name</th><th colspan="2">Votes</th><th>Outcome</th></tr>'
+        b"<tr><td>Alice</td><td>10</td><td>2</td><td>won</td></tr>"
+        b'<tr><td colspan="2">Bob (uncontested)</td><td>0</td><td>won</td></tr>'
+        b"</table></body>"
+    )
+    assert extract_document(html).tables == [
+        [
+            {"name": "Alice", "votes": "10", "col_3": "2", "outcome": "won"},
+            {"name": "Bob (uncontested)", "col_3": "0", "outcome": "won"},
+        ]
+    ]
+
+
 def _pdf_with_table(rows: list[tuple[str, ...]], col_gaps=(200, 120)) -> bytes:
     """Minimal single-page PDF whose table rows are one Td-moved run
     per cell on a shared baseline."""
