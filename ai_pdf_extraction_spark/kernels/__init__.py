@@ -30,7 +30,9 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #     (x within ±3pt of the block's first line) → header + row maps
 # v7: colspan-aware HTML table capture (placeholder cells keep later
 #     columns under their headers)
-KERNEL_VERSION = 7
+# v8: rowspan-aware HTML table capture (spanning cells carry their
+#     value down into the spanned rows at the same column)
+KERNEL_VERSION = 8
 
 
 def extract_document(data: bytes) -> ExtractionResult:

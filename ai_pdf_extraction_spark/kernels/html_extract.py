@@ -155,7 +155,16 @@ class _Block:
 class _TableCtx:
     """In-flight structured capture of one <table> subtree."""
 
-    __slots__ = ("rows", "row", "row_th", "cell", "cell_pad", "dropped")
+    __slots__ = (
+        "rows",
+        "row",
+        "row_th",
+        "cell",
+        "cell_pad",
+        "cell_rowspan",
+        "spans_down",
+        "dropped",
+    )
 
     def __init__(self, dropped: bool) -> None:
         self.rows: list[tuple[bool, list[str]]] = []  # (had_th, cells)
@@ -163,6 +172,10 @@ class _TableCtx:
         self.row_th = False
         self.cell: list[str] | None = None
         self.cell_pad = 0  # colspan-1 placeholder cells after this cell
+        self.cell_rowspan = 1  # rowspan of the open cell
+        # column index → [text, rows_remaining]: rowspan cells carry
+        # their value down into the spanned rows at the same column
+        self.spans_down: dict[int, list] = {}
         self.dropped = dropped  # opened inside a boiler subtree
 
 
@@ -259,20 +272,51 @@ class _MainContentParser:
 
     # -- structured table capture --------------------------------------
 
+    @staticmethod
+    def _inject_rowspans(ctx: _TableCtx) -> None:
+        """Fill columns occupied by a cell spanning down from an
+        earlier row (entry[2] False = created in a previous row) with
+        its carried value."""
+        while True:
+            entry = ctx.spans_down.get(len(ctx.row))
+            if entry is None or entry[2]:
+                return
+            ctx.row.append(entry[0])
+
     def _table_end_cell(self, ctx: _TableCtx) -> None:
         if ctx.cell is not None:
             if ctx.row is None:
                 ctx.row = []
-            ctx.row.append(_WS_RE.sub(" ", "".join(ctx.cell)).strip())
+            self._inject_rowspans(ctx)
+            col = len(ctx.row)
+            text = _WS_RE.sub(" ", "".join(ctx.cell)).strip()
+            ctx.row.append(text)
+            if ctx.cell_rowspan > 1:
+                # rowspan=N: carry this value down into the next N-1
+                # rows at the same column (the school-attendance
+                # stub-column shape); fresh=True until this row closes
+                ctx.spans_down[col] = [text, ctx.cell_rowspan - 1, True]
             ctx.row.extend([""] * ctx.cell_pad)
             ctx.cell = None
         ctx.cell_pad = 0
+        ctx.cell_rowspan = 1
 
     def _table_end_row(self, ctx: _TableCtx) -> None:
         self._table_end_cell(ctx)
         if ctx.row is not None:
+            self._inject_rowspans(ctx)  # trailing carried columns
             ctx.rows.append((ctx.row_th, ctx.row))
             ctx.row = None
+            # age the spans: ones created THIS row start carrying next
+            # row; pre-existing ones just served this row
+            for col in list(ctx.spans_down):
+                entry = ctx.spans_down[col]
+                if entry[2]:
+                    entry[2] = False
+                else:
+                    entry[1] -= 1
+                    if entry[1] <= 0:
+                        del ctx.spans_down[col]
         ctx.row_th = False
 
     def _table_finalize(self) -> None:
@@ -353,13 +397,14 @@ class _MainContentParser:
                 if ctx.row is None:
                     ctx.row = []
                 # colspan=N keeps later columns aligned with their
-                # headers: the spanning cell is followed by N-1 empty
-                # placeholder cells (they become omitted keys). rowspan
-                # is NOT simulated — a deterministic-layout trade-off.
+                # headers (the spanning cell is followed by N-1 empty
+                # placeholder cells → omitted keys); rowspan=N carries
+                # the value down into the next N-1 rows at its column.
                 for name, value in attrs:
                     if name == "colspan" and value and value.isdigit():
                         ctx.cell_pad = min(int(value), 100) - 1
-                        break
+                    elif name == "rowspan" and value and value.isdigit():
+                        ctx.cell_rowspan = min(int(value), 1000)
                 ctx.cell = []
                 if tag == "th":
                     ctx.row_th = True
@@ -484,7 +529,7 @@ _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*'
 _ATTR_RE = re.compile(
     r"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
 )
-_ATTR_HINT_RE = re.compile(r"class|id|role|colspan", re.IGNORECASE)
+_ATTR_HINT_RE = re.compile(r"class|id|role|colspan|rowspan", re.IGNORECASE)
 # raw-text elements whose content must not be tag-scanned
 _RAWTEXT_END = {
     "script": re.compile(r"</script\s*>", re.IGNORECASE),

@@ -75,6 +75,7 @@ _TAGS = (
     ("td", ""),
     ("td", ' colspan="2"'),
     ("th", ' colspan="3"'),
+    ("td", ' rowspan="2"'),
 )
 
 _LEAF = st.one_of(

@@ -180,6 +180,31 @@ def test_colspan_keeps_columns_aligned():
     ]
 
 
+def test_rowspan_carries_value_down():
+    """rowspan=N cells repeat their value in the next N-1 rows at the
+    same column — the reference School-attendance stub-column shape
+    (student_type spanning primary/secondary row groups)."""
+    from ai_pdf_extraction_spark.kernels import extract_document
+
+    html = (
+        b"<body><table>"
+        b"<tr><th>Student Type</th><th>Year</th><th>Rate</th></tr>"
+        b'<tr><td rowspan="2">Primary</td><td>2023</td><td>90.8</td></tr>'
+        b"<tr><td>2024</td><td>90.5</td></tr>"
+        b'<tr><td rowspan="2">Secondary</td><td>2023</td><td>88.1</td></tr>'
+        b"<tr><td>2024</td><td>87.9</td></tr>"
+        b"</table></body>"
+    )
+    assert extract_document(html).tables == [
+        [
+            {"student_type": "Primary", "year": "2023", "rate": "90.8"},
+            {"student_type": "Primary", "year": "2024", "rate": "90.5"},
+            {"student_type": "Secondary", "year": "2023", "rate": "88.1"},
+            {"student_type": "Secondary", "year": "2024", "rate": "87.9"},
+        ]
+    ]
+
+
 def _pdf_with_table(rows: list[tuple[str, ...]], col_gaps=(200, 120)) -> bytes:
     """Minimal single-page PDF whose table rows are one Td-moved run
     per cell on a shared baseline."""
