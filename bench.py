@@ -100,10 +100,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     ).collect()
     _extraction_split_conf(False)
 
-    # best-of-2 per query: the sandbox host is shared and contended,
-    # so single timings swing several-fold run to run
+    # best-of-N per query (default 3): the sandbox host is shared and
+    # contended, so single timings swing several-fold run to run
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
-    for _trial in range(2):
+    for _trial in range(n_trials):
         for name in HEADLINE:
             t0 = time.monotonic()
             rows = qs[name](spark, sf_dir).collect()
@@ -114,10 +115,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     # extraction throughput: full kernel pass, forced by an aggregate
     # over the UDF outputs (nothing wide collected to the driver);
-    # best-of-2 like the queries
+    # best-of-N like the queries
     _extraction_split_conf(True)
     extract_sec = None
-    for _trial in range(2):
+    for _trial in range(n_trials):
         t0 = time.monotonic()
         plan = extraction_plan(spark.read.parquet(corpus), run_id="bench")
         agg = plan.agg(
