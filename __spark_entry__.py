@@ -1014,6 +1014,34 @@ def q47_currency_codes(spark, sf_dir):
     )
 
 
+def q48_table_field_rollup(spark, sf_dir):
+    """Typed consumption of the structured table payload — the
+    reference's invoice line-items shape (array rows → typed values →
+    per-document aggregate, ``validation.py:467-488`` +
+    ``test_ai_service.py`` array cases): explode captured tables, parse
+    the corpus's ``'NNN units'`` amount cells with parse_number, roll
+    up count and sum per document. Oracle runs the same arithmetic on
+    the exploded oracle-kernel golden."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.functions.normalize import parse_number
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+
+    pages_path, _ = _ensure_q34_fixtures()
+    plan = extraction_plan(spark.read.parquet(pages_path), run_id="contract")
+    rows = (
+        plan.select("url", F.posexplode("tables").alias("t_idx", "tbl"))
+        .select("url", "t_idx", F.posexplode("tbl").alias("r_idx", "rec"))
+        .select("url", "t_idx", "r_idx", F.explode("rec").alias("key", "value"))
+    )
+    amounts = rows.filter(F.col("key") == "amount").select(
+        "url", parse_number(F.regexp_replace("value", r"[^0-9.]", "")).alias("amt")
+    )
+    return amounts.groupBy("url").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("amt").cast("bigint").alias("total_units"),
+    )
+
+
 def q37_url_canonicalize(spark, sf_dir):
     """URL canonicalization (crawl-dedup key normalization): messy
     urls deterministically synthesized from events rows, canonicalized
@@ -1097,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_neardup_clusters": q45_neardup_clusters,
         "q46_table_rows": q46_table_rows,
         "q47_currency_codes": q47_currency_codes,
+        "q48_table_field_rollup": q48_table_field_rollup,
     }
 
 
@@ -1550,6 +1579,14 @@ from read_parquet('{_q34_golden_path()}')
         "q46_table_rows": f"""
 select url, t_idx, r_idx, key, value
 from read_parquet('{_q46_golden_path()}')
+""",
+        "q48_table_field_rollup": f"""
+select url, count(*) as n_rows,
+  cast(sum(try_cast(regexp_replace(value, '[^0-9.]', '', 'g') as double))
+       as bigint) as total_units
+from read_parquet('{_q46_golden_path()}')
+where key = 'amount'
+group by url
 """,
         "q47_currency_codes": """
 with base as (
