@@ -83,6 +83,58 @@ def run_available_now(
         )
 
 
+def deduped_pages_stream(
+    pages_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state streaming URL dedup: a crawl re-fetches the same
+    url within a window; ``dropDuplicatesWithinWatermark`` keeps dedup
+    state only inside the event-time watermark, so state is O(window),
+    not O(stream). Unbounded exact dedup is impossible over an
+    infinite stream — the batch ``exact_dedup`` (q20) is the
+    full-corpus form; this is its streaming complement."""
+    return pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
+
+
+_HOST_PROGRESS_STATE = "n bigint"
+_HOST_PROGRESS_OUT = "host string, n_docs bigint"
+
+
+def _host_progress_fn(key, pdf_iter, state):
+    """Cumulative per-host doc counter across micro-batches (the
+    streaming form of the per-partition lineage metrics): state is one
+    bigint per host; each update emits the new running total."""
+    import pandas as pd
+
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"host": [key[0]], "n_docs": [n]})
+
+
+def host_progress_stream(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``
+    (SURVEY.md §2.10): running docs-per-host totals maintained across
+    micro-batches — Arrow-batched, grouped state, no per-row Python.
+    Output mode must be ``update``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    host = F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    return (
+        pages_stream.withColumn("host", host)
+        .groupBy("host")
+        .applyInPandasWithState(
+            _host_progress_fn,
+            outputStructType=_HOST_PROGRESS_OUT,
+            stateStructType=_HOST_PROGRESS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def hourly_counts_stream(pages_stream: DataFrame) -> DataFrame:
     """Watermarked event-time rollup (1h tumbling window on warc_ts,
     10 min allowed lateness) — the streaming form of

@@ -145,6 +145,78 @@ def test_hourly_counts_stream_plan(spark, tmp_path):
     assert set(result.columns) == {"hour", "lang", "n_pages"}
 
 
+def test_streaming_url_dedup_within_watermark(spark, tmp_path):
+    """Duplicate urls inside one drain collapse to one row; state is
+    watermark-bounded (plan carries dropDuplicatesWithinWatermark)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_pdf_extraction_spark.streaming.ingest import (
+        PAGES_SCHEMA,
+        deduped_pages_stream,
+    )
+
+    in_dir = tmp_path / "dd_in"
+    in_dir.mkdir()
+    ts = pa.array([1_700_000_000_000_000 + i * 1_000_000 for i in range(6)],
+                  pa.timestamp("us", tz="UTC"))
+    urls = pa.array([f"https://h{i % 3}.example.org/p" for i in range(6)])
+    pq.write_table(
+        pa.table({
+            "url": urls, "warc_ts": ts,
+            "html": pa.array([b"<p>x</p>"] * 6, pa.binary()),
+            "text": pa.array([None] * 6, pa.string()),
+            "lang": pa.array(["en"] * 6),
+        }),
+        str(in_dir / "part.parquet"),
+    )
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(str(in_dir))
+    q = (
+        deduped_pages_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url from dd_test").collect()
+    assert sorted(r["url"] for r in got) == [
+        "https://h0.example.org/p",
+        "https://h1.example.org/p",
+        "https://h2.example.org/p",
+    ]
+
+
+def test_streaming_host_progress_stateful(spark, tmp_path):
+    """applyInPandasWithState running totals: the update-mode latest
+    value per host must account for every input row."""
+    from ai_pdf_extraction_spark.corpus import write_pages_parquet
+    from ai_pdf_extraction_spark.streaming.ingest import (
+        PAGES_SCHEMA,
+        host_progress_stream,
+    )
+
+    in_dir = str(tmp_path / "hp_in")
+    write_pages_parquet(in_dir, 80, seed=5, n_files=4)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    q = (
+        host_progress_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hp_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest running total per host must sum to the corpus size
+    rows = spark.sql(
+        "select host, max(n_docs) as n from hp_test group by host"
+    ).collect()
+    assert sum(r["n"] for r in rows) == 80
+    assert all(r["n"] >= 1 for r in rows)
+
+
 def test_profile_corpus(spark, corpus_dir):
     import os
 
