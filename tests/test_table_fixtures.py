@@ -269,6 +269,63 @@ def test_pdf_misaligned_columns_are_not_a_table():
     assert res.tables == []
 
 
+def _pdf_from_rows(rows_xy: list[list[tuple[float, str]]]) -> bytes:
+    """Page whose line i carries runs at the given absolute x positions
+    (one BT per run — exercises cross-BT baseline clustering too)."""
+    parts = []
+    y = 700
+    for parts_xy in rows_xy:
+        for x, text in parts_xy:
+            parts.append(f"BT /F1 10 Tf {x} {y} Td ({text}) Tj ET")
+        y -= 14
+    stream = "\n".join(parts).encode("latin-1")
+    return (
+        b"%PDF-1.4\n1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj\n"
+        b"4 0 obj<</Length " + str(len(stream)).encode() + b">>stream\n"
+        + stream + b"\nendstream endobj\ntrailer<</Root 1 0 R>>\n%%EOF"
+    )
+
+
+def test_pdf_table_alignment_tolerance():
+    from ai_pdf_extraction_spark.kernels import extract_document
+
+    # jitter within the ±3pt tolerance: still one table
+    within = _pdf_from_rows(
+        [
+            [(72, "H1"), (250, "H2")],
+            [(74.5, "a"), (248.0, "b")],
+            [(70.2, "c"), (252.9, "d")],
+        ]
+    )
+    got = extract_document(within).tables
+    assert got == [[{"h1": "a", "h2": "b"}, {"h1": "c", "h2": "d"}]]
+
+    # second line drifts 40pt: columns don't align, no table forms
+    drifted = _pdf_from_rows(
+        [
+            [(72, "H1"), (250, "H2")],
+            [(112, "a"), (290, "b")],
+        ]
+    )
+    assert extract_document(drifted).tables == []
+
+    # adjacent blocks with different column counts split cleanly
+    two = _pdf_from_rows(
+        [
+            [(72, "A"), (250, "B")],
+            [(72, "a1"), (250, "b1")],
+            [(72, "X"), (200, "Y"), (330, "Z")],
+            [(72, "x1"), (200, "y1"), (330, "z1")],
+        ]
+    )
+    assert extract_document(two).tables == [
+        [{"a": "a1", "b": "b1"}],
+        [{"x": "x1", "y": "y1", "z": "z1"}],
+    ]
+
+
 def test_clean_null_deep_matches_reference_semantics(spark):
     """Spark clean_null_from_arrays_deep == the reference's recursive
     _clean_null_from_arrays (validation.py:138-154) == the kernel-side
