@@ -32,7 +32,9 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #     columns under their headers)
 # v8: rowspan-aware HTML table capture (spanning cells carry their
 #     value down into the spanned rows at the same column)
-KERNEL_VERSION = 8
+# v9: <br> inside a table cell is a soft space in the captured cell,
+#     matching the text stream
+KERNEL_VERSION = 9
 
 
 def extract_document(data: bytes) -> ExtractionResult:

@@ -363,11 +363,22 @@ class _MainContentParser:
 
     # -- HTMLParser hooks ----------------------------------------------
 
+    def _br(self) -> None:
+        """<br> is a soft space in the text stream AND in any open
+        table cell (cells capture text independently of blocks)."""
+        if self._current is not None:
+            self._current.parts.append(" ")
+        if self._table_stack:
+            ctx = self._table_stack[-1]
+            # same masking rule as handle_data's cell capture
+            if ctx.cell is not None and not ctx.dropped and not self._boiler_depth:
+                ctx.cell.append(" ")
+
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _VOID_TAGS:
             # no subtree, no close tag: never any stack state
-            if not self._skip_depth and tag == "br" and self._current is not None:
-                self._current.parts.append(" ")
+            if not self._skip_depth and tag == "br":
+                self._br()
             return
         if tag in _SKIP_TAGS:
             self._skip_stack.append(tag)
@@ -447,8 +458,8 @@ class _MainContentParser:
         """Self-closed element: start+end with no subtree — no rawtext
         consumption, no stack pushes; block/container flush only."""
         if tag in _VOID_TAGS or tag in _SKIP_TAGS:
-            if not self._skip_depth and tag == "br" and self._current is not None:
-                self._current.parts.append(" ")
+            if not self._skip_depth and tag == "br":
+                self._br()
             return
         if self._skip_depth:
             return
