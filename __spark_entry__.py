@@ -1238,6 +1238,24 @@ select query_id, neighbor_id, cos, rank from (
 """
 
 
+def _q26_oracle_sql() -> str:
+    """q26 oracle, degrading per-query like the other golden-backed
+    oracles: if centroid training fails (missing embeddings.parquet,
+    bad env dir), only q26 errors loudly at execution — the rest of
+    the oracle dict stays usable."""
+    try:
+        return _ivf_sql(
+            _ivf_centroids(
+                os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+            )
+        )
+    except Exception:
+        return (
+            "select * from read_parquet("
+            "'/nonexistent/q26_ivf_centroid_training_failed')"
+        )
+
+
 def _minhash_cte(k: int = 12, bands: int = 4) -> str:
     """Shingles + MinHash signature + banded LSH candidate CTEs, ending
     with ``cand(id_a, id_b)`` — shared by q22 and q45."""
@@ -1376,17 +1394,18 @@ where ('0x' || substr(md5(coalesce(lang, '__null__') || ':' || doc_id), 1, 4))::
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query key.
 
-    CONTRACT: the q23 oracle embeds a golden-parquet path that is
-    materialized from the documents table in
+    CONTRACT: two oracles are sf-dependent at build time — q23 embeds
+    a golden-parquet path materialized from the documents table in
     ``$SPARK_GRAFT_CONTRACT_SF`` (default ``/root/testdata/sf0.01``,
-    the driver's compare scale) at the moment this function is called.
-    A driver comparing at any OTHER sf dir must export
-    ``SPARK_GRAFT_CONTRACT_SF=<sf_dir>`` *before* calling
-    ``oracle_sql()`` (``tools/check_contract.py`` does) — otherwise q23
-    compares against a golden built from the wrong table and
-    mismatches loudly. (The q34/q39 goldens are sf-independent: they
-    derive from the fixed 600-doc fixture corpus, keyed on
-    CORPUS_VERSION + KERNEL_VERSION.)"""
+    the driver's compare scale), and q26 embeds k-means centroids
+    trained from that dir's embeddings table — both resolved at the
+    moment this function is called. A driver comparing at any OTHER sf
+    dir must export ``SPARK_GRAFT_CONTRACT_SF=<sf_dir>`` *before*
+    calling ``oracle_sql()`` (``tools/check_contract.py`` does) —
+    otherwise q23/q26 compare against artifacts built from the wrong
+    tables and mismatch loudly. (The q34/q39/q46/q48 goldens are
+    sf-independent: they derive from the fixed 600-doc fixture corpus,
+    keyed on CORPUS_VERSION + KERNEL_VERSION.)"""
     quality_sql = f"with {_SCORED_CTE} select doc_id, quality from scored"
     lang_score = (
         lambda m: f"cast((length(padded) - length(replace(padded, '{m}', ''))) / {len(m)} as bigint)"
@@ -1670,11 +1689,7 @@ select query_id, neighbor_id, cos, rank from (
   from scored
 ) where rank <= 5
 """,
-        "q26_ivf_topk": _ivf_sql(
-            _ivf_centroids(
-                os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
-            )
-        ),
+        "q26_ivf_topk": _q26_oracle_sql(),
         "q27_hourly_event_counts": """
 select date_trunc('hour', ts) as hour, event_type,
   count(*) as n_events, round(sum(value), 2) as sum_value

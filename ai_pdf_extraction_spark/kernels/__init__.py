@@ -34,7 +34,10 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #     value down into the spanned rows at the same column)
 # v9: <br> inside a table cell is a soft space in the captured cell,
 #     matching the text stream
-KERNEL_VERSION = 9
+# v10: colspan+rowspan cells carry their full rectangle down (empty
+#      placeholders included); duplicate-header suffixing bumps past
+#      literal same-named headers instead of colliding
+KERNEL_VERSION = 10
 
 
 def extract_document(data: bytes) -> ExtractionResult:

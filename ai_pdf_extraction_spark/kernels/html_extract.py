@@ -294,8 +294,13 @@ class _MainContentParser:
             if ctx.cell_rowspan > 1:
                 # rowspan=N: carry this value down into the next N-1
                 # rows at the same column (the school-attendance
-                # stub-column shape); fresh=True until this row closes
+                # stub-column shape); fresh=True until this row closes.
+                # A colspan+rowspan cell occupies a RECTANGLE: its
+                # placeholder columns must carry down too (as empties),
+                # else next-row cells shift left under wrong headers.
                 ctx.spans_down[col] = [text, ctx.cell_rowspan - 1, True]
+                for j in range(1, ctx.cell_pad + 1):
+                    ctx.spans_down[col + j] = ["", ctx.cell_rowspan - 1, True]
             ctx.row.extend([""] * ctx.cell_pad)
             ctx.cell = None
         ctx.cell_pad = 0

@@ -102,12 +102,17 @@ def table_records(
     and all-empty rows become None → removed by the recursive
     List-Stutter filter (``validation.py:138-154``)."""
     headers: list[str] = []
-    seen: dict[str, int] = {}
+    used: set[str] = set()
     for i, h in enumerate(header_cells or []):
         key = norm_field_key(h) or f"col_{i + 1}"
-        n = seen.get(key, 0) + 1
-        seen[key] = n
-        headers.append(key if n == 1 else f"{key}_{n}")
+        # suffix duplicates, bumping past literal headers of the same
+        # name ('a', 'a_2', 'a' must NOT collide on a_2)
+        name, n = key, 1
+        while name in used:
+            n += 1
+            name = f"{key}_{n}"
+        used.add(name)
+        headers.append(name)
     out_rows: list[dict[str, str] | None] = []
     for cells in data_rows:
         row = {

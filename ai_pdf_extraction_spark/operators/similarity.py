@@ -162,14 +162,16 @@ def load_embedding_sample(
     quantizers train on a bounded sample regardless of corpus size
     (the candidate-list structure, not the training set, is what
     scales)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(parquet_path, columns=[id_col, vec_col])
-    ids = t[id_col].to_pylist()
-    vecs = t[vec_col].to_pylist()
-    rows = sorted(zip(ids, vecs))
-    stride = max(1, -(-len(rows) // max_rows))
-    return [[float(x) for x in v] for _, v in rows[::stride]][:max_rows]
+    # sort + stride on the Arrow table; only the ≤max_rows sample ever
+    # materializes as Python objects (the full table stays Arrow)
+    t = t.take(pc.sort_indices(t, sort_keys=[(id_col, "ascending")]))
+    stride = max(1, -(-len(t) // max_rows))
+    sample = t.take(list(range(0, len(t), stride))[:max_rows])
+    return [[float(x) for x in v] for v in sample[vec_col].to_pylist()]
 
 
 def train_ivf_centroids(
@@ -198,7 +200,10 @@ def train_ivf_centroids(
         if total <= 0:
             centers.append(X[rs.randint(n)])
             continue
-        centers.append(X[np.searchsorted(np.cumsum(d2 / total), rs.rand())])
+        # clip: float error can leave cumsum[-1] just under 1.0, and a
+        # draw above it would index one past the end
+        idx = min(np.searchsorted(np.cumsum(d2 / total), rs.rand()), n - 1)
+        centers.append(X[idx])
     C = np.asarray(centers)
     for _ in range(n_iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)

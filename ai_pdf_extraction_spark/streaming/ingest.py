@@ -121,9 +121,10 @@ def host_progress_stream(pages_stream: DataFrame) -> DataFrame:
     Output mode must be ``update``."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    host = F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    from ai_pdf_extraction_spark.plans.partitioning import url_host
+
     return (
-        pages_stream.withColumn("host", host)
+        pages_stream.withColumn("host", url_host("url"))
         .groupBy("host")
         .applyInPandasWithState(
             _host_progress_fn,

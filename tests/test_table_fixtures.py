@@ -205,6 +205,42 @@ def test_rowspan_carries_value_down():
     ]
 
 
+def test_colspan_rowspan_rectangle_carries_down():
+    """A colspan+rowspan cell occupies a rectangle: the next row's
+    cells must land under the columns AFTER the rectangle (round-3
+    review finding — kernel+oracle share the kernel, so only a pinned
+    literal can catch this)."""
+    from ai_pdf_extraction_spark.kernels import extract_document
+
+    html = (
+        b"<body><table>"
+        b"<tr><th>A</th><th>B</th><th>C</th></tr>"
+        b'<tr><td colspan="2" rowspan="2">X</td><td>c1</td></tr>'
+        b"<tr><td>c2</td></tr>"
+        b"</table></body>"
+    )
+    assert extract_document(html).tables == [
+        [{"a": "X", "c": "c1"}, {"a": "X", "c": "c2"}]
+    ]
+
+
+def test_duplicate_header_suffix_never_collides():
+    """Headers ['a','a_2','a'] must produce three distinct keys — the
+    naive per-base counter collided the third with the literal 'a_2'
+    and silently dropped a column."""
+    from ai_pdf_extraction_spark.kernels import extract_document
+
+    html = (
+        b"<body><table>"
+        b"<tr><th>a</th><th>a_2</th><th>a</th></tr>"
+        b"<tr><td>v1</td><td>v2</td><td>v3</td></tr>"
+        b"</table></body>"
+    )
+    assert extract_document(html).tables == [
+        [{"a": "v1", "a_2": "v2", "a_3": "v3"}]
+    ]
+
+
 def _pdf_with_table(rows: list[tuple[str, ...]], col_gaps=(200, 120)) -> bytes:
     """Minimal single-page PDF whose table rows are one Td-moved run
     per cell on a shared baseline."""

@@ -151,6 +151,12 @@ def main() -> int:
     # window on this overcommitted host (sequential per-level best-of
     # lets the host drift between the legs and measures the drift, not
     # the job). Best round reported; every round lands in scaling.json.
+    if len(LEVELS) != 2:
+        raise SystemExit(
+            "SPARK_GRAFT_SCALING_LEVELS must name exactly two levels "
+            f"(the N→4N pair); got {LEVELS} — intermediate levels would "
+            "be silently dropped by the interleaved-round design"
+        )
     factor = LEVELS[-1] / LEVELS[0]
     rounds = []
     for i in range(3):
