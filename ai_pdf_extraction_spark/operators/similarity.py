@@ -222,7 +222,13 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
     of per-centroid squared-L2 distance (rounded to 6 for cross-engine
     float parity; ties break to the lowest centroid index — both
     ``array_position`` and DuckDB ``list_position`` return the first
-    match). Centroid literals ride the plan (broadcast by closure)."""
+    match). Centroid literals ride the plan (broadcast by closure).
+
+    Plan-size bound: literals are right for the coarse-quantizer
+    regime (k ≲ 256; k·d doubles in the plan). A FAISS-scale k (4096+)
+    would bloat the plan — there, broadcast a centroid DataFrame and
+    assign in an Arrow-batched pandas UDF (same contract, different
+    transport); the trained-sample/offline structure is unchanged."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     dists = []
     for c in centroids:
