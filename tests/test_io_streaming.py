@@ -39,6 +39,23 @@ def test_csv_export_array_flattening(spark, tmp_path):
     assert rows[0]["confidence"] == "0.98"
 
 
+def test_csv_flatten_nested_tables_column(spark):
+    """The structured `tables` payload (array<array<map>>) flattens to
+    the reference's ' | '-joined JSON cell format instead of failing
+    the ArrayType(StructType) check."""
+    from ai_pdf_extraction_spark.sources.export import flatten_for_csv
+
+    df = spark.createDataFrame(
+        [(1, [[{"a": "x"}], [{"b": "y"}, {"c": "z"}]])],
+        "doc_id long, tables array<array<map<string,string>>>",
+    )
+    row = flatten_for_csv(df).collect()[0]
+    assert row["doc_id"] == "1"
+    cell = row["tables"]
+    assert isinstance(cell, str) and " | " in cell
+    assert '"a":"x"' in cell.replace(" ", "") or '{"a":"x"}' in cell
+
+
 def test_json_export_envelope(spark, tmp_path):
     from ai_pdf_extraction_spark.sources.export import export_json
 
