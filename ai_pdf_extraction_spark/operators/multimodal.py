@@ -77,7 +77,117 @@ def sniff_bytes(raw: bytes) -> tuple[str, str | None]:
             return ("video", "avi")
     if raw[4:8] == b"ftyp":
         return ("video", "mp4")
+    if raw.startswith(b"BM"):
+        return ("image", "bmp")
     return ("unknown", None)
+
+
+def probe_media(raw: bytes) -> dict:
+    """Typed metadata probe — REAL (stdlib-only) where the container
+    format permits: PNG IHDR / JPEG SOFn / BMP InfoHeader dimensions,
+    WAV frame-count duration. Compressed pixel/sample payloads still
+    need codec libs (see :func:`decode_media`); dimension and duration
+    headers do not. Returns the MEDIA_META_TYPE fields."""
+    import struct
+
+    media_type, fmt = sniff_bytes(raw)
+    meta = {
+        "media_type": media_type,
+        "format": fmt,
+        "n_bytes": len(raw),
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+    }
+    try:
+        if fmt == "png" and len(raw) >= 24:
+            w, h = struct.unpack(">II", raw[16:24])
+            meta["width"], meta["height"] = int(w), int(h)
+        elif fmt == "bmp" and len(raw) >= 26:
+            w, h = struct.unpack("<ii", raw[18:26])
+            meta["width"], meta["height"] = int(w), abs(int(h))
+        elif fmt == "jpeg":
+            i = 2
+            while i + 9 < len(raw):
+                if raw[i] != 0xFF:
+                    break
+                marker = raw[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
+                    meta["width"], meta["height"] = int(w), int(h)
+                    break
+                seg_len = struct.unpack(">H", raw[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+        elif fmt == "wav":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(raw)) as wf:
+                rate = wf.getframerate()
+                if rate:
+                    meta["duration_ms"] = wf.getnframes() * 1000 // rate
+    except Exception:
+        pass  # malformed header: sniffed type survives, probe fields stay null
+    return meta
+
+
+def decode_media(data: bytes, fmt: str):
+    """Decode media where the stdlib can do it for REAL:
+
+    * ``wav`` → dict with sample_rate, n_channels, duration_ms, and
+      the 16-bit PCM samples' rms/peak (``wave`` + ``array``; no
+      external codec needed).
+    * ``bmp`` → dict with width/height/bpp and the raw (uncompressed)
+      pixel bytes.
+
+    Compressed codecs (jpeg/png pixel data, webp, mp4/avi) require
+    PIL/soundfile/av — not in this container — and raise
+    NotImplementedError: that seam is the documented stub; everything
+    around it (batch shape, schema, partitioning) is production-real.
+    """
+    if fmt == "wav":
+        import array
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data)) as wf:
+            rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+        out = {
+            "sample_rate": rate,
+            "n_channels": nch,
+            "duration_ms": (len(frames) // max(width * nch, 1)) * 1000 // max(rate, 1),
+            "rms": 0.0,
+            "peak": 0,
+        }
+        if width == 2 and frames:
+            samples = array.array("h")
+            samples.frombytes(frames[: len(frames) - len(frames) % 2])
+            if samples:
+                out["peak"] = max(abs(s) for s in samples)
+                out["rms"] = round(
+                    (sum(s * s for s in samples) / len(samples)) ** 0.5, 3
+                )
+        return out
+    if fmt == "bmp":
+        import struct
+
+        if len(data) < 54 or not data.startswith(b"BM"):
+            raise ValueError("not a BMP")
+        offset = struct.unpack("<I", data[10:14])[0]
+        w, h = struct.unpack("<ii", data[18:26])
+        bpp = struct.unpack("<H", data[28:30])[0]
+        return {
+            "width": int(w),
+            "height": abs(int(h)),
+            "bpp": int(bpp),
+            "pixels": data[offset:],
+        }
+    raise NotImplementedError(
+        f"media decode for {fmt!r} requires codec libraries not present "
+        "in this environment; dimension/duration probes (probe_media) and "
+        "extract_media_features cover the pipeline plumbing"
+    )
 
 
 def base64_payload(col: str = "media"):
@@ -117,6 +227,7 @@ def sniff_media_type(col: str = "media"):
             F.lit("avi"),
         )
         .when(F.substring(c, 5, 4) == F.lit(b"ftyp"), F.lit("mp4"))
+        .when(F.substring(c, 1, 2) == F.lit(b"BM"), F.lit("bmp"))
         .otherwise(F.lit("unknown"))
     )
 
@@ -140,14 +251,30 @@ def _fake_features(data: bytes) -> tuple[float, list[float]]:
     return entropy, hist
 
 
-def decode_media(data: bytes, fmt: str):  # pragma: no cover - stub
-    """Real-codec decode entry point — requires PIL/soundfile/av,
-    none of which exist in this container."""
-    raise NotImplementedError(
-        f"media decode for {fmt!r} requires codec libraries not present "
-        "in this environment; use extract_media_features (deterministic "
-        "fake) for pipeline plumbing"
+def media_metadata(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "media"
+) -> DataFrame:
+    """mapInPandas metadata probe: (id, MEDIA_META_TYPE fields) — real
+    header parsing via :func:`probe_media`, media bytes never shuffle."""
+    meta_schema = StructType(
+        [StructField("media_id", LongType(), False)] + list(MEDIA_META_TYPE.fields)
     )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
+            metas = [probe_media(raw) for raw in raws]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    **{
+                        f.name: [m[f.name] for m in metas]
+                        for f in MEDIA_META_TYPE.fields
+                    },
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(gen, meta_schema)
 
 
 def extract_media_features(
