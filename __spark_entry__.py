@@ -1042,6 +1042,51 @@ def q48_table_field_rollup(spark, sf_dir):
     )
 
 
+def _media_fixture_paths() -> tuple[str, str]:
+    from ai_pdf_extraction_spark.operators import multimodal as _mm
+
+    ver = getattr(_mm, "MEDIA_FIXTURE_VERSION", 1)
+    base = f"/tmp/spark_graft_media_v{ver}_240_21"
+    return base + ".parquet", base + "_golden.parquet"
+
+
+def _ensure_media_fixtures() -> tuple[str, str]:
+    """Deterministic media corpus (wav/bmp/png/jpeg/junk bytes built
+    with struct/wave — no codec libs) + its probe golden, both pure
+    pyarrow so ``oracle_sql()`` can build them (the q34 pattern)."""
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        generate_media_rows,
+        write_media_fixtures,
+    )
+
+    media_path, golden_path = _media_fixture_paths()
+    if not (os.path.exists(media_path) and os.path.exists(golden_path)):
+        try:
+            write_media_fixtures(
+                media_path, golden_path, generate_media_rows(240, seed=21)
+            )
+        except Exception:
+            pass  # degrade to a loud read_parquet error at exec time
+    return media_path, golden_path
+
+
+def q49_media_metadata(spark, sf_dir):
+    """Multimodal metadata probe, oracle-checked: deterministic media
+    bytes (wav/bmp/png/jpeg/junk) through the distributed mapInPandas
+    probe vs the single-process golden — dims, duration, sniffed type
+    all value-hashed. First oracle-backed multimodal query (they were
+    pytest-only through round 2)."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.multimodal import media_metadata
+
+    media_path, _ = _ensure_media_fixtures()
+    df = spark.read.parquet(media_path)
+    return media_metadata(df).select(
+        "media_id", "media_type", "format", "n_bytes", "width", "height",
+        "duration_ms",
+    )
+
+
 def q37_url_canonicalize(spark, sf_dir):
     """URL canonicalization (crawl-dedup key normalization): messy
     urls deterministically synthesized from events rows, canonicalized
@@ -1126,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_table_rows": q46_table_rows,
         "q47_currency_codes": q47_currency_codes,
         "q48_table_field_rollup": q48_table_field_rollup,
+        "q49_media_metadata": q49_media_metadata,
     }
 
 
@@ -1598,6 +1644,10 @@ from read_parquet('{_q34_golden_path()}')
         "q46_table_rows": f"""
 select url, t_idx, r_idx, key, value
 from read_parquet('{_q46_golden_path()}')
+""",
+        "q49_media_metadata": f"""
+select media_id, media_type, format, n_bytes, width, height, duration_ms
+from read_parquet('{_ensure_media_fixtures()[1]}')
 """,
         "q48_table_field_rollup": f"""
 select url, count(*) as n_rows,

@@ -342,3 +342,114 @@ def frame_sample_plan(
         n_frames,
     )
     return df.withColumn("sample_frames", indices)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media fixtures (oracle support for the q49 contract
+# query — the multimodal analogue of the q34 golden corpus)
+# ---------------------------------------------------------------------------
+
+# bump when generated media bytes or golden columns change
+MEDIA_FIXTURE_VERSION = 1
+
+
+def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
+    """``n`` deterministic (media_id, bytes) rows cycling through real
+    wav/bmp/png/jpeg layouts plus junk — headers built with
+    struct/wave only, so the fixture needs no codec libs and the
+    single-process golden shares the bytes exactly."""
+    import array
+    import io
+    import random
+    import struct
+    import wave
+
+    rng = random.Random(seed)
+    rows: list[tuple[int, bytes]] = []
+    for i in range(n):
+        kind = i % 5
+        if kind == 0:  # wav, 1-2 channels, varying length
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                nch = 1 + (i // 5) % 2
+                wf.setnchannels(nch)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                nfr = 400 + (i % 7) * 100
+                wf.writeframes(
+                    array.array(
+                        "h", [rng.randint(-3000, 3000) for _ in range(nfr * nch)]
+                    ).tobytes()
+                )
+            rows.append((i, buf.getvalue()))
+        elif kind == 1:  # bmp
+            w, h = 2 + i % 6, 1 + i % 4
+            row = bytes(rng.randrange(256) for _ in range(3 * w))
+            pad = b"\x00" * ((4 - (3 * w) % 4) % 4)
+            pixels = (row + pad) * h
+            header = struct.pack(
+                "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0
+            )
+            rows.append((i, header + pixels))
+        elif kind == 2:  # png (header only — dims probe needs no idat)
+            rows.append(
+                (
+                    i,
+                    b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR"
+                    + struct.pack(">II", 16 + i % 640, 9 + i % 480)
+                    + b"\x08\x02\x00\x00\x00"
+                    + bytes(rng.randrange(256) for _ in range(24)),
+                )
+            )
+        elif kind == 3:  # jpeg with APP0 + SOF0
+            rows.append(
+                (
+                    i,
+                    b"\xff\xd8\xff\xe0\x00\x04zz\xff\xc0\x00\x11\x08"
+                    + struct.pack(">HH", 50 + i % 300, 40 + i % 200)
+                    + b"\x03"
+                    + bytes(9),
+                )
+            )
+        else:  # junk / empty
+            rows.append(
+                (i, b"" if i % 10 == 4 else bytes(rng.randrange(256) for _ in range(32)))
+            )
+    return rows
+
+
+def write_media_fixtures(
+    media_path: str, golden_path: str, rows: list[tuple[int, bytes]]
+) -> None:
+    """Write the media parquet AND its single-process probe golden
+    (atomic temp+rename, pure pyarrow — callable from oracle_sql)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    media = pa.table(
+        {
+            "media_id": pa.array([i for i, _ in rows], pa.int64()),
+            "media": pa.array([b for _, b in rows], pa.binary()),
+        }
+    )
+    metas = [probe_media(b) for _, b in rows]
+    golden = pa.table(
+        {
+            "media_id": pa.array([i for i, _ in rows], pa.int64()),
+            "media_type": pa.array([m["media_type"] for m in metas], pa.string()),
+            "format": pa.array([m["format"] for m in metas], pa.string()),
+            "n_bytes": pa.array([m["n_bytes"] for m in metas], pa.int64()),
+            "width": pa.array([m["width"] for m in metas], pa.int32()),
+            "height": pa.array([m["height"] for m in metas], pa.int32()),
+            "duration_ms": pa.array([m["duration_ms"] for m in metas], pa.int64()),
+        }
+    )
+    for path, table in ((media_path, media), (golden_path, golden)):
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
