@@ -2,10 +2,11 @@
 
 Media columns are ``binary`` + a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The image/audio codec libraries are not in
-this container, so the *decode* step is stubbed (deterministic fake
-features derived from the bytes, or ``NotImplementedError`` for the
-real-codec path) — but the Spark-side plumbing (schema, partitioning,
+``mapInPandas`` stages. Header probes (PNG/JPEG/BMP dimensions, WAV
+duration) and wav/bmp decode are REAL — stdlib only. The compressed
+codecs (jpeg/png pixel data, webp, mp4) are not in this container, so
+that decode seam raises ``NotImplementedError`` (deterministic fake
+features stand in) — the Spark-side plumbing (schema, partitioning,
 UDF signature, batch shape) is real and tested, per the task brief.
 
 Design notes for 100 TB:
