@@ -1043,11 +1043,14 @@ def q48_table_field_rollup(spark, sf_dir):
 
 
 def _media_fixture_paths() -> tuple[str, str]:
-    from ai_pdf_extraction_spark.operators import multimodal as _mm
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        MEDIA_FIXTURE_VERSION,
+        MEDIA_PROBE_VERSION,
+    )
 
-    ver = getattr(_mm, "MEDIA_FIXTURE_VERSION", 1)
-    base = f"/tmp/spark_graft_media_v{ver}_240_21"
-    return base + ".parquet", base + "_golden.parquet"
+    base = f"/tmp/spark_graft_media_v{MEDIA_FIXTURE_VERSION}_240_21"
+    # golden keyed on probe semantics too (the q34 _golden_k pattern)
+    return base + ".parquet", base + f"_golden_p{MEDIA_PROBE_VERSION}.parquet"
 
 
 def _ensure_media_fixtures() -> tuple[str, str]:
@@ -1071,11 +1074,14 @@ def _ensure_media_fixtures() -> tuple[str, str]:
 
 
 def q49_media_metadata(spark, sf_dir):
-    """Multimodal metadata probe, oracle-checked: deterministic media
-    bytes (wav/bmp/png/jpeg/junk) through the distributed mapInPandas
-    probe vs the single-process golden — dims, duration, sniffed type
-    all value-hashed. First oracle-backed multimodal query (they were
-    pytest-only through round 2)."""
+    """Multimodal metadata probe: deterministic media bytes
+    (wav/bmp/png/jpeg/junk) through the distributed mapInPandas probe,
+    value-hashed against a single-process run of the SAME probe_media
+    — this gates the Spark plumbing (Arrow transfer, schema, nulls,
+    partitioning), not probe correctness, which is pinned by
+    independent hand-written literals in
+    tests/test_operators.py::test_media_probe_and_stdlib_decode (the
+    shared-kernel blind-spot rule)."""
     _ensure_shipped(spark)
     from ai_pdf_extraction_spark.operators.multimodal import media_metadata
 

@@ -37,7 +37,9 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 # v10: colspan+rowspan cells carry their full rectangle down (empty
 #      placeholders included); duplicate-header suffixing bumps past
 #      literal same-named headers instead of colliding
-KERNEL_VERSION = 10
+# v11: overflow data-cell keys bump past header names too (a 'col 2'
+#      header no longer swallows the overflow cell)
+KERNEL_VERSION = 11
 
 
 def extract_document(data: bytes) -> ExtractionResult:

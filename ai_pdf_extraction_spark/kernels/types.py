@@ -113,13 +113,26 @@ def table_records(
             name = f"{key}_{n}"
         used.add(name)
         headers.append(name)
+    header_set = set(headers)
     out_rows: list[dict[str, str] | None] = []
     for cells in data_rows:
-        row = {
-            (headers[i] if i < len(headers) else f"col_{i + 1}"): (c or None)
-            for i, c in enumerate(cells)
-        }
-        row = {k: v for k, v in row.items() if v is not None}
+        row: dict[str, str] = {}
+        used_row: set[str] = set()
+        for i, c in enumerate(cells):
+            if i < len(headers):
+                name = headers[i]  # headers are already unique
+            else:
+                # overflow cells: positional keys, bumped past BOTH the
+                # header names (a header literally called 'col_2' must
+                # not be overwritten) and earlier overflow keys
+                base = f"col_{i + 1}"
+                name, n = base, 1
+                while name in header_set or name in used_row:
+                    n += 1
+                    name = f"{base}_{n}"
+            used_row.add(name)
+            if c:
+                row[name] = c
         out_rows.append(row or None)
     return clean_null_nested(out_rows)
 

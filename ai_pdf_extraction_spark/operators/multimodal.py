@@ -109,13 +109,24 @@ def probe_media(raw: bytes) -> dict:
             meta["width"], meta["height"] = int(w), abs(int(h))
         elif fmt == "jpeg":
             i = 2
-            while i + 9 < len(raw):
+            while i + 2 <= len(raw):
                 if raw[i] != 0xFF:
                     break
                 marker = raw[i + 1]
+                if marker == 0xFF:  # fill byte padding between segments
+                    i += 1
+                    continue
+                if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length field
+                    continue
+                if marker in (0xD9, 0xDA):
+                    break  # EOI / SOS: entropy-coded data follows
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                    h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
-                    meta["width"], meta["height"] = int(w), int(h)
+                    if i + 9 <= len(raw):  # dims may end exactly at EOF
+                        h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
+                        meta["width"], meta["height"] = int(w), int(h)
+                    break
+                if i + 4 > len(raw):
                     break
                 seg_len = struct.unpack(">H", raw[i + 2 : i + 4])[0]
                 i += 2 + seg_len
@@ -350,8 +361,15 @@ def frame_sample_plan(
 # query — the multimodal analogue of the q34 golden corpus)
 # ---------------------------------------------------------------------------
 
-# bump when generated media bytes or golden columns change
+# bump when generated media BYTES change (cache key of the media
+# parquet, like CORPUS_VERSION for pages)
 MEDIA_FIXTURE_VERSION = 1
+# bump when probe_media SEMANTICS change (cache key of the golden,
+# like KERNEL_VERSION for the q34 golden — a probe fix must never be
+# compared against a stale cached golden)
+# p2: JPEG scanner handles fill bytes / standalone markers / SOS stop
+#     and reads dims ending exactly at EOF
+MEDIA_PROBE_VERSION = 2
 
 
 def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:

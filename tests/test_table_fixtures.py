@@ -241,6 +241,44 @@ def test_duplicate_header_suffix_never_collides():
     ]
 
 
+def test_overflow_cell_key_never_collides_with_header():
+    """A header whose text normalizes to 'col_2' must not be
+    overwritten by an overflow data cell's positional col_2 key
+    (round-3 second-review finding)."""
+    from ai_pdf_extraction_spark.kernels.types import table_records
+
+    assert table_records(["col 2"], [["v1", "v2"]]) == [
+        {"col_2": "v1", "col_2_2": "v2"}
+    ]
+    # and overflow keys stay distinct among themselves
+    assert table_records(["a"], [["x", "y", "z"]]) == [
+        {"a": "x", "col_2": "y", "col_3": "z"}
+    ]
+
+
+def test_jpeg_probe_markers_and_eof():
+    """JPEG scanner: fill bytes, restart markers, and a SOF segment
+    whose dimension bytes end exactly at EOF all still yield dims;
+    SOS stops the scan instead of misparsing entropy data."""
+    import struct
+
+    from ai_pdf_extraction_spark.operators.multimodal import probe_media
+
+    sof = b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 10, 20) + b"\x03"
+    # dims end exactly at EOF
+    exact = b"\xff\xd8" + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 7, 9)
+    m = probe_media(exact)
+    assert (m["width"], m["height"]) == (9, 7)
+    # fill bytes + RST marker before SOF
+    padded = b"\xff\xd8\xff\xff\xff\xd0" + sof + bytes(9)
+    m = probe_media(padded)
+    assert (m["width"], m["height"]) == (20, 10)
+    # SOS before any SOF: scan stops cleanly, dims stay null
+    sos_first = b"\xff\xd8\xff\xda\x00\x02" + b"\x12\x34" * 8
+    m = probe_media(sos_first)
+    assert m["width"] is None and m["format"] == "jpeg"
+
+
 def _pdf_with_table(rows: list[tuple[str, ...]], col_gaps=(200, 120)) -> bytes:
     """Minimal single-page PDF whose table rows are one Td-moved run
     per cell on a shared baseline."""

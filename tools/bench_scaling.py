@@ -142,6 +142,13 @@ def _mp_work(args):
 
 
 def main() -> int:
+    # validate BEFORE the (expensive) corpus builds
+    if len(LEVELS) != 2:
+        raise SystemExit(
+            "SPARK_GRAFT_SCALING_LEVELS must name exactly two levels "
+            f"(the N→4N pair); got {LEVELS} — intermediate levels would "
+            "be silently dropped by the interleaved-round design"
+        )
     sys.path.insert(0, REPO)
     corpus = _corpus(N_DOCS, 42, n_files=64)
     warm = _corpus(WARMUP_DOCS, 7, n_files=16)
@@ -151,12 +158,6 @@ def main() -> int:
     # window on this overcommitted host (sequential per-level best-of
     # lets the host drift between the legs and measures the drift, not
     # the job). Best round reported; every round lands in scaling.json.
-    if len(LEVELS) != 2:
-        raise SystemExit(
-            "SPARK_GRAFT_SCALING_LEVELS must name exactly two levels "
-            f"(the N→4N pair); got {LEVELS} — intermediate levels would "
-            "be silently dropped by the interleaved-round design"
-        )
     factor = LEVELS[-1] / LEVELS[0]
     rounds = []
     for i in range(3):
