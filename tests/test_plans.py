@@ -55,6 +55,19 @@ def test_ann_probe_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_ivf_trained_path_stays_jvm_side_and_broadcasts(spark):
+    """The trained-quantizer IVF plan must keep assignment in pure
+    Column expressions (no Python eval) and broadcast the probe side —
+    the corpus side streams without a pre-join shuffle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q26_ivf_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "centroid assignment is a Column argmin — no Python in the plan"
+    )
+
+
 def test_whole_stage_codegen_covers_normalizers(spark):
     import __spark_entry__ as e
 
