@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -261,6 +262,80 @@ def _fake_features(data: bytes) -> tuple[float, list[float]]:
         -sum(p * math.log2(p) for p in hist if p > 0), 6
     )
     return entropy, hist
+
+
+def resize_bmp(data: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize of an uncompressed 24bpp BMP —
+    stdlib only (the resize verb of the task brief, runnable without
+    codec libs). Returns a well-formed BMP of (out_w, out_h)."""
+    import struct
+
+    dec = decode_media(data, "bmp")
+    if dec["bpp"] != 24:
+        raise NotImplementedError(f"bmp resize supports 24bpp, got {dec['bpp']}")
+    w, h, pixels = dec["width"], dec["height"], dec["pixels"]
+    src_stride = (3 * w + 3) & ~3
+    dst_stride = (3 * out_w + 3) & ~3
+    rows = bytearray()
+    for oy in range(out_h):
+        sy = min(oy * h // out_h, h - 1)
+        src_row = pixels[sy * src_stride : sy * src_stride + 3 * w]
+        row = bytearray(dst_stride)
+        for ox in range(out_w):
+            sx = min(ox * w // out_w, w - 1)
+            row[3 * ox : 3 * ox + 3] = src_row[3 * sx : 3 * sx + 3]
+        rows += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(rows), 0, 0, 0, 0
+    )
+    return header + bytes(rows)
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    bytes_col: str = "media",
+) -> DataFrame:
+    """mapInPandas resize stage: bmp payloads resize for REAL
+    (nearest-neighbor, stdlib); other formats pass through with
+    ``resized=false`` (their decoders are the documented codec seam).
+    Media bytes stay narrow — no shuffle."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("media", BinaryType(), True),
+            StructField("resized", BooleanType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes: list[bytes | None] = []
+            flags: list[bool] = []
+            for b in pdf[bytes_col]:
+                raw = bytes(b) if b is not None else b""
+                if sniff_bytes(raw)[1] == "bmp":
+                    try:
+                        out_bytes.append(resize_bmp(raw, out_w, out_h))
+                        flags.append(True)
+                        continue
+                    except Exception:
+                        pass
+                out_bytes.append(raw or None)
+                flags.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media": out_bytes,
+                    "resized": flags,
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(gen, out_schema)
 
 
 def media_metadata(

@@ -488,6 +488,20 @@ def test_media_probe_and_stdlib_decode(spark):
     assert got[3]["height"] == 480
     assert got[4]["media_type"] == "unknown" and got[4]["width"] is None
 
+    # REAL resize: bmp shrinks to 2x1 and round-trips the probe;
+    # non-bmp formats pass through unresized
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        resize_bmp,
+        resize_media,
+    )
+
+    small = resize_bmp(bmp, 2, 1)
+    m = probe_media(small)
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 2, 1)
+    rs = {r["media_id"]: r for r in resize_media(df, 2, 1).collect()}
+    assert rs[2]["resized"] and probe_media(bytes(rs[2]["media"]))["width"] == 2
+    assert not rs[1]["resized"] and bytes(rs[1]["media"]) == wav
+
 
 def test_winnowing_fingerprints(spark):
     from ai_pdf_extraction_spark.operators.text_analysis import (
