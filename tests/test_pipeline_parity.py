@@ -108,6 +108,39 @@ def test_salt_spreads_skewed_host(spark, corpus_dir):
     assert skew_salts >= 8, "skewed host must spread over most salt values"
 
 
+def test_salted_repartition_balances_partitions(spark, corpus_dir):
+    """SURVEY §5.6 skew-balance assertion, in deterministic row counts
+    rather than flaky task times: repartitioning by host alone leaves
+    one partition holding the skewed host's ~30% share; (host, salt)
+    repartitioning caps the max partition near uniform."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ai_pdf_extraction_spark.plans.partitioning import (
+        repartition_salted,
+        with_partition_columns,
+    )
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    df = with_partition_columns(pages.select("url"))
+    n_parts = 16
+    total = df.count()
+
+    def max_share(frame) -> float:
+        sizes = (
+            frame.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in sizes) / total
+
+    by_host = max_share(df.repartition(n_parts, F.col("host")))
+    salted = max_share(repartition_salted(df, n_parts))
+    assert by_host >= 0.25, "control: host-keyed shuffle must hot-spot"
+    assert salted < by_host, (by_host, salted)
+    assert salted <= 0.25, f"salted max partition share too high: {salted}"
+
+
 def test_output_partition_pruning(spark, corpus_dir, tmp_path):
     """Reading one bucket must scan only that hive partition."""
     from ai_pdf_extraction_spark.plans.pipeline import run_extraction
