@@ -942,38 +942,12 @@ def q36_curated_corpus(spark, sf_dir):
     emits: documents that (a) clear the quality threshold, (b) are the
     canonical copy of their exact-dup group, and (c) are not the higher
     id of a near-duplicate pair (MinHash-LSH candidates verified at
-    n-gram Jaccard ≥ 0.8). Near-dup pairs come from the banded-LSH
-    scale path (``minhash_lsh_pairs``, the q22-verified operator), NOT
-    the all-pairs shingle self-join — at corpus scale the candidate
-    set is the only thing that gets Jaccard-verified."""
-    from ai_pdf_extraction_spark.operators.dedup import (
-        exact_dedup,
-        minhash_lsh_pairs,
-    )
-    from ai_pdf_extraction_spark.operators.text_analysis import (
-        quality_score,
-        token_count,
-    )
+    n-gram Jaccard ≥ 0.8). Thin wrapper over the importable plan
+    (``plans.curate.curated_corpus``) so the capstone pass ships in the
+    package, not just the contract file."""
+    from ai_pdf_extraction_spark.plans.curate import curated_corpus
 
-    d = _t(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        quality_score("text").alias("quality"),
-        token_count("text").alias("n_tokens"),
-    )
-    canon = exact_dedup(d).filter(~F.col("is_dup")).select("doc_id")
-    near_losers = (
-        minhash_lsh_pairs(d, n=3, k=12, bands=4, threshold=0.8)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    return (
-        scored.join(canon, "doc_id")
-        .join(near_losers, "doc_id", "left_anti")
-        .filter(F.col("quality") >= 0.5)
-        .select("doc_id", "lang", "quality", "n_tokens")
-    )
+    return curated_corpus(_t(spark, sf_dir, "documents"))
 
 
 def q47_currency_codes(spark, sf_dir):

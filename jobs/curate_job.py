@@ -1,0 +1,60 @@
+"""spark-submit entrypoint for the curation pass (the training-data
+side of the engine — quality gate + exact dedup + LSH near-dup drop).
+
+Usage::
+
+    python tools/make_pyfiles_zip.py /tmp/engine.zip
+    spark-submit --master local[32] --py-files /tmp/engine.zip \
+        jobs/curate_job.py --input <documents parquet> \
+        --output <curated parquet dir> \
+        [--quality 0.5] [--jaccard 0.8] [--partitions 64]
+
+Same contract as ``extract_job``: public package API only, so the
+file submits unchanged to a real cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="run the corpus curation pass")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--quality", type=float, default=0.5)
+    parser.add_argument("--jaccard", type=float, default=0.8)
+    parser.add_argument("--partitions", type=int, default=None)
+    args = parser.parse_args()
+
+    from ai_pdf_extraction_spark.plans.curate import curated_corpus
+    from ai_pdf_extraction_spark.session import build_session
+
+    spark = build_session(app_name="curate")
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    curated = curated_corpus(
+        docs,
+        quality_threshold=args.quality,
+        jaccard_threshold=args.jaccard,
+    )
+    writer = curated.repartition(args.partitions) if args.partitions else curated
+    writer.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": out.count(),
+                "mean_quality": round(
+                    out.agg({"quality": "avg"}).collect()[0][0] or 0.0, 4
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
