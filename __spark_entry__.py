@@ -806,6 +806,25 @@ def q39_field_confidences(spark, sf_dir):
     )
 
 
+def _exploded_table_rows(spark) -> DataFrame:
+    """Fixture-corpus extraction → structured tables exploded to one
+    row per (url, t_idx, r_idx, key, value) — shared by q46/q48."""
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+
+    pages_path, _ = _ensure_q34_fixtures()
+    plan = extraction_plan(spark.read.parquet(pages_path), run_id="contract")
+    return (
+        plan.select("url", F.posexplode("tables").alias("t_idx", "tbl"))
+        .select("url", "t_idx", F.posexplode("tbl").alias("r_idx", "rec"))
+        .select(
+            "url",
+            F.col("t_idx").cast("int").alias("t_idx"),
+            F.col("r_idx").cast("int").alias("r_idx"),
+            F.explode("rec").alias("key", "value"),
+        )
+    )
+
+
 def q46_table_rows(spark, sf_dir):
     """Structured table-row extraction — the reference's ``array``
     FieldType (array-of-objects rows, e.g. SEC 8-K
@@ -815,22 +834,7 @@ def q46_table_rows(spark, sf_dir):
     nested payload itself rides the output table as
     ``tables array<array<map<string,string>>>``."""
     _ensure_shipped(spark)
-    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
-
-    pages_path, _ = _ensure_q34_fixtures()
-    plan = extraction_plan(spark.read.parquet(pages_path), run_id="contract")
-    t = plan.select(
-        "url", F.posexplode("tables").alias("t_idx", "tbl")
-    )
-    r = t.select(
-        "url", "t_idx", F.posexplode("tbl").alias("r_idx", "rec")
-    )
-    return r.select(
-        "url",
-        F.col("t_idx").cast("int").alias("t_idx"),
-        F.col("r_idx").cast("int").alias("r_idx"),
-        F.explode("rec").alias("key", "value"),
-    )
+    return _exploded_table_rows(spark)
 
 
 def q41_pii_scrub(spark, sf_dir):
@@ -998,15 +1002,8 @@ def q48_table_field_rollup(spark, sf_dir):
     the exploded oracle-kernel golden."""
     _ensure_shipped(spark)
     from ai_pdf_extraction_spark.functions.normalize import parse_number
-    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
 
-    pages_path, _ = _ensure_q34_fixtures()
-    plan = extraction_plan(spark.read.parquet(pages_path), run_id="contract")
-    rows = (
-        plan.select("url", F.posexplode("tables").alias("t_idx", "tbl"))
-        .select("url", "t_idx", F.posexplode("tbl").alias("r_idx", "rec"))
-        .select("url", "t_idx", "r_idx", F.explode("rec").alias("key", "value"))
-    )
+    rows = _exploded_table_rows(spark)
     amounts = rows.filter(F.col("key") == "amount").select(
         "url", parse_number(F.regexp_replace("value", r"[^0-9.]", "")).alias("amt")
     )

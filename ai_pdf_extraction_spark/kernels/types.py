@@ -8,6 +8,7 @@ output schema (SURVEY.md §7.2): extracted text + character spans.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -73,11 +74,9 @@ class ExtractionResult:
         return len(self.tables)
 
 
-import re as _re
-
-_KEY_STRIP_RE = _re.compile(r"[^a-z0-9_]")
-_KEY_SEP_RE = _re.compile(r"[-\s]+")
-_KEY_SQUEEZE_RE = _re.compile(r"_+")
+_KEY_STRIP_RE = re.compile(r"[^a-z0-9_]")
+_KEY_SEP_RE = re.compile(r"[-\s]+")
+_KEY_SQUEEZE_RE = re.compile(r"_+")
 
 
 def norm_field_key(header: str) -> str:

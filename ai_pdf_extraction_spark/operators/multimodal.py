@@ -20,6 +20,9 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -90,8 +93,6 @@ def probe_media(raw: bytes) -> dict:
     WAV frame-count duration. Compressed pixel/sample payloads still
     need codec libs (see :func:`decode_media`); dimension and duration
     headers do not. Returns the MEDIA_META_TYPE fields."""
-    import struct
-
     media_type, fmt = sniff_bytes(raw)
     meta = {
         "media_type": media_type,
@@ -132,9 +133,6 @@ def probe_media(raw: bytes) -> dict:
                 seg_len = struct.unpack(">H", raw[i + 2 : i + 4])[0]
                 i += 2 + seg_len
         elif fmt == "wav":
-            import io
-            import wave
-
             with wave.open(io.BytesIO(raw)) as wf:
                 rate = wf.getframerate()
                 if rate:
@@ -160,8 +158,6 @@ def decode_media(data: bytes, fmt: str):
     """
     if fmt == "wav":
         import array
-        import io
-        import wave
 
         with wave.open(io.BytesIO(data)) as wf:
             rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
@@ -183,8 +179,6 @@ def decode_media(data: bytes, fmt: str):
                 )
         return out
     if fmt == "bmp":
-        import struct
-
         if len(data) < 54 or not data.startswith(b"BM"):
             raise ValueError("not a BMP")
         offset = struct.unpack("<I", data[10:14])[0]
@@ -264,12 +258,21 @@ def _fake_features(data: bytes) -> tuple[float, list[float]]:
     return entropy, hist
 
 
+def _bmp_file(w: int, h: int, pixels: bytes) -> bytes:
+    """Assemble a 24bpp BITMAPINFOHEADER BMP around row-padded pixel
+    bytes — one copy of the header layout for resize_bmp and the
+    fixture generator."""
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+        + pixels
+    )
+
+
 def resize_bmp(data: bytes, out_w: int, out_h: int) -> bytes:
     """REAL nearest-neighbor resize of an uncompressed 24bpp BMP —
     stdlib only (the resize verb of the task brief, runnable without
     codec libs). Returns a well-formed BMP of (out_w, out_h)."""
-    import struct
-
     dec = decode_media(data, "bmp")
     if dec["bpp"] != 24:
         raise NotImplementedError(f"bmp resize supports 24bpp, got {dec['bpp']}")
@@ -285,12 +288,7 @@ def resize_bmp(data: bytes, out_w: int, out_h: int) -> bytes:
             sx = min(ox * w // out_w, w - 1)
             row[3 * ox : 3 * ox + 3] = src_row[3 * sx : 3 * sx + 3]
         rows += row
-    header = struct.pack(
-        "<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54
-    ) + struct.pack(
-        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(rows), 0, 0, 0, 0
-    )
-    return header + bytes(rows)
+    return _bmp_file(out_w, out_h, bytes(rows))
 
 
 def resize_media(
@@ -453,10 +451,7 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
     struct/wave only, so the fixture needs no codec libs and the
     single-process golden shares the bytes exactly."""
     import array
-    import io
     import random
-    import struct
-    import wave
 
     rng = random.Random(seed)
     rows: list[tuple[int, bytes]] = []
@@ -481,12 +476,7 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
             row = bytes(rng.randrange(256) for _ in range(3 * w))
             pad = b"\x00" * ((4 - (3 * w) % 4) % 4)
             pixels = (row + pad) * h
-            header = struct.pack(
-                "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
-            ) + struct.pack(
-                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0
-            )
-            rows.append((i, header + pixels))
+            rows.append((i, _bmp_file(w, h, pixels)))
         elif kind == 2:  # png (header only — dims probe needs no idat)
             rows.append(
                 (
