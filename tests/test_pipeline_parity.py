@@ -141,6 +141,38 @@ def test_salted_repartition_balances_partitions(spark, corpus_dir):
     assert salted <= 0.25, f"salted max partition share too high: {salted}"
 
 
+def test_schema_evolution_across_commits(spark, corpus_dir, tmp_path):
+    """Round-2→round-3 shape: a table whose first commit predates the
+    `tables`/`n_pages` columns must read cleanly after a new-schema
+    append — merge_schema=True surfaces the new columns as null on old
+    rows (Iceberg add-column semantics), and the pre-evolution commit
+    stays time-travelable."""
+    from ai_pdf_extraction_spark.plans.pipeline import (
+        extraction_plan,
+    )
+    from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    plan = extraction_plan(pages, run_id="evo", n_buckets=4)
+    old_shape = plan.drop("tables", "n_pages").filter("bucket < 2")
+    new_shape = plan.filter("bucket >= 2")
+
+    tbl = SnapshotTable(str(tmp_path / "evo_out"))
+    snap1 = tbl.append(old_shape, buckets=[0, 1], run_id="r2")
+    tbl.append(new_shape, buckets=[2, 3], run_id="r3")
+
+    merged = tbl.read(spark, merge_schema=True)
+    assert "tables" in merged.columns and "n_pages" in merged.columns
+    old_rows = merged.filter("bucket < 2")
+    assert old_rows.count() > 0
+    assert old_rows.filter("tables is not null or n_pages is not null").count() == 0
+    assert merged.filter("bucket >= 2 and n_pages is not null").count() > 0
+    # pre-evolution snapshot still readable as-of (which footer wins
+    # schema inference is reader-ordering-dependent — assert rows only)
+    as_of = tbl.read_at(spark, snap1["snapshot_id"])
+    assert as_of.count() == old_rows.count()
+
+
 def test_output_partition_pruning(spark, corpus_dir, tmp_path):
     """Reading one bucket must scan only that hive partition."""
     from ai_pdf_extraction_spark.plans.pipeline import run_extraction
