@@ -1064,6 +1064,24 @@ def q49_media_metadata(spark, sf_dir):
     )
 
 
+def q50_representative_sample(spark, sf_dir):
+    """Representative sampling (S4 — the reference's first2 + last2 +
+    strided-middle page policy, ``pdf_service.py:203-283``, lifted to
+    corpus scale) over synthetic doc urls; the oracle mirrors the
+    index arithmetic in SQL (floor == int-truncation for positive
+    strides), so the exact selected set is value-hashed."""
+    from ai_pdf_extraction_spark.plans.profiling import representative_sample
+
+    d = _t(spark, sf_dir, "documents")
+    pages_like = d.select(
+        F.concat(
+            F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("url"),
+        F.col("text").cast("binary").alias("html"),
+    )
+    return representative_sample(pages_like, max_docs=16).select("url")
+
+
 def q37_url_canonicalize(spark, sf_dir):
     """URL canonicalization (crawl-dedup key normalization): messy
     urls deterministically synthesized from events rows, canonicalized
@@ -1149,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_currency_codes": q47_currency_codes,
         "q48_table_field_rollup": q48_table_field_rollup,
         "q49_media_metadata": q49_media_metadata,
+        "q50_representative_sample": q50_representative_sample,
     }
 
 
@@ -1621,6 +1640,27 @@ from read_parquet('{_q34_golden_path()}')
         "q46_table_rows": f"""
 select url, t_idx, r_idx, key, value
 from read_parquet('{_q46_golden_path()}')
+""",
+        "q50_representative_sample": """
+with nn as (select count(*) as n from documents),
+urls as (select distinct 'doc://' || lpad(doc_id::varchar, 8, '0') as url
+         from documents),
+ranked as (select url, row_number() over (order by url) as rn from urls),
+idx as (
+  select distinct i from (
+    select unnest([1::bigint, 2::bigint,
+                   (select n - 1 from nn), (select n from nn)]) as i
+    union all
+    select least(
+             cast(floor(3 + r.range
+                        * greatest(((select n from nn) - 4) / 12.0, 1.0))
+                  as bigint),
+             (select n from nn)) as i
+    from range(12) r
+  )
+)
+select url from ranked
+where (select n from nn) <= 16 or rn in (select i from idx)
 """,
         "q49_media_metadata": f"""
 select media_id, media_type, format, n_bytes, width, height, duration_ms
