@@ -1642,9 +1642,9 @@ select url, t_idx, r_idx, key, value
 from read_parquet('{_q46_golden_path()}')
 """,
         "q50_representative_sample": """
-with nn as (select count(*) as n from documents),
-urls as (select distinct 'doc://' || lpad(doc_id::varchar, 8, '0') as url
-         from documents),
+with urls as (select distinct 'doc://' || lpad(doc_id::varchar, 8, '0') as url
+              from documents),
+nn as (select count(*) as n from urls),
 ranked as (select url, row_number() over (order by url) as rn from urls),
 idx as (
   select distinct i from (

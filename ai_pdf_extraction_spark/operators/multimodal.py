@@ -278,6 +278,12 @@ def resize_bmp(data: bytes, out_w: int, out_h: int) -> bytes:
         raise NotImplementedError(f"bmp resize supports 24bpp, got {dec['bpp']}")
     w, h, pixels = dec["width"], dec["height"], dec["pixels"]
     src_stride = (3 * w + 3) & ~3
+    if w <= 0 or h <= 0 or len(pixels) < h * src_stride:
+        # a truncated pixel buffer must FAIL (resize_media passes the
+        # original through), never emit a header/payload-mismatched BMP
+        raise ValueError(
+            f"bmp pixel buffer truncated: {len(pixels)} < {h * src_stride}"
+        )
     dst_stride = (3 * out_w + 3) & ~3
     rows = bytearray()
     for oy in range(out_h):
@@ -288,6 +294,14 @@ def resize_bmp(data: bytes, out_w: int, out_h: int) -> bytes:
             sx = min(ox * w // out_w, w - 1)
             row[3 * ox : 3 * ox + 3] = src_row[3 * sx : 3 * sx + 3]
         rows += row
+    if struct.unpack("<i", data[22:26])[0] < 0:
+        # top-down source: storage was copied top-down, but _bmp_file
+        # declares bottom-up — reverse the row blocks so orientation
+        # survives instead of mirroring vertically
+        rows = bytearray().join(
+            rows[i * dst_stride : (i + 1) * dst_stride]
+            for i in range(out_h - 1, -1, -1)
+        )
     return _bmp_file(out_w, out_h, bytes(rows))
 
 
@@ -315,7 +329,13 @@ def resize_media(
             out_bytes: list[bytes | None] = []
             flags: list[bool] = []
             for b in pdf[bytes_col]:
-                raw = bytes(b) if b is not None else b""
+                # passthrough preserves null AS null and empty AS empty
+                # (b'' is a present-but-empty payload, not a missing one)
+                if b is None:
+                    out_bytes.append(None)
+                    flags.append(False)
+                    continue
+                raw = bytes(b)
                 if sniff_bytes(raw)[1] == "bmp":
                     try:
                         out_bytes.append(resize_bmp(raw, out_w, out_h))
@@ -323,7 +343,7 @@ def resize_media(
                         continue
                     except Exception:
                         pass
-                out_bytes.append(raw or None)
+                out_bytes.append(raw)
                 flags.append(False)
             yield pd.DataFrame(
                 {

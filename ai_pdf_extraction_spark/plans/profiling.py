@@ -19,8 +19,13 @@ from pyspark.sql.window import Window
 def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
     """First 2 + last 2 + uniformly strided middle, by url order —
     the reference's page-sampling policy lifted to corpus scale.
-    Deterministic (no RNG): rank by url, pick index set."""
-    n = pages.count()
+    Deterministic (no RNG): rank by url, pick index set.
+
+    ``n`` counts DISTINCT urls — the rank space the indices select
+    from. Counting raw rows would inflate n on recrawl-duplicate
+    corpora and push the last-2/upper-stride picks past the maximum
+    rank, silently dropping tail coverage."""
+    n = pages.select("url").distinct().count()
     if n <= max_docs:
         return pages
     middle = max_docs - 4

@@ -249,6 +249,26 @@ def test_profile_corpus(spark, corpus_dir):
     assert 0.0 <= report["parse_fail_rate"] <= 0.2
 
 
+def test_representative_sample_counts_distinct_urls(spark):
+    """Recrawl duplicates must not inflate the rank space: with 40
+    distinct urls (+ duplicates), max_docs=8 still picks exactly 8
+    INCLUDING the last-2 urls (row-count n would push the tail picks
+    past the max rank and drop them)."""
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.plans.profiling import representative_sample
+
+    base = spark.range(40).select(
+        F.format_string("https://h/%03d", F.col("id")).alias("url"),
+        F.col("id").cast("string").cast("binary").alias("html"),
+    )
+    dups = base.limit(15)  # 15 recrawl duplicates -> 55 rows, 40 urls
+    pages = base.unionAll(dups)
+    got = sorted(r["url"] for r in representative_sample(pages, max_docs=8).collect())
+    assert len(got) == 8
+    assert "https://h/038" in got and "https://h/039" in got, got
+
+
 def test_resume_rejects_different_n_buckets(spark, tmp_path, corpus_dir):
     """Resuming with a different bucketing fanout would re-hash urls
     into different buckets (silent duplication + never-scheduled ids) —

@@ -502,6 +502,37 @@ def test_media_probe_and_stdlib_decode(spark):
     assert rs[2]["resized"] and probe_media(bytes(rs[2]["media"]))["width"] == 2
     assert not rs[1]["resized"] and bytes(rs[1]["media"]) == wav
 
+    # truncated pixel buffer: resize must FAIL (passthrough unresized),
+    # never emit a header/payload-mismatched BMP
+    truncated = bmp[: 54 + 10]
+    with pytest.raises(ValueError):
+        resize_bmp(truncated, 2, 2)
+    df_t = spark.createDataFrame([(9, truncated)], "media_id long, media binary")
+    rt = resize_media(df_t, 2, 2).collect()[0]
+    assert not rt["resized"] and bytes(rt["media"]) == truncated
+
+    # top-down source (negative height): orientation survives resize
+    import struct as _struct
+
+    from ai_pdf_extraction_spark.operators.multimodal import decode_media
+
+    # 1x2 bottom-up: storage row0=RED(bottom), row1=BLUE(top)
+    red, blue = b"\x00\x00\xff\x00", b"\xff\x00\x00\x00"  # padded rows
+    bottom_up = (
+        _struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, 8, 0, 0, 0, 0)
+        + red + blue
+    )
+    # same logical image as top-down: height -2, storage row0=BLUE(top)
+    top_down = (
+        _struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, 8, 0, 0, 0, 0)
+        + blue + red
+    )
+    out_bu = decode_media(resize_bmp(bottom_up, 1, 2), "bmp")["pixels"]
+    out_td = decode_media(resize_bmp(top_down, 1, 2), "bmp")["pixels"]
+    assert out_bu == out_td == red + blue, (out_bu, out_td)
+
 
 def test_winnowing_fingerprints(spark):
     from ai_pdf_extraction_spark.operators.text_analysis import (
