@@ -456,7 +456,8 @@ def frame_sample_plan(
 
 # bump when generated media BYTES change (cache key of the media
 # parquet, like CORPUS_VERSION for pages)
-MEDIA_FIXTURE_VERSION = 1
+# v2: some BMPs top-down (negative height) or truncated mid-pixels
+MEDIA_FIXTURE_VERSION = 2
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
@@ -491,12 +492,25 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
                     ).tobytes()
                 )
             rows.append((i, buf.getvalue()))
-        elif kind == 1:  # bmp
+        elif kind == 1:  # bmp: bottom-up, TOP-DOWN, or truncated
             w, h = 2 + i % 6, 1 + i % 4
             row = bytes(rng.randrange(256) for _ in range(3 * w))
             pad = b"\x00" * ((4 - (3 * w) % 4) % 4)
             pixels = (row + pad) * h
-            rows.append((i, _bmp_file(w, h, pixels)))
+            data = _bmp_file(w, h, pixels)
+            if i % 15 == 1:  # top-down variant (negative height)
+                import struct as _s
+
+                data = (
+                    data[:22] + _s.pack("<i", -h) + data[26:54]
+                    + b"".join(
+                        pixels[k * (len(pixels) // h):(k + 1) * (len(pixels) // h)]
+                        for k in range(h - 1, -1, -1)
+                    )
+                )
+            elif i % 15 == 6:  # truncated mid-pixels (malformed)
+                data = data[: 54 + max(len(pixels) // 2 - 1, 0)]
+            rows.append((i, data))
         elif kind == 2:  # png (header only — dims probe needs no idat)
             rows.append(
                 (
