@@ -137,9 +137,64 @@ def probe_media(raw: bytes) -> dict:
                 rate = wf.getframerate()
                 if rate:
                     meta["duration_ms"] = wf.getnframes() * 1000 // rate
+        elif fmt == "webp" and len(raw) >= 16:
+            chunk = raw[12:16]
+            if chunk == b"VP8X" and len(raw) >= 30:
+                # 24-bit little-endian width-1 / height-1 at offset 24
+                w = int.from_bytes(raw[24:27], "little") + 1
+                h = int.from_bytes(raw[27:30], "little") + 1
+                meta["width"], meta["height"] = w, h
+            elif chunk == b"VP8L" and len(raw) >= 25 and raw[20] == 0x2F:
+                bits = int.from_bytes(raw[21:25], "little")
+                meta["width"] = (bits & 0x3FFF) + 1
+                meta["height"] = ((bits >> 14) & 0x3FFF) + 1
+            elif chunk == b"VP8 " and len(raw) >= 30 and raw[23:26] == b"\x9d\x01*":
+                meta["width"] = int.from_bytes(raw[26:28], "little") & 0x3FFF
+                meta["height"] = int.from_bytes(raw[28:30], "little") & 0x3FFF
+        elif fmt == "mp4":
+            meta["duration_ms"] = _mp4_duration_ms(raw)
     except Exception:
         pass  # malformed header: sniffed type survives, probe fields stay null
     return meta
+
+
+def _mp4_duration_ms(raw: bytes) -> int | None:
+    """Walk the top-level box tree to moov→mvhd and read
+    timescale/duration (version 0: u32s at +12/+16 past the box
+    header; version 1: u64 duration after a u32 timescale). Pure
+    header arithmetic — no codec."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            kind = buf[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            if size < 8 or i + size > end:
+                return
+            yield kind, i + 8, i + size
+            i += size
+
+    for kind, body, bend in boxes(raw, 0, len(raw)):
+        if kind != b"moov":
+            continue
+        for k2, b2, e2 in boxes(raw, body, bend):
+            if k2 != b"mvhd":
+                continue
+            version = raw[b2]
+            if version == 0 and e2 - b2 >= 24:
+                scale = int.from_bytes(raw[b2 + 12 : b2 + 16], "big")
+                dur = int.from_bytes(raw[b2 + 16 : b2 + 20], "big")
+            elif version == 1 and e2 - b2 >= 32:
+                scale = int.from_bytes(raw[b2 + 20 : b2 + 24], "big")
+                dur = int.from_bytes(raw[b2 + 24 : b2 + 32], "big")
+            else:
+                return None
+            return dur * 1000 // scale if scale else None
+    return None
 
 
 def decode_media(data: bytes, fmt: str):
@@ -457,7 +512,8 @@ def frame_sample_plan(
 # bump when generated media BYTES change (cache key of the media
 # parquet, like CORPUS_VERSION for pages)
 # v2: some BMPs top-down (negative height) or truncated mid-pixels
-MEDIA_FIXTURE_VERSION = 2
+# v3: webp (VP8X/VP8L/VP8) and mp4-with-mvhd variants in the junk slot
+MEDIA_FIXTURE_VERSION = 3
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
@@ -531,10 +587,24 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
                     + bytes(9),
                 )
             )
-        else:  # junk / empty
-            rows.append(
-                (i, b"" if i % 10 == 4 else bytes(rng.randrange(256) for _ in range(32)))
-            )
+        else:  # webp / mp4 / junk / empty
+            v = i % 20
+            if v == 9:  # VP8X webp with real dims
+                w, h = 16 + i % 320, 9 + i % 240
+                rows.append((i,
+                    b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X"
+                    + struct.pack("<I", 10) + b"\x00" * 4
+                    + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")))
+            elif v == 19:  # mp4 with moov/mvhd duration
+                dur = 1000 + (i % 60) * 500
+                mvhd = (b"\x00" * 12 + struct.pack(">II", 1000, dur) + b"\x00" * 80)
+                mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+                moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+                rows.append((i, struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + moov))
+            elif i % 10 == 4:
+                rows.append((i, b""))
+            else:
+                rows.append((i, bytes(rng.randrange(256) for _ in range(32))))
     return rows
 
 

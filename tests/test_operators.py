@@ -470,6 +470,35 @@ def test_media_probe_and_stdlib_decode(spark):
     m = probe_media(wav)
     assert m["format"] == "wav" and m["duration_ms"] == 500  # 4000 frames @ 8kHz
 
+    # webp: all three chunk layouts carry dims in the header
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X" + struct.pack("<I", 10)
+        + b"\x00" * 4 + (319).to_bytes(3, "little") + (239).to_bytes(3, "little")
+    )
+    m = probe_media(vp8x)
+    assert (m["format"], m["width"], m["height"]) == ("webp", 320, 240)
+    bits = 99 | (49 << 14)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 17) + b"WEBPVP8L" + struct.pack("<I", 5)
+        + b"\x2f" + bits.to_bytes(4, "little")
+    )
+    m = probe_media(vp8l)
+    assert (m["width"], m["height"]) == (100, 50)
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 " + struct.pack("<I", 20)
+        + b"\x00" * 3 + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    )
+    m = probe_media(vp8)
+    assert (m["width"], m["height"]) == (640, 480)
+
+    # mp4: moov/mvhd duration (version 0), no codec involved
+    mvhd = b"\x00" * 12 + struct.pack(">II", 1000, 7500) + b"\x00" * 80
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    mp4 = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + moov
+    m = probe_media(mp4)
+    assert (m["format"], m["duration_ms"]) == ("mp4", 7500)
+
     dec = decode_media(wav, "wav")
     assert dec["sample_rate"] == 8000 and dec["n_channels"] == 1
     assert dec["peak"] == 2000 and dec["rms"] > 0
