@@ -89,10 +89,11 @@ def sniff_bytes(raw: bytes) -> tuple[str, str | None]:
 
 def probe_media(raw: bytes) -> dict:
     """Typed metadata probe — REAL (stdlib-only) where the container
-    format permits: PNG IHDR / JPEG SOFn / BMP InfoHeader dimensions,
-    WAV frame-count duration. Compressed pixel/sample payloads still
-    need codec libs (see :func:`decode_media`); dimension and duration
-    headers do not. Returns the MEDIA_META_TYPE fields."""
+    format permits: PNG IHDR / JPEG SOFn / BMP InfoHeader / WebP
+    VP8X-VP8L-VP8 dimensions, WAV frame-count and MP4 mvhd duration.
+    Compressed pixel/sample payloads still need codec libs (see
+    :func:`decode_media`); dimension and duration headers do not.
+    Returns the MEDIA_META_TYPE fields."""
     media_type, fmt = sniff_bytes(raw)
     meta = {
         "media_type": media_type,
@@ -519,7 +520,8 @@ MEDIA_FIXTURE_VERSION = 3
 # compared against a stale cached golden)
 # p2: JPEG scanner handles fill bytes / standalone markers / SOS stop
 #     and reads dims ending exactly at EOF
-MEDIA_PROBE_VERSION = 2
+# p3: webp (VP8X/VP8L/VP8) dimensions + mp4 mvhd duration
+MEDIA_PROBE_VERSION = 3
 
 
 def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
