@@ -211,3 +211,24 @@ def test_mixed_compressed_corpus_roundtrip():
         res = extract_document(r["html"])
         assert res.parse_ok, r["url"]
         assert len(res.text) > 50
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=1024))
+def test_probe_media_never_raises(data):
+    """Header parsers (png/jpeg/bmp/wav/webp/mp4 walkers) must never
+    raise on arbitrary bytes — bias the fuzz toward each parser with
+    magic-byte prefixes."""
+    from ai_pdf_extraction_spark.operators.multimodal import probe_media
+
+    for prefix in (
+        b"",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8\xff",
+        b"BM",
+        b"RIFF\x10\x00\x00\x00WAVE",
+        b"RIFF\x10\x00\x00\x00WEBP",
+        b"\x00\x00\x00\x10ftypisom",
+    ):
+        meta = probe_media(prefix + data)
+        assert isinstance(meta["n_bytes"], int)
