@@ -170,13 +170,15 @@ def _mp4_duration_ms(raw: bytes) -> int | None:
         while i + 8 <= end:
             size = int.from_bytes(buf[i : i + 4], "big")
             kind = buf[i + 4 : i + 8]
-            if size == 1:  # 64-bit largesize
+            hdr = 8
+            if size == 1:  # 64-bit largesize: payload starts AFTER it
                 if i + 16 > end:
                     return
                 size = int.from_bytes(buf[i + 8 : i + 16], "big")
-            if size < 8 or i + size > end:
+                hdr = 16
+            if size < hdr or i + size > end:
                 return
-            yield kind, i + 8, i + size
+            yield kind, i + hdr, i + size
             i += size
 
     for kind, body, bend in boxes(raw, 0, len(raw)):
@@ -194,7 +196,13 @@ def _mp4_duration_ms(raw: bytes) -> int | None:
                 dur = int.from_bytes(raw[b2 + 24 : b2 + 32], "big")
             else:
                 return None
-            return dur * 1000 // scale if scale else None
+            if not scale:
+                return None
+            ms = dur * 1000 // scale
+            # adversarial u64 durations overflow Arrow int64 OUTSIDE
+            # probe_media's try/except — clamp to null like every other
+            # malformed-header case
+            return ms if 0 <= ms < (1 << 63) else None
     return None
 
 
@@ -514,14 +522,18 @@ def frame_sample_plan(
 # parquet, like CORPUS_VERSION for pages)
 # v2: some BMPs top-down (negative height) or truncated mid-pixels
 # v3: webp (VP8X/VP8L/VP8) and mp4-with-mvhd variants in the junk slot
-MEDIA_FIXTURE_VERSION = 3
+# v4: per-row-random bmp pixels (top-down reversal is observable),
+#     nonempty-unknown junk slot restored
+MEDIA_FIXTURE_VERSION = 4
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
 # p2: JPEG scanner handles fill bytes / standalone markers / SOS stop
 #     and reads dims ending exactly at EOF
 # p3: webp (VP8X/VP8L/VP8) dimensions + mp4 mvhd duration
-MEDIA_PROBE_VERSION = 3
+# p4: mp4 largesize boxes parse (payload offset +16), u64 durations
+#     that overflow int64 clamp to null
+MEDIA_PROBE_VERSION = 4
 
 
 def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
@@ -552,17 +564,20 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
             rows.append((i, buf.getvalue()))
         elif kind == 1:  # bmp: bottom-up, TOP-DOWN, or truncated
             w, h = 2 + i % 6, 1 + i % 4
-            row = bytes(rng.randrange(256) for _ in range(3 * w))
             pad = b"\x00" * ((4 - (3 * w) % 4) % 4)
-            pixels = (row + pad) * h
+            stride = 3 * w + len(pad)
+            # per-ROW random content (identical rows made the top-down
+            # reversal a no-op — nothing would catch a flipped image)
+            pixels = b"".join(
+                bytes(rng.randrange(256) for _ in range(3 * w)) + pad
+                for _ in range(h)
+            )
             data = _bmp_file(w, h, pixels)
             if i % 15 == 1:  # top-down variant (negative height)
-                import struct as _s
-
                 data = (
-                    data[:22] + _s.pack("<i", -h) + data[26:54]
+                    data[:22] + struct.pack("<i", -h) + data[26:54]
                     + b"".join(
-                        pixels[k * (len(pixels) // h):(k + 1) * (len(pixels) // h)]
+                        pixels[k * stride : (k + 1) * stride]
                         for k in range(h - 1, -1, -1)
                     )
                 )
@@ -589,7 +604,8 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
                     + bytes(9),
                 )
             )
-        else:  # webp / mp4 / junk / empty
+        else:  # kind == 4, i % 20 in {4, 9, 14, 19}: one slot each for
+            # webp, mp4, empty, and nonempty-unknown junk
             v = i % 20
             if v == 9:  # VP8X webp with real dims
                 w, h = 16 + i % 320, 9 + i % 240
@@ -603,9 +619,9 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
                 mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
                 moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
                 rows.append((i, struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + moov))
-            elif i % 10 == 4:
+            elif v == 4:
                 rows.append((i, b""))
-            else:
+            else:  # v == 14: nonempty junk — pins the sniff-unknown path
                 rows.append((i, bytes(rng.randrange(256) for _ in range(32))))
     return rows
 

@@ -24,37 +24,44 @@ def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
     ``n`` counts DISTINCT urls — the rank space the indices select
     from. Counting raw rows would inflate n on recrawl-duplicate
     corpora and push the last-2/upper-stride picks past the maximum
-    rank, silently dropping tail coverage."""
-    n = pages.select("url").distinct().count()
-    if n <= max_docs:
-        return pages
-    middle = max_docs - 4
-    stride = max((n - 4) / max(middle, 1), 1.0)
-    indices = sorted(
-        {1, 2, n - 1, n}
-        | {min(int(3 + i * stride), n) for i in range(middle)}
-    )
-    # Rank on a url-only projection and semi-join the selected urls
-    # back: the unpartitioned global sort is unavoidable for exact
-    # ranks, but it must carry 8-byte url strings, not multi-MB html
-    # payloads, through the single sort task.
-    w = Window.orderBy("url")
-    picked_urls = (
-        pages.select("url")
-        .distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn").isin(indices))
-        .select("url")
-    )
-    joined = pages.join(F.broadcast(picked_urls), "url", "left_semi")
-    # duplicate urls (recrawls) would each match the semi-join; keep one
-    # deterministic row per url so the sample stays ≤ max_docs
+    rank, silently dropping tail coverage. Recrawl duplicates are
+    collapsed to one deterministic row per url in BOTH regimes (the
+    small-corpus early return included — the sample contract is ≤
+    max_docs unique-url rows, never duplicate rows)."""
+    # one deterministic row per duplicated url
     w_dup = Window.partitionBy("url").orderBy(F.xxhash64(F.col("html")))
-    return (
-        joined.withColumn("_dup_rn", F.row_number().over(w_dup))
+    deduped = (
+        pages.withColumn("_dup_rn", F.row_number().over(w_dup))
         .filter(F.col("_dup_rn") == 1)
         .drop("_dup_rn")
     )
+    distinct_urls = pages.select("url").distinct().persist()
+    try:
+        n = distinct_urls.count()
+        if n <= max_docs:
+            return deduped
+        middle = max_docs - 4
+        stride = max((n - 4) / max(middle, 1), 1.0)
+        indices = sorted(
+            {1, 2, n - 1, n}
+            | {min(int(3 + i * stride), n) for i in range(middle)}
+        )
+        # Rank on the (persisted) url-only projection: the
+        # unpartitioned global sort is unavoidable for exact ranks, but
+        # it carries 8-byte url strings, not multi-MB html payloads,
+        # and the ≤max_docs picks collect to a tiny driver-side isin
+        # literal — no second distinct scan, no broadcast join.
+        w = Window.orderBy("url")
+        picked = [
+            r["url"]
+            for r in distinct_urls.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn").isin(indices))
+            .select("url")
+            .collect()
+        ]
+    finally:
+        distinct_urls.unpersist()
+    return deduped.filter(F.col("url").isin(picked))
 
 
 def profile_corpus(spark: SparkSession, input_path: str, max_docs: int = 64) -> dict:

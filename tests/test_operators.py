@@ -499,6 +499,24 @@ def test_media_probe_and_stdlib_decode(spark):
     m = probe_media(mp4)
     assert (m["format"], m["duration_ms"]) == ("mp4", 7500)
 
+    # 64-bit largesize moov: payload starts after the largesize field
+    big_moov = (
+        struct.pack(">I", 1) + b"moov"
+        + struct.pack(">Q", 16 + len(mvhd_box)) + mvhd_box
+    )
+    m = probe_media(struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + big_moov)
+    assert m["duration_ms"] == 7500
+    # adversarial u64 duration overflowing int64 clamps to null (would
+    # otherwise blow up at Arrow conversion, outside the try/except)
+    mvhd1 = (
+        b"\x01" + b"\x00" * 19 + struct.pack(">I", 1)
+        + struct.pack(">Q", 1 << 63) + b"\x00" * 72
+    )
+    mb1 = struct.pack(">I", 8 + len(mvhd1)) + b"mvhd" + mvhd1
+    mv1 = struct.pack(">I", 8 + len(mb1)) + b"moov" + mb1
+    m = probe_media(struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + mv1)
+    assert m["duration_ms"] is None
+
     dec = decode_media(wav, "wav")
     assert dec["sample_rate"] == 8000 and dec["n_channels"] == 1
     assert dec["peak"] == 2000 and dec["rms"] > 0
