@@ -1,0 +1,158 @@
+"""WARC ingestion: Common Crawl's native container → the pages schema.
+
+The crawl actually arrives as ~1 GB ``.warc.gz`` files (one gzip
+member per record, concatenated); the standard processing shape is ONE
+WARC FILE PER TASK — ``binaryFile`` rows fan out across executors and
+each task stream-parses its file with the stdlib (``gzip`` handles
+concatenated members natively), emitting ``response`` records as
+(url, warc_ts, html) rows. No external warc library; record parsing is
+the WARC/1.0 header grammar (ISO 28500): headers block, blank line,
+``Content-Length`` octets of block, blank line pair.
+
+At 10^12 docs the listing is a manifest of file paths; Spark schedules
+one parse task per file and the extraction pipeline consumes the
+resulting pages DataFrame unchanged (``plans.pipeline.run_extraction``
+accepts any pages-shaped input).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ai_pdf_extraction_spark.streaming.ingest import PAGES_SCHEMA
+
+
+def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
+    """Stream (headers, block) pairs from a binary file-like of
+    UNCOMPRESSED WARC bytes. Tolerant of leading/trailing blank lines;
+    stops cleanly at EOF or on a malformed length."""
+    while True:
+        # skip record separators
+        line = stream.readline()
+        while line in (b"\r\n", b"\n"):
+            line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            return  # lost sync: stop rather than misattribute payloads
+        headers: dict[str, str] = {}
+        while True:
+            hline = stream.readline()
+            if hline in (b"\r\n", b"\n", b""):
+                break
+            if b":" in hline:
+                k, v = hline.split(b":", 1)
+                headers[k.strip().decode("latin-1").lower()] = (
+                    v.strip().decode("latin-1")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        block = stream.read(length)
+        if len(block) < length:
+            return  # truncated file: drop the partial record
+        yield headers, block
+
+
+def _http_payload(block: bytes) -> bytes:
+    """Strip the HTTP response envelope from a ``response`` record's
+    block (payload follows the first blank line)."""
+    if block[:5] in (b"HTTP/",):
+        for sep in (b"\r\n\r\n", b"\n\n"):
+            idx = block.find(sep)
+            if idx != -1:
+                return block[idx + len(sep):]
+    return block
+
+
+def _parse_warc_ts(value: str):
+    try:
+        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        return None
+
+
+def warc_bytes_to_rows(name: str, raw: bytes) -> list[dict]:
+    """One WARC file's bytes → pages rows (``response`` records only).
+    Gzip (incl. concatenated-member) and plain files both parse."""
+    if raw[:2] == b"\x1f\x8b":
+        stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    else:
+        stream = io.BytesIO(raw)
+    rows: list[dict] = []
+    for headers, block in iter_warc_records(stream):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+                "html": _http_payload(block),
+                "text": None,
+                "lang": None,
+            }
+        )
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC → pages DataFrame: ``binaryFile`` schedules one
+    file per row/task; ``mapInPandas`` parses each file's records. The
+    output carries the exact PAGES_SCHEMA the extraction pipeline
+    reads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for name, content in zip(pdf["path"], pdf["content"]):
+                out.extend(warc_bytes_to_rows(name, bytes(content)))
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in out],
+                    "warc_ts": pd.Series(
+                        [r["warc_ts"] for r in out], dtype="object"
+                    ),
+                    "html": [r["html"] for r in out],
+                    "text": pd.Series([r["text"] for r in out], dtype="object"),
+                    "lang": pd.Series([r["lang"] for r in out], dtype="object"),
+                }
+            )
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def write_warc(path: str, rows: list[dict], compress: bool = True) -> int:
+    """Test/fixture writer: pages rows → a spec-shaped WARC file
+    (``response`` records with an HTTP envelope, one gzip member per
+    record when compressed — the Common Crawl layout)."""
+    out = io.BytesIO()
+    for r in rows:
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + r["html"]
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {r['url']}\r\n".encode()
+            + f"WARC-Date: {ts}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n" + http + b"\r\n\r\n"
+        )
+        out.write(gzip.compress(rec) if compress else rec)
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())
+    return len(rows)

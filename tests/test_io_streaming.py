@@ -297,3 +297,52 @@ def test_batch_status_on_committed_empty_table(spark, tmp_path):
     table.commit([0, 1], run_id="r1", commit_id=table.new_commit_id())
     status = batch_status(spark, table, n_buckets=4)
     assert status["n_docs"] == 0 and status["buckets_done"] == 2
+
+
+def test_warc_roundtrip_and_extraction(spark, tmp_path):
+    """WARC source: gzip and plain files parse to the pages schema and
+    feed the extraction pipeline unchanged; non-response records and
+    truncated tails are skipped, HTTP envelopes are stripped."""
+    import datetime
+
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+    from ai_pdf_extraction_spark.sources.warc import (
+        read_warc,
+        warc_bytes_to_rows,
+        write_warc,
+    )
+
+    pages = generate_pages(40, seed=77)
+    rows = [
+        {"url": r["url"], "warc_ts": r["warc_ts"].replace(tzinfo=datetime.timezone.utc), "html": r["html"]}
+        for r in pages
+        if r["html"]
+    ]
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc(str(wdir / "a.warc.gz"), rows[:20], compress=True)
+    write_warc(str(wdir / "b.warc"), rows[20:], compress=False)
+
+    df = read_warc(spark, str(wdir))
+    got = {r["url"]: r for r in df.collect()}
+    assert len(got) == len(rows)
+    sample = rows[0]
+    assert bytes(got[sample["url"]]["html"]) == sample["html"]
+    assert got[sample["url"]]["warc_ts"] is not None
+
+    # pipeline consumes the WARC-sourced pages unchanged
+    plan = extraction_plan(df, run_id="warc", min_parallelism=2)
+    n_ok = plan.filter("parse_ok").count()
+    assert n_ok > len(rows) * 0.8
+
+    # robustness: request records skipped, truncated tail dropped
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://x/\r\n"
+        b"Content-Length: 4\r\n\r\nGET \r\n\r\n"
+    )
+    write_warc(str(wdir / "c.warc"), rows[:1], compress=False)
+    raw = open(wdir / "c.warc", "rb").read()
+    mixed = req + raw + raw[: len(raw) // 2]  # request + good + truncated
+    parsed = warc_bytes_to_rows("m", mixed)
+    assert len(parsed) == 1 and parsed[0]["url"] == rows[0]["url"]
