@@ -135,6 +135,7 @@ def run_extraction(
     run_id: str,
     n_buckets: int = DEFAULT_N_BUCKETS,
     buckets_per_commit: int | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Run (or resume) extraction over a page corpus.
 
@@ -162,7 +163,12 @@ def run_extraction(
     if not pending:
         return {"run_id": run_id, "committed": [], "skipped": sorted(done), "docs": 0}
 
-    pages = spark.read.parquet(input_path)
+    if input_format == "warc":
+        from ai_pdf_extraction_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, input_path)
+    else:
+        pages = spark.read.parquet(input_path)
     plan = extraction_plan(pages, run_id, n_buckets)
 
     group = len(pending) if buckets_per_commit is None else buckets_per_commit

@@ -26,6 +26,13 @@ def main() -> None:
     parser.add_argument("--run-id", required=True)
     parser.add_argument("--n-buckets", type=int, default=64)
     parser.add_argument("--buckets-per-commit", type=int, default=None)
+    parser.add_argument(
+        "--input-format",
+        choices=("parquet", "warc"),
+        default="parquet",
+        help="warc reads Common-Crawl .warc/.warc.gz files directly "
+        "(one crawl file per task)",
+    )
     args = parser.parse_args()
 
     # Under spark-submit a SparkSession config is provided by the
@@ -44,6 +51,7 @@ def main() -> None:
         run_id=args.run_id,
         n_buckets=args.n_buckets,
         buckets_per_commit=args.buckets_per_commit,
+        input_format=args.input_format,
     )
     status = batch_status(spark, SnapshotTable(args.output), args.n_buckets)
     print(json.dumps({"result": result, "status": status}))
