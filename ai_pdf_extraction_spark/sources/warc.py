@@ -89,21 +89,27 @@ def warc_bytes_to_rows(name: str, raw: bytes) -> list[dict]:
     else:
         stream = io.BytesIO(raw)
     rows: list[dict] = []
-    for headers, block in iter_warc_records(stream):
-        if headers.get("warc-type") != "response":
-            continue
-        url = headers.get("warc-target-uri")
-        if not url:
-            continue
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
-                "html": _http_payload(block),
-                "text": None,
-                "lang": None,
-            }
-        )
+    try:
+        for headers, block in iter_warc_records(stream):
+            if headers.get("warc-type") != "response":
+                continue
+            url = headers.get("warc-target-uri")
+            if not url:
+                continue
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+                    "html": _http_payload(block),
+                    "text": None,
+                    "lang": None,
+                }
+            )
+    except (OSError, EOFError):
+        # corrupt gzip member mid-file: keep the records already
+        # parsed — one damaged crawl file must never fail the task
+        # (the per-row failure-isolation contract, ST3)
+        pass
     return rows
 
 

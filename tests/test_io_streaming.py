@@ -346,3 +346,11 @@ def test_warc_roundtrip_and_extraction(spark, tmp_path):
     mixed = req + raw + raw[: len(raw) // 2]  # request + good + truncated
     parsed = warc_bytes_to_rows("m", mixed)
     assert len(parsed) == 1 and parsed[0]["url"] == rows[0]["url"]
+
+    # corrupt gzip member mid-file: records before the damage survive,
+    # nothing raises (failure isolation, ST3)
+    gz_raw = open(wdir / "a.warc.gz", "rb").read()
+    damaged = gz_raw[: len(gz_raw) - 40] + b"\x00" * 10
+    survivors = warc_bytes_to_rows("d", damaged)
+    assert 0 < len(survivors) < 20
+    assert warc_bytes_to_rows("g", b"\x1f\x8b" + b"\x00" * 50) == []
