@@ -55,6 +55,8 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            return  # crafted negative length would slurp the rest
         block = stream.read(length)
         if len(block) < length:
             return  # truncated file: drop the partial record
