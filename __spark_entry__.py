@@ -787,6 +787,58 @@ def q34_extract_pages(spark, sf_dir):
     return _signature_cols(plan)
 
 
+def _ensure_warc_fixtures() -> str:
+    """Deterministic WARC twin of the q34 page corpus: the same 600
+    ``generate_pages`` rows written as 8 ``.warc.gz`` shards (one gzip
+    member per record — the Common Crawl layout). The html payloads
+    ride the WARC/HTTP envelope byte-identically, so extraction over
+    ``read_warc`` must hash-match the q34 golden exactly. Atomic
+    temp+rename like every other fixture cache."""
+    import uuid
+
+    from ai_pdf_extraction_spark.corpus.generate import (
+        CORPUS_VERSION,
+        generate_pages,
+    )
+    from ai_pdf_extraction_spark.sources.warc import write_warc
+
+    path = f"/tmp/spark_graft_contract_warc_v{CORPUS_VERSION}_600_13"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        rows = generate_pages(600, seed=13)
+        n_shards = 8
+        for s in range(n_shards):
+            write_warc(
+                os.path.join(tmp, f"part-{s:02d}.warc.gz"),
+                rows[s::n_shards],
+                compress=True,
+            )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return path
+
+
+def q51_warc_extract(spark, sf_dir):
+    """WARC ingestion end-to-end (the crawl-native source, round-3
+    verdict item 2a): the q34 corpus round-tripped through spec-shaped
+    ``.warc.gz`` shards → ``read_warc`` (streamed, path-per-task) →
+    the extraction pipeline → the same signature columns, value-hashed
+    against the SAME single-process golden as q34 — proving the WARC
+    envelope/parse is byte-transparent to extraction."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+    from ai_pdf_extraction_spark.sources.warc import read_warc
+
+    pages = read_warc(spark, _ensure_warc_fixtures())
+    plan = extraction_plan(pages, run_id="contract-warc")
+    return _signature_cols(plan)
+
+
 def q39_field_confidences(spark, sf_dir):
     """Per-field confidences (reference ``field_confidences`` dict,
     ``models.py:186-199``) surfaced as one column per span kind via map
@@ -1171,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_table_field_rollup": q48_table_field_rollup,
         "q49_media_metadata": q49_media_metadata,
         "q50_representative_sample": q50_representative_sample,
+        "q51_warc_extract": q51_warc_extract,
     }
 
 
@@ -1643,6 +1696,16 @@ from read_parquet('{_q34_golden_path()}')
         "q46_table_rows": f"""
 select url, t_idx, r_idx, key, value
 from read_parquet('{_q46_golden_path()}')
+""",
+        "q51_warc_extract": f"""
+select url, content_type, parse_ok, confidence, n_chars, n_spans,
+  md5(extracted_text) as text_md5,
+  coalesce(array_to_string(list_transform(spans,
+    s -> s['start']::varchar || ':' || s['end']::varchar || ':' || s['kind']),
+    ';'), '') as spans_sig,
+  coalesce(array_to_string(warnings, '|'), '') as warnings_sig,
+  fc_sig, n_pages, n_tables, tables_sig
+from read_parquet('{_q34_golden_path()}')
 """,
         "q50_representative_sample": """
 with urls as (select distinct 'doc://' || lpad(doc_id::varchar, 8, '0') as url

@@ -375,3 +375,41 @@ def test_warc_roundtrip_and_extraction(spark, tmp_path):
     survivors = warc_bytes_to_rows("d", damaged)
     assert 0 < len(survivors) < 20
     assert warc_bytes_to_rows("g", b"\x1f\x8b" + b"\x00" * 50) == []
+
+
+def test_warc_streamed_batches_cap_memory(tmp_path):
+    """The distributed reader must never hold a whole WARC file: the
+    per-file iterator yields batches of ≤ batch_rows, and the streamed
+    row set equals the materialized parse exactly (gzip and plain)."""
+    import datetime
+
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+    from ai_pdf_extraction_spark.sources.warc import (
+        iter_row_batches,
+        warc_bytes_to_rows,
+        write_warc,
+    )
+
+    pages = generate_pages(37, seed=5)
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": r["warc_ts"].replace(tzinfo=datetime.timezone.utc),
+            "html": r["html"],
+        }
+        for r in pages
+    ]
+    for fname, compress in (("s.warc.gz", True), ("s.warc", False)):
+        path = str(tmp_path / fname)
+        write_warc(path, rows, compress=compress)
+        batches = list(iter_row_batches(path, batch_rows=8))
+        assert max(len(b) for b in batches) <= 8
+        assert len(batches) == 5  # 37 rows → 4 full + 1 tail batch
+        streamed = [r for b in batches for r in b]
+        assert streamed == warc_bytes_to_rows(fname, open(path, "rb").read())
+        assert [r["url"] for r in streamed] == [r["url"] for r in rows]
+        assert bytes(streamed[3]["html"]) == rows[3]["html"]
+    # file: URI form (what binaryFile listings produce)
+    uri = "file://" + str(tmp_path / "s.warc.gz")
+    got = [r for b in iter_row_batches(uri, 100) for r in b]
+    assert len(got) == 37
