@@ -2,12 +2,14 @@
 
 Media columns are ``binary`` + a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. Header probes (PNG/JPEG/BMP dimensions, WAV
-duration) and wav/bmp decode are REAL — stdlib only. The compressed
-codecs (jpeg/png pixel data, webp, mp4) are not in this container, so
-that decode seam raises ``NotImplementedError`` (deterministic fake
-features stand in) — the Spark-side plumbing (schema, partitioning,
-UDF signature, batch shape) is real and tested, per the task brief.
+``mapInPandas`` stages. Header probes (PNG/JPEG/BMP/WebP dimensions,
+WAV/MP4 duration) and wav/bmp/PNG decode + resize are REAL — stdlib
+only (PNG via :mod:`png_codec`: zlib IDAT + filter reconstruction).
+The remaining compressed codecs (jpeg pixel data, webp, mp4) are not
+in this container, so that decode seam raises ``NotImplementedError``
+(deterministic fake features stand in) — the Spark-side plumbing
+(schema, partitioning, UDF signature, batch shape) is real and
+tested, per the task brief.
 
 Design notes for 100 TB:
 * media bytes never enter a shuffle — all media stages are
@@ -28,6 +30,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ai_pdf_extraction_spark.operators.png_codec import resize_png as _resize_png
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -214,9 +218,12 @@ def decode_media(data: bytes, fmt: str):
       external codec needed).
     * ``bmp`` → dict with width/height/bpp and the raw (uncompressed)
       pixel bytes.
+    * ``png`` → dict with width/height/channels and the reconstructed
+      pixel samples — REAL: IDAT is zlib + filter arithmetic
+      (:mod:`png_codec`), no codec library needed.
 
-    Compressed codecs (jpeg/png pixel data, webp, mp4/avi) require
-    PIL/soundfile/av — not in this container — and raise
+    The remaining compressed codecs (jpeg pixel data, webp, mp4/avi)
+    require PIL/soundfile/av — not in this container — and raise
     NotImplementedError: that seam is the documented stub; everything
     around it (batch shape, schema, partitioning) is production-real.
     """
@@ -254,6 +261,10 @@ def decode_media(data: bytes, fmt: str):
             "bpp": int(bpp),
             "pixels": data[offset:],
         }
+    if fmt == "png":
+        from ai_pdf_extraction_spark.operators.png_codec import decode_png
+
+        return decode_png(data)
     raise NotImplementedError(
         f"media decode for {fmt!r} requires codec libraries not present "
         "in this environment; dimension/duration probes (probe_media) and "
@@ -376,10 +387,11 @@ def resize_media(
     id_col: str = "media_id",
     bytes_col: str = "media",
 ) -> DataFrame:
-    """mapInPandas resize stage: bmp payloads resize for REAL
-    (nearest-neighbor, stdlib); other formats pass through with
-    ``resized=false`` (their decoders are the documented codec seam).
-    Media bytes stay narrow — no shuffle."""
+    """mapInPandas resize stage: bmp AND png payloads resize for REAL
+    (nearest-neighbor, stdlib — png via :mod:`png_codec`); other
+    formats pass through with ``resized=false`` (their decoders are
+    the documented codec seam). Media bytes stay narrow — no
+    shuffle."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -400,9 +412,11 @@ def resize_media(
                     flags.append(False)
                     continue
                 raw = bytes(b)
-                if sniff_bytes(raw)[1] == "bmp":
+                fmt = sniff_bytes(raw)[1]
+                if fmt in ("bmp", "png"):
                     try:
-                        out_bytes.append(resize_bmp(raw, out_w, out_h))
+                        resizer = resize_bmp if fmt == "bmp" else _resize_png
+                        out_bytes.append(resizer(raw, out_w, out_h))
                         flags.append(True)
                         continue
                     except Exception:
@@ -524,7 +538,10 @@ def frame_sample_plan(
 # v3: webp (VP8X/VP8L/VP8) and mp4-with-mvhd variants in the junk slot
 # v4: per-row-random bmp pixels (top-down reversal is observable),
 #     nonempty-unknown junk slot restored
-MEDIA_FIXTURE_VERSION = 4
+# v5: png slot carries REAL encoded pixels (gray/gray+alpha/RGB/RGBA
+#     via png_codec.encode_png) instead of a header-only stub, so
+#     decode/resize paths run against the same corpus the probe sees
+MEDIA_FIXTURE_VERSION = 5
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
@@ -584,16 +601,12 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
             elif i % 15 == 6:  # truncated mid-pixels (malformed)
                 data = data[: 54 + max(len(pixels) // 2 - 1, 0)]
             rows.append((i, data))
-        elif kind == 2:  # png (header only — dims probe needs no idat)
-            rows.append(
-                (
-                    i,
-                    b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR"
-                    + struct.pack(">II", 16 + i % 640, 9 + i % 480)
-                    + b"\x08\x02\x00\x00\x00"
-                    + bytes(rng.randrange(256) for _ in range(24)),
-                )
-            )
+        elif kind == 2:  # png: REAL pixels, channel count cycling 1/2/3/4
+            from ai_pdf_extraction_spark.operators.png_codec import encode_png
+
+            w, h = 4 + i % 29, 3 + i % 17
+            ch = 1 + (i // 5) % 4
+            rows.append((i, encode_png(w, h, ch, rng.randbytes(w * h * ch))))
         elif kind == 3:  # jpeg with APP0 + SOF0
             rows.append(
                 (

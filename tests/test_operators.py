@@ -561,8 +561,6 @@ def test_media_probe_and_stdlib_decode(spark):
     # top-down source (negative height): orientation survives resize
     import struct as _struct
 
-    from ai_pdf_extraction_spark.operators.multimodal import decode_media
-
     # 1x2 bottom-up: storage row0=RED(bottom), row1=BLUE(top)
     red, blue = b"\x00\x00\xff\x00", b"\xff\x00\x00\x00"  # padded rows
     bottom_up = (
@@ -579,6 +577,123 @@ def test_media_probe_and_stdlib_decode(spark):
     out_bu = decode_media(resize_bmp(bottom_up, 1, 2), "bmp")["pixels"]
     out_td = decode_media(resize_bmp(top_down, 1, 2), "bmp")["pixels"]
     assert out_bu == out_td == red + blue, (out_bu, out_td)
+
+
+def _png_raw(width, height, color_type, scanlines):
+    """Hand-assembled PNG from already-FILTERED scanlines (each
+    (filter_byte, payload_bytes)) — built with struct+zlib only, fully
+    independent of png_codec's encoder, so decode is pinned against
+    the spec, not against shared code (the shared-kernel blind-spot
+    rule)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(bytes([f]) + bytes(p) for f, p in scanlines)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_filters_hand_literals():
+    """PNG filter reconstruction pinned by hand-computed pixel values
+    for every filter type (None/Sub/Up/Average/Paeth) — arithmetic
+    worked out on paper from the PNG spec, NOT from the codec."""
+    from ai_pdf_extraction_spark.operators.png_codec import decode_png
+
+    # grayscale 4x4, one row per filter 0..3
+    g = _png_raw(4, 4, 0, [
+        (0, [1, 2, 3, 4]),
+        (1, [5, 1, 1, 1]),      # Sub:  5, 6, 7, 8
+        (2, [10, 10, 10, 10]),  # Up:   15, 16, 17, 18
+        (3, [1, 1, 1, 1]),      # Avg:  8, 13, 16, 18
+    ])
+    dec = decode_png(g)
+    assert (dec["width"], dec["height"], dec["channels"]) == (4, 4, 1)
+    assert dec["pixels"] == bytes(
+        [1, 2, 3, 4, 5, 6, 7, 8, 15, 16, 17, 18, 8, 13, 16, 18]
+    )
+
+    # grayscale 4x2 exercising Paeth's three predictor branches
+    p = _png_raw(4, 2, 0, [
+        (0, [100, 50, 25, 10]),
+        (4, [1, 2, 3, 4]),  # Paeth: 101, 52, 28, 14
+    ])
+    assert decode_png(p)["pixels"] == bytes([100, 50, 25, 10, 101, 52, 28, 14])
+
+    # RGB Sub: "left" is the same CHANNEL of the previous pixel
+    rgb = _png_raw(2, 1, 2, [(1, [10, 20, 30, 5, 6, 7])])
+    dec = decode_png(rgb)
+    assert dec["channels"] == 3
+    assert dec["pixels"] == bytes([10, 20, 30, 15, 26, 37])
+
+    # RGBA Up across rows
+    rgba = _png_raw(1, 2, 6, [(0, [1, 2, 3, 4]), (2, [10, 20, 30, 40])])
+    assert decode_png(rgba)["pixels"] == bytes([1, 2, 3, 4, 11, 22, 33, 44])
+
+    # unsupported shapes are loud, distinct seams
+    import struct as _s
+
+    with pytest.raises(NotImplementedError):  # palette
+        decode_png(_png_raw(1, 1, 3, [(0, [0])]))
+    with pytest.raises(ValueError):  # bad filter type
+        decode_png(_png_raw(2, 1, 0, [(9, [0, 0])]))
+    with pytest.raises(ValueError):  # IDAT shorter than h*(stride+1)
+        decode_png(_png_raw(4, 2, 0, [(0, [1, 2, 3, 4])]))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+
+
+def test_png_encode_resize_roundtrip(spark):
+    """encode→decode round-trips pixels exactly; nearest-neighbor
+    resize duplicates pixels by hand-checkable index arithmetic; the
+    distributed resize stage now really resizes PNG payloads."""
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        decode_media,
+        probe_media,
+        resize_media,
+    )
+    from ai_pdf_extraction_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+        resize_png,
+    )
+
+    # 2x2 RGB: distinct corner colors
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    data = encode_png(2, 2, 3, px)
+    assert decode_png(data)["pixels"] == px
+    assert decode_media(data, "png")["width"] == 2  # wired into decode_media
+
+    # upscale 2x2 → 4x4: each source pixel becomes a 2x2 block
+    up = decode_png(resize_png(data, 4, 4))
+    assert (up["width"], up["height"]) == (4, 4)
+    row0 = up["pixels"][:12]
+    assert row0 == bytes([255, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0])
+    row3 = up["pixels"][36:48]
+    assert row3 == bytes([0, 0, 255, 0, 0, 255, 9, 9, 9, 9, 9, 9])
+
+    # downscale picks the top-left sample of each block back out
+    down = decode_png(resize_png(resize_png(data, 4, 4), 2, 2))
+    assert down["pixels"] == px
+
+    # distributed: png rows resize for real, junk passes through
+    df = spark.createDataFrame(
+        [(1, data), (2, b"junk")], "media_id long, media binary"
+    )
+    rs = {r["media_id"]: r for r in resize_media(df, 4, 4).collect()}
+    assert rs[1]["resized"]
+    m = probe_media(bytes(rs[1]["media"]))
+    assert (m["format"], m["width"], m["height"]) == ("png", 4, 4)
+    assert not rs[2]["resized"]
 
 
 def test_winnowing_fingerprints(spark):
