@@ -839,6 +839,99 @@ def q51_warc_extract(spark, sf_dir):
     return _signature_cols(plan)
 
 
+# Deterministic multilingual snippets for q52 — the same Python
+# constants feed the Spark literals AND the oracle SQL, so the two
+# engines see byte-identical inputs. Expected language first.
+_LANG_SAMPLES: tuple[tuple[str, str], ...] = (
+    ("ja", "これは日本語のテキストです。言語判定のための例文。"),
+    ("zh", "这是一个中文测试文本，用于语言识别。"),
+    ("ko", "이것은 한국어 텍스트입니다. 언어 감지 예제."),
+    ("ru", "Это русский текст для проверки определения языка."),
+    ("ar", "هذا نص عربي لاختبار تحديد اللغة."),
+    ("he", "זהו טקסט בעברית לבדיקת זיהוי שפה."),
+    ("el", "Αυτό είναι ελληνικό κείμενο για τον εντοπισμό γλώσσας."),
+    ("hi", "यह भाषा पहचान के लिए हिंदी पाठ है।"),
+    ("th", "นี่คือข้อความภาษาไทยสำหรับการทดสอบ"),
+    ("it", "questo è il testo che serve di prova della lingua"),
+    ("pt", "este texto não é uma amostra dos testes que são simples"),
+    ("nl", "dit is het voorbeeld een tekst van niet te moeilijk"),
+    ("sv", "detta är och att det som ett prov på svenska"),
+)
+
+
+def q52_lang_detect_wide(spark, sf_dir):
+    """Wide language ID (script charsets + 8 Latin marker sets, round-3
+    verdict item 4): every 14th doc keeps its real text, the rest cycle
+    through 13 deterministic non-English snippets — so the contract
+    hash covers every script branch, every marker branch, AND the
+    charset/marker interplay on real corpus text."""
+    from ai_pdf_extraction_spark.operators.text_analysis import lang_detect
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % (len(_LANG_SAMPLES) + 1)
+    sample = F.col("text")
+    for idx, (_lang, snippet) in enumerate(_LANG_SAMPLES):
+        sample = F.when(m == idx, F.lit(snippet)).otherwise(sample)
+    return d.select("doc_id", sample.alias("sample_text")).select(
+        "doc_id", lang_detect(F.col("sample_text")).alias("lang_detected")
+    )
+
+
+def _q52_oracle_sql() -> str:
+    """DuckDB twin of q52, REBUILT from the operator's own constants
+    (markers, script ranges, share threshold, snippet list) so the two
+    sides cannot silently desync."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        EXTRA_MARKERS,
+        LANG_MARKERS,
+        SCRIPT_RANGES,
+        SCRIPT_SHARE_DENOM,
+    )
+
+    markers = {**LANG_MARKERS, **EXTRA_MARKERS}
+    score = (
+        lambda m: f"cast((length(padded) - length(replace(padded, '{m}', '')))"
+        f" / {len(m)} as bigint)"
+    )
+    score_cols = ",\n    ".join(
+        f"{' + '.join(score(m) for m in ms)} as s_{lang}"
+        for lang, ms in markers.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in markers) + ")"
+    marker_case = f"case when {best} = 0 then 'und'\n"
+    for lang in markers:
+        marker_case += f"       when s_{lang} = {best} then '{lang}'\n"
+    marker_case += "       else 'und' end"
+    script_whens = "\n".join(
+        f"    when (length(sample_text) - length(regexp_replace(sample_text,"
+        f" '{rng}', '', 'g'))) * {SCRIPT_SHARE_DENOM}"
+        f" >= greatest(length(sample_text), 1) then '{lang}'"
+        for lang, rng in SCRIPT_RANGES.items()
+    )
+    snippet_case = "case (doc_id % " + str(len(_LANG_SAMPLES) + 1) + ")\n"
+    for idx, (_lang, snippet) in enumerate(_LANG_SAMPLES):
+        snippet_case += f"      when {idx} then '{snippet}'\n"
+    snippet_case += "      else text end"
+    return f"""
+with base as (
+  select doc_id, {snippet_case} as sample_text
+  from documents
+),
+scored as (
+  select doc_id, sample_text,
+    {score_cols}
+  from (select doc_id, sample_text,
+               ' ' || lower(sample_text) || ' ' as padded from base)
+)
+select doc_id,
+  case
+{script_whens}
+    else {marker_case}
+  end as lang_detected
+from scored
+"""
+
+
 def q39_field_confidences(spark, sf_dir):
     """Per-field confidences (reference ``field_confidences`` dict,
     ``models.py:186-199``) surfaced as one column per span kind via map
@@ -1224,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_media_metadata": q49_media_metadata,
         "q50_representative_sample": q50_representative_sample,
         "q51_warc_extract": q51_warc_extract,
+        "q52_lang_detect_wide": q52_lang_detect_wide,
     }
 
 
@@ -1663,6 +1757,7 @@ select doc_id,
 from documents
 """,
         "q17_lang_marker_profile": lang_sql,
+        "q52_lang_detect_wide": _q52_oracle_sql(),
         "q18_quality_scores": quality_sql,
         "q19_fingerprints": f"select doc_id, {fingerprint_expr} as fingerprint from documents",
         "q20_exact_dedup": f"""

@@ -696,6 +696,70 @@ def test_png_encode_resize_roundtrip(spark):
     assert not rs[2]["resized"]
 
 
+def test_lang_detect_wide(spark):
+    """Wide language ID: every snippet maps to its expected language
+    (script branches AND Latin-marker branches), and accuracy on the
+    en/de synthetic corpus is pinned — a regression that breaks either
+    the charset priority or the marker argmax fails loudly."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+    from ai_pdf_extraction_spark.operators.text_analysis import lang_detect
+
+    rows = [(lang, text) for lang, text in entrymod._LANG_SAMPLES]
+    # plus: Japanese with heavy kanji must still be ja (kana priority
+    # over the Han range), and a mostly-English doc with one stray CJK
+    # char must stay en (the 5% share floor)
+    rows.append(("ja", "日本語の文章で漢字が多い場合でも仮名で判定する。"))
+    rows.append(
+        ("en", "the quick brown fox and the lazy dog of the farm 中 "
+               "went to the market and back to the barn again")
+    )
+    df = spark.createDataFrame(rows, "expected string, sample string")
+    got = df.select("expected", lang_detect(F.col("sample")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["expected"], (r["expected"], r["got"])
+
+    # stopword-bearing synthetic docs across all 8 Latin languages:
+    # markers embedded in noise must win the argmax every time (the
+    # generator's crawler text is tech vocab without stopwords — 'und'
+    # is the CORRECT answer there, so it can't serve as this oracle)
+    import random
+
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        EXTRA_MARKERS,
+        LANG_MARKERS,
+    )
+
+    rng = random.Random(7)
+    noise = "alpha beta gamma delta omega sigma".split()
+    docs = []
+    for i in range(200):
+        markers_by_lang = {**LANG_MARKERS, **EXTRA_MARKERS}
+        lang = sorted(markers_by_lang)[i % len(markers_by_lang)]
+        words = []
+        for m in markers_by_lang[lang] * 3:
+            words.append(rng.choice(noise))
+            words.append(m.strip())
+        docs.append((lang, " ".join(words)))
+    sdf = spark.createDataFrame(docs, "lang string, text string")
+    agg = sdf.select(
+        (lang_detect(F.col("text")) == F.col("lang")).cast("int").alias("hit")
+    ).agg(F.avg("hit").alias("acc")).collect()[0]
+    assert agg["acc"] == 1.0, agg["acc"]
+
+    # real crawler text (Latin tech vocab): an accidental stopword may
+    # fire a Latin marker, but no SCRIPT language may ever claim it
+    from ai_pdf_extraction_spark.operators.text_analysis import SCRIPT_RANGES
+
+    pages = [r for r in generate_pages(60, seed=11) if r["text"]]
+    pdf = spark.createDataFrame([(r["text"],) for r in pages], "text string")
+    vals = {r["g"] for r in pdf.select(lang_detect(F.col("text")).alias("g")).collect()}
+    assert vals.isdisjoint(SCRIPT_RANGES), vals
+    assert "und" in vals  # stopword-free docs stay undetermined
+
+
 def test_winnowing_fingerprints(spark):
     from ai_pdf_extraction_spark.operators.text_analysis import (
         winnowing_fingerprints,
