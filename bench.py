@@ -32,8 +32,14 @@ HEADLINE = [
     "q22_minhash_lsh_pairs",
     "q24_embedding_near_dup",
     "q25_ann_topk",
+    "q26_ivf_topk",  # trained-quantizer ANN (round-3 operator)
     "q27_hourly_event_counts",
     "q36_curated_corpus",  # flagship composition: quality ∧ canonical ∧ not-near-dup
+    # round-3/4 operators so regressions in the newest code are visible
+    "q46_table_rows",  # structured table extraction (fixture corpus)
+    "q48_table_field_rollup",
+    "q49_media_metadata",  # media probe over the fixture media parquet
+    "q52_lang_detect_wide",  # script+marker language ID
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
