@@ -20,11 +20,53 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS_PER_BATCH = 256
 
 
+def find_iceberg_jar() -> str | None:
+    """Path of an Iceberg Spark runtime jar if one is reachable, else
+    None. Probes ``$SPARK_GRAFT_ICEBERG_JAR`` (explicit override),
+    then ``$SPARK_HOME/jars`` / pyspark's bundled ``jars`` dir for
+    ``iceberg-spark-runtime*.jar``. Filesystem-level on purpose: the
+    probe must run BEFORE the session exists, because catalog/extension
+    confs only take effect at session build."""
+    import glob
+
+    override = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if override and os.path.exists(override):
+        return override
+    candidates: list[str] = []
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        candidates.append(os.path.join(spark_home, "jars"))
+    import pyspark
+
+    candidates.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    for jar_dir in candidates:
+        hits = sorted(glob.glob(os.path.join(jar_dir, "iceberg-spark-runtime*.jar")))
+        if hits:
+            return hits[0]
+    return None
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the running session's JVM can load Iceberg's Spark
+    catalog class — the authoritative runtime check (the jar probe is
+    the build-time one)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+# Catalog name registered by build_session when Iceberg is present.
+ICEBERG_CATALOG = "graft"
+
+
 def build_session(
     app_name: str = "ai-pdf-extraction-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # Respect a launcher-provided master (spark-submit --master yarn):
@@ -66,6 +108,30 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if iceberg_warehouse is not None:
+        jar = find_iceberg_jar()
+        if jar is not None:
+            # hadoop-type catalog: metadata lives under the warehouse
+            # path — the cluster shape the north_rule names. With no
+            # runtime jar the session comes up WITHOUT the catalog and
+            # callers fall back to SnapshotTable (make_output_table).
+            builder = (
+                builder.config("spark.jars", jar)
+                .config(
+                    "spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions"
+                    ".IcebergSparkSessionExtensions",
+                )
+                .config(
+                    f"spark.sql.catalog.{ICEBERG_CATALOG}",
+                    "org.apache.iceberg.spark.SparkCatalog",
+                )
+                .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.type", "hadoop")
+                .config(
+                    f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse",
+                    iceberg_warehouse,
+                )
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

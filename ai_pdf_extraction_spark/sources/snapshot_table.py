@@ -16,9 +16,27 @@ no Iceberg jar (SURVEY.md §7.4), so this module implements the same
 * readers only trust buckets reachable from the manifest chain, so a
   killed run leaves no visible partial state and resume is exact.
 
-On a real cluster, swap ``SnapshotTable`` for
-``df.writeTo(tbl).append()`` on an Iceberg catalog — the pipeline code
-(``plans/pipeline.py``) only touches this interface.
+On a real cluster, :func:`make_output_table` routes through a real
+Iceberg catalog when the runtime jar is present (see
+``session.find_iceberg_jar``) and falls back to ``SnapshotTable``
+otherwise. The exact mapping between the two implementations:
+
+====================================  =================================
+SnapshotTable (manifest fallback)     Iceberg
+====================================  =================================
+``_manifests/snapshot-<k>.json``      table snapshot (metadata.json)
+``commit_id`` dir partition           snapshot's data-file membership
+``buckets`` list in manifest          snapshot summary property
+                                      ``graft.buckets`` (json list)
+``properties.n_buckets``              table property ``graft.n_buckets``
+                                      (mirrors spec ``bucket(N, url)``)
+``metrics`` list in manifest          snapshot summary property
+                                      ``graft.metrics`` (json list)
+``read()``                            ``spark.table(name)``
+``read_at(snapshot_id)``              ``VERSION AS OF <snapshot-id>``
+``compact()``                         ``rewrite_data_files``
+``expire_superseded()``               ``expire_snapshots``
+====================================  =================================
 """
 
 from __future__ import annotations
@@ -260,3 +278,138 @@ class SnapshotTable:
                     }
                 )
         return rows
+
+
+class IcebergSnapshotTable:
+    """The SnapshotTable interface over a REAL Iceberg catalog table
+    (see the module docstring's mapping table). Commit bookkeeping
+    (buckets, run_id, metrics) rides each write's snapshot summary via
+    write options ``snapshot-property.graft.*``; the snapshot chain is
+    Iceberg's own, read back through the ``<name>.snapshots`` metadata
+    table. Only constructible when the session's JVM actually loads the
+    Iceberg catalog class — no silent parquet fallback inside this
+    class (that routing decision belongs to :func:`make_output_table`).
+
+    Untestable in this sandbox (no runtime jar ships with it) — the
+    interface test carries a skipif and the manifest fallback remains
+    the tested default. Kept deliberately thin so a jar drop-in is the
+    only step to production Iceberg.
+    """
+
+    def __init__(self, spark: SparkSession, name: str) -> None:
+        from ai_pdf_extraction_spark.session import iceberg_available
+
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg catalog class not on the session classpath; "
+                "use make_output_table() for automatic fallback"
+            )
+        self.spark = spark
+        self.name = name  # catalog.namespace.table
+
+    # -- snapshot chain ----------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        rows = self.spark.sql(
+            f"select snapshot_id, parent_id, summary from {self.name}.snapshots "
+            "order by committed_at"
+        ).collect()
+        out = []
+        for r in rows:
+            summary = dict(r["summary"] or {})
+            out.append(
+                {
+                    "snapshot_id": str(r["snapshot_id"]),
+                    "parent_id": (
+                        str(r["parent_id"]) if r["parent_id"] is not None else None
+                    ),
+                    "run_id": summary.get("graft.run_id"),
+                    "buckets": json.loads(summary.get("graft.buckets", "[]")),
+                    "metrics": json.loads(summary.get("graft.metrics", "[]")),
+                }
+            )
+        return out
+
+    def current_snapshot(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def committed_buckets(self) -> set[int]:
+        out: set[int] = set()
+        for snap in self.snapshots():
+            out.update(snap["buckets"])
+        return out
+
+    def table_property(self, key: str):
+        rows = self.spark.sql(f"show tblproperties {self.name}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        v = props.get(f"graft.{key}")
+        return json.loads(v) if v is not None else None
+
+    # -- write path --------------------------------------------------------
+
+    def append(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        run_id: str,
+        metrics: list[dict] | None = None,
+    ) -> dict:
+        writer = (
+            df.writeTo(self.name)
+            .option("snapshot-property.graft.run_id", run_id)
+            .option(
+                "snapshot-property.graft.buckets",
+                json.dumps(sorted(int(b) for b in buckets)),
+            )
+            .option("snapshot-property.graft.metrics", json.dumps(metrics or []))
+        )
+        try:
+            writer.append()
+        except Exception as exc:
+            # first write: the table doesn't exist yet — create it
+            # partitioned on the bucket column (spec twin of the
+            # fallback's hive layout / bucket(N, url) transform)
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+                raise
+            writer.partitionedBy(df.bucket).create()
+        return self.current_snapshot()
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame:
+        return (spark or self.spark).table(self.name)
+
+    def read_at(self, spark: SparkSession | None, snapshot_id: str) -> DataFrame:
+        return (spark or self.spark).sql(
+            f"select * from {self.name} version as of {snapshot_id}"
+        )
+
+    def lineage(self) -> list[dict]:
+        rows = []
+        for snap in self.snapshots():
+            for m in snap["metrics"]:
+                rows.append(
+                    {
+                        "snapshot_id": snap["snapshot_id"],
+                        "parent_id": snap["parent_id"],
+                        "run_id": snap["run_id"],
+                        **m,
+                    }
+                )
+        return rows
+
+
+def make_output_table(spark: SparkSession, root: str):
+    """The output-table seam: an Iceberg table when the session has the
+    catalog loaded AND ``root`` names a catalog table
+    (``catalog.namespace.table`` — no path separators), else the
+    parquet+manifest ``SnapshotTable``. The extraction pipeline only
+    touches the shared interface, so flipping a cluster to real Iceberg
+    is a jar + table-name change."""
+    from ai_pdf_extraction_spark.session import iceberg_available
+
+    looks_like_table = "/" not in root and "\\" not in root and root.count(".") >= 1
+    if looks_like_table and iceberg_available(spark):
+        return IcebergSnapshotTable(spark, root)
+    return SnapshotTable(root)

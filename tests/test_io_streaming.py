@@ -377,6 +377,50 @@ def test_warc_roundtrip_and_extraction(spark, tmp_path):
     assert warc_bytes_to_rows("g", b"\x1f\x8b" + b"\x00" * 50) == []
 
 
+def test_output_table_seam_both_modes(spark, tmp_path):
+    """The Iceberg seam: make_output_table routes a catalog-style name
+    to IcebergSnapshotTable when the JVM has the catalog class, and to
+    the manifest-backed SnapshotTable otherwise; paths always get the
+    fallback. The same interface subset works in whichever mode is
+    live (the Iceberg leg self-skips without a runtime jar)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.session import find_iceberg_jar, iceberg_available
+    from ai_pdf_extraction_spark.sources.snapshot_table import (
+        IcebergSnapshotTable,
+        SnapshotTable,
+        make_output_table,
+    )
+
+    jar = find_iceberg_jar()
+    assert jar is None or (isinstance(jar, str) and os.path.exists(jar))
+
+    # a path is ALWAYS the manifest fallback, jar or not
+    assert isinstance(make_output_table(spark, str(tmp_path / "t")), SnapshotTable)
+
+    tbl = make_output_table(spark, "graft.db.extract_test")
+    if not iceberg_available(spark):
+        assert isinstance(tbl, SnapshotTable)
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            IcebergSnapshotTable(spark, "graft.db.extract_test")
+        tbl = make_output_table(spark, str(tmp_path / "seam"))
+    else:  # pragma: no cover - needs an Iceberg runtime jar
+        assert isinstance(tbl, IcebergSnapshotTable)
+
+    # shared interface drives identically in whichever mode is live
+    df = spark.range(10).select(
+        F.col("id").alias("url"), (F.col("id") % 2).cast("int").alias("bucket")
+    )
+    tbl.append(df, buckets=[0, 1], run_id="seam1")
+    assert tbl.committed_buckets() == {0, 1}
+    got = tbl.read(spark)
+    assert got.count() == 10
+    snap = tbl.current_snapshot()
+    assert snap is not None and tbl.read_at(spark, snap["snapshot_id"]).count() == 10
+    assert tbl.lineage() == []  # no metrics attached to this commit
+
+
 def test_warc_streamed_batches_cap_memory(tmp_path):
     """The distributed reader must never hold a whole WARC file: the
     per-file iterator yields batches of ≤ batch_rows, and the streamed
