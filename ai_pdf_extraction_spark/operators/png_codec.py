@@ -78,9 +78,17 @@ def decode_png(data: bytes) -> dict:
         )
     if interlace:
         raise NotImplementedError("Adam7 interlace")
-    raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    want = h * (stride + 1)
+    # Untrusted-crawl hardening: cap by DECLARED dims before inflating,
+    # and inflate at most `want` bytes (max_length) — a deflate bomb in
+    # a tiny file can otherwise materialize gigabytes on the executor
+    # before any length check runs. 256 MB of raw scanlines is far past
+    # any legitimate in-pipeline image.
+    if want > (1 << 28):
+        raise ValueError(f"refusing {w}x{h}x{channels} PNG ({want} raw bytes)")
+    raw = zlib.decompressobj().decompress(bytes(idat), want)
+    if len(raw) < want:
         raise ValueError("short pixel data")
     out = bytearray(h * stride)
     prev = bytes(stride)

@@ -35,7 +35,12 @@ def sample_pick_plan(distinct_urls: DataFrame, n: int, max_docs: int) -> DataFra
     relation) so overlap can never undershoot the sample size. Exposed
     separately so tests can assert the plan shape (no
     ``Exchange SinglePartition``) without executing it."""
-    middle = max(max_docs - 4, 0)
+    if max_docs < 4:
+        # the pick plan always contributes the 4 end urls; silently
+        # returning more rows than max_docs would breach the sample
+        # contract, so reject the degenerate budget loudly
+        raise ValueError(f"max_docs must be >= 4, got {max_docs}")
+    middle = max_docs - 4
     ends = distinct_urls.orderBy("url").limit(2).unionAll(
         distinct_urls.orderBy(F.col("url").desc()).limit(2)
     )

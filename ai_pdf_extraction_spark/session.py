@@ -49,12 +49,20 @@ def find_iceberg_jar() -> str | None:
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the running session's JVM can load Iceberg's Spark
     catalog class — the authoritative runtime check (the jar probe is
-    the build-time one)."""
+    the build-time one). Resolution goes through Spark's own
+    ``Utils.classForName`` first: jars added via ``spark.jars`` /
+    ``addJar`` live in Spark's mutable context classloader, which
+    py4j's ``Class.forName`` (system loader) does not see."""
+    cls = "org.apache.iceberg.spark.SparkCatalog"
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        spark._jvm.org.apache.spark.util.Utils.classForName(cls, False, False)
         return True
     except Exception:
-        return False
+        try:
+            spark._jvm.java.lang.Class.forName(cls)
+            return True
+        except Exception:
+            return False
 
 
 # Catalog name registered by build_session when Iceberg is present.
@@ -108,6 +116,7 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    merged = dict(extra_conf or {})
     if iceberg_warehouse is not None:
         jar = find_iceberg_jar()
         if jar is not None:
@@ -115,24 +124,26 @@ def build_session(
             # path — the cluster shape the north_rule names. With no
             # runtime jar the session comes up WITHOUT the catalog and
             # callers fall back to SnapshotTable (make_output_table).
-            builder = (
-                builder.config("spark.jars", jar)
-                .config(
-                    "spark.sql.extensions",
-                    "org.apache.iceberg.spark.extensions"
-                    ".IcebergSparkSessionExtensions",
-                )
-                .config(
-                    f"spark.sql.catalog.{ICEBERG_CATALOG}",
-                    "org.apache.iceberg.spark.SparkCatalog",
-                )
-                .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.type", "hadoop")
-                .config(
-                    f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse",
-                    iceberg_warehouse,
-                )
+            # spark.jars MERGES with any caller-supplied jars (either
+            # side silently dropping the other loses a classpath);
+            # every other key defers to an explicit extra_conf value.
+            caller_jars = merged.get("spark.jars")
+            merged["spark.jars"] = f"{caller_jars},{jar}" if caller_jars else jar
+            merged.setdefault(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions"
+                ".IcebergSparkSessionExtensions",
             )
-    for k, v in (extra_conf or {}).items():
+            merged.setdefault(
+                f"spark.sql.catalog.{ICEBERG_CATALOG}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            merged.setdefault(f"spark.sql.catalog.{ICEBERG_CATALOG}.type", "hadoop")
+            merged.setdefault(
+                f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse",
+                iceberg_warehouse,
+            )
+    for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     _ship_package(spark)

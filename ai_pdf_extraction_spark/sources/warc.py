@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
@@ -90,7 +91,9 @@ def iter_page_rows(stream) -> Iterator[dict]:
     rows, ONE AT A TIME — the streaming core shared by the distributed
     reader and :func:`warc_bytes_to_rows`. A gzip error mid-stream ends
     the iteration cleanly (records already yielded survive — one
-    damaged crawl file must never fail the task, ST3)."""
+    damaged crawl file must never fail the task, ST3). ``zlib.error``
+    is caught explicitly: corrupt DEFLATE data inside a gzip member
+    raises it directly, and it is NOT an OSError subclass."""
     try:
         for headers, block in iter_warc_records(stream):
             if headers.get("warc-type") != "response":
@@ -105,7 +108,7 @@ def iter_page_rows(stream) -> Iterator[dict]:
                 "text": None,
                 "lang": None,
             }
-    except (OSError, EOFError):
+    except (OSError, EOFError, zlib.error):
         return
 
 
@@ -125,22 +128,32 @@ def open_warc_stream(path: str):
     """Open a WARC path as an uncompressed byte stream WITHOUT
     materializing the file: plain ``open`` + a gzip wrapper when the
     magic says so (``GzipFile`` handles Common Crawl's concatenated
-    members natively). Handles bare paths and the ``file:`` URIs
-    ``binaryFile`` listings produce. Remote filesystems (s3/hdfs)
-    would slot in here via fsspec/boto — the sandbox has local files
-    only, so that branch is a documented seam, not a stub."""
+    members natively). ``close()`` on the returned stream closes the
+    underlying file handle too (via GzipFile's ``myfileobj`` ownership
+    — the same mechanism ``gzip.open`` uses), so long-lived executors
+    never leak fds. Handles bare paths and the ``file:`` URIs
+    ``binaryFile`` listings produce, including percent-encoded
+    characters (Hadoop encodes e.g. spaces as ``%20``). Remote
+    filesystems (s3/hdfs) would slot in here via fsspec/boto — the
+    sandbox has local files only, so that branch is a documented seam,
+    not a stub."""
     p = path
     if p.startswith("file:"):
-        # file:/x, file://host/x, file:///x → /x
-        p = p[5:]
-        while p.startswith("//"):
-            p = p[1:]
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(p).path)
     fh = open(p, "rb")
-    if fh.read(2) == b"\x1f\x8b":
+    try:
+        magic = fh.read(2)
         fh.seek(0)
-        return gzip.GzipFile(fileobj=fh)
-    fh.seek(0)
-    return fh
+        if magic == b"\x1f\x8b":
+            gz = gzip.GzipFile(fileobj=fh)
+            gz.myfileobj = fh  # GzipFile.close() then closes fh as well
+            return gz
+        return fh
+    except Exception:
+        fh.close()
+        raise
 
 
 def iter_row_batches(path: str, batch_rows: int) -> Iterator[list[dict]]:
@@ -194,7 +207,11 @@ def read_warc(spark: SparkSession, path: str, batch_rows: int = 256) -> DataFram
 
     files = spark.read.format("binaryFile").load(path).select("path")
     n_files = files.count()  # listing-only job: content is never read
-    files = files.repartition(max(n_files, 1), "path")
+    # ROUND-ROBIN repartition (no column): exactly one file per
+    # partition. Hash-partitioning on path would collide ~1/e of the
+    # buckets empty and hand some tasks 2-3 ~1 GB files — the straggler
+    # shape CLAUDE.md warns about.
+    files = files.repartition(max(n_files, 1))
     return files.mapInPandas(gen, PAGES_SCHEMA)
 
 

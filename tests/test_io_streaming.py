@@ -289,6 +289,11 @@ def test_sample_pick_plan_has_no_global_sort(spark):
     got = plan.collect()
     assert len(got) == 64
 
+    import pytest
+
+    with pytest.raises(ValueError, match="max_docs"):
+        sample_pick_plan(urls, 10_000, 3)  # would exceed the budget
+
 
 def test_resume_rejects_different_n_buckets(spark, tmp_path, corpus_dir):
     """Resuming with a different bucketing fanout would re-hash urls
@@ -457,3 +462,27 @@ def test_warc_streamed_batches_cap_memory(tmp_path):
     uri = "file://" + str(tmp_path / "s.warc.gz")
     got = [r for b in iter_row_batches(uri, 100) for r in b]
     assert len(got) == 37
+
+    # percent-encoded listing path (Hadoop encodes spaces as %20)
+    spaced = tmp_path / "crawl 01.warc.gz"
+    write_warc(str(spaced), rows[:3], compress=True)
+    enc = "file://" + str(tmp_path / "crawl%2001.warc.gz")
+    assert len([r for b in iter_row_batches(enc, 100) for r in b]) == 3
+
+    # stream close must close the RAW handle too (gzip wrapper alone
+    # leaked one fd per file on long-lived executors)
+    from ai_pdf_extraction_spark.sources.warc import open_warc_stream
+
+    stream = open_warc_stream(str(tmp_path / "s.warc.gz"))
+    raw = stream.myfileobj
+    stream.close()
+    assert raw.closed
+
+    # corrupt DEFLATE data mid-member raises zlib.error (NOT an
+    # OSError) — failure isolation must still hold on the streamed path
+    data = bytearray((tmp_path / "s.warc.gz").read_bytes())
+    data[len(data) // 2] ^= 0xFF
+    bad = tmp_path / "bad.warc.gz"
+    bad.write_bytes(bytes(data))
+    survivors = [r for b in iter_row_batches(str(bad), 8) for r in b]
+    assert 0 <= len(survivors) < 37  # truncated, never raises

@@ -407,8 +407,12 @@ def test_multimodal_features_and_sampling(spark):
 
     from ai_pdf_extraction_spark.operators.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
+    # png now decodes for real — a truncated header is malformed input
+    # (ValueError), while the remaining codec seams stay NotImplemented
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "png")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "jpeg")
 
 
 def _wav_bytes(rate=8000, samples=(0, 1000, -1000, 2000)) -> bytes:
@@ -650,6 +654,25 @@ def test_png_decode_filters_hand_literals():
         decode_png(_png_raw(4, 2, 0, [(0, [1, 2, 3, 4])]))
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+    # zlib-bomb hardening: absurd DECLARED dims refuse before inflating
+    # (a tiny crafted IDAT must never materialize gigabytes)
+    import struct as _st
+    import zlib as _zl
+
+    def _chunk(t, b):
+        return (
+            _st.pack(">I", len(b)) + t + b
+            + _st.pack(">I", _zl.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", _st.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 6, 0, 0, 0))
+        + _chunk(b"IDAT", _zl.compress(b"\x00" * 1024))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        decode_png(bomb)
 
 
 def test_png_encode_resize_roundtrip(spark):
