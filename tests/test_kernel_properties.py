@@ -213,6 +213,78 @@ def test_mixed_compressed_corpus_roundtrip():
         assert len(res.text) > 50
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=512), st.sampled_from(["latin-1", "utf-16-le", "cp1252", "utf-8"]))
+def test_mixed_encoding_bytes_never_raise(markup, enc):
+    """Crawl reality: pages arrive in whatever encoding the server
+    chose, BOM-less and often mislabeled. The kernel must decode-or-
+    replace, never raise, and spans must still index into the text."""
+    try:
+        data = ("<html><body><p>" + markup + "</p></body></html>").encode(enc)
+    except (UnicodeEncodeError, UnicodeError):
+        return  # char unrepresentable in this codec — not a kernel case
+    res = extract_document(data)
+    assert isinstance(res.text, str)
+    for span in res.spans:
+        assert 0 <= span.start <= span.end <= len(res.text)
+
+
+def test_deep_nesting_never_recurses_out():
+    """5000-deep nested divs (and unclosed tails): the scanner must be
+    iterative — a recursive implementation would RecursionError far
+    below crawl-pathology depth."""
+    body = (
+        "The quick brown fox jumps over the lazy dog near the river "
+        "bank every single morning. " * 3
+    )  # enough prose to clear the main-content threshold
+    deep = "<div>" * 5000 + body + "</div>" * 5000
+    res = extract_html(deep.encode())
+    assert res.parse_ok and "quick brown fox" in res.text
+    unclosed = "<div><ul><li>" * 3000 + body
+    res2 = extract_html(unclosed.encode())
+    assert res2.parse_ok and "quick brown fox" in res2.text
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=512))
+def test_decode_png_exception_taxonomy(data):
+    """Untrusted-media contract: decode_png raises ONLY ValueError /
+    NotImplementedError on garbage — anything else (struct.error,
+    zlib.error, IndexError, MemoryError) would escape resize_media's
+    documented failure modes."""
+    import pytest as _pytest
+
+    from ai_pdf_extraction_spark.operators.png_codec import decode_png
+
+    for payload in (data, b"\x89PNG\r\n\x1a\n" + data):
+        try:
+            decode_png(payload)
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # pragma: no cover
+            _pytest.fail(f"unexpected {type(exc).__name__}: {exc}")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1024))
+def test_warc_parse_never_raises(data):
+    """ST3 for the WARC parser: arbitrary bytes — bare, WARC-prefixed,
+    or gzip-wrapped-then-corrupted — must parse to a (possibly empty)
+    row list, never raise."""
+    import gzip as _gzip
+
+    from ai_pdf_extraction_spark.sources.warc import warc_bytes_to_rows
+
+    for payload in (
+        data,
+        b"WARC/1.0\r\n" + data,
+        b"\x1f\x8b" + data,
+        _gzip.compress(data)[:-4] + b"\x00\x00",
+    ):
+        rows = warc_bytes_to_rows("fuzz", payload)
+        assert isinstance(rows, list)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.binary(max_size=1024))
 def test_probe_media_never_raises(data):
