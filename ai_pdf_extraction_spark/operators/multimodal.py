@@ -88,6 +88,8 @@ def sniff_bytes(raw: bytes) -> tuple[str, str | None]:
         return ("video", "mp4")
     if raw.startswith(b"BM"):
         return ("image", "bmp")
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return ("image", "gif")
     return ("unknown", None)
 
 
@@ -158,6 +160,12 @@ def probe_media(raw: bytes) -> dict:
                 meta["height"] = int.from_bytes(raw[28:30], "little") & 0x3FFF
         elif fmt == "mp4":
             meta["duration_ms"] = _mp4_duration_ms(raw)
+        elif fmt == "gif":
+            from ai_pdf_extraction_spark.operators.gif_codec import probe_gif
+
+            dims = probe_gif(raw)
+            if dims is not None:
+                meta["width"], meta["height"] = dims
     except Exception:
         pass  # malformed header: sniffed type survives, probe fields stay null
     return meta
@@ -265,6 +273,10 @@ def decode_media(data: bytes, fmt: str):
         from ai_pdf_extraction_spark.operators.png_codec import decode_png
 
         return decode_png(data)
+    if fmt == "gif":
+        from ai_pdf_extraction_spark.operators.gif_codec import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         f"media decode for {fmt!r} requires codec libraries not present "
         "in this environment; dimension/duration probes (probe_media) and "
@@ -310,6 +322,11 @@ def sniff_media_type(col: str = "media"):
         )
         .when(F.substring(c, 5, 4) == F.lit(b"ftyp"), F.lit("mp4"))
         .when(F.substring(c, 1, 2) == F.lit(b"BM"), F.lit("bmp"))
+        .when(
+            (F.substring(c, 1, 6) == F.lit(b"GIF87a"))
+            | (F.substring(c, 1, 6) == F.lit(b"GIF89a")),
+            F.lit("gif"),
+        )
         .otherwise(F.lit("unknown"))
     )
 
@@ -541,7 +558,9 @@ def frame_sample_plan(
 # v5: png slot carries REAL encoded pixels (gray/gray+alpha/RGB/RGBA
 #     via png_codec.encode_png) instead of a header-only stub, so
 #     decode/resize paths run against the same corpus the probe sees
-MEDIA_FIXTURE_VERSION = 5
+# v6: real LZW GIFs alternate with the nonempty-junk slot (i%40==14
+#     gif, i%40==34 junk — both pins kept)
+MEDIA_FIXTURE_VERSION = 6
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
@@ -550,7 +569,8 @@ MEDIA_FIXTURE_VERSION = 5
 # p3: webp (VP8X/VP8L/VP8) dimensions + mp4 mvhd duration
 # p4: mp4 largesize boxes parse (payload offset +16), u64 durations
 #     that overflow int64 clamp to null
-MEDIA_PROBE_VERSION = 4
+# p5: gif sniff + logical-screen dimensions (gif_codec.probe_gif)
+MEDIA_PROBE_VERSION = 5
 
 
 def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
@@ -634,7 +654,14 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
                 rows.append((i, struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + moov))
             elif v == 4:
                 rows.append((i, b""))
-            else:  # v == 14: nonempty junk — pins the sniff-unknown path
+            elif i % 40 == 14:  # real LZW gif (global palette, 1 frame)
+                from ai_pdf_extraction_spark.operators.gif_codec import encode_gif
+
+                w, h = 3 + i % 13, 2 + i % 7
+                palette = rng.randbytes(3 * 4)  # 4-color table
+                idx = bytes(rng.randrange(4) for _ in range(w * h))
+                rows.append((i, encode_gif(w, h, palette, idx)))
+            else:  # i%40 == 34: nonempty junk — pins the sniff-unknown path
                 rows.append((i, bytes(rng.randrange(256) for _ in range(32))))
     return rows
 

@@ -254,15 +254,20 @@ def test_decode_png_exception_taxonomy(data):
     documented failure modes."""
     import pytest as _pytest
 
+    from ai_pdf_extraction_spark.operators.gif_codec import decode_gif
     from ai_pdf_extraction_spark.operators.png_codec import decode_png
 
-    for payload in (data, b"\x89PNG\r\n\x1a\n" + data):
-        try:
-            decode_png(payload)
-        except (ValueError, NotImplementedError):
-            pass
-        except Exception as exc:  # pragma: no cover
-            _pytest.fail(f"unexpected {type(exc).__name__}: {exc}")
+    for decode, prefix in (
+        (decode_png, b"\x89PNG\r\n\x1a\n"),
+        (decode_gif, b"GIF89a"),
+    ):
+        for payload in (data, prefix + data):
+            try:
+                decode(payload)
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as exc:  # pragma: no cover
+                _pytest.fail(f"unexpected {type(exc).__name__}: {exc}")
 
 
 @settings(max_examples=150, deadline=None)

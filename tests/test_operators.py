@@ -368,6 +368,7 @@ def test_multimodal_features_and_sampling(spark):
         (5, b"RIFF\x00\x01\x00\x00WEBPVP8 " + b"\x00" * 16),  # RIFF container ≠ wav
         (6, b"\x00\x00\x00\x1cftypisom" + b"\x00" * 16),  # ftyp box size 0x1c
         (7, b"RIFF" + b"\x00" * 40),  # RIFF with unknown kind → unknown
+        (8, b"GIF89a" + b"\x05\x00\x04\x00\x00\x00\x00"),  # gif header
     ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
@@ -378,6 +379,7 @@ def test_multimodal_features_and_sampling(spark):
     assert feats[5]["media_type"] == "image" and feats[5]["format"] == "webp"
     assert feats[6]["media_type"] == "video" and feats[6]["format"] == "mp4"
     assert feats[7]["media_type"] == "unknown"
+    assert feats[8]["media_type"] == "image" and feats[8]["format"] == "gif"
     assert len(feats[1]["histogram"]) == 16
     assert abs(sum(feats[1]["histogram"]) - 1.0) < 1e-4
 
@@ -673,6 +675,100 @@ def test_png_decode_filters_hand_literals():
     )
     with pytest.raises(ValueError, match="refusing"):
         decode_png(bomb)
+
+
+def test_gif_decode_hand_literals():
+    """GIF LZW decode pinned by a file assembled BYTE BY BYTE in the
+    test, with the LZW bitstream (clear,1,clear,2,clear,eoi at 3-bit
+    codes, LSB-first) hand-packed on paper — fully independent of
+    gif_codec's encoder (shared-kernel blind-spot rule)."""
+    import struct as _s
+
+    from ai_pdf_extraction_spark.operators.gif_codec import decode_gif
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        decode_media,
+        probe_media,
+        sniff_bytes,
+    )
+
+    palette = bytes([9, 8, 7, 255, 0, 0, 0, 255, 0, 1, 2, 3])
+    # codes 4,1,4,2,4,5 @3 bits LSB-first → bytes 0x0C 0xC5 0x02
+    gif = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", 2, 1, 0x81, 0, 0)  # screen: 2x1, 4-color GCT
+        + palette
+        + b"\x2c" + _s.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + b"\x02"  # LZW min code size
+        + b"\x03\x0c\xc5\x02" + b"\x00"  # one 3-byte sub-block
+        + b"\x3b"
+    )
+    assert sniff_bytes(gif) == ("image", "gif")
+    m = probe_media(gif)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 2, 1)
+    dec = decode_gif(gif)
+    assert (dec["width"], dec["height"], dec["channels"]) == (2, 1, 3)
+    assert dec["pixels"] == bytes([255, 0, 0, 0, 255, 0])  # idx 1 then 2
+    assert decode_media(gif, "gif")["pixels"] == dec["pixels"]
+
+    # real-LZW dictionary growth: a run "aaaa" compresses as
+    # clear, a(0), 4(->"aa"... wait codes: after clear, 0, then code 6
+    # is prev+first = "aa"; stream clear,0,6,7? — instead pin via a
+    # reference bitstream: codes 4,0,6,5 decode to "a aa" = 3 px wide?
+    # Keep it simple and byte-exact: codes 4,0,6,5 @3bit LSB-first:
+    # 4|0<<3|(6&3)<<6 = 0x84 wait 6=110b low2=10 -> 0x84|0x80=0x..
+    # (worked on paper): byte0 = 100b | 000<<3 | 10<<6 = 0b10000100
+    # byte1 = 1 (bit2 of code 6) | 101b<<1 = 0b00001011
+    gif2 = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", 3, 1, 0x81, 0, 0)
+        + palette
+        + b"\x2c" + _s.pack("<HHHHB", 0, 0, 3, 1, 0)
+        + b"\x02"
+        + b"\x02\x84\x0b" + b"\x00"
+        + b"\x3b"
+    )
+    dec2 = decode_gif(gif2)
+    # code 0 → idx 0; code 6 (= table growth) → "00" → pixels 0,0,0 ×3
+    assert dec2["pixels"] == bytes([9, 8, 7] * 3)
+
+    # interlaced flag: rows land via the 4-pass shuffle
+    # (4 rows of 1px: sequential passes fill rows 0,4.. then 2, then 1,3)
+    pal2 = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    from ai_pdf_extraction_spark.operators.gif_codec import encode_gif
+
+    flat = encode_gif(1, 4, pal2, bytes([0, 1, 2, 3]))
+    # flip the interlace bit and reorder source rows pass-wise:
+    # pass rows for h=4 are [0, 2, 1, 3] → storage order 0,2,1,3
+    inter = encode_gif(1, 4, pal2, bytes([0, 2, 1, 3]))
+    idx_desc = inter.index(b"\x2c")
+    inter = (
+        inter[: idx_desc + 9]
+        + bytes([inter[idx_desc + 9] | 0x40])
+        + inter[idx_desc + 10 :]
+    )
+    assert decode_gif(inter)["pixels"] == decode_gif(flat)["pixels"]
+
+
+def test_gif_encode_decode_roundtrip():
+    """Encoder/decoder roundtrip across palette sizes and dims,
+    including multi-sub-block streams (>255 bytes of LZW data)."""
+    import random
+
+    from ai_pdf_extraction_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(3)
+    for bits in (1, 2, 4, 8):
+        n = 1 << bits
+        palette = bytes(rng.randrange(256) for _ in range(3 * n))
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        idx = bytes(rng.randrange(n) for _ in range(w * h))
+        dec = decode_gif(encode_gif(w, h, palette, idx))
+        assert (dec["width"], dec["height"]) == (w, h)
+        expect = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+        assert dec["pixels"] == expect
 
 
 def test_png_encode_resize_roundtrip(spark):
