@@ -1209,6 +1209,43 @@ def q49_media_metadata(spark, sf_dir):
     )
 
 
+def _decode_golden_path() -> str:
+    """q53 golden: single-process decode summaries over the same media
+    fixture rows, keyed on fixture AND decode-semantics versions."""
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        MEDIA_DECODE_VERSION,
+        MEDIA_FIXTURE_VERSION,
+        generate_media_rows,
+        write_decode_golden,
+    )
+
+    path = (
+        f"/tmp/spark_graft_media_v{MEDIA_FIXTURE_VERSION}_240_21"
+        f"_decode_d{MEDIA_DECODE_VERSION}.parquet"
+    )
+    if not os.path.exists(path):
+        try:
+            write_decode_golden(path, generate_media_rows(240, seed=21))
+        except Exception:
+            pass  # degrade to a loud read_parquet error at oracle time
+    return path
+
+
+def q53_media_decode(spark, sf_dir):
+    """Real media DECODE end-to-end (wav PCM, bmp pixels, png
+    zlib+filters, gif LZW — all stdlib): the distributed mapInPandas
+    decode stage summarizes every payload (dims, decoded byte count,
+    payload md5), value-hashed against a single-process run of the
+    same summaries. Plumbing gate like q49/q34; decode arithmetic is
+    pinned independently by hand-computed filter/LZW literals."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.multimodal import media_decode_features
+
+    media_path, _ = _ensure_media_fixtures()
+    df = spark.read.parquet(media_path)
+    return media_decode_features(df)
+
+
 def q50_representative_sample(spark, sf_dir):
     """Representative sampling (S4 — the reference's first2 + last2 +
     strided-middle page policy, ``pdf_service.py:203-283``, lifted to
@@ -1318,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_representative_sample": q50_representative_sample,
         "q51_warc_extract": q51_warc_extract,
         "q52_lang_detect_wide": q52_lang_detect_wide,
+        "q53_media_decode": q53_media_decode,
     }
 
 
@@ -1758,6 +1796,10 @@ from documents
 """,
         "q17_lang_marker_profile": lang_sql,
         "q52_lang_detect_wide": _q52_oracle_sql(),
+        "q53_media_decode": f"""
+select media_id, format, decode_ok, width, height, n_decoded, payload_md5
+from read_parquet('{_decode_golden_path()}')
+""",
         "q18_quality_scores": quality_sql,
         "q19_fingerprints": f"select doc_id, {fingerprint_expr} as fingerprint from documents",
         "q20_exact_dedup": f"""

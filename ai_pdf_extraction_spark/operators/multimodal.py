@@ -477,6 +477,86 @@ def media_metadata(
     return df.select(id_col, bytes_col).mapInPandas(gen, meta_schema)
 
 
+DECODE_SUMMARY_TYPE = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("decode_ok", BooleanType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_decoded", LongType(), True),
+        StructField("payload_md5", StringType(), True),
+    ]
+)
+
+
+def decode_payload_summary(raw: bytes) -> dict:
+    """One row of decode evidence for the q53 contract: format, the
+    decoded dimensions, decoded-payload size, and an md5 over the
+    decoded samples — the single-process twin shared by the
+    distributed stage and the golden writer (a PLUMBING gate like q49;
+    decode correctness itself is pinned by the hand-literal filter/LZW
+    tests, per the shared-kernel blind-spot rule)."""
+    import hashlib
+
+    _mt, fmt = sniff_bytes(raw)
+    out = {
+        "format": fmt,
+        "decode_ok": False,
+        "width": None,
+        "height": None,
+        "n_decoded": None,
+        "payload_md5": None,
+    }
+    if fmt not in ("wav", "bmp", "png", "gif"):
+        return out
+    try:
+        dec = decode_media(raw, fmt)
+    except Exception:
+        return out  # malformed payload: decode_ok stays False
+    out["decode_ok"] = True
+    if fmt == "wav":
+        sig = (
+            f"{dec['sample_rate']}:{dec['n_channels']}:"
+            f"{dec['duration_ms']}:{dec['rms']}:{dec['peak']}"
+        )
+        out["n_decoded"] = int(dec["duration_ms"])
+        out["payload_md5"] = hashlib.md5(sig.encode()).hexdigest()
+    else:
+        pixels = dec["pixels"]
+        out["width"] = int(dec["width"])
+        out["height"] = int(dec["height"])
+        out["n_decoded"] = len(pixels)
+        out["payload_md5"] = hashlib.md5(pixels).hexdigest()
+    return out
+
+
+def media_decode_features(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "media"
+) -> DataFrame:
+    """mapInPandas decode stage: every decodable payload (wav/bmp/png/
+    gif) is REALLY decoded on the executors and summarized; compressed
+    codec seams and malformed bytes report ``decode_ok=false``. Media
+    bytes never shuffle (narrow over scan partitions)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
+            rows = [decode_payload_summary(raw) for raw in raws]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    **{
+                        f.name: [r[f.name] for r in rows]
+                        for f in DECODE_SUMMARY_TYPE.fields
+                        if f.name != "media_id"
+                    },
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(gen, DECODE_SUMMARY_TYPE)
+
+
 def extract_media_features(
     df: DataFrame, id_col: str = "media_id", bytes_col: str = "media"
 ) -> DataFrame:
@@ -571,6 +651,8 @@ MEDIA_FIXTURE_VERSION = 6
 #     that overflow int64 clamp to null
 # p5: gif sniff + logical-screen dimensions (gif_codec.probe_gif)
 MEDIA_PROBE_VERSION = 5
+# bump when decode_payload_summary SEMANTICS change (q53 golden key)
+MEDIA_DECODE_VERSION = 1
 
 
 def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
@@ -699,3 +781,35 @@ def write_media_fixtures(
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         pq.write_table(table, tmp)
         os.replace(tmp, path)
+
+
+def write_decode_golden(path: str, rows: list[tuple[int, bytes]]) -> None:
+    """Single-process decode golden for q53 (atomic, pure pyarrow):
+    one :func:`decode_payload_summary` row per media row."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    summaries = [decode_payload_summary(b) for _, b in rows]
+    table = pa.table(
+        {
+            "media_id": pa.array([i for i, _ in rows], pa.int64()),
+            "format": pa.array([s["format"] for s in summaries], pa.string()),
+            "decode_ok": pa.array(
+                [s["decode_ok"] for s in summaries], pa.bool_()
+            ),
+            "width": pa.array([s["width"] for s in summaries], pa.int32()),
+            "height": pa.array([s["height"] for s in summaries], pa.int32()),
+            "n_decoded": pa.array(
+                [s["n_decoded"] for s in summaries], pa.int64()
+            ),
+            "payload_md5": pa.array(
+                [s["payload_md5"] for s in summaries], pa.string()
+            ),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)

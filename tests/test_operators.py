@@ -771,6 +771,40 @@ def test_gif_encode_decode_roundtrip():
         assert dec["pixels"] == expect
 
 
+def test_media_decode_features_stage(spark):
+    """Distributed decode stage: wav/bmp/png/gif really decode on the
+    executors (md5 over decoded samples matches the single-process
+    twin); seams and junk report decode_ok=false with null fields."""
+    from ai_pdf_extraction_spark.operators.gif_codec import encode_gif
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        decode_payload_summary,
+        media_decode_features,
+    )
+    from ai_pdf_extraction_spark.operators.png_codec import encode_png
+
+    rows = [
+        (1, _wav_bytes()),
+        (2, _bmp_bytes()),
+        (3, encode_png(2, 2, 3, bytes(range(12)))),
+        (4, encode_gif(2, 1, bytes(12), bytes([1, 2]))),
+        (5, b"\xff\xd8\xff" + b"x" * 20),  # jpeg: seam
+        (6, b"junk"),
+        (7, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4),  # malformed png
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: r for r in media_decode_features(df).collect()}
+    for mid, raw in rows:
+        twin = decode_payload_summary(raw)
+        for k in ("format", "decode_ok", "width", "height", "n_decoded", "payload_md5"):
+            assert got[mid][k] == twin[k], (mid, k, got[mid][k], twin[k])
+    assert got[1]["decode_ok"] and got[2]["decode_ok"]
+    assert got[3]["decode_ok"] and got[3]["n_decoded"] == 12
+    assert got[4]["decode_ok"] and (got[4]["width"], got[4]["height"]) == (2, 1)
+    assert not got[5]["decode_ok"] and got[5]["format"] == "jpeg"
+    assert not got[6]["decode_ok"] and got[6]["format"] is None
+    assert not got[7]["decode_ok"] and got[7]["payload_md5"] is None
+
+
 def test_png_encode_resize_roundtrip(spark):
     """encode→decode round-trips pixels exactly; nearest-neighbor
     resize duplicates pixels by hand-checkable index arithmetic; the
