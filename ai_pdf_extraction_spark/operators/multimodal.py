@@ -240,7 +240,15 @@ def decode_media(data: bytes, fmt: str):
 
         with wave.open(io.BytesIO(data)) as wf:
             rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
-            frames = wf.readframes(wf.getnframes())
+            n_frames = wf.getnframes()
+            # untrusted-crawl hardening (the png zlib-bomb rule): the
+            # header's frame count is attacker-controlled; cap the PCM
+            # we materialize rather than trusting it
+            if n_frames * nch * width > (1 << 28):
+                raise ValueError(
+                    f"refusing wav with {n_frames} declared frames"
+                )
+            frames = wf.readframes(n_frames)
         out = {
             "sample_rate": rate,
             "n_channels": nch,

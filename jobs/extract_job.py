@@ -33,6 +33,14 @@ def main() -> None:
         help="warc reads Common-Crawl .warc/.warc.gz files directly "
         "(one crawl file per task)",
     )
+    parser.add_argument(
+        "--iceberg-warehouse",
+        default=None,
+        help="register a hadoop-type Iceberg catalog at this warehouse "
+        "path when an iceberg-spark-runtime jar is on the classpath "
+        "(no jar: the session comes up unchanged and the output table "
+        "stays the parquet+manifest fallback)",
+    )
     args = parser.parse_args()
 
     # Under spark-submit a SparkSession config is provided by the
@@ -43,7 +51,10 @@ def main() -> None:
     from ai_pdf_extraction_spark.session import build_session
     from ai_pdf_extraction_spark.sources.snapshot_table import SnapshotTable
 
-    spark = build_session(app_name=f"extract-{args.run_id}")
+    spark = build_session(
+        app_name=f"extract-{args.run_id}",
+        iceberg_warehouse=args.iceberg_warehouse,
+    )
     result = run_extraction(
         spark,
         args.input,

@@ -804,6 +804,22 @@ def test_media_decode_features_stage(spark):
     assert not got[6]["decode_ok"] and got[6]["format"] is None
     assert not got[7]["decode_ok"] and got[7]["payload_md5"] is None
 
+    # wav bomb: a header DECLARING ~4 GB of frames over tiny data must
+    # refuse (ValueError) rather than trust the count — and the stage
+    # reports decode_ok=false
+    import struct as _s
+
+    from ai_pdf_extraction_spark.operators.multimodal import decode_media
+
+    bomb = (
+        b"RIFF" + _s.pack("<I", 36 + 8) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + _s.pack("<I", 0xF0000000) + b"\x00" * 8
+    )
+    with pytest.raises(ValueError, match="refusing wav"):
+        decode_media(bomb, "wav")
+    assert decode_payload_summary(bomb)["decode_ok"] is False
+
 
 def test_png_encode_resize_roundtrip(spark):
     """encode→decode round-trips pixels exactly; nearest-neighbor
