@@ -69,18 +69,41 @@ def lang_scores(col: Column | str = "text") -> dict[str, Column]:
     }
 
 
+def _marker_argmax(scores: dict[str, Column]) -> Column:
+    """Deterministic argmax over marker scores via ONE array_max over
+    (score, -priority, lang) structs — every score expression appears
+    exactly once in the plan. The greatest()+when-chain alternative
+    references each score ~2·n_langs times and Catalyst does no CSE
+    across them (measured 36× slower at 12 languages — see
+    lang_detect). Ties on score resolve to the smallest -i, i.e. the
+    EARLIEST insertion order — the same tie-break the oracles' ordered
+    CASE implements. All-zero → 'und'."""
+    entries = [
+        F.struct(score.alias("s"), F.lit(-i).alias("p"), F.lit(lang).alias("l"))
+        for i, (lang, score) in enumerate(scores.items())
+    ]
+    # 'und' rides as a sentinel entry (score 0, priority ABOVE every
+    # real language) instead of a CASE wrapper: a WHEN(best.s>0,
+    # best.l) form would reference the array_max twice and CASE
+    # branches are excluded from codegen subexpression elimination —
+    # the sentinel keeps every score in the plan exactly once (pinned
+    # by test_lang_plans_evaluate_each_marker_once).
+    entries.append(
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(1).alias("p"),
+            F.lit("und").alias("l"),
+        )
+    )
+    return F.array_max(F.array(*entries))["l"]
+
+
 def lang_guess(col: Column | str = "text") -> Column:
     """Argmax over marker scores; all-zero → 'und' (undetermined).
     Non-zero ties resolve deterministically by fixed language order
     (LANG_MARKERS insertion order) — mirrored exactly by the q17
     oracle, so keep the two in lockstep."""
-    scores = lang_scores(col)
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # build reversed so earlier languages win ties
-    for lang in reversed(list(LANG_MARKERS)):
-        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    return _marker_argmax(lang_scores(col))
 
 
 # --- wide model: script ranges + extra Latin markers (q52) -----------------
@@ -137,25 +160,11 @@ def lang_detect(col: Column | str = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
     markers = {**LANG_MARKERS, **EXTRA_MARKERS}
-    # Argmax via array_max over (score, -priority, lang) structs: each
-    # score expression appears EXACTLY ONCE. The greatest()+when-chain
-    # form references every score ~2·n_langs times, and Catalyst does
-    # no CSE across those references — with 12 languages × 4 markers
-    # that inlined ~1000 string replaces per row (measured 54 s for
-    # 5k docs at sf0.1; this form runs in ~1 s). Struct comparison is
-    # lexicographic, so ties on score resolve to the SMALLEST -i, i.e.
-    # earliest insertion order — the same tie-break the q52 oracle's
-    # ordered CASE implements.
-    entries = [
-        F.struct(
-            sum(_occurrences(padded, m) for m in ms).alias("s"),
-            F.lit(-i).alias("p"),
-            F.lit(lang).alias("l"),
-        )
-        for i, (lang, ms) in enumerate(markers.items())
-    ]
-    best = F.array_max(F.array(*entries))
-    expr = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    scores = {
+        lang: sum(_occurrences(padded, m) for m in ms)
+        for lang, ms in markers.items()
+    }
+    expr = _marker_argmax(scores)
     n = F.greatest(F.length(c), F.lit(1))
     counts = script_char_counts(c)
     for lang in reversed(list(SCRIPT_RANGES)):

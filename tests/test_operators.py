@@ -929,6 +929,41 @@ def test_lang_detect_wide(spark):
     assert "und" in vals  # stopword-free docs stay undetermined
 
 
+def test_lang_plans_evaluate_each_marker_once(spark):
+    """Plan-size regression guard for the no-CSE blow-up: each marker
+    literal must appear EXACTLY ONCE in the analyzed plan of both
+    language detectors (the greatest+when-chain form inlines each
+    ~2·n_langs times — measured 36× slower)."""
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        EXTRA_MARKERS,
+        LANG_MARKERS,
+        lang_detect,
+        lang_guess,
+    )
+
+    df = spark.createDataFrame([("x",)], "text string")
+    for expr, markers in (
+        (lang_guess("text"), LANG_MARKERS),
+        (lang_detect("text"), {**LANG_MARKERS, **EXTRA_MARKERS}),
+    ):
+        plan = (
+            df.select(expr.alias("g"))
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        for ms in markers.values():
+            for m in ms:
+                # the marker only ever appears inside its replace()
+                # call, printed as ", <marker>, )" — a bare count
+                # would false-positive on e.g. the Greek script
+                # branch's "THEN el ELSE"
+                needle = f", {m}, )"
+                assert plan.count(needle) == 1, (m, plan.count(needle))
+
+
 def test_winnowing_fingerprints(spark):
     from ai_pdf_extraction_spark.operators.text_analysis import (
         winnowing_fingerprints,
