@@ -176,14 +176,9 @@ def iter_row_batches(path: str, batch_rows: int) -> Iterator[list[dict]]:
         stream.close()
 
 
-def read_warc(spark: SparkSession, path: str, batch_rows: int = 256) -> DataFrame:
-    """Distributed WARC → pages DataFrame. The ``binaryFile`` listing
-    supplies file PATHS only (content pruned away — never loaded);
-    paths repartition one-per-task and each task STREAM-parses its
-    file, yielding Arrow batches of ≤ ``batch_rows`` rows as it goes.
-    The output carries the exact PAGES_SCHEMA the extraction pipeline
-    reads. At 10^12 docs the listing is ~10^6 paths; per-task memory is
-    bounded by batch_rows · max_record_size regardless of file size."""
+def _paths_to_pages_gen(batch_rows: int):
+    """The mapInPandas generator shared by the batch and streaming
+    readers: path rows in, bounded pages batches out."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,6 +200,17 @@ def read_warc(spark: SparkSession, path: str, batch_rows: int = 256) -> DataFram
                         }
                     )
 
+    return gen
+
+
+def read_warc(spark: SparkSession, path: str, batch_rows: int = 256) -> DataFrame:
+    """Distributed WARC → pages DataFrame. The ``binaryFile`` listing
+    supplies file PATHS only (content pruned away — never loaded);
+    paths repartition one-per-task and each task STREAM-parses its
+    file, yielding Arrow batches of ≤ ``batch_rows`` rows as it goes.
+    The output carries the exact PAGES_SCHEMA the extraction pipeline
+    reads. At 10^12 docs the listing is ~10^6 paths; per-task memory is
+    bounded by batch_rows · max_record_size regardless of file size."""
     files = spark.read.format("binaryFile").load(path).select("path")
     n_files = files.count()  # listing-only job: content is never read
     # ROUND-ROBIN repartition (no column): exactly one file per
@@ -212,7 +218,36 @@ def read_warc(spark: SparkSession, path: str, batch_rows: int = 256) -> DataFram
     # buckets empty and hand some tasks 2-3 ~1 GB files — the straggler
     # shape CLAUDE.md warns about.
     files = files.repartition(max(n_files, 1))
-    return files.mapInPandas(gen, PAGES_SCHEMA)
+    return files.mapInPandas(_paths_to_pages_gen(batch_rows), PAGES_SCHEMA)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 256,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a ``binaryFile`` file
+    stream supplies newly-arrived WARC paths (exactly-once via the
+    query's checkpoint WAL), each micro-batch stream-parses its files
+    with the SAME generator as the batch reader, and the result is a
+    streaming pages DataFrame the extraction projection consumes
+    unchanged — continuous crawl ingestion without a distinct code
+    path. ``maxFilesPerTrigger`` bounds micro-batch size (files, and
+    therefore memory, per trigger)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is
+        # fixed by the format (content stays pruned — never selected)
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path")
+    )
+    return files.mapInPandas(_paths_to_pages_gen(batch_rows), PAGES_SCHEMA)
 
 
 def write_warc(path: str, rows: list[dict], compress: bool = True) -> int:

@@ -382,6 +382,58 @@ def test_warc_roundtrip_and_extraction(spark, tmp_path):
     assert warc_bytes_to_rows("g", b"\x1f\x8b" + b"\x00" * 50) == []
 
 
+def test_warc_stream_matches_batch_read(spark, tmp_path):
+    """Streaming WARC ingestion (binaryFile file stream + the shared
+    path-parsing generator) drains availableNow to exactly the batch
+    reader's rows, and the extraction projection consumes the stream
+    unchanged (same output schema as the batch plan)."""
+    import datetime
+
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+    from ai_pdf_extraction_spark.plans.pipeline import project_extraction
+    from ai_pdf_extraction_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+        write_warc,
+    )
+
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": r["warc_ts"].replace(tzinfo=datetime.timezone.utc),
+            "html": r["html"],
+        }
+        for r in generate_pages(30, seed=19)
+    ]
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc(str(wdir / "a.warc.gz"), rows[:15], compress=True)
+    write_warc(str(wdir / "b.warc.gz"), rows[15:], compress=True)
+
+    stream = read_warc_stream(spark, str(wdir), max_files_per_trigger=1)
+    assert stream.isStreaming
+    extracted = project_extraction(stream, run_id="ws", n_buckets=8)
+    out = str(tmp_path / "out")
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = project_extraction(
+        read_warc(spark, str(wdir)), run_id="ws", n_buckets=8
+    )
+    assert sorted(got.columns) == sorted(batch.columns)
+    assert got.count() == batch.count() == len(rows)
+    g = {r["url"]: r["n_chars"] for r in got.select("url", "n_chars").collect()}
+    b = {r["url"]: r["n_chars"] for r in batch.select("url", "n_chars").collect()}
+    assert g == b
+
+
 def test_output_table_seam_both_modes(spark, tmp_path):
     """The Iceberg seam: make_output_table routes a catalog-style name
     to IcebergSnapshotTable when the JVM has the catalog class, and to
