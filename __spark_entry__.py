@@ -1158,13 +1158,30 @@ def q48_table_field_rollup(spark, sf_dir):
     )
 
 
-def _media_fixture_paths() -> tuple[str, str]:
-    from ai_pdf_extraction_spark.operators.multimodal import (
-        MEDIA_FIXTURE_VERSION,
-        MEDIA_PROBE_VERSION,
+# single source of truth for the media fixture shape — the parquet,
+# the probe golden, AND the q53 decode golden must all derive from it
+_MEDIA_FIXTURE_N, _MEDIA_FIXTURE_SEED = 240, 21
+
+
+def _media_fixture_base() -> str:
+    from ai_pdf_extraction_spark.operators.multimodal import MEDIA_FIXTURE_VERSION
+
+    return (
+        f"/tmp/spark_graft_media_v{MEDIA_FIXTURE_VERSION}"
+        f"_{_MEDIA_FIXTURE_N}_{_MEDIA_FIXTURE_SEED}"
     )
 
-    base = f"/tmp/spark_graft_media_v{MEDIA_FIXTURE_VERSION}_240_21"
+
+def _media_fixture_rows():
+    from ai_pdf_extraction_spark.operators.multimodal import generate_media_rows
+
+    return generate_media_rows(_MEDIA_FIXTURE_N, seed=_MEDIA_FIXTURE_SEED)
+
+
+def _media_fixture_paths() -> tuple[str, str]:
+    from ai_pdf_extraction_spark.operators.multimodal import MEDIA_PROBE_VERSION
+
+    base = _media_fixture_base()
     # golden keyed on probe semantics too (the q34 _golden_k pattern)
     return base + ".parquet", base + f"_golden_p{MEDIA_PROBE_VERSION}.parquet"
 
@@ -1173,17 +1190,12 @@ def _ensure_media_fixtures() -> tuple[str, str]:
     """Deterministic media corpus (wav/bmp/png/jpeg/junk bytes built
     with struct/wave — no codec libs) + its probe golden, both pure
     pyarrow so ``oracle_sql()`` can build them (the q34 pattern)."""
-    from ai_pdf_extraction_spark.operators.multimodal import (
-        generate_media_rows,
-        write_media_fixtures,
-    )
+    from ai_pdf_extraction_spark.operators.multimodal import write_media_fixtures
 
     media_path, golden_path = _media_fixture_paths()
     if not (os.path.exists(media_path) and os.path.exists(golden_path)):
         try:
-            write_media_fixtures(
-                media_path, golden_path, generate_media_rows(240, seed=21)
-            )
+            write_media_fixtures(media_path, golden_path, _media_fixture_rows())
         except Exception:
             pass  # degrade to a loud read_parquet error at exec time
     return media_path, golden_path
@@ -1214,18 +1226,13 @@ def _decode_golden_path() -> str:
     fixture rows, keyed on fixture AND decode-semantics versions."""
     from ai_pdf_extraction_spark.operators.multimodal import (
         MEDIA_DECODE_VERSION,
-        MEDIA_FIXTURE_VERSION,
-        generate_media_rows,
         write_decode_golden,
     )
 
-    path = (
-        f"/tmp/spark_graft_media_v{MEDIA_FIXTURE_VERSION}_240_21"
-        f"_decode_d{MEDIA_DECODE_VERSION}.parquet"
-    )
+    path = _media_fixture_base() + f"_decode_d{MEDIA_DECODE_VERSION}.parquet"
     if not os.path.exists(path):
         try:
-            write_decode_golden(path, generate_media_rows(240, seed=21))
+            write_decode_golden(path, _media_fixture_rows())
         except Exception:
             pass  # degrade to a loud read_parquet error at oracle time
     return path

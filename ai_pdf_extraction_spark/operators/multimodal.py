@@ -467,22 +467,7 @@ def media_metadata(
     meta_schema = StructType(
         [StructField("media_id", LongType(), False)] + list(MEDIA_META_TYPE.fields)
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
-            metas = [probe_media(raw) for raw in raws]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int64"),
-                    **{
-                        f.name: [m[f.name] for m in metas]
-                        for f in MEDIA_META_TYPE.fields
-                    },
-                }
-            )
-
-    return df.select(id_col, bytes_col).mapInPandas(gen, meta_schema)
+    return _payload_stage(df, id_col, bytes_col, probe_media, meta_schema)
 
 
 DECODE_SUMMARY_TYPE = StructType(
@@ -539,6 +524,32 @@ def decode_payload_summary(raw: bytes) -> dict:
     return out
 
 
+def _payload_stage(
+    df: DataFrame, id_col: str, bytes_col: str, kernel, schema: StructType
+) -> DataFrame:
+    """Shared mapInPandas shape for per-payload kernels (probe,
+    decode-summary, …): one ``bytes()`` conversion per row, nulls as
+    empty payloads, dict-of-lists assembly from the schema — so
+    null-handling can never drift between stages."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
+            rows = [kernel(raw) for raw in raws]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    **{
+                        f.name: [r[f.name] for r in rows]
+                        for f in schema.fields
+                        if f.name != "media_id"
+                    },
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(gen, schema)
+
+
 def media_decode_features(
     df: DataFrame, id_col: str = "media_id", bytes_col: str = "media"
 ) -> DataFrame:
@@ -546,23 +557,9 @@ def media_decode_features(
     gif) is REALLY decoded on the executors and summarized; compressed
     codec seams and malformed bytes report ``decode_ok=false``. Media
     bytes never shuffle (narrow over scan partitions)."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
-            rows = [decode_payload_summary(raw) for raw in raws]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int64"),
-                    **{
-                        f.name: [r[f.name] for r in rows]
-                        for f in DECODE_SUMMARY_TYPE.fields
-                        if f.name != "media_id"
-                    },
-                }
-            )
-
-    return df.select(id_col, bytes_col).mapInPandas(gen, DECODE_SUMMARY_TYPE)
+    return _payload_stage(
+        df, id_col, bytes_col, decode_payload_summary, DECODE_SUMMARY_TYPE
+    )
 
 
 def extract_media_features(
@@ -756,16 +753,26 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
     return rows
 
 
+def _atomic_write_table(path: str, table) -> None:
+    """Temp+rename parquet write: a concurrent oracle run must never
+    see a partially-written fixture (single definition — the writers
+    below share it)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
 def write_media_fixtures(
     media_path: str, golden_path: str, rows: list[tuple[int, bytes]]
 ) -> None:
     """Write the media parquet AND its single-process probe golden
     (atomic temp+rename, pure pyarrow — callable from oracle_sql)."""
-    import os
-    import uuid
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     media = pa.table(
         {
@@ -786,19 +793,13 @@ def write_media_fixtures(
         }
     )
     for path, table in ((media_path, media), (golden_path, golden)):
-        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        _atomic_write_table(path, table)
 
 
 def write_decode_golden(path: str, rows: list[tuple[int, bytes]]) -> None:
     """Single-process decode golden for q53 (atomic, pure pyarrow):
     one :func:`decode_payload_summary` row per media row."""
-    import os
-    import uuid
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     summaries = [decode_payload_summary(b) for _, b in rows]
     table = pa.table(
@@ -818,6 +819,4 @@ def write_decode_golden(path: str, rows: list[tuple[int, bytes]]) -> None:
             ),
         }
     )
-    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+    _atomic_write_table(path, table)

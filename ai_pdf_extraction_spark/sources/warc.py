@@ -247,6 +247,12 @@ def read_warc_stream(
         .load(path)
         .select("path")
     )
+    # same fan-out guarantee as the batch reader: without this, the
+    # file-source scan packs small files into byte-sized partitions and
+    # one task parses a whole trigger's files serially. Round-robin
+    # over the session's parallelism spreads the ≤max_files_per_trigger
+    # paths one-ish per task.
+    files = files.repartition(spark.sparkContext.defaultParallelism)
     return files.mapInPandas(_paths_to_pages_gen(batch_rows), PAGES_SCHEMA)
 
 
