@@ -1253,6 +1253,37 @@ def q53_media_decode(spark, sf_dir):
     return media_decode_features(df)
 
 
+def q54_granule_dedup(spark, sf_dir):
+    """Corpus-level exact sentence dedup (the C4/Dolma paragraph-dedup
+    family): first corpus-wide occurrence of each '. '-granule wins
+    (by doc_id then position), docs reassemble from survivors. The
+    driver hash covers per-doc granule counts AND the md5 of the
+    reassembled text, so ordering and joining are fully gated."""
+    from ai_pdf_extraction_spark.operators.dedup import granule_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    # the synthetic corpus text carries no '. ' separators — wrap each
+    # doc with a shared-by-all footer and a shared-by-doc_id%7 banner
+    # so cross-doc granule dedup REALLY fires (first occurrence wins,
+    # every later doc loses its banner+footer)
+    d = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Boiler notice "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(". "),
+            F.col("text"),
+            F.lit(". Footer text common"),
+        ).alias("text"),
+    )
+    return granule_dedup(d).select(
+        "doc_id",
+        "n_granules",
+        "n_kept",
+        F.md5("dedup_text").alias("dedup_md5"),
+    )
+
+
 def q50_representative_sample(spark, sf_dir):
     """Representative sampling (S4 — the reference's first2 + last2 +
     strided-middle page policy, ``pdf_service.py:203-283``, lifted to
@@ -1363,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_warc_extract": q51_warc_extract,
         "q52_lang_detect_wide": q52_lang_detect_wide,
         "q53_media_decode": q53_media_decode,
+        "q54_granule_dedup": q54_granule_dedup,
     }
 
 
@@ -1806,6 +1838,36 @@ from documents
         "q53_media_decode": f"""
 select media_id, format, decode_ok, width, height, n_decoded, payload_md5
 from read_parquet('{_decode_golden_path()}')
+""",
+        "q54_granule_dedup": """
+with base as (
+  select doc_id,
+    string_split('Boiler notice ' || (doc_id % 7) || '. ' || text
+                 || '. Footer text common', '. ') as arr
+  from documents
+),
+g as (
+  select doc_id,
+    unnest(arr) as granule,
+    unnest(range(1, len(arr) + 1)) as pos
+  from base
+),
+gn as (select * from g where length(granule) > 0),
+kept as (
+  select doc_id, granule, pos,
+    row_number() over (partition by granule order by doc_id, pos) as rn
+  from gn
+),
+per_doc as (select doc_id, count(*) as n_granules from gn group by doc_id),
+survivors as (
+  select doc_id, count(*) as n_kept,
+    md5(string_agg(granule, '. ' order by pos)) as dedup_md5
+  from kept where rn = 1 group by doc_id
+)
+select p.doc_id, p.n_granules,
+  coalesce(s.n_kept, 0) as n_kept,
+  coalesce(s.dedup_md5, md5('')) as dedup_md5
+from per_doc p left join survivors s using (doc_id)
 """,
         "q18_quality_scores": quality_sql,
         "q19_fingerprints": f"select doc_id, {fingerprint_expr} as fingerprint from documents",

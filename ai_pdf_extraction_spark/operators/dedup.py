@@ -24,6 +24,8 @@ All shingling/hashing is built-in Column expressions — no Python UDFs.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -110,6 +112,59 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.min(id_col).over(w).alias("canonical_id"),
         F.count("*").over(w).alias("group_size"),
     ).withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+
+
+def granule_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+) -> DataFrame:
+    """Corpus-level EXACT granule dedup — the C4/Dolma paragraph-dedup
+    family (Lee et al. 2021's exact-substring dedup is the suffix-array
+    generalization; this is the hash-granule form production pipelines
+    actually run at crawl scale): split every doc on ``sep``, keep only
+    the FIRST occurrence of each granule corpus-wide (ordered by
+    (id, position) — deterministic), reassemble the survivors in
+    original order. Output: (id, n_granules, n_kept, dedup_text).
+
+    Scale shape: one shuffle on the granule (the dedup window), one
+    shuffle back on the id (the reassembly groupBy) — both key-hash
+    partitioned, no all-pairs anything. Boilerplate sentences repeated
+    across millions of pages (cookie banners, footers) are exactly the
+    hot keys the window handles via AQE skew splitting."""
+    g = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "granule"
+        ),
+    ).filter(F.length("granule") > 0)
+    w = Window.partitionBy("granule").orderBy(id_col, "pos")
+    kept = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    per_doc = g.groupBy(id_col).agg(F.count("*").alias("n_granules"))
+    survivors = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "granule"))),
+                lambda s: s["granule"],
+            ),
+        ).alias("dedup_text"),
+    )
+    return (
+        per_doc.join(survivors, id_col, "left")
+        .select(
+            id_col,
+            "n_granules",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
 
 
 def _ensure_parallel(docs: DataFrame, id_col: str) -> DataFrame:

@@ -30,6 +30,30 @@ def test_exact_dedup(spark, docs):
     assert out[2]["is_dup"] is False  # near-dup is NOT exact-dup
 
 
+def test_granule_dedup(spark):
+    """Corpus-level sentence dedup: the boilerplate sentence survives
+    only in its FIRST (doc_id, pos) occurrence; unique sentences all
+    survive; reassembly preserves original order; all-dup docs come
+    back empty with n_kept=0."""
+    from ai_pdf_extraction_spark.operators.dedup import granule_dedup
+
+    rows = [
+        (1, "Cookie notice here. Unique alpha. Unique beta"),
+        (2, "Cookie notice here. Unique gamma"),
+        (3, "Cookie notice here"),
+        (4, "Unique delta. Cookie notice here. Unique epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in granule_dedup(df).collect()}
+    assert out[1]["dedup_text"] == "Cookie notice here. Unique alpha. Unique beta"
+    assert out[1]["n_granules"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["dedup_text"] == "Unique gamma"  # boiler deduped away
+    assert out[2]["n_kept"] == 1
+    assert out[3]["dedup_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["dedup_text"] == "Unique delta. Unique epsilon"
+    assert out[4]["n_granules"] == 3 and out[4]["n_kept"] == 2
+
+
 def test_ngram_jaccard(spark, docs):
     from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
 
