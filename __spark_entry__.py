@@ -1284,6 +1284,21 @@ def q54_granule_dedup(spark, sf_dir):
     )
 
 
+def q55_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C / Dolma): every
+    50th doc plays the benchmark set; docs sharing any word trigram
+    with it are flagged. The benchmark shingle relation broadcasts
+    (plan-asserted in pytest); the oracle rebuilds the same trigram
+    universe in SQL."""
+    from ai_pdf_extraction_spark.operators.dedup import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_flags(d, bench, n=3, min_hits=1)
+
+
 def q50_representative_sample(spark, sf_dir):
     """Representative sampling (S4 — the reference's first2 + last2 +
     strided-middle page policy, ``pdf_service.py:203-283``, lifted to
@@ -1395,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_lang_detect_wide": q52_lang_detect_wide,
         "q53_media_decode": q53_media_decode,
         "q54_granule_dedup": q54_granule_dedup,
+        "q55_contamination": q55_contamination,
     }
 
 
@@ -1868,6 +1884,28 @@ select p.doc_id, p.n_granules,
   coalesce(s.n_kept, 0) as n_kept,
   coalesce(s.dedup_md5, md5('')) as dedup_md5
 from per_doc p left join survivors s using (doc_id)
+""",
+        "q55_contamination": """
+with w as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as words
+  from documents
+),
+doc_sh as (
+  select doc_id,
+    unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+                          for i in range(1, len(words) - 1)])) as shingle
+  from w
+),
+bench_sh as (select distinct shingle from doc_sh where doc_id % 50 = 0),
+hits as (
+  select d.doc_id, count(*) as n_hits
+  from doc_sh d join bench_sh using (shingle)
+  group by d.doc_id
+)
+select doc_id,
+  coalesce(n_hits, 0) as n_hits,
+  coalesce(n_hits, 0) >= 1 as contaminated
+from documents left join hits using (doc_id)
 """,
         "q18_quality_scores": quality_sql,
         "q19_fingerprints": f"select doc_id, {fingerprint_expr} as fingerprint from documents",

@@ -114,6 +114,45 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     ).withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Dolma
+    dedupe-against-eval pass, public method): flag training docs that
+    share ≥ ``min_hits`` word n-grams with any benchmark item. The
+    benchmark relation is small by definition (eval sets, ~10^4-10^6
+    shingles) → its distinct shingles BROADCAST; the docs side is one
+    narrow shingle explode + map-side hash probe — no shuffle of doc
+    text, no all-pairs, scales to 10^12 docs. Default n=13 matches the
+    GPT-3 filter. Output: (id, n_hits, contaminated)."""
+    doc_sh = _word_shingles(docs, id_col, text_col, n)
+    bench_sh = (
+        _word_shingles(benchmark, bench_id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def granule_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -54,6 +54,34 @@ def test_granule_dedup(spark):
     assert out[4]["n_granules"] == 3 and out[4]["n_kept"] == 2
 
 
+def test_contamination_flags(spark):
+    """Decontamination: docs sharing an n-gram with the benchmark are
+    flagged with the right hit counts, clean docs are not, and the
+    benchmark shingle side broadcasts (never a shuffle join at scale)."""
+    from ai_pdf_extraction_spark.operators.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark shuffles"),
+            (3, "something quick brown fox something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")],
+        "bench_id long, text string",
+    )
+    out = contamination_flags(docs, bench, n=3, min_hits=1)
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical or "BroadcastExchange" in physical
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc1 shares "the quick brown" and "quick brown fox"
+    assert got[1]["contaminated"] and got[1]["n_hits"] == 2
+    assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+    assert got[3]["contaminated"] and got[3]["n_hits"] == 1
+
+
 def test_ngram_jaccard(spark, docs):
     from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
 
