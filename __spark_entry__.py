@@ -491,6 +491,42 @@ def _ivf_centroids(sf_dir: str) -> list:
     return got
 
 
+_PQ_CACHE: dict[str, list] = {}
+
+
+def _pq_codebooks(sf_dir: str) -> list:
+    """Deterministic per-subspace PQ codebooks for ``sf_dir``'s
+    embeddings table (trained once per path; Spark-free — the oracle
+    trains the identical books, the ``_ivf_centroids`` contract)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    got = _PQ_CACHE.get(path)
+    if got is None:
+        from ai_pdf_extraction_spark.operators.similarity import (
+            load_embedding_sample,
+            train_pq_codebooks,
+        )
+
+        got = train_pq_codebooks(
+            load_embedding_sample(path), m=8, n_codes=16, n_iters=10, seed=17
+        )
+        _PQ_CACHE[path] = got
+    return got
+
+
+def q56_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (ADC): trained per-subspace codebooks
+    as plan-time literals, corpus rows reduced to code arrays, query
+    rows carrying per-subspace distance LUTs — the approximate
+    distance in the join is m array lookups, never full-vector math.
+    The memory step (m small ints per vector) that makes 10^12-vector
+    exhaustive scans feasible."""
+    from ai_pdf_extraction_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, _pq_codebooks(sf_dir), k=5)
+
+
 def q26_ivf_topk(spark, sf_dir):
     """IVF ANN with a REAL trained coarse quantizer: deterministic
     k-means centroids (offline, on a bounded pyarrow sample) embedded
@@ -1411,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_media_decode": q53_media_decode,
         "q54_granule_dedup": q54_granule_dedup,
         "q55_contamination": q55_contamination,
+        "q56_pq_topk": q56_pq_topk,
     }
 
 
@@ -1521,6 +1558,64 @@ select query_id, neighbor_id, cos, rank from (
   from scored
 ) where rank <= {k}
 """
+
+
+def _pq_sql(codebooks: list, k: int = 5) -> str:
+    """q56 oracle: the SAME trained codebook literals as the Spark
+    plan — per-subspace distance arrays double as the encode argmin
+    (list_position first-match, the ivf rule) and the query-side ADC
+    lookup tables, exactly like ``_slice_d2_array`` on the Spark
+    side."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+
+    def dist(slice_expr: str, c: list) -> str:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        return (
+            f"round(list_sum(list_transform(list_zip({slice_expr}, {lit}), "
+            "x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2]))), 6)"
+        )
+
+    cols = ["vec_id"]
+    for s, book in enumerate(codebooks):
+        sl = f"embedding[{s * sub + 1}:{(s + 1) * sub}]"
+        dlist = ", ".join(dist(sl, c) for c in book)
+        cols.append(f"[{dlist}] as dl{s}")
+        cols.append(f"list_position(dl{s}, list_min(dl{s})) - 1 as code{s}")
+    enc_cols = ",\n    ".join(cols)
+    approx = " + ".join(f"b.dl{s}[a.code{s} + 1]" for s in range(m))
+    return f"""
+with enc as (
+  select {enc_cols}
+  from embeddings
+),
+scored as (
+  select b.vec_id as query_id, a.vec_id as neighbor_id,
+    round({approx}, 6) as approx_d2
+  from enc a
+  join enc b on b.vec_id < 5 and a.vec_id != b.vec_id
+)
+select query_id, neighbor_id, approx_d2, rank from (
+  select *, row_number() over (partition by query_id
+                               order by approx_d2 asc, neighbor_id asc) as rank
+  from scored
+) where rank <= {k}
+"""
+
+
+def _q56_oracle_sql() -> str:
+    """q56 oracle with the q26 degradation contract: codebook-training
+    failure breaks only q56, loudly, at execution."""
+    try:
+        return _pq_sql(
+            _pq_codebooks(
+                os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+            )
+        )
+    except Exception:
+        return (
+            "select * from read_parquet("
+            "'/nonexistent/q56_pq_codebook_training_failed')"
+        )
 
 
 def _q26_oracle_sql() -> str:
@@ -2069,6 +2164,7 @@ select query_id, neighbor_id, cos, rank from (
 ) where rank <= 5
 """,
         "q26_ivf_topk": _q26_oracle_sql(),
+        "q56_pq_topk": _q56_oracle_sql(),
         "q27_hourly_event_counts": """
 select date_trunc('hour', ts) as hour, event_type,
   count(*) as n_events, round(sum(value), 2) as sum_value

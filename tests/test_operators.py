@@ -276,6 +276,54 @@ def test_embedding_near_dup_and_topk(spark):
     assert ids == {2, 5}, "IVF must only search the query's cluster"
 
 
+def test_pq_codebooks_and_adc_topk(spark):
+    """Product quantization: training is deterministic, encode maps
+    near-identical vectors to the same codes, and ADC top-k ranks a
+    query's own cluster ahead of the other cluster (recall against the
+    clustered geometry, the property ADC must preserve)."""
+    from ai_pdf_extraction_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    # two tight 8-dim clusters
+    vecs = [[1.0 + 0.01 * i, 0.02 * i] + [0.0] * 6 for i in range(6)] + [
+        [0.02 * i, 1.0 + 0.01 * i] + [0.0] * 6 for i in range(6)
+    ]
+    b1 = train_pq_codebooks(vecs, m=2, n_codes=4, n_iters=5, seed=3)
+    b2 = train_pq_codebooks(vecs, m=2, n_codes=4, n_iters=5, seed=3)
+    assert b1 == b2, "same seed must reproduce codebooks exactly"
+    assert len(b1) == 2 and all(len(book) == 4 for book in b1)
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(vecs, m=3)
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    codes = {
+        r["vec_id"]: tuple(r["c"])
+        for r in emb.select(
+            "vec_id", pq_encode(F.col("embedding"), b1).alias("c")
+        ).collect()
+    }
+    # cluster members quantize (at least on the first subspace, which
+    # carries the separating coordinates) to cluster-consistent codes
+    assert {codes[i][0] for i in range(6)}.isdisjoint(
+        {codes[i][0] for i in range(6, 12)}
+    )
+
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 2), b1, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in (0, 1):
+        top = got[qid]
+        assert len(top) == 5
+        # all 5 nearest by ADC come from the query's own cluster
+        assert all(n < 6 for n in top), (qid, top)
+
+
 def test_ivf_trained_quantizer(spark):
     """Real coarse quantizer: deterministic across calls, separates
     two obvious clusters, and the trained ivf_topk path returns only
