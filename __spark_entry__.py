@@ -1969,7 +1969,12 @@ kept as (
     row_number() over (partition by granule order by doc_id, pos) as rn
   from gn
 ),
-per_doc as (select doc_id, count(*) as n_granules from gn group by doc_id),
+per_doc as (
+  -- from the ARRAY side, not the exploded side: docs with zero
+  -- non-empty granules must stay in the output (n_granules = 0)
+  select doc_id, len(list_filter(arr, x -> length(x) > 0)) as n_granules
+  from base
+),
 survivors as (
   select doc_id, count(*) as n_kept,
     md5(string_agg(granule, '. ' order by pos)) as dedup_md5

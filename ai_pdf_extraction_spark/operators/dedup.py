@@ -167,25 +167,41 @@ def granule_dedup(
     (id, position) — deterministic), reassemble the survivors in
     original order. Output: (id, n_granules, n_kept, dedup_text).
 
-    Scale shape: one shuffle on the granule (the dedup window), one
-    shuffle back on the id (the reassembly groupBy) — both key-hash
-    partitioned, no all-pairs anything. Boilerplate sentences repeated
-    across millions of pages (cookie banners, footers) are exactly the
-    hot keys the window handles via AQE skew splitting."""
-    g = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
-            "pos", "granule"
-        ),
-    ).filter(F.length("granule") > 0)
-    w = Window.partitionBy("granule").orderBy(id_col, "pos")
-    kept = (
-        g.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    Scale shape: the first-occurrence winner per granule is a
+    ``min(struct(id, pos))`` GROUP-BY — partial aggregation combines
+    map-side, so a cookie banner repeated across 10^8 pages reduces to
+    one row per partition BEFORE the shuffle (a window row_number over
+    the granule would funnel every occurrence of the hot key through
+    one task, and AQE's skew splitting does not apply to window
+    exchanges). Then one shuffle back on the id for reassembly. Docs
+    with zero non-empty granules stay in the output (n_granules=0) —
+    a dedup pass must never lose doc ids. The granule projection is
+    persisted across its two consumers (the stats leg and the winners
+    leg) so the text scan + split runs once."""
+    docs = _ensure_parallel(docs, id_col)
+    base = _persist_shingles(
+        docs.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.col(text_col), _re.escape(sep)),
+                lambda x: F.length(x) > 0,
+            ).alias("_granules"),
+        )
     )
-    per_doc = g.groupBy(id_col).agg(F.count("*").alias("n_granules"))
-    survivors = kept.groupBy(id_col).agg(
+    stats = base.select(id_col, F.size("_granules").alias("n_granules"))
+    g = base.select(
+        F.col(id_col), F.posexplode("_granules").alias("pos", "granule")
+    )
+    winners = (
+        g.groupBy("granule")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+        .select(
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.pos").alias("pos"),
+            "granule",
+        )
+    )
+    survivors = winners.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(
             sep,
@@ -195,14 +211,11 @@ def granule_dedup(
             ),
         ).alias("dedup_text"),
     )
-    return (
-        per_doc.join(survivors, id_col, "left")
-        .select(
-            id_col,
-            "n_granules",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
-        )
+    return stats.join(survivors, id_col, "left").select(
+        id_col,
+        "n_granules",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
 
 

@@ -532,17 +532,19 @@ def _payload_stage(
     empty payloads, dict-of-lists assembly from the schema — so
     null-handling can never drift between stages."""
 
+    id_out = schema.fields[0].name  # id field = schema's first field
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raws = [bytes(b) if b is not None else b"" for b in pdf[bytes_col]]
             rows = [kernel(raw) for raw in raws]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].astype("int64"),
+                    id_out: pdf[id_col].astype("int64"),
                     **{
                         f.name: [r[f.name] for r in rows]
                         for f in schema.fields
-                        if f.name != "media_id"
+                        if f.name != id_out
                     },
                 }
             )

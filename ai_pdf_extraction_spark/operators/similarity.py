@@ -311,10 +311,41 @@ def _slice_d2_array(vslice, book: list[list[float]]):
     return F.array(*dists)
 
 
+def _sliced(df: DataFrame, id_col, id_alias: str, vec_col: str, m: int, sub: int):
+    """Project (id, _s0.._s{m-1}) with the double-cast and the
+    subspace slices as BOUND COLUMNS — the HOF-projection remedy:
+    inlining ``transform(vec, cast)`` into every per-codeword lambda
+    re-evaluates the full-array cast m·n_codes times per row (no CSE
+    across higher-order functions; measured ~60 s → ~2 s at sf0.1).
+    Two projection levels: the cast is referenced m times, each slice
+    n_codes times — both multi-use non-cheap aliases, which keeps
+    CollapseProject from re-inlining them."""
+    casted = df.select(
+        F.col(id_col).alias(id_alias),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    return casted.select(
+        id_alias,
+        *[F.slice("_v", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
+    )
+
+
+def _codes_from_slices(codebooks: list[list[list[float]]]):
+    """Code array over the ``_s*`` bound slice columns: per-subspace
+    argmin of the codeword distances (rounded 6; first-match ties —
+    the ``ivf_assign`` rule)."""
+    codes = []
+    for s, book in enumerate(codebooks):
+        darr = _slice_d2_array(F.col(f"_s{s}"), book)
+        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    return F.array(*codes)
+
+
 def pq_encode(vec_col, codebooks: list[list[list[float]]]):
-    """PQ code array (one code per subspace) as a pure Column
-    expression: per-subspace argmin over the codeword distances
-    (rounded 6; first-match ties — the ``ivf_assign`` rule)."""
+    """PQ code array as a single Column expression (test/interactive
+    convenience — the hot path, :func:`pq_topk`, goes through
+    :func:`_sliced`'s projected form instead so the cast/slices are
+    evaluated once per row, not once per codeword)."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     v = F.transform(v, lambda x: x.cast("double"))
     sub = len(codebooks[0][0])
@@ -352,19 +383,19 @@ def pq_topk(
     doubles in the plan: beyond ~(16, 64) switch transport to a
     broadcast codebook DataFrame + pandas-UDF encode, same contract
     (the ``ivf_assign`` escape-hatch note)."""
-    sub = len(codebooks[0][0])
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    m, sub = len(codebooks), len(codebooks[0][0])
+    c = _sliced(emb, id_col, "neighbor_id", vec_col, m, sub).select(
+        "neighbor_id", _codes_from_slices(codebooks).alias("codes")
     )
-    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     lut = F.array(
         *[
-            _slice_d2_array(F.slice(qv, s * sub + 1, sub), book)
+            _slice_d2_array(F.col(f"_s{s}"), book)
             for s, book in enumerate(codebooks)
         ]
     )
-    q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
+    q = _sliced(queries, id_col, "query_id", vec_col, m, sub).select(
+        "query_id", lut.alias("lut")
+    )
     approx = F.round(
         F.aggregate(
             F.zip_with(

@@ -40,6 +40,9 @@ HEADLINE = [
     "q48_table_field_rollup",
     "q49_media_metadata",  # media probe over the fixture media parquet
     "q52_lang_detect_wide",  # script+marker language ID
+    "q54_granule_dedup",  # corpus-level sentence dedup
+    "q55_contamination",  # benchmark n-gram decontamination
+    "q56_pq_topk",  # product-quantization ADC ANN
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

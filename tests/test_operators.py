@@ -42,9 +42,17 @@ def test_granule_dedup(spark):
         (2, "Cookie notice here. Unique gamma"),
         (3, "Cookie notice here"),
         (4, "Unique delta. Cookie notice here. Unique epsilon"),
+        (5, ""),  # zero granules: must SURVIVE in the output
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in granule_dedup(df).collect()}
+    assert out[5]["n_granules"] == 0 and out[5]["n_kept"] == 0
+    assert out[5]["dedup_text"] == ""
+    # no window over the granule key: the winner-per-granule must be a
+    # partial-aggregating GROUP BY (map-side combine on hot boilerplate
+    # keys), never a skew-unsplittable window exchange
+    physical = granule_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in physical, physical
     assert out[1]["dedup_text"] == "Cookie notice here. Unique alpha. Unique beta"
     assert out[1]["n_granules"] == 3 and out[1]["n_kept"] == 3
     assert out[2]["dedup_text"] == "Unique gamma"  # boiler deduped away
