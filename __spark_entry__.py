@@ -1335,6 +1335,21 @@ def q55_contamination(spark, sf_dir):
     return contamination_flags(d, bench, n=3, min_hits=1)
 
 
+def q57_curated_corpus_v2(spark, sf_dir):
+    """The full-curation capstone: quality ∧ exact-canonical ∧
+    ¬LSH-near-dup ∧ ¬benchmark-contaminated, granule-dedup stats on
+    every survivor — every dedup/filter family the engine ships,
+    composed in one plan and value-hashed against the stitched
+    oracle."""
+    from ai_pdf_extraction_spark.plans.curate import curated_corpus_v2
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curated_corpus_v2(d, bench, contamination_n=3)
+
+
 def q50_representative_sample(spark, sf_dir):
     """Representative sampling (S4 — the reference's first2 + last2 +
     strided-middle page policy, ``pdf_service.py:203-283``, lifted to
@@ -1448,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_granule_dedup": q54_granule_dedup,
         "q55_contamination": q55_contamination,
         "q56_pq_topk": q56_pq_topk,
+        "q57_curated_corpus_v2": q57_curated_corpus_v2,
     }
 
 
@@ -2245,6 +2261,53 @@ select s.doc_id, s.lang, s.quality, s.n_tokens
 from scored s
 join canon using (doc_id)
 where s.doc_id not in (select doc_id from near_losers)
+  and s.quality >= 0.5
+""",
+        "q57_curated_corpus_v2": f"""
+with {_minhash_cte()},
+fp as (select doc_id, {fingerprint_expr} as fp from documents),
+canon as (
+  select doc_id from (
+    select doc_id, min(doc_id) over (partition by fp) as canonical_id from fp
+  ) where doc_id = canonical_id
+),
+near_losers as (
+  select distinct cand.id_b as doc_id
+  from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
+  where jacc.jaccard >= 0.8
+),
+{_SCORED_CTE},
+cw as (select doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') as cwords
+       from documents),
+cdoc as (
+  select doc_id,
+    unnest(list_distinct([array_to_string(cwords[i:i+2], ' ')
+                          for i in range(1, len(cwords) - 1)])) as cshingle
+  from cw
+),
+cbench as (select distinct cshingle from cdoc where doc_id % 50 = 0),
+chits as (select distinct d.doc_id from cdoc d join cbench using (cshingle)),
+gbase as (select doc_id,
+            list_filter(string_split(text, '. '), x -> length(x) > 0) as garr
+          from documents),
+gg as (select doc_id, unnest(garr) as granule,
+         unnest(range(1, len(garr) + 1)) as pos from gbase),
+gwin as (select doc_id, granule, pos,
+           row_number() over (partition by granule
+                              order by doc_id, pos) as rn from gg),
+gstat as (
+  select b.doc_id, len(b.garr) as n_granules, coalesce(k.n_kept, 0) as n_kept
+  from gbase b
+  left join (select doc_id, count(*) as n_kept from gwin
+             where rn = 1 group by doc_id) k using (doc_id)
+)
+select s.doc_id, s.lang, s.quality, s.n_tokens, g.n_granules, g.n_kept
+from scored s
+join canon using (doc_id)
+join gstat g using (doc_id)
+where s.doc_id not in (select doc_id from near_losers)
+  and s.doc_id not in (select doc_id from chits)
   and s.quality >= 0.5
 """,
         "q37_url_canonicalize": r"""

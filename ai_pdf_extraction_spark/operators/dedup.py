@@ -49,16 +49,28 @@ DEFAULT_MAX_SHINGLE_DF = 1000
 _SHINGLE_CACHE: list[DataFrame] = []
 
 
-def _persist_shingles(sh: DataFrame) -> DataFrame:
-    for old in _SHINGLE_CACHE:
+def _persist_latest(cache: list, df: DataFrame) -> DataFrame:
+    """Most-recently-persisted slot: evicts the cache's previous entry
+    (correctness unaffected — an evicted plan just recomputes)."""
+    for old in cache:
         try:
             old.unpersist()
         except Exception:
             pass
-    _SHINGLE_CACHE.clear()
-    sh = sh.persist()
-    _SHINGLE_CACHE.append(sh)
-    return sh
+    cache.clear()
+    df = df.persist()
+    cache.append(df)
+    return df
+
+
+def _persist_shingles(sh: DataFrame) -> DataFrame:
+    return _persist_latest(_SHINGLE_CACHE, sh)
+
+
+# granule_dedup's projected granule arrays get their OWN slot so a
+# composed plan (curate v2: LSH near-dup ∧ granule stats) keeps both
+# persists live instead of evicting the shingle relation
+_GRANULE_CACHE: list[DataFrame] = []
 
 
 # Same lifecycle pattern for neardup_clusters' final label frontier:
@@ -179,14 +191,15 @@ def granule_dedup(
     persisted across its two consumers (the stats leg and the winners
     leg) so the text scan + split runs once."""
     docs = _ensure_parallel(docs, id_col)
-    base = _persist_shingles(
+    base = _persist_latest(
+        _GRANULE_CACHE,
         docs.select(
             F.col(id_col),
             F.filter(
                 F.split(F.col(text_col), _re.escape(sep)),
                 lambda x: F.length(x) > 0,
             ).alias("_granules"),
-        )
+        ),
     )
     stats = base.select(id_col, F.size("_granules").alias("n_granules"))
     g = base.select(

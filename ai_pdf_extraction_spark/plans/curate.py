@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ai_pdf_extraction_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from ai_pdf_extraction_spark.operators.dedup import (
+    contamination_flags,
+    exact_dedup,
+    granule_dedup,
+    minhash_lsh_pairs,
+)
 from ai_pdf_extraction_spark.operators.text_analysis import quality_score, token_count
 
 
@@ -62,3 +67,34 @@ def curated_corpus(
         .filter(F.col("quality") >= quality_threshold)
         .select(id_col, "lang", "quality", "n_tokens")
     )
+
+
+def curated_corpus_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    contamination_n: int = 13,
+    **knobs,
+) -> DataFrame:
+    """The FULL curation pass, composing every dedup/filter family the
+    engine ships: quality ∧ exact-canonical ∧ ¬LSH-near-dup (the v1
+    plan) ∧ ¬benchmark-contaminated, with corpus-level granule-dedup
+    stats riding each survivor. Scale shapes compose unchanged: the
+    contamination shingle set broadcasts, granule winners partial-
+    aggregate, the LSH loser set anti-joins — and the shingle and
+    granule persists live in separate cache slots so neither evicts
+    the other. Output: (id, lang, quality, n_tokens, n_granules,
+    n_kept)."""
+    base = curated_corpus(docs, id_col=id_col, text_col=text_col, **knobs)
+    contaminated = (
+        contamination_flags(
+            docs, benchmark, n=contamination_n, id_col=id_col, text_col=text_col
+        )
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    gran = granule_dedup(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "n_granules", "n_kept"
+    )
+    return base.join(contaminated, id_col, "left_anti").join(gran, id_col)
