@@ -43,6 +43,7 @@ HEADLINE = [
     "q54_granule_dedup",  # corpus-level sentence dedup
     "q55_contamination",  # benchmark n-gram decontamination
     "q56_pq_topk",  # product-quantization ADC ANN
+    "q57_curated_corpus_v2",  # full-curation capstone
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

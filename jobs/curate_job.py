@@ -7,7 +7,8 @@ Usage::
     spark-submit --master local[32] --py-files /tmp/engine.zip \
         jobs/curate_job.py --input <documents parquet> \
         --output <curated parquet dir> \
-        [--quality 0.5] [--jaccard 0.8] [--partitions 64]
+        [--quality 0.5] [--jaccard 0.8] [--partitions 64] \
+        [--benchmark <eval parquet> [--contamination-n 13]]
 
 Same contract as ``extract_job``: public package API only, so the
 file submits unchanged to a real cluster.
@@ -26,19 +27,38 @@ def main() -> None:
     parser.add_argument("--quality", type=float, default=0.5)
     parser.add_argument("--jaccard", type=float, default=0.8)
     parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument(
+        "--benchmark",
+        default=None,
+        help="parquet of (bench_id, text) eval items; when given, runs "
+        "the v2 pass (adds decontamination + granule-dedup stats)",
+    )
+    parser.add_argument("--contamination-n", type=int, default=13)
     args = parser.parse_args()
 
-    from ai_pdf_extraction_spark.plans.curate import curated_corpus
+    from ai_pdf_extraction_spark.plans.curate import (
+        curated_corpus,
+        curated_corpus_v2,
+    )
     from ai_pdf_extraction_spark.session import build_session
 
     spark = build_session(app_name="curate")
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
-    curated = curated_corpus(
-        docs,
-        quality_threshold=args.quality,
-        jaccard_threshold=args.jaccard,
-    )
+    if args.benchmark:
+        curated = curated_corpus_v2(
+            docs,
+            spark.read.parquet(args.benchmark),
+            quality_threshold=args.quality,
+            jaccard_threshold=args.jaccard,
+            contamination_n=args.contamination_n,
+        )
+    else:
+        curated = curated_corpus(
+            docs,
+            quality_threshold=args.quality,
+            jaccard_threshold=args.jaccard,
+        )
     writer = curated.repartition(args.partitions) if args.partitions else curated
     writer.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
