@@ -748,6 +748,17 @@ def _q46_golden_path() -> str:
     return path
 
 
+def _sig_escape_col(c):
+    """Column twin of ``kernels.types.sig_escape`` — delimiter escaping
+    for the canonical table serialization (same ordered replace chain,
+    rebuilt from the kernel's own SIG_ESCAPES so they cannot drift)."""
+    from ai_pdf_extraction_spark.kernels.types import SIG_ESCAPES
+
+    for ch, rep in SIG_ESCAPES:
+        c = F.replace(c, F.lit(ch), F.lit(rep))
+    return c
+
+
 def _signature_cols(df: DataFrame) -> DataFrame:
     """Byte-level signatures of the extraction payload so the driver's
     value hash covers the full result, not just counts: md5 of the
@@ -799,7 +810,11 @@ def _signature_cols(df: DataFrame) -> DataFrame:
                             ",",
                             F.transform(
                                 F.array_sort(F.map_entries(r)),
-                                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                                lambda e: F.concat(
+                                    _sig_escape_col(e["key"]),
+                                    F.lit("="),
+                                    _sig_escape_col(e["value"]),
+                                ),
                             ),
                         ),
                     ),

@@ -39,7 +39,15 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #      literal same-named headers instead of colliding
 # v11: overflow data-cell keys bump past header names too (a 'col 2'
 #      header no longer swallows the overflow cell)
-KERNEL_VERSION = 11
+# v12: fifth-review kernel fixes — non-ASCII colspan digits no longer
+#      raise out of the parse; ANY non-head element implies </head>
+#      (not just <body>); <title> never leaks into text when <head> is
+#      omitted; self-closed non-void tags parse as open tags (HTML5
+#      §13.1.2 — a <td/> opens a cell); the PDF '"' show-text operator
+#      is interpreted (was silently dropping whole lines); <br> honors
+#      the inline-boiler mask; tables_signature delimiter-escapes
+#      keys/values (distinct payloads can no longer alias)
+KERNEL_VERSION = 12
 
 
 def extract_document(data: bytes) -> ExtractionResult:

@@ -29,6 +29,7 @@ import re
 from ai_pdf_extraction_spark.kernels.types import (
     ExtractionResult,
     Span,
+    assemble_spans,
     table_records,
 )
 
@@ -53,6 +54,10 @@ _SKIP_TAGS = frozenset(
         "video",
         "map",
         "textarea",
+        # browsers never render <title>; without this, a document that
+        # omits <head> (valid HTML5) leaked its title into the text
+        # stream as the first paragraph block
+        "title",
     }
 )
 
@@ -370,8 +375,13 @@ class _MainContentParser:
 
     def _br(self) -> None:
         """<br> is a soft space in the text stream AND in any open
-        table cell (cells capture text independently of blocks)."""
-        if self._current is not None:
+        table cell (cells capture text independently of blocks) —
+        under the SAME boiler mask as handle_data: a <br> inside a
+        masked inline element must not leak a space into the live
+        block whose text is otherwise fully masked."""
+        if self._current is not None and not (
+            self._boiler_depth and not self._current.boiler
+        ):
             self._current.parts.append(" ")
         if self._table_stack:
             ctx = self._table_stack[-1]
@@ -390,8 +400,13 @@ class _MainContentParser:
             self._skip_depth += 1
             return
         if self._skip_depth:
-            if tag == "body" and "head" in self._skip_stack:
-                # HTML5 allows omitting </head>; <body> implies it
+            if "head" in self._skip_stack:
+                # HTML5 allows omitting </head> (and <body>): ANY
+                # non-head element implies the head is over — head-only
+                # content (title/style/script/meta/link) never reaches
+                # here (skip/rawtext/void handling above), so gating on
+                # <body> alone dropped the whole document when both
+                # tags were omitted
                 while "head" in self._skip_stack:
                     self._skip_stack.remove("head")
                     self._skip_depth -= 1
@@ -417,9 +432,22 @@ class _MainContentParser:
                 # placeholder cells → omitted keys); rowspan=N carries
                 # the value down into the next N-1 rows at its column.
                 for name, value in attrs:
-                    if name == "colspan" and value and value.isdigit():
+                    # ascii guard: isdigit() accepts non-ASCII digits
+                    # (e.g. superscript two) that int() rejects — one
+                    # such attribute must not raise out of the parse
+                    if (
+                        name == "colspan"
+                        and value
+                        and value.isascii()
+                        and value.isdigit()
+                    ):
                         ctx.cell_pad = min(int(value), 100) - 1
-                    elif name == "rowspan" and value and value.isdigit():
+                    elif (
+                        name == "rowspan"
+                        and value
+                        and value.isascii()
+                        and value.isdigit()
+                    ):
                         ctx.cell_rowspan = min(int(value), 1000)
                 ctx.cell = []
                 if tag == "th":
@@ -460,20 +488,20 @@ class _MainContentParser:
             self._flush()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        """Self-closed element: start+end with no subtree — no rawtext
-        consumption, no stack pushes; block/container flush only."""
+        """Self-closed element. HTML5 §13.1.2: the trailing ``/`` is
+        meaningful only on void elements; on anything else browsers
+        parse ``<td/>`` as an ORDINARY open tag — route it through
+        ``handle_starttag`` so e.g. a self-closed table cell still
+        opens a cell instead of silently shifting later columns under
+        the wrong headers. Exception: _SKIP_TAGS self-closes stay
+        no-ops — by the letter of HTML5 ``<script/>`` opens a script
+        that swallows the rest of the document, which is the wrong
+        trade for recovery-oriented extraction."""
         if tag in _VOID_TAGS or tag in _SKIP_TAGS:
             if not self._skip_depth and tag == "br":
                 self._br()
             return
-        if self._skip_depth:
-            return
-        if tag in _BOILER_TAGS or self._attr_is_boiler(attrs):
-            if tag in _BLOCK_TAGS or tag in _CONTAINER_TAGS or tag in _BOILER_TAGS:
-                self._flush()
-            return
-        if tag in _BLOCK_TAGS or tag in _CONTAINER_TAGS:
-            self._flush()
+        self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID_TAGS:
@@ -670,16 +698,7 @@ def extract_html(data: bytes) -> ExtractionResult:
             warnings=warnings + [f"html parse error: {type(exc).__name__}"],
             content_type="html",
         )
-    pieces: list[str] = []
-    spans: list[Span] = []
-    offset = 0
-    for kind, text in parser.blocks:
-        if pieces:
-            offset += 2  # "\n\n" separator
-        spans.append(Span(offset, offset + len(text), kind))
-        pieces.append(text)
-        offset += len(text)
-    out = "\n\n".join(pieces)
+    out, spans = assemble_spans(parser.blocks)
     parse_ok = True
     if not out:
         if "<" not in markup:

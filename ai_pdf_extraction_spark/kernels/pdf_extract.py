@@ -28,6 +28,7 @@ import re
 from ai_pdf_extraction_spark.kernels.types import (
     ExtractionResult,
     Span,
+    assemble_spans,
     table_records,
 )
 
@@ -250,7 +251,11 @@ def _runs_from_stream(buf: bytes) -> list[tuple[float, float, float, str]]:
                 if text:
                     runs.append((st.y, st.x, st.size, text))
                     st.x += 0.5 * st.size * len(text)
-            elif op == "'" and stack and stack[-1][0] == "str":
+            elif op in ("'", '"') and stack and stack[-1][0] == "str":
+                # ' = T* + show; " = aw ac string " — same line-advance
+                # + show (the two numeric spacing operands tune
+                # word/char spacing, which this layout model ignores).
+                # Dropping " lost whole lines with parse_ok=True.
                 st.ly -= st.leading if st.leading else st.size * 1.2
                 st.x, st.y = st.lx, st.ly
                 text = stack[-1][1]
@@ -419,15 +424,7 @@ def extract_pdf(data: bytes) -> ExtractionResult:
     if cur_lines:
         blocks.append((cur_kind, " ".join(cur_lines)))
 
-    pieces: list[str] = []
-    spans: list[Span] = []
-    offset = 0
-    for kind, text in blocks:
-        if pieces:
-            offset += 2
-        spans.append(Span(offset, offset + len(text), kind))
-        pieces.append(text)
-        offset += len(text)
+    out, spans = assemble_spans(blocks)
     confidence = (
         round(n_parsed_streams / n_total_streams, 3) if n_total_streams else 0.0
     )
@@ -435,7 +432,7 @@ def extract_pdf(data: bytes) -> ExtractionResult:
     # granularity for PDFs, attributed to each span kind present.
     field_confidences = {kind: confidence for kind in sorted({k for k, _ in blocks})}
     return ExtractionResult(
-        text="\n\n".join(pieces),
+        text=out,
         spans=spans,
         parse_ok=True,
         warnings=warnings,

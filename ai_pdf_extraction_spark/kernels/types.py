@@ -148,15 +148,56 @@ def clean_null_nested(data):
     return data
 
 
+# tables_signature delimiter escaping (percent-style, % first so the
+# escape char itself round-trips) — unescaped delimiters let DISTINCT
+# payloads serialize identically ({'a':'1','b':'2'} vs {'a':'1,b=2'}),
+# masking real golden-vs-Spark differences. Keep in lockstep with the
+# Column twin (__spark_entry__._signature_cols) — order matters.
+SIG_ESCAPES: tuple[tuple[str, str], ...] = (
+    ("%", "%25"),
+    ("=", "%3D"),
+    (",", "%2C"),
+    (";", "%3B"),
+    ("|", "%7C"),
+)
+
+
+def sig_escape(s: str) -> str:
+    for ch, rep in SIG_ESCAPES:
+        s = s.replace(ch, rep)
+    return s
+
+
+def assemble_spans(blocks: list[tuple[str, str]]) -> tuple[str, list["Span"]]:
+    """Blank-line-joined text + spans from (kind, text) blocks — the
+    ONE copy of the span-geometry rule (``\\n\\n`` separator, [start,
+    end) offsets over the joined text), shared by both kernels so a
+    separator/offset change can never desynchronize their geometry."""
+    pieces: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for kind, text in blocks:
+        if pieces:
+            offset += 2  # "\n\n" separator
+        spans.append(Span(offset, offset + len(text), kind))
+        pieces.append(text)
+        offset += len(text)
+    return "\n\n".join(pieces), spans
+
+
 def tables_signature(tables: list[list[dict[str, str]]]) -> str:
     """Canonical serialization of the structured table payload, for
     golden-vs-Spark value hashing: entries ``key=value`` sorted by key
     and joined with ``,``; rows joined with ``;``; tables joined with
-    ``|``. The Spark twin builds the identical string from the nested
-    column with transform/map_entries (``__spark_entry__._tables_sig``)."""
+    ``|``; keys/values delimiter-escaped (:data:`SIG_ESCAPES`). The
+    Spark twin builds the identical string from the nested column with
+    transform/map_entries (``__spark_entry__._signature_cols``)."""
     return "|".join(
         ";".join(
-            ",".join(f"{k}={v}" for k, v in sorted(row.items())) for row in table
+            ",".join(
+                f"{sig_escape(k)}={sig_escape(v)}" for k, v in sorted(row.items())
+            )
+            for row in table
         )
         for table in tables
     )

@@ -320,3 +320,67 @@ def test_pdf_tj_kerning_word_gaps():
     res = extract_pdf(pdf)
     # large negative kerns are word gaps; small ones are not
     assert "hello kerned worldx" in res.text
+
+
+def test_kernel_v12_regressions():
+    """Pinned shapes for the fifth-review kernel fixes (each was a
+    verified real-input failure; the shared-kernel contract cannot see
+    any of them by construction)."""
+    from ai_pdf_extraction_spark.kernels.html_extract import extract_html
+    from ai_pdf_extraction_spark.kernels.pdf_extract import extract_pdf
+    from ai_pdf_extraction_spark.kernels.types import tables_signature
+
+    prose = (
+        "Real content here with enough prose to clear the threshold "
+        "and then some more words again."
+    )
+
+    # 1. non-ASCII colspan digit (superscript two): isdigit()==True but
+    # int() raises — must not destroy the document
+    r = extract_html(
+        f'<table><tr><td colspan="²">cellvalue</td></tr></table>'
+        f"<p>{prose}</p>".encode()
+    )
+    assert r.parse_ok and "Real content" in r.text
+
+    # 2. </head> AND <body> omitted (valid HTML5): content must extract
+    r = extract_html(
+        f"<html><head><meta charset=utf-8><p>{prose}</p>".encode()
+    )
+    assert r.parse_ok and "Real content" in r.text
+
+    # 3. <title> with <head> omitted never leaks into the text stream
+    r = extract_html(
+        f"<html><title>Annual Report 2024: Consolidated Statements."
+        f"</title><body><p>{prose}</p></body>".encode()
+    )
+    assert "Annual Report" not in r.text and "Real content" in r.text
+
+    # 4. self-closed <td/> is an OPEN cell (HTML5): columns stay under
+    # their headers
+    r = extract_html(
+        b"<table><tr><th>a</th><th>b</th><th>c</th></tr>"
+        b"<tr><td>1</td><td/><td>3</td></tr></table>"
+    )
+    assert r.tables and r.tables[0][0].get("a") == "1"
+    assert r.tables[0][0].get("c") == "3", r.tables
+
+    # 5. PDF '"' show-text operator must not silently drop its line
+    pdf = (
+        b"%PDF-1.4\nstream\nBT /F1 12 Tf 72 720 Td (First line) Tj "
+        b"1 2 (Second line) \" ET\nendstream\n%%EOF\n"
+    )
+    r = extract_pdf(pdf)
+    assert "First line" in r.text and "Second line" in r.text
+
+    # 6. <br> inside a masked inline element leaks no whitespace
+    r = extract_html(
+        f'<p>Hello<span class="share">ignore<br>me</span>world. {prose}</p>'.encode()
+    )
+    assert "Helloworld." in r.text, r.text
+
+    # 7. delimiter escaping: distinct payloads can no longer alias
+    sig_a = tables_signature([[{"a": "1", "b": "2"}]])
+    sig_b = tables_signature([[{"a": "1,b=2"}]])
+    assert sig_a != sig_b
+    assert tables_signature([[{"k|x": "v;y"}]]) == "k%7Cx=v%3By"
