@@ -47,7 +47,11 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #      is interpreted (was silently dropping whole lines); <br> honors
 #      the inline-boiler mask; tables_signature delimiter-escapes
 #      keys/values (distinct payloads can no longer alias)
-KERNEL_VERSION = 12
+# v13: self-closed non-void tags are start+IMMEDIATE-end — v12's
+#      open-only routing let a childless self-closed boiler container
+#      (<nav/>, <div id="comments"/>) push an unpoppable boiler entry
+#      that masked the entire rest of the document
+KERNEL_VERSION = 13
 
 
 def extract_document(data: bytes) -> ExtractionResult:

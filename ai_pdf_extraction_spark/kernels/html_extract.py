@@ -493,15 +493,20 @@ class _MainContentParser:
         parse ``<td/>`` as an ORDINARY open tag — route it through
         ``handle_starttag`` so e.g. a self-closed table cell still
         opens a cell instead of silently shifting later columns under
-        the wrong headers. Exception: _SKIP_TAGS self-closes stay
-        no-ops — by the letter of HTML5 ``<script/>`` opens a script
-        that swallows the rest of the document, which is the wrong
-        trade for recovery-oriented extraction."""
+        the wrong headers — then immediately close it: by the letter
+        of HTML5 a self-closed container (``<script/>``, ``<nav/>``,
+        ``<div id="comments"/>``) would swallow the REST OF THE
+        DOCUMENT into its subtree, which is the wrong trade for
+        recovery-oriented extraction (a childless boiler mount point
+        must not mask the whole page). The start+end pair keeps every
+        stack symmetric (boiler, table ctx, link depth) by
+        construction."""
         if tag in _VOID_TAGS or tag in _SKIP_TAGS:
             if not self._skip_depth and tag == "br":
                 self._br()
             return
         self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID_TAGS:

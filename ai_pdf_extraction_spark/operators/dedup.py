@@ -80,6 +80,7 @@ _LABEL_CACHE: list[DataFrame] = []
 
 
 def _register_labels(labels: DataFrame) -> DataFrame:
+    # input arrives already persisted — evict-and-track only
     for old in _LABEL_CACHE:
         try:
             old.unpersist()

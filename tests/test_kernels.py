@@ -384,3 +384,26 @@ def test_kernel_v12_regressions():
     sig_b = tables_signature([[{"a": "1,b=2"}]])
     assert sig_a != sig_b
     assert tables_signature([[{"k|x": "v;y"}]]) == "k%7Cx=v%3By"
+
+
+def test_kernel_v13_selfclosed_boiler_container():
+    """v12 regression caught by review: a childless self-closed boiler
+    container (<nav/>, <div id="comments"/> — common JS mount points)
+    must NOT push an unpoppable boiler entry that masks the rest of
+    the document. Self-closes are start+immediate-end now."""
+    from ai_pdf_extraction_spark.kernels.html_extract import extract_html
+
+    prose = (
+        "Real content here with enough prose to clear the threshold "
+        "and then some more words again."
+    )
+    for mount in ('<div id="comments-root"/>', "<nav/>", '<aside class="sidebar"/>'):
+        r = extract_html(f"<body>{mount}<p>{prose}</p></body>".encode())
+        assert r.parse_ok and "Real content" in r.text, (mount, r.warnings)
+    # the <td/> alignment behavior from v12 must survive the change
+    r = extract_html(
+        b"<table><tr><th>a</th><th>b</th><th>c</th></tr>"
+        b"<tr><td>1</td><td/><td>3</td></tr></table>"
+    )
+    assert r.tables and r.tables[0][0].get("a") == "1"
+    assert r.tables[0][0].get("c") == "3", r.tables
