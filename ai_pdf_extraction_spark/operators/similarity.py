@@ -356,6 +356,38 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     return F.array(*codes)
 
 
+def pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched pandas-UDF PQ encoder — the documented transport
+    escape hatch for LARGE codebooks: beyond ~(m=16, 64 codes) the
+    plan-literal Column form bloats the expression tree (m·n_codes
+    codeword arrays embedded per reference), while here the codebooks
+    ride the closure ONCE and each batch is one numpy einsum-free
+    argmin per subspace. Bit-identical to :func:`pq_encode` on the
+    same books (distances rounded 6 before argmin, first-match ties)
+    — pinned by test_pq_encode_udf_matches_column_form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    def _encode_fn(vecs):
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.zeros((len(X), len(books)), dtype=np.int32)
+        for s, B in enumerate(books):
+            sl = X[:, s * sub : (s + 1) * sub]
+            d2 = ((sl[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            # mirror the Column form exactly: round 6, then FIRST
+            # index attaining the minimum (argmin is first-match)
+            out[:, s] = np.round(d2, 6).argmin(axis=1)
+        return pd.Series(list(out))
+
+    # annotation-free form: the signature's pd alias is function-local,
+    # which Spark's type-hint inspection cannot resolve
+    return pandas_udf(_encode_fn, "array<int>")
+
+
 def pq_topk(
     emb: DataFrame,
     queries: DataFrame,

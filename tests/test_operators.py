@@ -332,6 +332,36 @@ def test_pq_codebooks_and_adc_topk(spark):
         assert all(n < 6 for n in top), (qid, top)
 
 
+def test_pq_encode_udf_matches_column_form(spark):
+    """The pandas-UDF encoder (large-codebook transport) must produce
+    BIT-IDENTICAL codes to the plan-literal Column form on the same
+    books — same rounding, same first-match ties."""
+    from ai_pdf_extraction_spark.operators.similarity import (
+        load_embedding_sample,
+        pq_encode,
+        pq_encode_udf,
+        train_pq_codebooks,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    books = train_pq_codebooks(load_embedding_sample(path), m=8, n_codes=16)
+    emb = spark.read.parquet(path).limit(200)
+    col_codes = {
+        r["vec_id"]: list(r["c"])
+        for r in emb.select(
+            "vec_id", pq_encode(F.col("embedding"), books).alias("c")
+        ).collect()
+    }
+    udf_codes = {
+        r["vec_id"]: list(r["c"])
+        for r in emb.select(
+            "vec_id", pq_encode_udf(books)(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    assert col_codes == udf_codes
+    assert len(col_codes) == 200
+
+
 def test_ivf_trained_quantizer(spark):
     """Real coarse quantizer: deterministic across calls, separates
     two obvious clusters, and the trained ivf_topk path returns only
