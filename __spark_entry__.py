@@ -527,6 +527,20 @@ def q56_pq_topk(spark, sf_dir):
     return pq_topk(emb, queries, _pq_codebooks(sf_dir), k=5)
 
 
+def q58_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (FAISS's 10^12-vector index shape): coarse-cluster
+    candidate restriction composed with ADC-over-codes scoring — both
+    trained quantizers as plan literals, the oracle generated from the
+    identical centroid and codebook arrays."""
+    from ai_pdf_extraction_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        emb, queries, _ivf_centroids(sf_dir), _pq_codebooks(sf_dir), k=5, nprobe=1
+    )
+
+
 def q26_ivf_topk(spark, sf_dir):
     """IVF ANN with a REAL trained coarse quantizer: deterministic
     k-means centroids (offline, on a bounded pyarrow sample) embedded
@@ -1479,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_contamination": q55_contamination,
         "q56_pq_topk": q56_pq_topk,
         "q57_curated_corpus_v2": q57_curated_corpus_v2,
+        "q58_ivfpq_topk": q58_ivfpq_topk,
     }
 
 
@@ -1631,6 +1646,67 @@ select query_id, neighbor_id, approx_d2, rank from (
   from scored
 ) where rank <= {k}
 """
+
+
+def _ivfpq_sql(centroids: list, codebooks: list, k: int = 5) -> str:
+    """q58 oracle: the q26 cluster-argmin CTE composed with the q56
+    code/LUT CTE — at nprobe=1 the probe set is the query's own
+    cluster, so the join predicate is plain cluster equality."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+
+    def cdist(c: list) -> str:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        return (
+            "round(list_sum(list_transform(list_zip(embedding, " + lit + "), "
+            "x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2]))), 6)"
+        )
+
+    def sdist(slice_expr: str, c: list) -> str:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        return (
+            f"round(list_sum(list_transform(list_zip({slice_expr}, {lit}), "
+            "x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2]))), 6)"
+        )
+
+    cols = ["vec_id", "[" + ", ".join(cdist(c) for c in centroids) + "] as cdl",
+            "list_position(cdl, list_min(cdl)) - 1 as cluster"]
+    for s, book in enumerate(codebooks):
+        sl = f"embedding[{s * sub + 1}:{(s + 1) * sub}]"
+        dlist = ", ".join(sdist(sl, c) for c in book)
+        cols.append(f"[{dlist}] as dl{s}")
+        cols.append(f"list_position(dl{s}, list_min(dl{s})) - 1 as code{s}")
+    enc_cols = ",\n    ".join(cols)
+    approx = " + ".join(f"b.dl{s}[a.code{s} + 1]" for s in range(m))
+    return f"""
+with enc as (
+  select {enc_cols}
+  from embeddings
+),
+scored as (
+  select b.vec_id as query_id, a.vec_id as neighbor_id,
+    round({approx}, 6) as approx_d2
+  from enc a
+  join enc b on b.vec_id < 5 and a.vec_id != b.vec_id
+            and a.cluster = b.cluster
+)
+select query_id, neighbor_id, approx_d2, rank from (
+  select *, row_number() over (partition by query_id
+                               order by approx_d2 asc, neighbor_id asc) as rank
+  from scored
+) where rank <= {k}
+"""
+
+
+def _q58_oracle_sql() -> str:
+    """q58 oracle with the q26/q56 degradation contract."""
+    try:
+        sf = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+        return _ivfpq_sql(_ivf_centroids(sf), _pq_codebooks(sf))
+    except Exception:
+        return (
+            "select * from read_parquet("
+            "'/nonexistent/q58_ivfpq_training_failed')"
+        )
 
 
 def _q56_oracle_sql() -> str:
@@ -2201,6 +2277,7 @@ select query_id, neighbor_id, cos, rank from (
 """,
         "q26_ivf_topk": _q26_oracle_sql(),
         "q56_pq_topk": _q56_oracle_sql(),
+        "q58_ivfpq_topk": _q58_oracle_sql(),
         "q27_hourly_event_counts": """
 select date_trunc('hour', ts) as hour, event_type,
   count(*) as n_events, round(sum(value), 2) as sum_value

@@ -453,6 +453,78 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the canonical 10^12-vector index shape (FAISS IVFPQ,
+    Jégou et al. 2011 §V) — the coarse quantizer restricts candidates
+    to the query's ``nprobe`` clusters AND the fine comparison is ADC
+    over PQ codes, so the scan touches |nprobe·cluster| candidates at
+    m lookups each, never full vectors. Composes the two trained
+    quantizers this module already ships; both ride the plan as
+    literals, both sides project the cast/slices once (the
+    ``_sliced`` discipline). Output: (query_id, neighbor_id,
+    approx_d2, rank)."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+
+    def prep(df, id_alias):
+        casted = df.select(
+            F.col(id_col).alias(id_alias),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        return casted.select(
+            id_alias,
+            F.col("_v"),
+            *[F.slice("_v", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
+        )
+
+    c = prep(emb, "neighbor_id").select(
+        "neighbor_id",
+        ivf_assign(F.col("_v"), centroids).alias("cc"),
+        _codes_from_slices(codebooks).alias("codes"),
+    )
+    lut = F.array(
+        *[_slice_d2_array(F.col(f"_s{s}"), book) for s, book in enumerate(codebooks)]
+    )
+    q = prep(queries, "query_id").select(
+        "query_id",
+        ivf_probes(F.col("_v"), centroids, nprobe).alias("qp"),
+        lut.alias("lut"),
+    )
+    approx = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda l, cd: F.element_at(l, cd + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = c.join(
+        F.broadcast(q),
+        F.array_contains(F.col("qp"), F.col("cc"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", approx.alias("approx_d2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -1150,3 +1150,46 @@ def test_url_canonicalization(spark):
     got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
     for (raw, want), actual in zip(cases, got):
         assert actual == want, f"{raw!r}: {actual!r} != {want!r}"
+
+
+def test_ivfpq_topk_composes_quantizers(spark):
+    """IVF-PQ: every returned neighbor shares the query's coarse
+    cluster, and its ADC score equals the plain-PQ score for the same
+    pair (the composition restricts candidates, never rescores)."""
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    vecs = [[1.0 + 0.01 * i, 0.02 * i] + [0.0] * 6 for i in range(8)] + [
+        [0.02 * i, 1.0 + 0.01 * i] + [0.0] * 6 for i in range(8)
+    ]
+    cents = train_ivf_centroids(vecs, n_clusters=2, n_iters=5, seed=3)
+    books = train_pq_codebooks(vecs, m=2, n_codes=4, n_iters=5, seed=3)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    qs = emb.filter(F.col("vec_id").isin(0, 8))
+    got = ivfpq_topk(emb, qs, cents, books, k=4, nprobe=1).collect()
+    clusters = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            ivf_assign(
+                F.transform("embedding", lambda x: x.cast("double")), cents
+            ).alias("c"),
+        ).collect()
+    }
+    pq_scores = {
+        (r["query_id"], r["neighbor_id"]): r["approx_d2"]
+        for r in pq_topk(emb, qs, books, k=16).collect()
+    }
+    assert {r["query_id"] for r in got} == {0, 8}
+    for r in got:
+        assert clusters[r["neighbor_id"]] == clusters[r["query_id"]], r
+        assert pq_scores[(r["query_id"], r["neighbor_id"])] == r["approx_d2"]
