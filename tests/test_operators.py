@@ -1193,3 +1193,60 @@ def test_ivfpq_topk_composes_quantizers(spark):
     for r in got:
         assert clusters[r["neighbor_id"]] == clusters[r["query_id"]], r
         assert pq_scores[(r["query_id"], r["neighbor_id"])] == r["approx_d2"]
+
+
+def test_granule_dedup_invariants(spark):
+    """Property shapes: with all-unique granules nothing is lost
+    (reassembly is the identity), and total kept granules across the
+    corpus equals the number of DISTINCT granules in it."""
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.operators.dedup import granule_dedup
+
+    rows = [
+        (1, "alpha one. beta two. gamma three"),
+        (2, "delta four. epsilon five"),
+        (3, "zeta six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in granule_dedup(df).collect()}
+    for i, text in rows:
+        assert out[i]["dedup_text"] == text  # identity when unique
+        assert out[i]["n_kept"] == out[i]["n_granules"]
+
+    dups = [
+        (1, "shared one. only a"),
+        (2, "shared one. only b. shared two"),
+        (3, "shared two. shared one"),
+    ]
+    df2 = spark.createDataFrame(dups, "doc_id long, text string")
+    got = granule_dedup(df2)
+    total_kept = got.agg(F.sum("n_kept")).collect()[0][0]
+    assert total_kept == 4  # distinct granules: shared one/two, only a/b
+
+
+def test_contamination_monotonic_in_benchmark(spark):
+    """Growing the benchmark can only ADD contamination flags, never
+    remove them — the monotonicity a decontamination pass must have."""
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.operators.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [(i, f"filler{i} word{i} more{i} alpha{i % 3} beta{i % 3} gamma{i % 3}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    small = spark.createDataFrame(
+        [(100, "alpha0 beta0 gamma0")], "bench_id long, text string"
+    )
+    big = small.unionAll(
+        spark.createDataFrame(
+            [(101, "alpha1 beta1 gamma1")], "bench_id long, text string"
+        )
+    )
+    f_small = {r["doc_id"] for r in contamination_flags(docs, small, n=3)
+               .filter("contaminated").collect()}
+    f_big = {r["doc_id"] for r in contamination_flags(docs, big, n=3)
+             .filter("contaminated").collect()}
+    assert f_small <= f_big and len(f_big) > len(f_small)
