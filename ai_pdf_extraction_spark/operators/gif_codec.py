@@ -18,6 +18,11 @@ clear-code-per-symbol "uncompressed LZW" form — every code is a
 literal palette index, with CLEAR emitted before the code width would
 ever need to grow. Larger output than real LZW, but spec-valid and
 decoder-independent.
+
+Reference parity: the reference decodes/resizes images via PIL for its
+vision payloads (``app/backend/services/ai/extraction.py:74-86``;
+rasterize ``services/pdf_service.py:40-128``) — this module is the
+stdlib GIF slice of that capability, like :mod:`png_codec` for PNG.
 """
 
 from __future__ import annotations
