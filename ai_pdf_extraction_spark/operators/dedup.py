@@ -115,16 +115,28 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     smallest id sharing its fingerprint. Output: (doc_id,
     canonical_id, group_size, is_dup).
 
-    Implemented as window aggregates over the fingerprint — ONE
-    shuffle on the 32-byte key (vs two for groupBy + join-back); at
-    10^12 docs the saved shuffle is the difference."""
-    w = Window.partitionBy("fp")
+    Scale shape: ``groupBy(fp).agg(min(id), count(*))`` + join back on
+    the fingerprint — NOT a window over ``fp``. Exact duplicates at
+    crawl scale are exactly the hot keys this operator exists to find
+    (parked domains, error pages: a 10^8-row duplicate group), and a
+    window ``partitionBy("fp")`` funnels every occurrence of the hot
+    key through one task with no remedy (AQE skew splitting does not
+    apply to window exchanges). The group-by instead partial-aggregates
+    map-side — the 10^8-row group collapses to one row per input
+    partition before its shuffle — and the join back on ``fp`` IS
+    covered by AQE's skew-join splitting. Two exchanges instead of one,
+    but both are hot-key-safe; the 1-shuffle window is only cheaper
+    when no key is hot, which is not this operator's design point."""
     fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
-    return fp.select(
-        id_col,
-        F.min(id_col).over(w).alias("canonical_id"),
-        F.count("*").over(w).alias("group_size"),
-    ).withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+    groups = fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        fp.join(groups, "fp")
+        .select(id_col, "canonical_id", "group_size")
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+    )
 
 
 def contamination_flags(

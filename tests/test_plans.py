@@ -105,15 +105,21 @@ def test_aqe_enabled_and_shuffle_partitions(spark):
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
 
 
-def test_exact_dedup_single_shuffle(spark):
-    """Canonical-id assignment must shuffle exactly once (window over
-    fingerprint), not groupBy + join-back (two shuffles)."""
+def test_exact_dedup_hot_key_safe(spark):
+    """Canonical-id assignment must partial-aggregate (map-side
+    combine) before its exchange and must NOT window over the
+    fingerprint: exact-duplicate groups ARE the hot keys at crawl
+    scale, a window funnels each through one task, and AQE skew
+    splitting does not apply to window exchanges. The join back on fp
+    (skew-splittable) is the accepted second exchange."""
     import __spark_entry__ as e
 
     plan = _plan(e.q20_exact_dedup(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "Window" in plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan, "window over fp funnels hot duplicate groups"
+    assert "partial_min" in plan and "partial_count" in plan, (
+        "dedup groupBy must show a partial HashAggregate before its exchange"
+    )
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_pricing_summary_partial_aggregation(spark):
