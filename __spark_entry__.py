@@ -513,31 +513,83 @@ def _pq_codebooks(sf_dir: str) -> list:
     return got
 
 
+def _ensure_pq_codes(spark, sf_dir) -> str:
+    """Materialized PQ codes **at rest** for ``sf_dir``'s embeddings:
+    (vec_id, codes, coarse) encoded ONCE via ``pq_codes`` and written
+    to parquet — m small ints + one coarse id per vector instead of
+    4·d bytes. q56/q58 read this relation back and never touch the
+    vector column on the corpus side, which is the production shape
+    (encode on ingest, store codes, scan codes per query). Cache keyed
+    on PQ_CODES_VERSION + training params + the source path, atomic
+    temp+rename like every other fixture cache."""
+    import hashlib
+    import uuid
+
+    from ai_pdf_extraction_spark.operators.similarity import (
+        PQ_CODES_VERSION,
+        pq_codes,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    path = (
+        f"/tmp/spark_graft_pq_codes_v{PQ_CODES_VERSION}"
+        f"_m8c16s17_ivf8s13_{key}"
+    )
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        codes = pq_codes(
+            _t(spark, sf_dir, "embeddings"),
+            _pq_codebooks(sf_dir),
+            centroids=_ivf_centroids(sf_dir),
+        )
+        codes.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return path
+
+
 def q56_pq_topk(spark, sf_dir):
     """Product-quantization ANN (ADC): trained per-subspace codebooks
     as plan-time literals, corpus rows reduced to code arrays, query
     rows carrying per-subspace distance LUTs — the approximate
     distance in the join is m array lookups, never full-vector math.
-    The memory step (m small ints per vector) that makes 10^12-vector
-    exhaustive scans feasible."""
+    The corpus codes are PRECOMPUTED (``_ensure_pq_codes``: encode
+    once, store m ints/vector, read back) — the memory shape that
+    makes 10^12-vector exhaustive scans feasible, realized across
+    queries instead of re-encoded per plan."""
     from ai_pdf_extraction_spark.operators.similarity import pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return pq_topk(emb, queries, _pq_codebooks(sf_dir), k=5)
+    codes = spark.read.parquet(_ensure_pq_codes(spark, sf_dir))
+    return pq_topk(None, queries, _pq_codebooks(sf_dir), k=5, codes=codes)
 
 
 def q58_ivfpq_topk(spark, sf_dir):
     """IVF-PQ (FAISS's 10^12-vector index shape): coarse-cluster
     candidate restriction composed with ADC-over-codes scoring — both
     trained quantizers as plan literals, the oracle generated from the
-    identical centroid and codebook arrays."""
+    identical centroid and codebook arrays. Corpus side reads the
+    at-rest (codes, coarse) relation (``_ensure_pq_codes``), so the
+    query-time scan touches codes only."""
     from ai_pdf_extraction_spark.operators.similarity import ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
+    codes = spark.read.parquet(_ensure_pq_codes(spark, sf_dir))
     return ivfpq_topk(
-        emb, queries, _ivf_centroids(sf_dir), _pq_codebooks(sf_dir), k=5, nprobe=1
+        None,
+        queries,
+        _ivf_centroids(sf_dir),
+        _pq_codebooks(sf_dir),
+        k=5,
+        nprobe=1,
+        codes=codes,
     )
 
 

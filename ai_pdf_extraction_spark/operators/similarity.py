@@ -388,13 +388,56 @@ def pq_encode_udf(codebooks: list[list[list[float]]]):
     return pandas_udf(_encode_fn, "array<int>")
 
 
-def pq_topk(
+# Bump when the encode semantics change (rounding, tie-break, layout):
+# materialized codes relations key their cache/compatibility on this.
+PQ_CODES_VERSION = 1
+
+
+def pq_codes(
     emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Encode-once relation for PQ codes **at rest**: (id, codes[,
+    coarse]) — ``codes`` is the m-int PQ code array, ``coarse`` (when
+    ``centroids`` is given) the IVF cluster assignment. This is the
+    relation a production index materializes ONCE (write it to parquet
+    / a SnapshotTable: m small ints + one int per vector instead of
+    4·d bytes) and feeds back to :func:`pq_topk` / :func:`ivfpq_topk`
+    via their ``codes=`` parameter, so every subsequent query scans
+    codes, not vectors — the actual Jégou 2011 memory win, realized
+    across queries instead of re-encoding inside each plan.
+
+    Encoding is bit-identical to the inline path by construction: both
+    route through ``_sliced`` + ``_codes_from_slices`` (round-6
+    distances, first-match argmin), pinned by the at-rest parity test.
+    """
+    m, sub = len(codebooks), len(codebooks[0][0])
+    casted = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    sliced = casted.select(
+        id_col,
+        F.col("_v"),
+        *[F.slice("_v", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
+    )
+    cols = [F.col(id_col), _codes_from_slices(codebooks).alias("codes")]
+    if centroids is not None:
+        cols.append(ivf_assign(F.col("_v"), centroids).alias("coarse"))
+    return sliced.select(*cols)
+
+
+def pq_topk(
+    emb: DataFrame | None,
     queries: DataFrame,
     codebooks: list[list[list[float]]],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: the corpus side reduces to
     its CODE ARRAY (at scale these are precomputed once and stored —
@@ -414,11 +457,19 @@ def pq_topk(
     better at the same budget. Codebook literals put m·n_codes·(d/m)
     doubles in the plan: beyond ~(16, 64) switch transport to a
     broadcast codebook DataFrame + pandas-UDF encode, same contract
-    (the ``ivf_assign`` escape-hatch note)."""
+    (the ``ivf_assign`` escape-hatch note).
+
+    ``codes=`` feeds a PRECOMPUTED codes relation (:func:`pq_codes`,
+    typically read back from parquet) — the corpus side then never
+    touches vectors at all and ``emb`` may be None; omitted, codes are
+    derived inline (ad-hoc / test path)."""
     m, sub = len(codebooks), len(codebooks[0][0])
-    c = _sliced(emb, id_col, "neighbor_id", vec_col, m, sub).select(
-        "neighbor_id", _codes_from_slices(codebooks).alias("codes")
-    )
+    if codes is not None:
+        c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    else:
+        c = _sliced(emb, id_col, "neighbor_id", vec_col, m, sub).select(
+            "neighbor_id", _codes_from_slices(codebooks).alias("codes")
+        )
     lut = F.array(
         *[
             _slice_d2_array(F.col(f"_s{s}"), book)
@@ -454,7 +505,7 @@ def pq_topk(
 
 
 def ivfpq_topk(
-    emb: DataFrame,
+    emb: DataFrame | None,
     queries: DataFrame,
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
@@ -462,6 +513,7 @@ def ivfpq_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the canonical 10^12-vector index shape (FAISS IVFPQ,
     Jégou et al. 2011 §V) — the coarse quantizer restricts candidates
@@ -471,7 +523,11 @@ def ivfpq_topk(
     quantizers this module already ships; both ride the plan as
     literals, both sides project the cast/slices once (the
     ``_sliced`` discipline). Output: (query_id, neighbor_id,
-    approx_d2, rank)."""
+    approx_d2, rank).
+
+    ``codes=`` feeds a precomputed (id, codes, coarse) relation from
+    :func:`pq_codes(centroids=...)` — the at-rest path: the corpus
+    side is then a pure codes scan (``emb`` may be None)."""
     m, sub = len(codebooks), len(codebooks[0][0])
 
     def prep(df, id_alias):
@@ -485,11 +541,18 @@ def ivfpq_topk(
             *[F.slice("_v", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
         )
 
-    c = prep(emb, "neighbor_id").select(
-        "neighbor_id",
-        ivf_assign(F.col("_v"), centroids).alias("cc"),
-        _codes_from_slices(codebooks).alias("codes"),
-    )
+    if codes is not None:
+        c = codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("coarse").alias("cc"),
+            "codes",
+        )
+    else:
+        c = prep(emb, "neighbor_id").select(
+            "neighbor_id",
+            ivf_assign(F.col("_v"), centroids).alias("cc"),
+            _codes_from_slices(codebooks).alias("codes"),
+        )
     lut = F.array(
         *[_slice_d2_array(F.col(f"_s{s}"), book) for s, book in enumerate(codebooks)]
     )

@@ -362,6 +362,52 @@ def test_pq_encode_udf_matches_column_form(spark):
     assert len(col_codes) == 200
 
 
+def test_pq_codes_at_rest_parity(spark, tmp_path):
+    """Encode-once materialization (PQ codes at rest): ``pq_codes``
+    written to parquet and read back must drive pq_topk/ivfpq_topk to
+    results IDENTICAL to the inline-encode path — the stored relation
+    is the compact index (id + m ints + coarse), never vectors."""
+    from ai_pdf_extraction_spark.operators.similarity import (
+        ivfpq_topk,
+        load_embedding_sample,
+        pq_codes,
+        pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    sample = load_embedding_sample(path)
+    books = train_pq_codebooks(sample, m=8, n_codes=16)
+    cents = train_ivf_centroids(sample, n_clusters=4, n_iters=5, seed=13)
+    emb = spark.read.parquet(path)
+    qs = emb.filter(F.col("vec_id") < 3)
+
+    at_rest = str(tmp_path / "codes")
+    pq_codes(emb, books, centroids=cents).write.parquet(at_rest)
+    codes = spark.read.parquet(at_rest)
+    assert set(codes.columns) == {"vec_id", "codes", "coarse"}
+
+    inline = sorted(map(tuple, pq_topk(emb, qs, books, k=5).collect()))
+    rest = sorted(
+        map(tuple, pq_topk(None, qs, books, k=5, codes=codes).collect())
+    )
+    assert inline == rest and len(inline) == 15
+
+    inline2 = sorted(
+        map(tuple, ivfpq_topk(emb, qs, cents, books, k=5, nprobe=2).collect())
+    )
+    rest2 = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                None, qs, cents, books, k=5, nprobe=2, codes=codes
+            ).collect(),
+        )
+    )
+    assert inline2 == rest2
+
+
 def test_ivf_trained_quantizer(spark):
     """Real coarse quantizer: deterministic across calls, separates
     two obvious clusters, and the trained ivf_topk path returns only
