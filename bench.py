@@ -42,8 +42,11 @@ HEADLINE = [
     "q52_lang_detect_wide",  # script+marker language ID
     "q54_granule_dedup",  # corpus-level sentence dedup
     "q55_contamination",  # benchmark n-gram decontamination
-    "q56_pq_topk",  # product-quantization ADC ANN
+    "q51_warc_extract",  # WARC-native ingestion → extraction
+    "q53_media_decode",  # stdlib pixel/sample decode + resize
+    "q56_pq_topk",  # product-quantization ADC ANN (codes at rest)
     "q57_curated_corpus_v2",  # full-curation capstone
+    "q58_ivfpq_topk",  # composed IVF-PQ index
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
