@@ -917,9 +917,15 @@ def _ensure_warc_fixtures() -> str:
         CORPUS_VERSION,
         generate_pages,
     )
-    from ai_pdf_extraction_spark.sources.warc import write_warc
+    from ai_pdf_extraction_spark.sources.warc import (
+        WARC_FORMAT_VERSION,
+        write_warc,
+    )
 
-    path = f"/tmp/spark_graft_contract_warc_v{CORPUS_VERSION}_600_13"
+    path = (
+        f"/tmp/spark_graft_contract_warc_v{CORPUS_VERSION}"
+        f"w{WARC_FORMAT_VERSION}_600_13"
+    )
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)

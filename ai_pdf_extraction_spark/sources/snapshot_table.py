@@ -364,14 +364,16 @@ class IcebergSnapshotTable:
             )
             .option("snapshot-property.graft.metrics", json.dumps(metrics or []))
         )
-        try:
+        # first write: the table doesn't exist yet — create it
+        # partitioned on the bucket column (spec twin of the fallback's
+        # hive layout / bucket(N, url) transform). Existence is probed
+        # via the catalog API, not by matching exception text: Iceberg
+        # catalogs / Spark versions raise NoSuchTableException with
+        # varying messages, so a substring match could silently route a
+        # real failure into (or past) the create path.
+        if self.spark.catalog.tableExists(self.name):
             writer.append()
-        except Exception as exc:
-            # first write: the table doesn't exist yet — create it
-            # partitioned on the bucket column (spec twin of the
-            # fallback's hive layout / bucket(N, url) transform)
-            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
-                raise
+        else:
             writer.partitionedBy(df.bucket).create()
         return self.current_snapshot()
 

@@ -124,45 +124,113 @@ def warc_bytes_to_rows(name: str, raw: bytes) -> list[dict]:
     return list(iter_page_rows(stream))
 
 
-def open_warc_stream(path: str):
-    """Open a WARC path as an uncompressed byte stream WITHOUT
-    materializing the file: plain ``open`` + a gzip wrapper when the
-    magic says so (``GzipFile`` handles Common Crawl's concatenated
-    members natively). ``close()`` on the returned stream closes the
-    underlying file handle too (via GzipFile's ``myfileobj`` ownership
-    — the same mechanism ``gzip.open`` uses), so long-lived executors
-    never leak fds. Handles bare paths and the ``file:`` URIs
-    ``binaryFile`` listings produce, including percent-encoded
-    characters (Hadoop encodes e.g. spaces as ``%20``). Remote
-    filesystems (s3/hdfs) would slot in here via fsspec/boto — the
-    sandbox has local files only, so that branch is a documented seam,
-    not a stub."""
-    p = path
-    if p.startswith("file:"):
-        from urllib.parse import unquote, urlparse
+# Remote-filesystem seam: scheme → opener(uri) -> seekable binary
+# handle. A cluster deployment registers its object-store client once
+# per executor (s3 via boto3/fsspec, hdfs via pyarrow.fs, ...) and the
+# path-per-task reader works unchanged against remote URIs. Kept as an
+# explicit registry rather than a hard fsspec dependency: the sandbox
+# ships no remote-FS client, and the local path must never grow one.
+_FS_OPENERS: dict = {}
 
-        p = unquote(urlparse(p).path)
-    fh = open(p, "rb")
+
+def register_warc_filesystem(scheme: str, opener) -> None:
+    """Register ``opener(uri) -> seekable binary file handle`` for a
+    URI scheme (e.g. ``"s3"``). The handle is owned by the reader task
+    and closed when its stream is exhausted."""
+    _FS_OPENERS[scheme.lower()] = opener
+
+
+class _ClosingStream:
+    """Delegating stream wrapper whose ``close()`` also closes the
+    OWNED base handle — explicit ownership instead of assigning
+    ``GzipFile.myfileobj`` (a CPython-private attribute; an internals
+    change would silently leak fds on long-lived executors)."""
+
+    def __init__(self, stream, base):
+        self._stream = stream
+        self._base = base
+
+    def read(self, n: int = -1) -> bytes:
+        return self._stream.read(n)
+
+    def readline(self, limit: int = -1) -> bytes:
+        return self._stream.readline(limit)
+
+    def close(self) -> None:
+        try:
+            self._stream.close()
+        finally:
+            self._base.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_warc_stream(path: str, openers: dict | None = None):
+    """Open a WARC path/URI as an uncompressed byte stream WITHOUT
+    materializing the file: an opener resolved by scheme + a gzip
+    wrapper when the magic says so (``GzipFile`` handles Common
+    Crawl's concatenated members natively). ``close()`` on the
+    returned stream closes the underlying handle too (explicit
+    ``_ClosingStream`` ownership), so long-lived executors never leak
+    fds. Handles bare paths and the ``file:`` URIs ``binaryFile``
+    listings produce, including percent-encoded characters (Hadoop
+    encodes e.g. spaces as ``%20``); other schemes route through
+    :func:`register_warc_filesystem` (s3/hdfs — registered once per
+    deployment), falling back to ``fsspec.open`` when that library is
+    present. ``openers`` overlays extra scheme openers for this call —
+    how the distributed reader ships driver-side registrations to
+    Python workers (an explicit argument, not a module-global mutation:
+    cloudpickled closures rebuild their globals in a shadow dict, so a
+    worker-side registry update from inside the closure would never
+    reach this module's real registry)."""
+    # local (executor-side) registrations win over the shipped overlay:
+    # a per-worker client carries real credentials/config
+    registry = {**(openers or {}), **_FS_OPENERS}
+    scheme = ""
+    if "://" in path or path.startswith("file:"):
+        scheme = path.split(":", 1)[0].lower()
+    if scheme in ("", "file"):
+        p = path
+        if scheme == "file":
+            from urllib.parse import unquote, urlparse
+
+            p = unquote(urlparse(p).path)
+        fh = open(p, "rb")
+    elif scheme in registry:
+        fh = registry[scheme](path)
+    else:
+        try:
+            import fsspec
+        except ImportError:
+            raise ValueError(
+                f"no opener for scheme {scheme!r} ({path}); register one "
+                "with register_warc_filesystem() or install fsspec"
+            ) from None
+        fh = fsspec.open(path, "rb").open()
     try:
         magic = fh.read(2)
         fh.seek(0)
         if magic == b"\x1f\x8b":
-            gz = gzip.GzipFile(fileobj=fh)
-            gz.myfileobj = fh  # GzipFile.close() then closes fh as well
-            return gz
+            return _ClosingStream(gzip.GzipFile(fileobj=fh), fh)
         return fh
     except Exception:
         fh.close()
         raise
 
 
-def iter_row_batches(path: str, batch_rows: int) -> Iterator[list[dict]]:
+def iter_row_batches(
+    path: str, batch_rows: int, openers: dict | None = None
+) -> Iterator[list[dict]]:
     """Stream-parse one WARC file into row batches of ≤ ``batch_rows``.
     Peak state per yield is one batch plus gzip's window — never the
     whole file (the round-3 verdict's task-memory-envelope finding:
     ``binaryFile`` content materialized ~1 GB/file/task; a 2 GiB
     ``binaryFile`` hard cap also no longer applies)."""
-    stream = open_warc_stream(path)
+    stream = open_warc_stream(path, openers=openers)
     try:
         batch: list[dict] = []
         for row in iter_page_rows(stream):
@@ -178,12 +246,19 @@ def iter_row_batches(path: str, batch_rows: int) -> Iterator[list[dict]]:
 
 def _paths_to_pages_gen(batch_rows: int):
     """The mapInPandas generator shared by the batch and streaming
-    readers: path rows in, bounded pages batches out."""
+    readers: path rows in, bounded pages batches out. Driver-side
+    :func:`register_warc_filesystem` registrations snapshot into the
+    closure here, so they reach the Python workers (whose fresh module
+    import starts with an empty registry); executor-side registrations
+    (long-lived clients set up per worker) take precedence — the
+    snapshot is passed as an explicit overlay, never written into the
+    worker's registry."""
+    openers = dict(_FS_OPENERS)  # driver snapshot rides the closure
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for name in pdf["path"]:
-                for rows in iter_row_batches(name, batch_rows):
+                for rows in iter_row_batches(name, batch_rows, openers=openers):
                     yield pd.DataFrame(
                         {
                             "url": [r["url"] for r in rows],
@@ -203,21 +278,43 @@ def _paths_to_pages_gen(batch_rows: int):
     return gen
 
 
-def read_warc(spark: SparkSession, path: str, batch_rows: int = 256) -> DataFrame:
+def read_warc(
+    spark: SparkSession,
+    path: str | None = None,
+    batch_rows: int = 256,
+    paths: list[str] | None = None,
+) -> DataFrame:
     """Distributed WARC → pages DataFrame. The ``binaryFile`` listing
     supplies file PATHS only (content pruned away — never loaded);
-    paths repartition one-per-task and each task STREAM-parses its
+    the path list is collected ONCE at construction (one listing job —
+    a crawl listing is ~10^6 paths, driver-trivial; previously a
+    ``count`` here plus the execution-time scan listed twice) and
+    parallelized one-file-per-slice, so each task STREAM-parses its
     file, yielding Arrow batches of ≤ ``batch_rows`` rows as it goes.
-    The output carries the exact PAGES_SCHEMA the extraction pipeline
-    reads. At 10^12 docs the listing is ~10^6 paths; per-task memory is
-    bounded by batch_rows · max_record_size regardless of file size."""
-    files = spark.read.format("binaryFile").load(path).select("path")
-    n_files = files.count()  # listing-only job: content is never read
-    # ROUND-ROBIN repartition (no column): exactly one file per
-    # partition. Hash-partitioning on path would collide ~1/e of the
-    # buckets empty and hand some tasks 2-3 ~1 GB files — the straggler
-    # shape CLAUDE.md warns about.
-    files = files.repartition(max(n_files, 1))
+    One slice per file — never hash-partitioned on path, which would
+    collide ~1/e of the buckets empty and hand some tasks 2-3 ~1 GB
+    files (the straggler shape CLAUDE.md warns about). The output
+    carries the exact PAGES_SCHEMA the extraction pipeline reads;
+    per-task memory is bounded by batch_rows · max_record_size
+    regardless of file size.
+
+    ``paths=`` bypasses the Hadoop listing with an explicit manifest —
+    the entry point for remote URIs handled by
+    :func:`register_warc_filesystem` (schemes Hadoop can't list)."""
+    if paths is None:
+        if path is None:
+            raise ValueError("read_warc needs path= or paths=")
+        paths = [
+            r["path"]
+            for r in spark.read.format("binaryFile")
+            .load(path)
+            .select("path")
+            .collect()
+        ]
+    rdd = spark.sparkContext.parallelize(
+        [(p,) for p in paths], numSlices=max(len(paths), 1)
+    )
+    files = spark.createDataFrame(rdd, "path string")
     return files.mapInPandas(_paths_to_pages_gen(batch_rows), PAGES_SCHEMA)
 
 
@@ -254,6 +351,12 @@ def read_warc_stream(
     # paths one-ish per task.
     files = files.repartition(spark.sparkContext.defaultParallelism)
     return files.mapInPandas(_paths_to_pages_gen(batch_rows), PAGES_SCHEMA)
+
+
+# Bump when write_warc's record envelope changes: fixture caches
+# (e.g. __spark_entry__._ensure_warc_fixtures) key on this so a format
+# change can never silently reuse a stale on-disk shard.
+WARC_FORMAT_VERSION = 1
 
 
 def write_warc(path: str, rows: list[dict], compress: bool = True) -> int:

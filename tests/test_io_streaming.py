@@ -7,6 +7,7 @@ import glob
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -382,6 +383,67 @@ def test_warc_roundtrip_and_extraction(spark, tmp_path):
     assert warc_bytes_to_rows("g", b"\x1f\x8b" + b"\x00" * 50) == []
 
 
+def test_warc_remote_filesystem_seam(spark, tmp_path):
+    """The remote-FS seam end-to-end: a registered scheme opener (the
+    s3/hdfs slot) drives ``read_warc`` from ``mock://`` URIs via
+    ``paths=`` (Hadoop can't list unknown schemes); the driver-side
+    registration rides the mapInPandas closure into Python workers.
+    Also pins explicit fd ownership: closing the wrapped gzip stream
+    closes the opener's base handle."""
+    import datetime
+
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+    from ai_pdf_extraction_spark.sources import warc as warc_mod
+    from ai_pdf_extraction_spark.sources.warc import (
+        open_warc_stream,
+        read_warc,
+        register_warc_filesystem,
+        write_warc,
+    )
+
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": r["warc_ts"].replace(tzinfo=datetime.timezone.utc),
+            "html": r["html"],
+        }
+        for r in generate_pages(10, seed=23)
+    ]
+    wdir = tmp_path / "bucket"
+    wdir.mkdir()
+    write_warc(str(wdir / "a.warc.gz"), rows[:5], compress=True)
+    write_warc(str(wdir / "b.warc.gz"), rows[5:], compress=True)
+
+    root = str(wdir)
+    opened = []
+
+    def opener(uri):
+        assert uri.startswith("mock://crawl/")
+        fh = open(os.path.join(root, uri.rsplit("/", 1)[1]), "rb")
+        opened.append(fh)
+        return fh
+
+    register_warc_filesystem("mock", opener)
+    try:
+        df = read_warc(
+            spark,
+            paths=["mock://crawl/a.warc.gz", "mock://crawl/b.warc.gz"],
+        )
+        got = {r["url"]: bytes(r["html"]) for r in df.collect()}
+        assert got == {r["url"]: r["html"] for r in rows}
+
+        # fd ownership: stream.close() must close the opener's handle
+        stream = open_warc_stream("mock://crawl/a.warc.gz")
+        assert stream.read(4) == b"WARC"
+        stream.close()
+        assert opened[-1].closed
+    finally:
+        warc_mod._FS_OPENERS.pop("mock", None)
+
+    with pytest.raises(ValueError, match="no opener for scheme 'mock'"):
+        open_warc_stream("mock://crawl/a.warc.gz")
+
+
 def test_warc_stream_matches_batch_read(spark, tmp_path):
     """Streaming WARC ingestion (binaryFile file stream + the shared
     path-parsing generator) drains availableNow to exactly the batch
@@ -526,7 +588,7 @@ def test_warc_streamed_batches_cap_memory(tmp_path):
     from ai_pdf_extraction_spark.sources.warc import open_warc_stream
 
     stream = open_warc_stream(str(tmp_path / "s.warc.gz"))
-    raw = stream.myfileobj
+    raw = stream._base  # explicit _ClosingStream ownership
     stream.close()
     assert raw.closed
 
