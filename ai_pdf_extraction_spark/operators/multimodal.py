@@ -229,9 +229,12 @@ def decode_media(data: bytes, fmt: str):
     * ``png`` → dict with width/height/channels and the reconstructed
       pixel samples — REAL: IDAT is zlib + filter arithmetic
       (:mod:`png_codec`), no codec library needed.
+    * ``jpeg`` → dict with width/height/channels and decoded pixels —
+      REAL baseline DCT-Huffman decode (:mod:`jpeg_codec`); progressive
+      streams raise NotImplementedError (documented seam).
 
-    The remaining compressed codecs (jpeg pixel data, webp, mp4/avi)
-    require PIL/soundfile/av — not in this container — and raise
+    The remaining compressed codecs (webp, mp4/avi) require
+    PIL/soundfile/av — not in this container — and raise
     NotImplementedError: that seam is the documented stub; everything
     around it (batch shape, schema, partitioning) is production-real.
     """
@@ -285,6 +288,10 @@ def decode_media(data: bytes, fmt: str):
         from ai_pdf_extraction_spark.operators.gif_codec import decode_gif
 
         return decode_gif(data)
+    if fmt == "jpeg":
+        from ai_pdf_extraction_spark.operators.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"media decode for {fmt!r} requires codec libraries not present "
         "in this environment; dimension/duration probes (probe_media) and "
@@ -412,11 +419,11 @@ def resize_media(
     id_col: str = "media_id",
     bytes_col: str = "media",
 ) -> DataFrame:
-    """mapInPandas resize stage: bmp AND png payloads resize for REAL
-    (nearest-neighbor, stdlib — png via :mod:`png_codec`); other
-    formats pass through with ``resized=false`` (their decoders are
-    the documented codec seam). Media bytes stay narrow — no
-    shuffle."""
+    """mapInPandas resize stage: bmp, png AND baseline jpeg payloads
+    resize for REAL (nearest-neighbor — png via :mod:`png_codec`, jpeg
+    via :mod:`jpeg_codec`); other formats pass through with
+    ``resized=false`` (their decoders are the documented codec seam).
+    Media bytes stay narrow — no shuffle."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -438,9 +445,18 @@ def resize_media(
                     continue
                 raw = bytes(b)
                 fmt = sniff_bytes(raw)[1]
-                if fmt in ("bmp", "png"):
+                if fmt in ("bmp", "png", "jpeg"):
                     try:
-                        resizer = resize_bmp if fmt == "bmp" else _resize_png
+                        if fmt == "bmp":
+                            resizer = resize_bmp
+                        elif fmt == "png":
+                            resizer = _resize_png
+                        else:
+                            from ai_pdf_extraction_spark.operators.jpeg_codec import (
+                                resize_jpeg,
+                            )
+
+                            resizer = resize_jpeg
                         out_bytes.append(resizer(raw, out_w, out_h))
                         flags.append(True)
                         continue
@@ -501,7 +517,7 @@ def decode_payload_summary(raw: bytes) -> dict:
         "n_decoded": None,
         "payload_md5": None,
     }
-    if fmt not in ("wav", "bmp", "png", "gif"):
+    if fmt not in ("wav", "bmp", "png", "gif", "jpeg"):
         return out
     try:
         dec = decode_media(raw, fmt)
@@ -556,9 +572,10 @@ def media_decode_features(
     df: DataFrame, id_col: str = "media_id", bytes_col: str = "media"
 ) -> DataFrame:
     """mapInPandas decode stage: every decodable payload (wav/bmp/png/
-    gif) is REALLY decoded on the executors and summarized; compressed
-    codec seams and malformed bytes report ``decode_ok=false``. Media
-    bytes never shuffle (narrow over scan partitions)."""
+    gif/jpeg) is REALLY decoded on the executors and summarized;
+    remaining codec seams and malformed bytes report
+    ``decode_ok=false``. Media bytes never shuffle (narrow over scan
+    partitions)."""
     return _payload_stage(
         df, id_col, bytes_col, decode_payload_summary, DECODE_SUMMARY_TYPE
     )
@@ -647,7 +664,10 @@ def frame_sample_plan(
 #     decode/resize paths run against the same corpus the probe sees
 # v6: real LZW GIFs alternate with the nonempty-junk slot (i%40==14
 #     gif, i%40==34 junk — both pins kept)
-MEDIA_FIXTURE_VERSION = 6
+# v7: jpeg slot carries REAL baseline encodes (grayscale + color
+#     4:2:0 via jpeg_codec.encode_jpeg) alternating with the
+#     header-only SOF0 probe pin
+MEDIA_FIXTURE_VERSION = 7
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
@@ -659,7 +679,8 @@ MEDIA_FIXTURE_VERSION = 6
 # p5: gif sniff + logical-screen dimensions (gif_codec.probe_gif)
 MEDIA_PROBE_VERSION = 5
 # bump when decode_payload_summary SEMANTICS change (q53 golden key)
-MEDIA_DECODE_VERSION = 1
+# d2: baseline jpeg decodes for real (decode_ok + pixel md5)
+MEDIA_DECODE_VERSION = 2
 
 
 def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
@@ -716,16 +737,30 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
             w, h = 4 + i % 29, 3 + i % 17
             ch = 1 + (i // 5) % 4
             rows.append((i, encode_png(w, h, ch, rng.randbytes(w * h * ch))))
-        elif kind == 3:  # jpeg with APP0 + SOF0
-            rows.append(
-                (
-                    i,
-                    b"\xff\xd8\xff\xe0\x00\x04zz\xff\xc0\x00\x11\x08"
-                    + struct.pack(">HH", 50 + i % 300, 40 + i % 200)
-                    + b"\x03"
-                    + bytes(9),
+        elif kind == 3:  # jpeg: REAL baseline encodes + header-only pin
+            from ai_pdf_extraction_spark.operators.jpeg_codec import encode_jpeg
+
+            if i % 15 == 3:  # real grayscale baseline
+                w, h = 8 + i % 25, 6 + i % 18
+                rows.append(
+                    (i, encode_jpeg(w, h, 1, rng.randbytes(w * h), quality=85))
                 )
-            )
+            elif i % 15 == 8:  # real color 4:2:0 baseline
+                w, h = 9 + i % 22, 7 + i % 15
+                rows.append(
+                    (i, encode_jpeg(w, h, 3, rng.randbytes(w * h * 3), quality=90))
+                )
+            else:  # i % 15 == 13: header-only SOF0 (probe-only pin —
+                # dims probe, decode_ok must stay False)
+                rows.append(
+                    (
+                        i,
+                        b"\xff\xd8\xff\xe0\x00\x04zz\xff\xc0\x00\x11\x08"
+                        + struct.pack(">HH", 50 + i % 300, 40 + i % 200)
+                        + b"\x03"
+                        + bytes(9),
+                    )
+                )
         else:  # kind == 4, i % 20 in {4, 9, 14, 19}: one slot each for
             # webp, mp4, empty, and nonempty-unknown junk
             v = i % 20

@@ -1,0 +1,264 @@
+"""Baseline JPEG codec: hand-packed bitstream literals decoded against
+hand-computed pixel values and a TEXTBOOK O(N^4) IDCT implemented here
+(independent of the module's matrix form — the shared-kernel
+blind-spot rule: the codec must never be its own oracle)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from ai_pdf_extraction_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+    resize_jpeg,
+)
+
+# The fixed-length tables the literals below assume (written out as
+# independent literals, NOT imported from the module): DC categories
+# 0..11 as 4-bit codes 0..11; AC symbols [EOB, ZRL, (r,s) r=0..15
+# s=1..10] as 8-bit codes 0..161.
+_DC_BITS = bytes([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+_DC_VALS = bytes(range(12))
+_AC_VALS = bytes([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_BITS = bytes([0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0])
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _tables(n_qt: int = 1) -> bytes:
+    """DQT (all-ones → dequantization is identity) + the two DHTs."""
+    out = b""
+    for tid in range(n_qt):
+        out += _seg(0xDB, bytes([tid]) + b"\x01" * 64)
+    out += _seg(0xC4, bytes([0x00]) + _DC_BITS + _DC_VALS)
+    out += _seg(0xC4, bytes([0x10]) + _AC_BITS + _AC_VALS)
+    return out
+
+
+def _gray_jpeg(w: int, h: int, scan: bytes) -> bytes:
+    return (
+        b"\xff\xd8"
+        + _tables()
+        + _seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+        + _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def _ref_idct(coeffs: list[list[float]]) -> list[list[float]]:
+    """Textbook T.81 A.3.3 IDCT — double loop, math.cos, no numpy
+    matrices shared with the module."""
+    out = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4.0 * coeffs[v][u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[y][x] = s
+    return out
+
+
+def test_hand_packed_dc_only_block():
+    """8×8 grayscale, DC=+10, q=1: every pixel is exactly
+    round(10/8 + 128) = 129 — hand arithmetic, no encoder involved.
+    Scan bits: DC cat4 '0100' + magnitude '1010' + EOB '00000000'."""
+    data = _gray_jpeg(8, 8, bytes([0x4A, 0x00]))
+    dec = decode_jpeg(data)
+    assert (dec["width"], dec["height"], dec["channels"]) == (8, 8, 1)
+    assert dec["pixels"] == bytes([129]) * 64
+
+    # negative DC: cat4, value −10 → magnitude bits 0101;
+    # pixel = round(−1.25 + 128) = 127
+    dec = decode_jpeg(_gray_jpeg(8, 8, bytes([0x45, 0x00])))
+    assert dec["pixels"] == bytes([127]) * 64
+
+
+def test_hand_packed_ac_coefficient_vs_textbook_idct():
+    """DC=0 plus one AC coefficient (zigzag k=1 → F[0][1] = 16),
+    verified pixel-for-pixel against the textbook IDCT above.
+    Bits: DC cat0 '0000', AC (run0,size5) code 6 '00000110',
+    magnitude '10000', EOB '00000000', pad 7 ones."""
+    scan = bytes([0b00000000, 0b01101000, 0b00000000, 0b01111111])
+    dec = decode_jpeg(_gray_jpeg(8, 8, scan))
+    coeffs = [[0.0] * 8 for _ in range(8)]
+    coeffs[0][1] = 16.0  # natural order [v][u]: u=1, v=0
+    ref = _ref_idct(coeffs)
+    expected = bytes(
+        int(min(max(round(ref[y][x] + 128), 0), 255))
+        for y in range(8)
+        for x in range(8)
+    )
+    assert dec["pixels"] == expected
+    # and the row profile is the cosine ramp: monotone decreasing
+    row = list(dec["pixels"][:8])
+    assert row == sorted(row, reverse=True) and row[0] > 128 > row[-1]
+
+
+def test_hand_packed_restart_markers():
+    """16×8 grayscale, DRI=1: MCU0 (DC +10 → 129) is exactly 2 bytes,
+    then RST0, then MCU1 whose DC pred must RESET (cat5 +16 → 130,
+    not 129+16)."""
+    data = (
+        b"\xff\xd8"
+        + _tables()
+        + _seg(0xC0, b"\x08" + struct.pack(">HH", 8, 16) + b"\x01\x01\x11\x00")
+        + _seg(0xDD, struct.pack(">H", 1))
+        + _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes([0x4A, 0x00])
+        + b"\xff\xd0"
+        + bytes([0x58, 0x00, 0x7F])
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg(data)
+    px = np.frombuffer(dec["pixels"], np.uint8).reshape(8, 16)
+    assert (px[:, :8] == 129).all()
+    assert (px[:, 8:] == 130).all()
+
+
+def test_hand_packed_color_444():
+    """8×8 YCbCr 4:4:4, flat blocks (Y=+10, Cb=0, Cr=−20), q=1:
+    RGB computed by hand with the JFIF matrix.
+    Y scan: cat4 '0100'+'1010'+EOB; Cb: cat0 '0000'+EOB;
+    Cr: cat5 '0101'+'01011'+EOB."""
+    sof = (
+        b"\x08" + struct.pack(">HH", 8, 8) + b"\x03"
+        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+    sos = b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+    bits = (
+        "0100" "1010" "00000000"      # Y
+        "0000" "00000000"              # Cb
+        "0101" "01011" "00000000"      # Cr
+    )
+    bits += "1" * (-len(bits) % 8)
+    scan = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    data = (
+        b"\xff\xd8" + _tables(n_qt=2) + _seg(0xC0, sof) + _seg(0xDA, sos)
+        + scan + b"\xff\xd9"
+    )
+    dec = decode_jpeg(data)
+    assert dec["channels"] == 3
+    y, cb, cr = 10 / 8 + 128, 0.0, -20 / 8
+    exp = (
+        int(round(y + 1.402 * cr)),
+        int(round(y - 0.344136 * cb - 0.714136 * cr)),
+        int(round(y + 1.772 * cb)),
+    )
+    px = np.frombuffer(dec["pixels"], np.uint8).reshape(8, 8, 3)
+    assert tuple(px[0, 0]) == exp == (126, 131, 129)
+    assert (px == px[0, 0]).all()
+
+
+def test_roundtrip_solid_and_gradient():
+    """Encoder↔decoder: solid colors are EXACT at q=95 (flat blocks
+    quantize losslessly); a smooth gradient stays within tight error
+    bounds (4:2:0 chroma is nearest-upsampled)."""
+    for v in (0, 7, 128, 200, 255):
+        dec = decode_jpeg(encode_jpeg(16, 8, 1, bytes([v]) * 128, quality=95))
+        assert dec["pixels"] == bytes([v]) * 128
+
+    img = np.zeros((10, 12, 3), np.uint8)
+    img[:] = (200, 50, 90)
+    dec = decode_jpeg(encode_jpeg(12, 10, 3, img.tobytes(), quality=95))
+    got = np.frombuffer(dec["pixels"], np.uint8).reshape(10, 12, 3)
+    assert (got == img).all()
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) * 255 // (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(w, h, 3, grad.tobytes(), quality=95))
+    got = np.frombuffer(dec["pixels"], np.uint8).reshape(h, w, 3)
+    err = np.abs(got.astype(int) - grad.astype(int))
+    assert err.mean() < 3 and err.max() <= 16
+
+    # non-multiple-of-8 grayscale, q=100: near-lossless
+    g = (np.arange(24 * 33, dtype=np.int64) * 7 % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(33, 24, 1, g.tobytes(), quality=100))
+    got = np.frombuffer(dec["pixels"], np.uint8)
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_resize_and_malformed():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    small = resize_jpeg(encode_jpeg(19, 17, 3, img.tobytes(), quality=90), 6, 5)
+    dec = decode_jpeg(small)
+    assert (dec["width"], dec["height"], dec["channels"]) == (6, 5, 3)
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # no scan
+    good = encode_jpeg(16, 16, 1, bytes(256), quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated scan
+    # progressive SOF2 is the documented seam
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    # dimension-bomb hardening: declared 60000×60000 refused before
+    # any allocation
+    bomb = _gray_jpeg(8, 8, bytes([0x4A, 0x00])).replace(
+        struct.pack(">HH", 8, 8), struct.pack(">HH", 60000, 60000), 1
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        decode_jpeg(bomb)
+
+    # deterministic corrupt-bytes sweep: decode either succeeds or
+    # raises ValueError/NotImplementedError — never crashes
+    base = bytearray(encode_jpeg(16, 8, 3, bytes(16 * 8 * 3), quality=80))
+    for k in range(0, len(base), 7):
+        mutated = bytearray(base)
+        mutated[k] ^= 0xA5
+        try:
+            decode_jpeg(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_decode_media_and_summary_integration():
+    """decode_media routes jpeg for real; decode_payload_summary
+    reports decode_ok with the pixel md5; probe dims agree with
+    decoded dims."""
+    import hashlib
+
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        decode_media,
+        decode_payload_summary,
+        probe_media,
+    )
+
+    data = encode_jpeg(12, 10, 3, bytes(range(256)) * 2 + bytes(88), quality=90)
+    dec = decode_media(data, "jpeg")
+    meta = probe_media(data)
+    assert (meta["width"], meta["height"]) == (dec["width"], dec["height"]) == (12, 10)
+    s = decode_payload_summary(data)
+    assert s["format"] == "jpeg" and s["decode_ok"]
+    assert s["n_decoded"] == 12 * 10 * 3
+    assert s["payload_md5"] == hashlib.md5(dec["pixels"]).hexdigest()
+
+    # header-only SOF0 stub (the fixture probe pin) must stay
+    # decode_ok=False
+    stub = (
+        b"\xff\xd8\xff\xe0\x00\x04zz\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", 50, 40) + b"\x03" + bytes(9)
+    )
+    s = decode_payload_summary(stub)
+    assert s["format"] == "jpeg" and not s["decode_ok"]

@@ -593,12 +593,15 @@ def test_multimodal_features_and_sampling(spark):
 
     from ai_pdf_extraction_spark.operators.multimodal import decode_media
 
-    # png now decodes for real — a truncated header is malformed input
-    # (ValueError), while the remaining codec seams stay NotImplemented
+    # png and jpeg now decode for real — a truncated header is
+    # malformed input (ValueError), while the remaining codec seams
+    # (webp/mp4) stay NotImplemented
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "png")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF\x00\x00\x00\x00WEBP", "webp")
 
 
 def _wav_bytes(rate=8000, samples=(0, 1000, -1000, 2000)) -> bytes:
