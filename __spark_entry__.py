@@ -1055,6 +1055,103 @@ from scored
 """
 
 
+# Trigram-hard snippets for q59: NO whole-word stopword markers (the
+# q52 model scores these 'und' or by accident); the char-trigram
+# profiles must carry the decision. Expected language first — pinned
+# independently in tests/test_operators.py.
+_TRIGRAM_SAMPLES: tuple[tuple[str, str], ...] = (
+    ("en", "understanding engineering achievements nationwide"),
+    ("de", "wissenschaftliche einrichtungen entwickelten untersuchungen"),
+    ("fr", "gouvernement questionnaire merveilleusement chaleureux"),
+    ("es", "estación declaración estudiantes importantes"),
+    ("it", "organizzazione nazionale meravigliosa famiglia"),
+    ("pt", "coração organização carinho pequeninho"),
+    ("nl", "waarschijnlijk vrijheid medewerkers voorbeelden"),
+    ("sv", "försäkringsbolag åtgärder möjligheter"),
+)
+
+
+def q59_lang_trigram(spark, sf_dir):
+    """Char-trigram language ID (Cavnar–Trenkle evidence, round-4
+    verdict item 7): every 22nd doc keeps its real text, the rest cycle
+    through the 13 q52 snippets AND 8 trigram-hard snippets (no
+    whole-word markers — sub-word trigrams must decide), so the
+    contract hash covers the script branches, the marker+trigram
+    interplay, and the trigram-only path."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        lang_detect_trigram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    samples = _LANG_SAMPLES + _TRIGRAM_SAMPLES
+    m = F.col("doc_id") % (len(samples) + 1)
+    sample = F.col("text")
+    for idx, (_lang, snippet) in enumerate(samples):
+        sample = F.when(m == idx, F.lit(snippet)).otherwise(sample)
+    return d.select("doc_id", sample.alias("sample_text")).select(
+        "doc_id", lang_detect_trigram(F.col("sample_text")).alias("lang_detected")
+    )
+
+
+def _q59_oracle_sql() -> str:
+    """DuckDB twin of q59, rebuilt from the operator's own constants
+    (markers, trigrams, MARKER_WEIGHT, script ranges, snippet lists) —
+    the q52 oracle-construction contract."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        EXTRA_MARKERS,
+        LANG_MARKERS,
+        LANG_TRIGRAMS,
+        MARKER_WEIGHT,
+        SCRIPT_RANGES,
+        SCRIPT_SHARE_DENOM,
+    )
+
+    markers = {**LANG_MARKERS, **EXTRA_MARKERS}
+    score = (
+        lambda m: f"cast((length(padded) - length(replace(padded, '{m}', '')))"
+        f" / {len(m)} as bigint)"
+    )
+    score_cols = ",\n    ".join(
+        f"{MARKER_WEIGHT} * ({' + '.join(score(m) for m in markers[lang])})"
+        f" + ({' + '.join(score(t) for t in LANG_TRIGRAMS[lang])}) as s_{lang}"
+        for lang in LANG_TRIGRAMS
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_TRIGRAMS) + ")"
+    marker_case = f"case when {best} = 0 then 'und'\n"
+    for lang in LANG_TRIGRAMS:
+        marker_case += f"       when s_{lang} = {best} then '{lang}'\n"
+    marker_case += "       else 'und' end"
+    script_whens = "\n".join(
+        f"    when (length(sample_text) - length(regexp_replace(sample_text,"
+        f" '{rng}', '', 'g'))) * {SCRIPT_SHARE_DENOM}"
+        f" >= greatest(length(sample_text), 1) then '{lang}'"
+        for lang, rng in SCRIPT_RANGES.items()
+    )
+    samples = _LANG_SAMPLES + _TRIGRAM_SAMPLES
+    snippet_case = "case (doc_id % " + str(len(samples) + 1) + ")\n"
+    for idx, (_lang, snippet) in enumerate(samples):
+        snippet_case += f"      when {idx} then '{snippet}'\n"
+    snippet_case += "      else text end"
+    return f"""
+with base as (
+  select doc_id, {snippet_case} as sample_text
+  from documents
+),
+scored as (
+  select doc_id, sample_text,
+    {score_cols}
+  from (select doc_id, sample_text,
+               ' ' || lower(sample_text) || ' ' as padded from base)
+)
+select doc_id,
+  case
+{script_whens}
+    else {marker_case}
+  end as lang_detected
+from scored
+"""
+
+
 def q39_field_confidences(spark, sf_dir):
     """Per-field confidences (reference ``field_confidences`` dict,
     ``models.py:186-199``) surfaced as one column per span kind via map
@@ -1552,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pq_topk": q56_pq_topk,
         "q57_curated_corpus_v2": q57_curated_corpus_v2,
         "q58_ivfpq_topk": q58_ivfpq_topk,
+        "q59_lang_trigram": q59_lang_trigram,
     }
 
 
@@ -2336,6 +2434,7 @@ select query_id, neighbor_id, cos, rank from (
         "q26_ivf_topk": _q26_oracle_sql(),
         "q56_pq_topk": _q56_oracle_sql(),
         "q58_ivfpq_topk": _q58_oracle_sql(),
+        "q59_lang_trigram": _q59_oracle_sql(),
         "q27_hourly_event_counts": """
 select date_trunc('hour', ts) as hour, event_type,
   count(*) as n_events, round(sum(value), 2) as sum_value

@@ -174,6 +174,81 @@ def lang_detect(col: Column | str = "text") -> Column:
     return expr
 
 
+# --- char-trigram model (q59): Cavnar–Trenkle-style evidence ---------------
+#
+# The round-4 verdict's language-ID increment: character-trigram
+# profiles (Cavnar & Trenkle 1994, the public n-gram LID method) extend
+# the whole-word stopword markers to SUB-WORD evidence, so inflected or
+# stopword-free text ("understanding engineering achievements") still
+# identifies. Each language carries a small hand-curated set of its
+# characteristically frequent trigrams (over "␣"-padded lowered text,
+# spaces included — word-boundary trigrams are the strongest signals in
+# the original paper's profiles). Deterministic and oracle-expressible
+# via the same replace length-diff trick as the markers; a real
+# pipeline would swap in fastText — same operator shape, same contract.
+# Four trigrams per language, not more: the whole detector (markers +
+# trigrams + script ranges) must stay under janino's 64 KB generated-
+# method limit — at 8 trigrams/lang the projection fails codegen and
+# silently falls back to interpreted evaluation (measured; q52's
+# 52-replace expression compiles, ~100 does not).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "ion", "and"),
+    "de": ("sch", "ich", "ein", "und"),
+    "fr": ("ent", "que", "eur", "oir"),
+    "es": ("ión", "est", "nte", "ado"),
+    "it": ("zio", "one", "gli", "che"),
+    "pt": ("ção", "ão ", "nho", "inh"),
+    "nl": ("ijk", "aar", "oor", "een"),
+    "sv": ("och", "för", "att", "ärd"),
+}
+
+# whole-word marker hits outweigh incidental trigram hits: one marker
+# is worth MARKER_WEIGHT trigrams in the combined argmax (part of the
+# q59 contract — the oracle embeds the same constant)
+MARKER_WEIGHT = 3
+
+
+def trigram_scores(col: Column | str = "text") -> dict[str, Column]:
+    """Per-language trigram occurrence counts over the padded lowered
+    text — identical arithmetic in DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return {
+        lang: sum(_occurrences(padded, t) for t in tris).alias(f"tri_{lang}")
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+
+
+def lang_detect_trigram(col: Column | str = "text") -> Column:
+    """Wide language ID with trigram evidence (round-4 verdict item 7):
+    script-charset first (same ranges/threshold as :func:`lang_detect`),
+    then argmax over ``MARKER_WEIGHT·marker_score + trigram_score`` for
+    the 8 Latin languages (insertion order breaking ties, all-zero →
+    'und'). Strictly more evidence than :func:`lang_detect`: marker
+    hits still dominate, trigram hits decide when whole-word stopwords
+    are absent. Every branch is a Column expression the q59 oracle
+    rebuilds from the SAME constants."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    markers = {**LANG_MARKERS, **EXTRA_MARKERS}
+    combined = {
+        lang: (
+            F.lit(MARKER_WEIGHT)
+            * sum(_occurrences(padded, m) for m in markers[lang])
+            + sum(_occurrences(padded, t) for t in LANG_TRIGRAMS[lang])
+        )
+        for lang in LANG_TRIGRAMS
+    }
+    expr = _marker_argmax(combined)
+    n = F.greatest(F.length(c), F.lit(1))
+    counts = script_char_counts(c)
+    for lang in reversed(list(SCRIPT_RANGES)):
+        expr = F.when(
+            counts[lang] * SCRIPT_SHARE_DENOM >= n, F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
 def punct_count(col: Column | str = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return (

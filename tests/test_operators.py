@@ -1116,6 +1116,58 @@ def test_lang_detect_wide(spark):
     assert "und" in vals  # stopword-free docs stay undetermined
 
 
+def test_lang_detect_trigram(spark):
+    """Trigram evidence: every trigram-hard snippet (no whole-word
+    stopword markers — the q52 model says 'und') identifies correctly
+    via sub-word trigrams; marker-bearing and script snippets keep
+    their q52 answers (markers dominate at MARKER_WEIGHT); the plan
+    stays single-evaluation per literal (no-CSE guard)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        LANG_TRIGRAMS,
+        lang_detect,
+        lang_detect_trigram,
+    )
+
+    hard = list(entrymod._TRIGRAM_SAMPLES)
+    df = spark.createDataFrame(hard, "expected string, sample string")
+    got = df.select(
+        "expected",
+        lang_detect(F.col("sample")).alias("marker_only"),
+        lang_detect_trigram(F.col("sample")).alias("got"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["expected"], (r["expected"], r["got"])
+        # the snippets are genuinely trigram-hard: whole-word markers
+        # alone must NOT already give the right answer
+        assert r["marker_only"] != r["expected"], r["expected"]
+
+    # q52's snippets (script + marker-bearing) keep their answers
+    easy = spark.createDataFrame(
+        list(entrymod._LANG_SAMPLES), "expected string, sample string"
+    )
+    got = easy.select(
+        "expected", lang_detect_trigram(F.col("sample")).alias("got")
+    ).collect()
+    for r in got:
+        assert r["got"] == r["expected"], (r["expected"], r["got"])
+
+    # no-CSE guard: every trigram literal appears exactly once
+    plan = (
+        spark.createDataFrame([("x",)], "text string")
+        .select(lang_detect_trigram("text").alias("g"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    for tris in LANG_TRIGRAMS.values():
+        for t in tris:
+            needle = f", {t}, )"
+            assert plan.count(needle) == 1, (t, plan.count(needle))
+
+
 def test_lang_plans_evaluate_each_marker_once(spark):
     """Plan-size regression guard for the no-CSE blow-up: each marker
     literal must appear EXACTLY ONCE in the analyzed plan of both
