@@ -667,7 +667,9 @@ def frame_sample_plan(
 # v7: jpeg slot carries REAL baseline encodes (grayscale + color
 #     4:2:0 via jpeg_codec.encode_jpeg) alternating with the
 #     header-only SOF0 probe pin
-MEDIA_FIXTURE_VERSION = 7
+# v8: png slot includes palette (color type 3) variants, with and
+#     without tRNS alpha
+MEDIA_FIXTURE_VERSION = 8
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
@@ -732,11 +734,25 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
                 data = data[: 54 + max(len(pixels) // 2 - 1, 0)]
             rows.append((i, data))
         elif kind == 2:  # png: REAL pixels, channel count cycling 1/2/3/4
-            from ai_pdf_extraction_spark.operators.png_codec import encode_png
+            from ai_pdf_extraction_spark.operators.png_codec import (
+                encode_png,
+                encode_png_palette,
+            )
 
             w, h = 4 + i % 29, 3 + i % 17
-            ch = 1 + (i // 5) % 4
-            rows.append((i, encode_png(w, h, ch, rng.randbytes(w * h * ch))))
+            if i % 35 in (12, 27):  # palette slots (27 adds tRNS alpha)
+                n_colors = 2 + i % 15
+                plte = rng.randbytes(3 * n_colors)
+                idx = bytes(rng.randrange(n_colors) for _ in range(w * h))
+                trns = (
+                    bytes(rng.randrange(256) for _ in range(n_colors - 1))
+                    if i % 35 == 27
+                    else None
+                )
+                rows.append((i, encode_png_palette(w, h, plte, idx, trns=trns)))
+            else:
+                ch = 1 + (i // 5) % 4
+                rows.append((i, encode_png(w, h, ch, rng.randbytes(w * h * ch))))
         elif kind == 3:  # jpeg: REAL baseline encodes + header-only pin
             from ai_pdf_extraction_spark.operators.jpeg_codec import encode_jpeg
 

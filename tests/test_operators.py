@@ -835,7 +835,7 @@ def test_png_decode_filters_hand_literals():
     # unsupported shapes are loud, distinct seams
     import struct as _s
 
-    with pytest.raises(NotImplementedError):  # palette
+    with pytest.raises(ValueError, match="PLTE"):  # palette without PLTE
         decode_png(_png_raw(1, 1, 3, [(0, [0])]))
     with pytest.raises(ValueError):  # bad filter type
         decode_png(_png_raw(2, 1, 0, [(9, [0, 0])]))
@@ -862,6 +862,76 @@ def test_png_decode_filters_hand_literals():
     )
     with pytest.raises(ValueError, match="refusing"):
         decode_png(bomb)
+
+
+def _png_palette(width, height, depth, plte, scanlines, trns=None):
+    """Hand-assembled color-type-3 PNG (filter byte + packed index
+    bytes per row, caller packs the bits)."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, b):
+        return (
+            _s.pack(">I", len(b)) + t + b
+            + _s.pack(">I", _z.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(bytes([f]) + bytes(p) for f, p in scanlines)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    ) + chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode_hand_literals():
+    """Palette (color type 3) decode pinned by hand-packed index bytes:
+    8-bit indices through PLTE, byte-level Sub filtering BEFORE index
+    lookup, sub-byte (2-bit) MSB-first unpacking, and tRNS alpha —
+    all worked out on paper from the PNG spec."""
+    from ai_pdf_extraction_spark.operators.png_codec import decode_png
+
+    plte = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255, 7, 8, 9])
+
+    # 8-bit indices, filter Sub on row 2: raw [1,1] → indices 1,2
+    p = _png_palette(2, 2, 8, plte, [(0, [0, 3]), (1, [1, 1])])
+    dec = decode_png(p)
+    assert (dec["width"], dec["height"], dec["channels"]) == (2, 2, 3)
+    assert dec["pixels"] == bytes(
+        [10, 20, 30, 7, 8, 9, 200, 100, 0, 0, 0, 255]
+    )
+
+    # 2-bit packed, MSB first: byte 0b00_01_10_11 → indices 0,1,2,3
+    p2 = _png_palette(4, 1, 2, plte, [(0, [0b00011011])])
+    assert decode_png(p2)["pixels"] == bytes(
+        [10, 20, 30, 200, 100, 0, 0, 0, 255, 7, 8, 9]
+    )
+
+    # tRNS: alpha per palette index, missing entries opaque
+    p3 = _png_palette(3, 1, 8, plte, [(0, [0, 1, 2])], trns=bytes([128, 64]))
+    dec = decode_png(p3)
+    assert dec["channels"] == 4
+    assert dec["pixels"] == bytes(
+        [10, 20, 30, 128, 200, 100, 0, 64, 0, 0, 255, 255]
+    )
+
+    # out-of-range index is malformed input, loudly
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(_png_palette(1, 1, 8, plte[:6], [(0, [5])]))
+    # 16-bit stays a documented seam
+    with pytest.raises(NotImplementedError):
+        decode_png(_png_raw(1, 1, 0, [(0, [0, 0])])[:33].replace(
+            b"\x08\x00", b"\x10\x00", 1
+        ) + _png_raw(1, 1, 0, [(0, [0, 0])])[33:])
+
+    # decode_payload_summary path: palette pngs now report decode_ok
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        decode_payload_summary,
+    )
+
+    s = decode_payload_summary(p)
+    assert s["format"] == "png" and s["decode_ok"] and s["n_decoded"] == 12
 
 
 def test_gif_decode_hand_literals():
