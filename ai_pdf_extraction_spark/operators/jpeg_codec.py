@@ -232,17 +232,17 @@ def decode_jpeg(data: bytes) -> dict:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 i += 1
+                need = 64 if pq == 0 else 128
+                if i + need > len(body):
+                    raise ValueError("short DQT")
                 if pq == 0:
                     vals = list(body[i : i + 64])
-                    i += 64
                 else:  # 16-bit table
                     vals = [
                         struct.unpack(">H", body[i + 2 * k : i + 2 * k + 2])[0]
                         for k in range(64)
                     ]
-                    i += 128
-                if len(vals) < 64:
-                    raise ValueError("short DQT")
+                i += need
                 nat = [0] * 64
                 for k in range(64):
                     nat[ZIGZAG[k]] = vals[k]
@@ -257,8 +257,12 @@ def decode_jpeg(data: bytes) -> dict:
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise ValueError("short SOF")
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -269,12 +273,17 @@ def decode_jpeg(data: bytes) -> dict:
                     f"jpeg decode supports 1 or 3 components, got {ncomp} "
                     f"({w}x{h})"
                 )
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("short SOF")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 0x0F
+                # a zero factor yields an EMPTY component plane (the
+                # fuzz-found IndexError in _assemble) — malformed input
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"bad sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"w": int(w), "h": int(h), "comps": comps}
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG (SOF2)")
@@ -283,6 +292,8 @@ def decode_jpeg(data: bytes) -> dict:
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("short SOS")
             ns = body[0]
             scan_sel = []
             for c in range(ns):

@@ -221,6 +221,30 @@ def test_resize_and_malformed():
     with pytest.raises(ValueError, match="refusing"):
         decode_jpeg(bomb)
 
+    # fuzz-found regression pins (round-5 review): a truncated 16-bit
+    # DQT must raise ValueError (was struct.error), and a zero
+    # sampling factor must raise ValueError (was an IndexError on the
+    # empty component plane in _assemble)
+    short_dqt = b"\xff\xd8" + _seg(0xDB, bytes([0x10]) + b"\x00" * 20)
+    with pytest.raises(ValueError, match="short DQT"):
+        decode_jpeg(short_dqt + b"\xff\xd9")
+    zero_hv = _gray_jpeg(8, 8, bytes([0x4A, 0x00])).replace(
+        b"\x01\x11\x00", b"\x01\x01\x00", 1
+    )  # component hv byte 0x11 -> 0x01 (h=0)
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(zero_hv)
+    with pytest.raises(ValueError, match="short SOF"):
+        decode_jpeg(b"\xff\xd8" + _seg(0xC0, b"\x08\x00") + b"\xff\xd9")
+    with pytest.raises(ValueError, match="short DRI"):
+        decode_jpeg(b"\xff\xd8" + _seg(0xDD, b"\x01") + b"\xff\xd9")
+    short_sos = (
+        b"\xff\xd8" + _tables()
+        + _seg(0xC0, b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
+        + _seg(0xDA, b"\x02\x01\x00")  # ns=2 but one entry
+    )
+    with pytest.raises(ValueError, match="short SOS"):
+        decode_jpeg(short_sos + b"\xff\xd9")
+
     # deterministic corrupt-bytes sweep: decode either succeeds or
     # raises ValueError/NotImplementedError — never crashes
     base = bytearray(encode_jpeg(16, 8, 3, bytes(16 * 8 * 3), quality=80))

@@ -255,11 +255,13 @@ def test_decode_png_exception_taxonomy(data):
     import pytest as _pytest
 
     from ai_pdf_extraction_spark.operators.gif_codec import decode_gif
+    from ai_pdf_extraction_spark.operators.jpeg_codec import decode_jpeg
     from ai_pdf_extraction_spark.operators.png_codec import decode_png
 
     for decode, prefix in (
         (decode_png, b"\x89PNG\r\n\x1a\n"),
         (decode_gif, b"GIF89a"),
+        (decode_jpeg, b"\xff\xd8\xff"),
     ):
         for payload in (data, prefix + data):
             try:
