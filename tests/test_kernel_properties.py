@@ -155,6 +155,84 @@ def test_scanner_matches_stdlib_htmlparser(markup):
     assert ours.tables == theirs.tables
 
 
+# Round-5 adversarial differential corpus: shapes chosen to stress the
+# scanner's comment/rawtext/bogus-markup/entity/quoting paths — every
+# one must produce IDENTICAL blocks+tables under the regex scanner and
+# stdlib HTMLParser (a divergence here is a scanner bug even when both
+# outputs look plausible).
+_ADVERSARIAL_DOCS = (
+    "<body><p>Keep this sentence here, it is long enough.</p>"
+    "<!-- <p>hidden</p> --><p>Second real sentence, also long enough now.</p></body>",
+    "<body><script>var a = '<p>not text</p>';</script>"
+    "<p>Only this paragraph should remain in the text.</p></body>",
+    "<body><?php echo 'x'; ?><p>This real paragraph stays after the php block.</p></body>",
+    "<body><!--[if IE]><p>ie only</p><![endif]-->"
+    "<p>Normal paragraph text that we keep around here.</p></body>",
+    "<BODY><P>Uppercase tag paragraph with enough characters.</P></BODY>",
+    '<body><div class="a\nnav">masked?</div>'
+    "<p>Sentence after the newline class attribute test.</p></body>",
+    "<body><div class=sidebar>masked text</div>"
+    "<p>A legit paragraph that follows the sidebar block.</p></body>",
+    "<body><p>Fish &amp; chips &lt;b&gt; &#65;&#x42; &notareal; end of line.</p></body>",
+    "<!DOCTYPE html><body><p>Doctype paragraph with enough characters to keep.</p></body>",
+    "<body><![CDATA[ raw > data ]]><p>Paragraph following a stray cdata section here.</p></body>",
+    "<body><div data-x='he said \"hi\"'>"
+    "<p>Quoted attribute paragraph, suitably long text.</p></div></body>",
+    "<body><p>Compare: 3 < 5 and 7 > 2, a true statement overall.</p></body>",
+    "<body><table><tr><td>cell one text</td><td>cell two text</td></table>"
+    "<p>After table paragraph with plenty of text.</p></body>",
+    "<title>Site Title</title><p>Body paragraph long enough for the filter to keep.</p>",
+    "<body><svg><text>svg label</text></svg>"
+    "<p>Paragraph after inline svg content block here.</p></body>",
+    "<body><pre>  spaced   code   block  </pre>"
+    "<p>Normal paragraph after the pre block, fine.</p></body>",
+    "<body><my-widget>Inner text of a custom element stays visible.</my-widget>"
+    "<p>Custom elements parse as unknown inline tags here.</p></body>",
+)
+
+
+def test_scanner_adversarial_corpus_matches_stdlib():
+    """Deterministic differential corpus (see _ADVERSARIAL_DOCS) — the
+    hypothesis grammar above can't reach these shapes."""
+    from html.parser import HTMLParser
+
+    from ai_pdf_extraction_spark.kernels.html_extract import (
+        _MainContentParser,
+        _scan,
+    )
+
+    class _StdlibDriver(HTMLParser):
+        def __init__(self, sink):
+            super().__init__(convert_charrefs=True)
+            self.sink = sink
+
+        def handle_starttag(self, tag, attrs):
+            self.sink.handle_starttag(tag, attrs)
+
+        def handle_endtag(self, tag):
+            self.sink.handle_endtag(tag)
+
+        def handle_startendtag(self, tag, attrs):
+            self.sink.handle_startendtag(tag, attrs)
+
+        def handle_data(self, data):
+            self.sink.handle_data(data)
+
+    for markup in _ADVERSARIAL_DOCS:
+        ours = _MainContentParser()
+        _scan(markup, ours)
+        ours.close()
+        theirs = _MainContentParser()
+        drv = _StdlibDriver(theirs)
+        drv.feed(markup)
+        drv.close()
+        theirs.close()
+        assert ours.blocks == theirs.blocks, markup
+        assert ours.tables == theirs.tables, markup
+        # and the kept text is never empty on these content-bearing docs
+        assert ours.blocks, markup
+
+
 @settings(max_examples=150, deadline=None)
 @given(_DOC)
 def test_table_payload_invariants(markup):
