@@ -104,8 +104,14 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     # golden-parquet oracles (q23) key their source table off this
     os.environ["SPARK_GRAFT_CONTRACT_SF"] = sf_dir
 
@@ -130,6 +136,7 @@ def main() -> int:
         spark.stop()
         return 2
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -138,9 +145,14 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             failures.append(name)
+            results[name] = {"ok": False, "err": f"spark {type(exc).__name__}: {exc}"}
             print(f"FAIL  {name}: spark error {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
+            results[name] = {
+                "ok": True, "rows": len(sdf), "oracle": "rows-only",
+                "seconds": round(time.monotonic() - t0, 1),
+            }
             print(f"SKIP  {name}: no oracle (rows-only) — {len(sdf)} rows "
                   f"[{time.monotonic()-t0:.1f}s]")
             continue
@@ -148,15 +160,30 @@ def main() -> int:
             ddf = con.execute(oracles[name]).df()
         except Exception as exc:
             failures.append(name)
+            results[name] = {"ok": False, "err": f"duckdb: {exc}"}
             print(f"FAIL  {name}: duckdb error {exc}")
             continue
         diff = compare(sdf, ddf)
         status = "ok  " if diff is None else "FAIL"
         if diff is not None:
             failures.append(name)
+        results[name] = {
+            "ok": diff is None, "rows": len(sdf), "oracle_rows": len(ddf),
+            "seconds": round(time.monotonic() - t0, 1),
+            **({"diff": diff} if diff else {}),
+        }
         print(f"{status}  {name}: {len(sdf)} rows [{time.monotonic()-t0:.1f}s]"
               + (f" — {diff}" if diff else ""))
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(results),
+                 "n_failures": len(failures), "queries": results},
+                fh, indent=1,
+            )
     spark.stop()
     return 1 if failures else 0
 
