@@ -10,19 +10,23 @@ so JPEG pixels decode for REAL in this container.
 
 Scope — the honest boundary:
 
-* **decode**: baseline + extended-sequential DCT (SOF0/SOF1), 8-bit,
-  grayscale or YCbCr with any integer sampling factors (4:4:4, 4:2:2,
-  4:2:0, ...), arbitrary DQT/DHT read from the stream, restart
-  markers, byte stuffing. Chroma upsampling is nearest-neighbor
-  (box replication) — a legitimate decoder choice, deterministic.
-* **encode**: baseline JFIF for fixtures/resize output — grayscale or
-  YCbCr 4:2:0, Annex-K quantization tables with the classic quality
-  scaling, and SELF-DESIGNED fixed-length Huffman tables (all DC
-  categories 4 bits, all AC symbols 8 bits — a valid canonical code;
-  compression is deliberately naive, correctness is exact and there is
-  no risk of mis-transcribing the Annex-K Huffman tables).
-* progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise
-  ``NotImplementedError`` — documented seams like palette PNG.
+* **decode**: baseline + extended-sequential (SOF0/SOF1) AND
+  progressive (SOF2, T.81 Annex G: spectral selection, successive
+  approximation, EOB runs, interleaved DC / non-interleaved AC
+  scans), 8-bit, grayscale or YCbCr with any integer sampling factors
+  (4:4:4, 4:2:2, 4:2:0, ...), arbitrary DQT/DHT read from the stream,
+  restart markers, byte stuffing. Chroma upsampling is
+  nearest-neighbor (box replication) — a legitimate decoder choice,
+  deterministic.
+* **encode**: JFIF for fixtures/resize output — grayscale or YCbCr
+  4:2:0, sequential or spectral-selection progressive, Annex-K
+  quantization tables with the classic quality scaling, and
+  SELF-DESIGNED fixed-length Huffman tables (all DC categories 4
+  bits, all AC symbols 8 bits — a valid canonical code; compression
+  is deliberately naive, correctness is exact and there is no risk of
+  mis-transcribing the Annex-K Huffman tables).
+* arithmetic coding, hierarchical, 12-bit, and CMYK raise
+  ``NotImplementedError`` — documented seams like 16-bit PNG.
 
 DCT math uses numpy (float64 matrix products — deterministic); the
 entropy loop is pure Python over fixture-scale payloads. The
@@ -198,18 +202,23 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> dict:
-    """Baseline JPEG bytes → ``{width, height, channels, pixels}``:
-    ``channels`` 1 (grayscale) or 3 (RGB, converted from YCbCr with
-    the JFIF matrix, nearest-neighbor chroma upsampling), ``pixels``
-    row-major interleaved bytes. Raises ``ValueError`` on malformed
-    input and ``NotImplementedError`` on progressive/arithmetic/12-bit
-    streams (documented seams)."""
+    """JPEG bytes → ``{width, height, channels, pixels}``: ``channels``
+    1 (grayscale) or 3 (RGB, converted from YCbCr with the JFIF
+    matrix, nearest-neighbor chroma upsampling), ``pixels`` row-major
+    interleaved bytes. Decodes baseline/extended-sequential (SOF0/1)
+    AND progressive (SOF2) streams — spectral selection, successive
+    approximation, interleaved DC scans, non-interleaved AC scans,
+    EOB runs, restarts (T.81 Annex F + Annex G, public spec). Raises
+    ``ValueError`` on malformed input and ``NotImplementedError`` on
+    arithmetic-coded/hierarchical/12-bit streams (documented seams)."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG")
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     restart_interval = 0
     frame = None
+    coeffs: list | None = None
+    any_scan = False
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -221,8 +230,8 @@ def decode_jpeg(data: bytes) -> dict:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before any scan
-            raise ValueError("no scan data")
+        if marker == 0xD9:  # EOI
+            break
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         if seg_len < 2 or pos + 2 + seg_len > len(data):
             raise ValueError("truncated segment")
@@ -260,7 +269,9 @@ def decode_jpeg(data: bytes) -> dict:
             if len(body) < 2:
                 raise ValueError("short DRI")
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if frame is not None:
+                raise ValueError("duplicate SOF")
             if len(body) < 6:
                 raise ValueError("short SOF")
             precision = body[0]
@@ -284,102 +295,85 @@ def decode_jpeg(data: bytes) -> dict:
                 if not (1 <= ch <= 4 and 1 <= cv <= 4):
                     raise ValueError(f"bad sampling factors {ch}x{cv}")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"w": int(w), "h": int(h), "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            frame = {
+                "w": int(w),
+                "h": int(h),
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            coeffs = _alloc_coeffs(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} coding")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("short SOS")
             ns = body[0]
-            scan_sel = []
+            sel = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c : 3 + 2 * c]
-                scan_sel.append({"cs": cs, "dc": tt >> 4, "ac": tt & 0x0F})
-            return _decode_scan(
-                data,
-                pos + 2 + seg_len,
-                frame,
-                scan_sel,
-                qt,
-                huff,
-                restart_interval,
+                sel.append({"cs": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            scan = {
+                "sel": sel,
+                "ss": ss,
+                "se": se,
+                "ah": ah_al >> 4,
+                "al": ah_al & 0x0F,
+            }
+            pos = _decode_scan_into(
+                data, pos + 2 + seg_len, frame, scan, huff,
+                restart_interval, coeffs,
             )
+            any_scan = True
+            continue
         pos += 2 + seg_len
-    raise ValueError("no SOS marker")
+    if frame is None or not any_scan:
+        raise ValueError("no scan data")
+    return _finish(frame, coeffs, qt)
 
 
-def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart_interval):
+def _alloc_coeffs(frame):
+    """Per-component quantized-coefficient storage, ZIGZAG order per
+    block — allocated once at SOF, written by every scan (one for
+    sequential, many for progressive). Output-size AND coefficient-
+    storage caps apply BEFORE allocation (the png zlib-bomb rule)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
-    ncomp = len(comps)
-    out_ch = 1 if ncomp == 1 else 3
+    out_ch = 1 if len(comps) == 1 else 3
     if w * h * out_ch > MAX_DECODED_BYTES:
         raise ValueError(f"refusing {w}x{h}x{out_ch} JPEG decode")
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for s in scan_sel:
-        c = by_id.get(s["cs"])
-        if c is None:
-            raise ValueError("scan references unknown component")
-        order.append({**c, **s})
-    if len(order) != ncomp:
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("bad sampling factors")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = []
-    for c in order:
-        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
-        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
-        if c["tq"] not in qt:
-            raise ValueError("missing quantization table")
-        c["q"] = np.array(
-            [qt[c["tq"]][i] for i in range(64)], dtype=np.float64
-        ).reshape(8, 8)
-        c["pred"] = 0
-        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
-            raise ValueError("missing Huffman table")
-    reader = _BitReader(data, pos)
-    n_mcus = mcus_x * mcus_y
-    rst = 0
-    try:
-        for m in range(n_mcus):
-            if restart_interval and m and m % restart_interval == 0:
-                reader.align_and_expect_restart(rst)
-                rst = (rst + 1) & 7
-                for c in order:
-                    c["pred"] = 0
-            my, mx = divmod(m, mcus_x)
-            for ci, c in enumerate(order):
-                dct = huff[(0, c["dc"])]
-                act = huff[(1, c["ac"])]
-                for bv in range(c["v"]):
-                    for bh_ in range(c["h"]):
-                        coeffs = _decode_block(reader, c, dct, act)
-                        block = _C.T @ (coeffs * c["q"]) @ _C
-                        y0 = (my * c["v"] + bv) * 8
-                        x0 = (mx * c["h"] + bh_) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    except _MarkerHit:
-        raise ValueError("scan data ended early") from None
-    return _assemble(w, h, out_ch, order, planes, hmax, vmax)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"] = mcus_x = -(-w // (8 * hmax))
+    frame["mcus_y"] = mcus_y = -(-h // (8 * vmax))
+    total = 0
+    for c in comps:
+        c["bw"], c["bh"] = mcus_x * c["h"], mcus_y * c["v"]
+        # non-interleaved scans cover the component's OWN block grid
+        # (ceil of its scaled dims), not the MCU-padded grid (T.81 A.2)
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["nw"] = -(-comp_w // 8)
+        c["nh"] = -(-comp_h // 8)
+        total += c["bw"] * c["bh"] * 64
+    if total * 4 > MAX_DECODED_BYTES:
+        raise ValueError("refusing oversized JPEG coefficient storage")
+    return [
+        np.zeros((c["bh"], c["bw"], 64), dtype=np.int32) for c in comps
+    ]
 
 
-def _decode_block(reader, c, dct, act):
-    """One 8×8 block of quantized coefficients (natural order)."""
-    zz = np.zeros(64, dtype=np.float64)
+def _block_full(reader, comp, dct, act, coef) -> None:
+    """Sequential block: DC diff + full AC band (T.81 F.2.2)."""
     s = reader.decode_symbol(dct)
     if s > 11:
         raise ValueError("bad DC category")
     diff = _extend(reader.read_bits(s), s) if s else 0
-    c["pred"] += diff
-    zz[0] = c["pred"]
+    comp["pred"] += diff
+    coef[0] = comp["pred"]
     k = 1
     while k < 64:
         rs = reader.decode_symbol(act)
@@ -392,18 +386,211 @@ def _decode_block(reader, c, dct, act):
         k += r
         if k > 63:
             raise ValueError("AC run past block end")
-        zz[k] = _extend(reader.read_bits(size), size)
+        coef[k] = _extend(reader.read_bits(size), size)
         k += 1
-    out = np.zeros(64, dtype=np.float64)
-    out[ZIGZAG] = zz[np.arange(64)]
-    return out.reshape(8, 8)
 
 
-def _assemble(w, h, out_ch, order, planes, hmax, vmax):
-    """Level-shift, clamp, upsample (nearest), color-convert."""
+def _ac_first(reader, act, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2):
+    EOB runs skip whole blocks; values arrive scaled by 2^Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band")
+        coef[k] = _extend(reader.read_bits(size), size) * (1 << al)
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, act, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3):
+    newly-nonzero coefficients arrive as ±2^Al; every already-nonzero
+    coefficient in the band consumes a correction bit — including in
+    blocks covered by an EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients,
+                # refining any nonzero ones passed over
+            else:
+                if size != 1:
+                    raise ValueError("bad refinement size")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = coef[k]
+                if c:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement run past band")
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = coef[k]
+            if c and reader.read_bit() and (c & p1) == 0:
+                coef[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_into(
+    data, pos, frame, scan, huff, restart_interval, coeffs
+) -> int:
+    """Decode ONE scan's entropy data into the coefficient arrays and
+    return the position of the marker that follows it. Handles
+    sequential full-band scans, progressive DC (interleaved or not,
+    first + refinement) and progressive AC (non-interleaved, first +
+    refinement), with restart markers resetting predictors and the
+    EOB run."""
+    comps = frame["comps"]
+    progressive = frame["progressive"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    order = []
+    for s in scan["sel"]:
+        ci = by_id.get(s["cs"])
+        if ci is None:
+            raise ValueError("scan references unknown component")
+        order.append({**comps[ci], **s, "ci": ci, "pred": 0})
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0  # sequential scans are full-band
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError("bad spectral selection")
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(order) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    # table presence: DC refinement reads raw bits (no table needed)
+    for c in order:
+        if ss == 0 and ah == 0 and (0, c["dc"]) not in huff:
+            raise ValueError("missing Huffman table")
+        if se > 0 and (1, c["ac"]) not in huff:
+            raise ValueError("missing Huffman table")
+
+    reader = _BitReader(data, pos)
+    eobrun = 0
+    rst = 0
+    interleaved = len(order) > 1
+    if interleaved:
+        units = frame["mcus_x"] * frame["mcus_y"]
+    else:
+        uw, uh = order[0]["nw"], order[0]["nh"]
+        units = uw * uh
+
+    def dispatch(c, coef):
+        nonlocal eobrun
+        if not progressive:
+            _block_full(
+                reader, c, huff[(0, c["dc"])], huff[(1, c["ac"])], coef
+            )
+        elif ss == 0:
+            if ah == 0:
+                s = reader.decode_symbol(huff[(0, c["dc"])])
+                if s > 11:
+                    raise ValueError("bad DC category")
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                c["pred"] += diff
+                coef[0] = c["pred"] * (1 << al)
+            else:
+                if reader.read_bit():
+                    coef[0] |= 1 << al
+        elif ah == 0:
+            eobrun = _ac_first(
+                reader, huff[(1, c["ac"])], coef, ss, se, al, eobrun
+            )
+        else:
+            eobrun = _ac_refine(
+                reader, huff[(1, c["ac"])], coef, ss, se, al, eobrun
+            )
+
+    try:
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                reader.align_and_expect_restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+                for c in order:
+                    c["pred"] = 0
+            if interleaved:
+                my, mx = divmod(u, frame["mcus_x"])
+                for c in order:
+                    arr = coeffs[c["ci"]]
+                    for bv in range(c["v"]):
+                        for bh_ in range(c["h"]):
+                            dispatch(
+                                c, arr[my * c["v"] + bv, mx * c["h"] + bh_]
+                            )
+            else:
+                c = order[0]
+                by, bx = divmod(u, uw)
+                dispatch(c, coeffs[c["ci"]][by, bx])
+    except _MarkerHit:
+        raise ValueError("scan data ended early") from None
+    # advance to the marker that ended the scan (skipping any byte
+    # noise; 0xFF00 stuffing pairs cannot be markers)
+    p = reader.pos
+    n = len(data)
+    while p + 1 < n and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _finish(frame, coeffs, qt) -> dict:
+    """Dequantize (zigzag-order tables), de-zigzag, batch-IDCT every
+    block, then level-shift, upsample (nearest), color-convert."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    out_ch = 1 if len(comps) == 1 else 3
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
-    for c, plane in zip(order, planes):
-        # nearest-neighbor upsample to full resolution
+    for c, arr in zip(comps, coeffs):
+        if c["tq"] not in qt:
+            raise ValueError("missing quantization table")
+        q_zig = np.array(
+            [qt[c["tq"]][ZIGZAG[k]] for k in range(64)], dtype=np.float64
+        )
+        flat = arr.reshape(-1, 64).astype(np.float64) * q_zig
+        nat = np.empty_like(flat)
+        nat[:, ZIGZAG] = flat
+        blocks = nat.reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C)
+        bh, bw = arr.shape[0], arr.shape[1]
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # nearest-neighbor upsample to full resolution + level shift
         ys = (np.arange(h) * c["v"]) // vmax
         xs = (np.arange(w) * c["h"]) // hmax
         full.append(plane[np.ix_(ys, xs)] + 128.0)
@@ -495,53 +682,63 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v else 0
 
 
-def _encode_plane_blocks(plane: np.ndarray, q: np.ndarray, writer, pred: int) -> int:
-    """FDCT + quantize + entropy-encode every 8×8 block of ``plane``
-    (already level-shifted float64, dims multiple of 8), raster order.
-    Returns the updated DC predictor."""
+def _plane_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8×8 block of ``plane`` (level-shifted
+    float64, dims multiple of 8) → (bh, bw, 64) int64 in ZIGZAG order
+    — the shared coefficient source for sequential and progressive
+    emission (encode once, emit in any scan order)."""
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    for by in range(bh):
-        for bx in range(bw):
-            block = plane[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
-            coeffs = _C @ block @ _C.T
-            quant = np.floor(coeffs / q + 0.5).astype(np.int64)
-            # baseline caps AC categories at 10 bits (±1023); the DCT
-            # of 8-bit data can graze ±1024 at q=1 — clamp, don't emit
-            # an out-of-table size
-            quant[1:] = np.clip(quant[1:], -1023, 1023)
-            quant[0, 1:] = np.clip(quant[0, 1:], -1023, 1023)
-            zz = quant.reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s = _category(abs(diff))
-            code, ln = _DC_CODES[s]
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeffs = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+    quant = np.floor(coeffs / q + 0.5).astype(np.int64).reshape(-1, 64)
+    # baseline caps AC categories at 10 bits (±1023); the DCT of 8-bit
+    # data can graze ±1024 at q=1 — clamp, don't emit an out-of-table
+    # size (DC diffs always fit category 11)
+    quant[:, 1:] = np.clip(quant[:, 1:], -1023, 1023)
+    return quant[:, ZIGZAG].reshape(bh, bw, 64)
+
+
+def _emit_dc(writer, zz, pred: int) -> int:
+    """Emit one block's DC difference; returns the new predictor."""
+    diff = int(zz[0]) - pred
+    s = _category(abs(diff))
+    code, ln = _DC_CODES[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return int(zz[0])
+
+
+def _emit_ac(writer, zz) -> None:
+    """Emit one block's AC band (zigzag 1..63) with ZRL/EOB. The EOB
+    symbol (r=0, s=0) doubles as a progressive EOB-run of one block,
+    so the same emission is valid in a sequential scan AND a
+    progressive Ss=1/Se=63 first scan."""
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]
             writer.write(code, ln)
-            if s:
-                writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if zz[k]:
-                    last_nz = k
-                    break
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _AC_CODES[0xF0]
-                    writer.write(code, ln)
-                    run -= 16
-                s = _category(abs(v))
-                code, ln = _AC_CODES[(run << 4) | s]
-                writer.write(code, ln)
-                writer.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = _AC_CODES[0x00]  # EOB
-                writer.write(code, ln)
-    return pred
+            run -= 16
+        s = _category(abs(v))
+        code, ln = _AC_CODES[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = _AC_CODES[0x00]  # EOB
+        writer.write(code, ln)
 
 
 def _pad_to_blocks(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
@@ -562,11 +759,18 @@ def encode_jpeg(
     channels: int,
     pixels: bytes,
     quality: int = 90,
+    progressive: bool = False,
 ) -> bytes:
-    """Raw samples → a well-formed baseline JFIF JPEG. ``channels`` 1
+    """Raw samples → a well-formed JFIF JPEG. ``channels`` 1
     (grayscale) or 3 (RGB in, stored as YCbCr 4:2:0). The inverse of
     :func:`decode_jpeg` up to quantization error (exact for flat
-    blocks when the scaled DC quantizer divides the DCT DC)."""
+    blocks when the scaled DC quantizer divides the DCT DC).
+
+    ``progressive=True`` emits a spectral-selection progressive stream
+    (SOF2): one DC scan (interleaved for color) followed by one
+    Ss=1/Se=63 AC scan per component — the SAME quantized
+    coefficients, so baseline and progressive encodes of one image
+    decode to IDENTICAL pixels (pinned by test)."""
     if channels not in (1, 3):
         raise ValueError(f"unsupported channel count {channels}")
     if len(pixels) < width * height * channels:
@@ -576,6 +780,7 @@ def encode_jpeg(
     ).reshape(height, width, channels).astype(np.float64)
 
     ql = np.array(_scaled_quant(QUANT_LUMA, quality), dtype=np.float64).reshape(8, 8)
+    sof_marker = 0xC2 if progressive else 0xC0
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
@@ -591,29 +796,51 @@ def encode_jpeg(
         + _seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + _ENC_AC_VALS)
     )
 
-    writer = _BitWriter()
     if channels == 1:
+        zz = _plane_coeffs(_pad_to_blocks(img[:, :, 0] - 128.0, 1, 1), ql)
+        bh, bw = zz.shape[0], zz.shape[1]
         out += _seg(0xDB, dqt_body(0, ql))
         out += _seg(
-            0xC0,
+            sof_marker,
             b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00",
         )
         out += dht
-        out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
-        _encode_plane_blocks(_pad_to_blocks(img[:, :, 0] - 128.0, 1, 1), ql, writer, 0)
+        if not progressive:
+            out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+            writer = _BitWriter()
+            pred = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    pred = _emit_dc(writer, zz[by, bx], pred)
+                    _emit_ac(writer, zz[by, bx])
+            out += writer.flush()
+        else:
+            # DC scan (Ss=0 Se=0), then the full AC band in one scan
+            out += _seg(0xDA, b"\x01\x01\x00\x00\x00\x00")
+            writer = _BitWriter()
+            pred = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    pred = _emit_dc(writer, zz[by, bx], pred)
+            out += writer.flush()
+            out += _seg(0xDA, b"\x01\x01\x00\x01\x3f\x00")
+            writer = _BitWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    _emit_ac(writer, zz[by, bx])
+            out += writer.flush()
     else:
         qc = np.array(
             _scaled_quant(QUANT_CHROMA, quality), dtype=np.float64
         ).reshape(8, 8)
         out += _seg(0xDB, dqt_body(0, ql)) + _seg(0xDB, dqt_body(1, qc))
         out += _seg(
-            0xC0,
+            sof_marker,
             b"\x08"
             + struct.pack(">HH", height, width)
             + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
         )
         out += dht
-        out += _seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
         r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b
@@ -641,20 +868,61 @@ def encode_jpeg(
             )
             for p in sub
         )
-        preds = [0, 0, 0]
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for bv in range(2):
-                    for bh_ in range(2):
-                        blk = yp[
-                            (my * 2 + bv) * 8 : (my * 2 + bv + 1) * 8,
-                            (mx * 2 + bh_) * 8 : (mx * 2 + bh_ + 1) * 8,
-                        ]
-                        preds[0] = _encode_plane_blocks(blk, ql, writer, preds[0])
-                for ci, plane in ((1, cbp), (2, crp)):
-                    blk = plane[my * 8 : (my + 1) * 8, mx * 8 : (mx + 1) * 8]
-                    preds[ci] = _encode_plane_blocks(blk, qc, writer, preds[ci])
-    out += writer.flush()
+        planes = [
+            _plane_coeffs(yp, ql),
+            _plane_coeffs(cbp, qc),
+            _plane_coeffs(crp, qc),
+        ]
+        if not progressive:
+            out += _seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+            writer = _BitWriter()
+            preds = [0, 0, 0]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for bv in range(2):
+                        for bh_ in range(2):
+                            blk = planes[0][my * 2 + bv, mx * 2 + bh_]
+                            preds[0] = _emit_dc(writer, blk, preds[0])
+                            _emit_ac(writer, blk)
+                    for ci in (1, 2):
+                        blk = planes[ci][my, mx]
+                        preds[ci] = _emit_dc(writer, blk, preds[ci])
+                        _emit_ac(writer, blk)
+            out += writer.flush()
+        else:
+            # interleaved DC scan over the full MCU grid
+            out += _seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x00\x00")
+            writer = _BitWriter()
+            preds = [0, 0, 0]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for bv in range(2):
+                        for bh_ in range(2):
+                            preds[0] = _emit_dc(
+                                writer, planes[0][my * 2 + bv, mx * 2 + bh_],
+                                preds[0],
+                            )
+                    for ci in (1, 2):
+                        preds[ci] = _emit_dc(writer, planes[ci][my, mx], preds[ci])
+            out += writer.flush()
+            # one AC scan per component, non-interleaved: blocks in
+            # raster order over the COMPONENT grid (ceil of its scaled
+            # dims — NOT the MCU-padded grid, T.81 A.2)
+            grids = [
+                (-(-height // 8), -(-width // 8)),
+                (-(-((height + 1) // 2) // 8), -(-((width + 1) // 2) // 8)),
+                (-(-((height + 1) // 2) // 8), -(-((width + 1) // 2) // 8)),
+            ]
+            for ci, comp_id in ((0, 1), (1, 2), (2, 3)):
+                out += _seg(
+                    0xDA, bytes([1, comp_id, 0x00]) + b"\x01\x3f\x00"
+                )
+                writer = _BitWriter()
+                nh, nw = grids[ci]
+                for by in range(nh):
+                    for bx in range(nw):
+                        _emit_ac(writer, planes[ci][by, bx])
+                out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

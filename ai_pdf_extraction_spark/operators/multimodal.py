@@ -669,7 +669,8 @@ def frame_sample_plan(
 #     header-only SOF0 probe pin
 # v8: png slot includes palette (color type 3) variants, with and
 #     without tRNS alpha
-MEDIA_FIXTURE_VERSION = 8
+# v9: jpeg slots alternate PROGRESSIVE (SOF2) encodes with baseline
+MEDIA_FIXTURE_VERSION = 9
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
@@ -756,15 +757,21 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
         elif kind == 3:  # jpeg: REAL baseline encodes + header-only pin
             from ai_pdf_extraction_spark.operators.jpeg_codec import encode_jpeg
 
-            if i % 15 == 3:  # real grayscale baseline
+            if i % 15 == 3:  # real grayscale (alternating progressive)
                 w, h = 8 + i % 25, 6 + i % 18
                 rows.append(
-                    (i, encode_jpeg(w, h, 1, rng.randbytes(w * h), quality=85))
+                    (i, encode_jpeg(
+                        w, h, 1, rng.randbytes(w * h), quality=85,
+                        progressive=i % 30 == 18,
+                    ))
                 )
-            elif i % 15 == 8:  # real color 4:2:0 baseline
+            elif i % 15 == 8:  # real color 4:2:0 (alternating progressive)
                 w, h = 9 + i % 22, 7 + i % 15
                 rows.append(
-                    (i, encode_jpeg(w, h, 3, rng.randbytes(w * h * 3), quality=90))
+                    (i, encode_jpeg(
+                        w, h, 3, rng.randbytes(w * h * 3), quality=90,
+                        progressive=i % 30 == 23,
+                    ))
                 )
             else:  # i % 15 == 13: header-only SOF0 (probe-only pin —
                 # dims probe, decode_ok must stay False)

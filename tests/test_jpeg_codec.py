@@ -163,6 +163,117 @@ def test_hand_packed_color_444():
     assert (px == px[0, 0]).all()
 
 
+def test_progressive_matches_baseline_pixels():
+    """Spectral-selection progressive (SOF2: DC scan + per-component
+    AC scans) must decode to pixels IDENTICAL to the baseline encode
+    of the same image — same quantized coefficients, different scan
+    order."""
+    rng = np.random.default_rng(3)
+    for (w, h, ch) in ((16, 8, 1), (33, 24, 1), (19, 17, 3), (24, 16, 3)):
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(w, h, ch, img.tobytes(), quality=85))
+        prog_bytes = encode_jpeg(
+            w, h, ch, img.tobytes(), quality=85, progressive=True
+        )
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        prog = decode_jpeg(prog_bytes)
+        assert base["pixels"] == prog["pixels"], (w, h, ch)
+
+
+def _prog_gray(w, h, scans, ac_vals=_AC_VALS):
+    """Hand-assembled progressive grayscale JPEG: (ss, se, ah_al,
+    scan_bytes) tuples after shared all-ones DQT + DHTs."""
+    ac_bits = bytearray(16)
+    ac_bits[7] = len(ac_vals)
+    out = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0]) + b"\x01" * 64)
+        + _seg(0xC4, bytes([0x00]) + _DC_BITS + _DC_VALS)
+        + _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+        + _seg(0xC2, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+    )
+    for ss, se, ah_al, scan in scans:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, ah_al])) + scan
+    return out + b"\xff\xd9"
+
+
+def test_hand_packed_successive_approximation():
+    """Successive approximation decoded against hand arithmetic and
+    the textbook IDCT: DC first at Al=1 (values scaled ×2), DC
+    refinement bit, AC first at Al=1, AC refinement adding a new
+    ±1 coefficient AND a correction bit on an existing one. Final
+    coefficients worked out on paper: F[0][0]=11, u=1 AC=7, v=1
+    AC=1 (all-ones quant)."""
+    scans = [
+        # DC first, Al=1: cat3 '0011' + '101' (=5) → coef0 = 10
+        (0, 0, 0x01, bytes([0b00111011])),
+        # DC refine, Ah=1,Al=0: 1 bit (set) → coef0 = 11; pad 1s
+        # makes the byte 0xFF which must be STUFFED in the stream
+        (0, 0, 0x10, bytes([0xFF, 0x00])),
+        # AC first, Al=1: sym(r=0,s=2) code 3 + bits '11' (=3 → ×2=6
+        # at zigzag k=1) + EOB
+        (1, 63, 0x01, bytes([0b00000011, 0b11000000, 0b00111111])),
+        # AC refine, Ah=1,Al=0: sym(r=0,s=1) + sign 1 (+1) +
+        # correction bit 1 for the nonzero k=1 (6→7) + EOB
+        (1, 63, 0x10, bytes([0b00000010, 0b11000000, 0b00111111])),
+    ]
+    dec = decode_jpeg(_prog_gray(8, 8, scans))
+    coeffs = [[0.0] * 8 for _ in range(8)]
+    coeffs[0][0] = 11.0
+    coeffs[0][1] = 7.0  # zigzag 1 → (u=1, v=0)
+    coeffs[1][0] = 1.0  # zigzag 2 → (u=0, v=1)
+    ref = _ref_idct(coeffs)
+    expected = bytes(
+        int(min(max(round(ref[y][x] + 128), 0), 255))
+        for y in range(8)
+        for x in range(8)
+    )
+    assert dec["pixels"] == expected
+
+
+def test_hand_packed_eob_run_spans_blocks():
+    """Progressive EOB runs: a 24×8 gray image (3 blocks), AC first
+    scan whose first block ends with an EOBRUN covering the next two
+    blocks — their ACs stay zero; DC scan gives each block a distinct
+    flat value. EOBn symbol 0x10 appended to the test's AC table."""
+    ac_vals = _AC_VALS + bytes([0x10])
+    dc = (
+        # block DCs +8, +8, +8 (diffs) → cat4 '0100'+'1000' each
+        "0100" "1000" "0100" "1000" "0100" "1000"
+    )
+    dc += "1" * (-len(dc) % 8)
+    dc_scan = int(dc, 2).to_bytes(len(dc) // 8, "big")
+    # AC first: block 1: coeff at k=1 val 2 (sym(0,2) code 3, bits 10)
+    # then EOBRUN via sym(1,0)=0x10 (code 162) + 1 appended bit '0'
+    # → eobrun = 2-1+0 = 1: ends THIS block and fully skips the next.
+    # Block 3 decoded normally: plain EOB (code 0).
+    ac = "00000011" "10" + format(162, "08b") + "0" + "00000000"
+    ac += "1" * (-len(ac) % 8)
+    ac_scan = int(ac, 2).to_bytes(len(ac) // 8, "big")
+    dec = decode_jpeg(
+        _prog_gray(
+            24, 8,
+            [(0, 0, 0x00, dc_scan), (1, 63, 0x00, ac_scan)],
+            ac_vals=ac_vals,
+        )
+    )
+    px = np.frombuffer(dec["pixels"], np.uint8).reshape(8, 24)
+    # DC diffs accumulate: DCs are 8, 16, 24 → blocks 2/3 flat at
+    # round(16/8)+128 = 130 and round(24/8)+128 = 131
+    assert (px[:, 8:16] == 130).all()
+    assert (px[:, 16:24] == 131).all()
+    # block 1: DC 8 + one AC(k=1, val 2) → textbook IDCT
+    coeffs = [[0.0] * 8 for _ in range(8)]
+    coeffs[0][0] = 8.0
+    coeffs[0][1] = 2.0
+    ref = _ref_idct(coeffs)
+    expected = np.array(
+        [[int(min(max(round(ref[y][x] + 128), 0), 255)) for x in range(8)]
+         for y in range(8)]
+    )
+    assert (px[:, :8] == expected).all()
+
+
 def test_roundtrip_solid_and_gradient():
     """Encoder↔decoder: solid colors are EXACT at q=95 (flat blocks
     quantize losslessly); a smooth gradient stays within tight error
@@ -209,9 +320,11 @@ def test_resize_and_malformed():
     good = encode_jpeg(16, 16, 1, bytes(256), quality=90)
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated scan
-    # progressive SOF2 is the documented seam
+    # progressive now decodes for real (test_progressive_*); a
+    # sequential stream merely RELABELED SOF2 is malformed — its
+    # full-band first scan is illegal in progressive mode
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
     # dimension-bomb hardening: declared 60000×60000 refused before
     # any allocation
