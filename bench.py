@@ -47,6 +47,7 @@ HEADLINE = [
     "q56_pq_topk",  # product-quantization ADC ANN (codes at rest)
     "q57_curated_corpus_v2",  # full-curation capstone
     "q58_ivfpq_topk",  # composed IVF-PQ index
+    "q59_lang_trigram",  # char-trigram language ID
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
