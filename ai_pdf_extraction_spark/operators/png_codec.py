@@ -10,8 +10,10 @@ documented codec seam (round-3 verdict item 3): the reference
 genuinely rasterizes and resizes images (poppler rasterize,
 ``app/backend/services/pdf_service.py:40-128``; PIL LANCZOS resize,
 ``services/ai/extraction.py:74-86``); here the stdlib does the same
-verbs for PNG end-to-end. 16-bit samples and Adam7 interlace raise
-``NotImplementedError`` — honest seams, like webp/mp4 in
+verbs for PNG end-to-end. Adam7 interlace decodes too (round-5): the
+seven independently-filtered sub-images scatter onto the full grid,
+for truecolor and palette alike. 16-bit samples raise
+``NotImplementedError`` — the one honest seam left, like webp/mp4 in
 :mod:`multimodal`.
 
 Decode is per-byte Python (Sub/Average/Paeth carry a left-neighbor
@@ -45,9 +47,10 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(data: bytes) -> dict:
     """PNG bytes → ``{width, height, channels, pixels}`` with
     ``pixels`` the reconstructed (unfiltered) samples, row-major,
-    ``width·channels`` bytes per row. Raises ``ValueError`` on
-    malformed files and ``NotImplementedError`` on the documented
-    unsupported shapes (palette / non-8-bit / interlaced)."""
+    ``width·channels`` bytes per row. Handles filters 0-4, palette
+    (type 3, depths 1/2/4/8, tRNS) and Adam7 interlace. Raises
+    ``ValueError`` on malformed files and ``NotImplementedError`` on
+    the one documented unsupported shape (16-bit samples)."""
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG")
     pos = len(PNG_MAGIC)
@@ -78,39 +81,124 @@ def decode_png(data: bytes) -> dict:
     )
     if w <= 0 or h <= 0:
         raise ValueError("bad dimensions")
-    if interlace:
-        raise NotImplementedError("Adam7 interlace")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     if color == 3:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"bad palette depth {depth}")
         if plte is None or len(plte) < 3 or len(plte) % 3:
             raise ValueError("palette PNG without a valid PLTE")
-        return _decode_palette(w, h, depth, bytes(idat), plte, trns)
+        if interlace:
+            indices = _deinterlace(bytes(idat), w, h, depth, 1)
+        else:
+            indices = _plain_rows(bytes(idat), w, h, depth, 1)
+        return _palette_map(w, h, indices, plte, trns)
     channels = _CHANNELS.get(color)
     if depth != 8 or channels is None:
         raise NotImplementedError(
             f"png decode supports 8-bit color types 0/2/4/6 and palette "
             f"type 3, got depth={depth} color={color}"
         )
-    stride = w * channels
-    want = h * (stride + 1)
-    # Untrusted-crawl hardening: cap by DECLARED dims before inflating,
-    # and inflate at most `want` bytes (max_length) — a deflate bomb in
-    # a tiny file can otherwise materialize gigabytes on the executor
-    # before any length check runs. 256 MB of raw scanlines is far past
-    # any legitimate in-pipeline image.
-    if want > (1 << 28):
-        raise ValueError(f"refusing {w}x{h}x{channels} PNG ({want} raw bytes)")
-    raw = zlib.decompressobj().decompress(bytes(idat), want)
-    if len(raw) < want:
-        raise ValueError("short pixel data")
-    out = _unfilter(raw, h, stride, channels)
+    if interlace:
+        out = _deinterlace(bytes(idat), w, h, depth, channels)
+    else:
+        out = _plain_rows(bytes(idat), w, h, depth, channels)
     return {
         "width": int(w),
         "height": int(h),
         "channels": int(channels),
         "pixels": bytes(out),
     }
+
+
+def _inflate_capped(idat: bytes, want: int, label: str) -> bytes:
+    """Untrusted-crawl hardening: cap by DECLARED dims before
+    inflating, and inflate at most ``want`` bytes (max_length) — a
+    deflate bomb in a tiny file can otherwise materialize gigabytes on
+    the executor before any length check runs. 256 MB of raw
+    scanlines is far past any legitimate in-pipeline image."""
+    if want > (1 << 28):
+        raise ValueError(f"refusing {label} PNG ({want} raw bytes)")
+    raw = zlib.decompressobj().decompress(idat, want)
+    if len(raw) < want:
+        raise ValueError("short pixel data")
+    return raw
+
+
+def _unpack_row(row, pw: int, depth: int) -> bytes:
+    """Sub-byte (or 8-bit) samples → one byte per sample, MSB-first
+    within each byte — the single unpack shared by the sequential and
+    interlaced palette paths."""
+    if depth == 8:
+        return bytes(row[:pw])
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    return bytes(
+        (row[x // per_byte] >> (8 - depth * (x % per_byte + 1))) & mask
+        for x in range(pw)
+    )
+
+
+def _plain_rows(idat: bytes, w: int, h: int, depth: int, spp: int) -> bytearray:
+    """Non-interlaced decode to ``spp`` unpacked bytes per pixel
+    (samples for truecolor, indices for palette)."""
+    stride = (w * depth * spp + 7) // 8
+    raw = _inflate_capped(idat, h * (stride + 1), f"{w}x{h}")
+    bpp = max(depth * spp // 8, 1)
+    un = _unfilter(raw, h, stride, bpp)
+    if depth == 8:
+        return un
+    out = bytearray(h * w)
+    for y in range(h):
+        out[y * w : (y + 1) * w] = _unpack_row(
+            un[y * stride : (y + 1) * stride], w, depth
+        )
+    return out
+
+
+# Adam7 pass origins and strides (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace(idat: bytes, w: int, h: int, depth: int, spp: int) -> bytearray:
+    """Adam7 decode: seven independently-filtered sub-images (each
+    with its own scanline filters and byte packing) scattered onto the
+    full grid. Returns ``spp`` unpacked bytes per pixel. Empty passes
+    (dimension 0) contribute no scanlines, per spec."""
+    passes = []
+    want = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        stride = (pw * depth * spp + 7) // 8
+        if pw and ph:
+            want += ph * (stride + 1)
+        passes.append((x0, y0, dx, dy, pw, ph, stride))
+    raw = _inflate_capped(idat, want, f"{w}x{h} interlaced")
+    bpp = max(depth * spp // 8, 1)
+    unpacked_spp = spp if depth == 8 else 1
+    full = bytearray(h * w * unpacked_spp)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, stride in passes:
+        if not (pw and ph):
+            continue
+        sub = _unfilter(raw[off : off + ph * (stride + 1)], ph, stride, bpp)
+        off += ph * (stride + 1)
+        for i in range(ph):
+            row = sub[i * stride : (i + 1) * stride]
+            if depth != 8:
+                row = _unpack_row(row, pw, depth)
+            y = y0 + i * dy
+            base = y * w
+            for j in range(pw):
+                x = x0 + j * dx
+                full[
+                    (base + x) * unpacked_spp : (base + x + 1) * unpacked_spp
+                ] = row[j * unpacked_spp : (j + 1) * unpacked_spp]
+    return full
 
 
 def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
@@ -147,38 +235,25 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
     return out
 
 
-def _decode_palette(
-    w: int, h: int, depth: int, idat: bytes, plte: bytes, trns: bytes | None
+def _palette_map(
+    w: int, h: int, indices: bytearray, plte: bytes, trns: bytes | None
 ) -> dict:
-    """Color-type-3 decode: unfilter (byte-level), unpack MSB-first
-    ``depth``-bit indices, expand through PLTE → RGB (RGBA when tRNS
-    supplies per-index alpha; missing entries default opaque)."""
+    """Color-type-3 expansion: one index byte per pixel through PLTE →
+    RGB (RGBA when tRNS supplies per-index alpha; missing entries
+    default opaque)."""
     out_ch = 4 if trns is not None else 3
     if w * h * out_ch > (1 << 28):
         raise ValueError(f"refusing {w}x{h} palette PNG")
-    stride = (w * depth + 7) // 8
-    want = h * (stride + 1)
-    raw = zlib.decompressobj().decompress(idat, want)
-    if len(raw) < want:
-        raise ValueError("short pixel data")
-    unfiltered = _unfilter(raw, h, stride, 1)
     n_entries = len(plte) // 3
     out = bytearray(h * w * out_ch)
-    mask = (1 << depth) - 1
-    per_byte = 8 // depth
     pos = 0
-    for y in range(h):
-        row = unfiltered[y * stride : (y + 1) * stride]
-        for x in range(w):
-            b = row[x // per_byte]
-            shift = 8 - depth * (x % per_byte + 1)
-            idx = (b >> shift) & mask
-            if idx >= n_entries:
-                raise ValueError(f"palette index {idx} out of range")
-            out[pos : pos + 3] = plte[idx * 3 : idx * 3 + 3]
-            if out_ch == 4:
-                out[pos + 3] = trns[idx] if idx < len(trns) else 255
-            pos += out_ch
+    for idx in indices:
+        if idx >= n_entries:
+            raise ValueError(f"palette index {idx} out of range")
+        out[pos : pos + 3] = plte[idx * 3 : idx * 3 + 3]
+        if out_ch == 4:
+            out[pos + 3] = trns[idx] if idx < len(trns) else 255
+        pos += out_ch
     return {
         "width": int(w),
         "height": int(h),

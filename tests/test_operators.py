@@ -934,6 +934,115 @@ def test_png_palette_decode_hand_literals():
     assert s["format"] == "png" and s["decode_ok"] and s["n_decoded"] == 12
 
 
+def _adam7_png(width, height, depth, color_type, pixel_rows, plte=None, trns=None):
+    """Test-local Adam7 PACKER (independent of the codec's
+    deinterlacer): split ``pixel_rows`` (unpacked samples, spp bytes
+    per pixel for depth 8, one index byte for sub-byte depths) into
+    the seven passes per PNG spec §8.2, pack each with filter 0,
+    zlib the concatenation, assemble with interlace=1."""
+    import struct as _s
+    import zlib as _z
+
+    spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def chunk(t, b):
+        return (
+            _s.pack(">I", len(b)) + t + b
+            + _s.pack(">I", _z.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        pw = max(0, (width - x0 + dx - 1) // dx)
+        ph = max(0, (height - y0 + dy - 1) // dy)
+        if not (pw and ph):
+            continue
+        for i in range(ph):
+            y = y0 + i * dy
+            samples = []
+            for j in range(pw):
+                x = x0 + j * dx
+                samples.append(pixel_rows[y][x * spp : (x + 1) * spp])
+            row = b"".join(samples)
+            if depth < 8:  # pack indices MSB-first
+                packed = bytearray((pw * depth + 7) // 8)
+                for j, b in enumerate(row):
+                    packed[j * depth // 8] |= b << (8 - depth * (j % (8 // depth) + 1))
+                row = bytes(packed)
+            raw += b"\x00" + row
+    out = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 1))
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7: a test-local pass packer (independent implementation of
+    the spec's pass geometry) builds interlaced files whose decode
+    must reproduce the original raster exactly — grayscale 8×8, RGB
+    with odd dims (partial/empty passes), and 2-bit palette+tRNS."""
+    import random
+
+    from ai_pdf_extraction_spark.operators.png_codec import decode_png
+
+    # grayscale 8x8, every pixel distinct
+    rows = [bytes(y * 16 + x for x in range(8)) for y in range(8)]
+    dec = decode_png(_adam7_png(8, 8, 8, 0, rows))
+    assert (dec["width"], dec["height"], dec["channels"]) == (8, 8, 1)
+    assert dec["pixels"] == b"".join(rows)
+
+    # RGB 5x3: passes 1-2 are single-pixel or empty, 3 empty, etc.
+    rng = random.Random(9)
+    rows = [bytes(rng.randrange(256) for _ in range(5 * 3)) for _ in range(3)]
+    dec = decode_png(_adam7_png(5, 3, 8, 2, rows))
+    assert (dec["width"], dec["height"], dec["channels"]) == (5, 3, 3)
+    assert dec["pixels"] == b"".join(rows)
+
+    # 2-bit palette 7x5 with tRNS → RGBA
+    plte = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255, 7, 8, 9])
+    idx_rows = [bytes(rng.randrange(4) for _ in range(7)) for _ in range(5)]
+    trns = bytes([255, 128, 64])
+    dec = decode_png(_adam7_png(7, 5, 2, 3, idx_rows, plte=plte, trns=trns))
+    assert dec["channels"] == 4
+    expected = bytearray()
+    for row in idx_rows:
+        for i in row:
+            expected += plte[i * 3 : i * 3 + 3]
+            expected.append(trns[i] if i < len(trns) else 255)
+    assert dec["pixels"] == bytes(expected)
+
+    # truncated interlaced data is malformed, loudly
+    good = _adam7_png(8, 8, 8, 0, [bytes(8) for _ in range(8)])
+    import pytest as _pytest
+    import struct as _s
+    import zlib as _z
+
+    short = _adam7_png(8, 8, 8, 0, [bytes(8) for _ in range(8)])
+    # rebuild with half the IDAT payload
+    i = short.find(b"IDAT") - 4
+    ln = _s.unpack(">I", short[i : i + 4])[0]
+    body = short[i + 8 : i + 8 + ln]
+    inner = _z.decompress(body)[: 20]
+    newbody = _z.compress(inner)
+    rebuilt = (
+        short[:i]
+        + _s.pack(">I", len(newbody)) + b"IDAT" + newbody
+        + _s.pack(">I", _z.crc32(b"IDAT" + newbody) & 0xFFFFFFFF)
+        + short[i + 12 + ln :]
+    )
+    with _pytest.raises(ValueError, match="short pixel data"):
+        decode_png(rebuilt)
+    assert decode_png(good)["pixels"] == bytes(64)
+
+
 def test_gif_decode_hand_literals():
     """GIF LZW decode pinned by a file assembled BYTE BY BYTE in the
     test, with the LZW bitstream (clear,1,clear,2,clear,eoi at 3-bit
