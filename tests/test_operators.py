@@ -919,19 +919,42 @@ def test_png_palette_decode_hand_literals():
     # out-of-range index is malformed input, loudly
     with pytest.raises(ValueError, match="out of range"):
         decode_png(_png_palette(1, 1, 8, plte[:6], [(0, [5])]))
-    # 16-bit stays a documented seam
-    with pytest.raises(NotImplementedError):
-        decode_png(_png_raw(1, 1, 0, [(0, [0, 0])])[:33].replace(
-            b"\x08\x00", b"\x10\x00", 1
-        ) + _png_raw(1, 1, 0, [(0, [0, 0])])[33:])
 
-    # decode_payload_summary path: palette pngs now report decode_ok
+    # decode_payload_summary path: palette pngs report decode_ok
     from ai_pdf_extraction_spark.operators.multimodal import (
         decode_payload_summary,
     )
 
     s = decode_payload_summary(p)
     assert s["format"] == "png" and s["decode_ok"] and s["n_decoded"] == 12
+
+
+def test_png_16bit_strip_to_high_byte():
+    """16-bit samples: filters run at the byte level with bpp =
+    2·channels, then the HIGH byte of each big-endian sample survives
+    (strip-16). Hand literals: a Sub-filtered 16-bit row's left
+    neighbor is TWO bytes back."""
+    from ai_pdf_extraction_spark.operators.png_codec import decode_png
+
+    raw16 = _png_raw(2, 2, 0, [(0, [0x12, 0x34, 0xAB, 0xCD]),
+                               (1, [0xFF, 0x00, 0x01, 0x01])])
+    # relabel depth 8 → 16 in IHDR (offset 24 in magic+IHDR layout)
+    data = bytearray(raw16)
+    assert data[24] == 8
+    data[24] = 16
+    dec = decode_png(bytes(data))
+    assert (dec["width"], dec["height"], dec["channels"]) == (2, 2, 1)
+    # row 2 Sub with bpp=2: recon = FF 00, (01+FF)&FF=00 01 → high
+    # bytes FF 00
+    assert dec["pixels"] == bytes([0x12, 0xAB, 0xFF, 0x00])
+
+    # decode_payload_summary path: 16-bit pngs now report decode_ok
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        decode_payload_summary,
+    )
+
+    s = decode_payload_summary(bytes(data))
+    assert s["format"] == "png" and s["decode_ok"] and s["n_decoded"] == 4
 
 
 def _adam7_png(width, height, depth, color_type, pixel_rows, plte=None, trns=None):
