@@ -2273,7 +2273,8 @@ from documents left join hits using (doc_id)
         "q18_quality_scores": quality_sql,
         "q19_fingerprints": f"select doc_id, {fingerprint_expr} as fingerprint from documents",
         "q20_exact_dedup": f"""
-with fp as (select doc_id, {fingerprint_expr} as fp from documents),
+with fp as (select doc_id, coalesce({fingerprint_expr}, 'null-text') as fp
+            from documents),
 groups as (select fp, min(doc_id) as canonical_id, count(*) as group_size
            from fp group by fp)
 select doc_id, canonical_id, group_size, doc_id != canonical_id as is_dup

@@ -126,8 +126,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     partition before its shuffle — and the join back on ``fp`` IS
     covered by AQE's skew-join splitting. Two exchanges instead of one,
     but both are hot-key-safe; the 1-shuffle window is only cheaper
-    when no key is hot, which is not this operator's design point."""
-    fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    when no key is hot, which is not this operator's design point.
+
+    NULL text coalesces to a sentinel fingerprint BEFORE the group-by:
+    an inner join on a null key would silently DROP every null-text
+    doc (the window form kept them), and a dedup pass must never lose
+    doc ids — null-text docs form one exact-duplicate group, distinct
+    from empty-text docs (md5 of ""). The sentinel cannot collide with
+    any md5 hex digest (wrong length/alphabet); the q20 oracle
+    coalesces identically."""
+    fp = docs.select(
+        F.col(id_col),
+        F.coalesce(fingerprint(text_col), F.lit("null-text")).alias("fp"),
+    )
     groups = fp.groupBy("fp").agg(
         F.min(id_col).alias("canonical_id"),
         F.count("*").alias("group_size"),

@@ -26,7 +26,8 @@ Scope — the honest boundary:
   is deliberately naive, correctness is exact and there is no risk of
   mis-transcribing the Annex-K Huffman tables).
 * arithmetic coding, hierarchical, 12-bit, and CMYK raise
-  ``NotImplementedError`` — documented seams like 16-bit PNG.
+  ``NotImplementedError`` — the documented seams (like webp/mp4
+  pixels in :mod:`multimodal`).
 
 DCT math uses numpy (float64 matrix products — deterministic); the
 entropy loop is pure Python over fixture-scale payloads. The

@@ -230,8 +230,9 @@ def decode_media(data: bytes, fmt: str):
       pixel samples — REAL: IDAT is zlib + filter arithmetic
       (:mod:`png_codec`), no codec library needed.
     * ``jpeg`` → dict with width/height/channels and decoded pixels —
-      REAL baseline DCT-Huffman decode (:mod:`jpeg_codec`); progressive
-      streams raise NotImplementedError (documented seam).
+      REAL DCT-Huffman decode (:mod:`jpeg_codec`), baseline AND
+      progressive (SOF0/1/2); only arithmetic-coded/hierarchical/
+      12-bit streams raise.
 
     The remaining compressed codecs (webp, mp4/avi) require
     PIL/soundfile/av — not in this container — and raise

@@ -95,10 +95,26 @@ def decode_png(data: bytes) -> dict:
             indices = _plain_rows(bytes(idat), w, h, depth, 1)
         return _palette_map(w, h, indices, plte, trns)
     channels = _CHANNELS.get(color)
-    if depth not in (8, 16) or channels is None:
-        raise NotImplementedError(
-            f"png decode supports 8/16-bit color types 0/2/4/6 and "
-            f"palette type 3, got depth={depth} color={color}"
+    if channels is None:
+        raise ValueError(f"bad color type {color}")
+    if color == 0 and depth in (1, 2, 4):
+        # sub-byte GRAYSCALE (legal only for type 0; common for B/W
+        # scans): unpack like palette indices, then scale to 8 bits —
+        # 255/(2^d−1) is an exact integer for d ∈ {1,2,4} (255/85/17)
+        if interlace:
+            vals = _deinterlace(bytes(idat), w, h, depth, 1)
+        else:
+            vals = _plain_rows(bytes(idat), w, h, depth, 1)
+        scale = 255 // ((1 << depth) - 1)
+        return {
+            "width": int(w),
+            "height": int(h),
+            "channels": 1,
+            "pixels": bytes(v * scale for v in vals),
+        }
+    if depth not in (8, 16):
+        raise ValueError(
+            f"depth {depth} is not legal for color type {color}"
         )
     # 16-bit samples: filters operate on BYTES with bpp = 2·channels;
     # output strips to 8 bits by keeping each sample's HIGH byte (the
@@ -150,7 +166,12 @@ def _unpack_row(row, pw: int, depth: int) -> bytes:
 
 def _plain_rows(idat: bytes, w: int, h: int, depth: int, spp: int) -> bytearray:
     """Non-interlaced decode to ``spp`` unpacked bytes per pixel
-    (samples for truecolor, indices for palette)."""
+    (samples for truecolor, indices for palette/sub-byte gray)."""
+    # the UNPACKED buffer is up to 8× the packed scanlines for
+    # sub-byte depths — cap it too, before any allocation (the packed
+    # cap alone let a 1-bit bomb unpack ~2 GB; fuzz-review finding)
+    if h * w * max(spp, 1) > (1 << 28):
+        raise ValueError(f"refusing {w}x{h} PNG (unpacked size)")
     stride = (w * depth * spp + 7) // 8
     raw = _inflate_capped(idat, h * (stride + 1), f"{w}x{h}")
     bpp = max(depth * spp // 8, 1)
@@ -177,6 +198,8 @@ def _deinterlace(idat: bytes, w: int, h: int, depth: int, spp: int) -> bytearray
     with its own scanline filters and byte packing) scattered onto the
     full grid. Returns ``spp`` unpacked bytes per pixel. Empty passes
     (dimension 0) contribute no scanlines, per spec."""
+    if h * w * max(spp, 1) > (1 << 28):  # unpacked-size cap (see _plain_rows)
+        raise ValueError(f"refusing {w}x{h} interlaced PNG (unpacked size)")
     passes = []
     want = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -306,7 +329,8 @@ def encode_png_palette(
     trns: bytes | None = None,
 ) -> bytes:
     """8-bit color-type-3 PNG from a palette + index bytes (filter 0
-    per row) — the fixture-side inverse of :func:`_decode_palette`."""
+    per row) — the fixture-side inverse of :func:`decode_png`'s
+    palette path (``_palette_map``)."""
     if len(plte) < 3 or len(plte) % 3:
         raise ValueError("palette must be 3 bytes per entry")
     if len(indices) < width * height:

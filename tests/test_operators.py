@@ -29,6 +29,19 @@ def test_exact_dedup(spark, docs):
     assert out[4]["group_size"] == 2
     assert out[2]["is_dup"] is False  # near-dup is NOT exact-dup
 
+    # review finding r5: NULL-text docs must SURVIVE the join-back (an
+    # inner join on a null fp would silently drop them) and form one
+    # exact-duplicate group, distinct from empty-text docs
+    nd = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in exact_dedup(nd).collect()}
+    assert set(got) == {1, 2, 3, 4}, "dedup must never lose doc ids"
+    assert got[1]["canonical_id"] == 1 and got[2]["canonical_id"] == 1
+    assert got[2]["is_dup"] and got[2]["group_size"] == 2
+    assert got[3]["canonical_id"] == 3 and got[4]["canonical_id"] == 3
+
 
 def test_granule_dedup(spark):
     """Corpus-level sentence dedup: the boilerplate sentence survives
@@ -927,6 +940,64 @@ def test_png_palette_decode_hand_literals():
 
     s = decode_payload_summary(p)
     assert s["format"] == "png" and s["decode_ok"] and s["n_decoded"] == 12
+
+
+def test_png_subbyte_gray_and_unpacked_bomb_cap():
+    """Review findings r5: (a) sub-byte GRAYSCALE (legal for color
+    type 0) decodes with exact 255/(2^d−1) scaling; (b) the zlib-bomb
+    cap must bound the UNPACKED size — a 1-bit image packs 8 pixels
+    per byte, so the packed-scanline cap alone under-counts 8×."""
+    import struct as _s
+    import zlib as _z
+
+    from ai_pdf_extraction_spark.operators.png_codec import decode_png
+
+    def chunk(t, b):
+        return (
+            _s.pack(">I", len(b)) + t + b
+            + _s.pack(">I", _z.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    def gray_png(w, h, depth, rows, interlace=0):
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, depth, 0, 0, 0, interlace))
+            + chunk(b"IDAT", _z.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # 1-bit 8x2: rows 0b10110001, 0b01001110 → 0/255 pattern
+    dec = decode_png(gray_png(8, 2, 1, [bytes([0b10110001]), bytes([0b01001110])]))
+    assert dec["channels"] == 1
+    assert dec["pixels"] == bytes(
+        [255, 0, 255, 255, 0, 0, 0, 255, 0, 255, 0, 0, 255, 255, 255, 0]
+    )
+    # 2-bit scaling: 0,1,2,3 → 0,85,170,255
+    dec = decode_png(gray_png(4, 1, 2, [bytes([0b00011011])]))
+    assert dec["pixels"] == bytes([0, 85, 170, 255])
+
+    # unpacked-size bomb: 1-bit 65528x32768 → packed want = 2^28
+    # (passes the packed cap) but h*w unpacked ≈ 2.1 GB — must refuse
+    # BEFORE inflating/unpacking
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 65528, 32768, 1, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        decode_png(bomb)
+    # same cap on the palette path
+    bomb_p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 65528, 32768, 1, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(6))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        decode_png(bomb_p)
 
 
 def test_png_16bit_strip_to_high_byte():
