@@ -3,13 +3,24 @@
 Media columns are ``binary`` + a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. Header probes (PNG/JPEG/BMP/WebP dimensions,
-WAV/MP4 duration) and wav/bmp/PNG decode + resize are REAL — stdlib
-only (PNG via :mod:`png_codec`: zlib IDAT + filter reconstruction).
-The remaining compressed codecs (jpeg pixel data, webp, mp4) are not
-in this container, so that decode seam raises ``NotImplementedError``
-(deterministic fake features stand in) — the Spark-side plumbing
+WAV/MP4 duration) and wav (8/16/24/32-bit PCM) / bmp / PNG (every
+legal shape) / GIF / JPEG (baseline AND progressive) decode + resize
+are REAL — stdlib+numpy only (:mod:`png_codec` / :mod:`gif_codec` /
+:mod:`jpeg_codec`).
+
+**Downscope decision (round 5, final):** webp and mp4/avi PIXEL
+decode stay out of scope by choice, not omission. VP8 (lossy webp)
+and H.264 (mp4) are full video codecs — boolean arithmetic coding,
+intra prediction, loop filters — far past a reasonable stdlib
+reimplementation; VP8L (lossless webp) hinges on the spec's literal
+120-entry 2D distance-map table, which cannot be independently
+verified in this sandbox (no libwebp, no network), and this repo does
+not ship plausible-but-unverifiable decode paths (the shared-kernel
+blind-spot rule). Their decode raises ``NotImplementedError``
+(deterministic fake features stand in); the Spark-side plumbing
 (schema, partitioning, UDF signature, batch shape) is real and
-tested, per the task brief.
+tested, per the task brief, and header probes (dimensions/duration)
+ARE real for both.
 
 Design notes for 100 TB:
 * media bytes never enter a shuffle — all media stages are
@@ -260,14 +271,34 @@ def decode_media(data: bytes, fmt: str):
             "rms": 0.0,
             "peak": 0,
         }
-        if width == 2 and frames:
-            samples = array.array("h")
-            samples.frombytes(frames[: len(frames) - len(frames) % 2])
-            if samples:
-                out["peak"] = max(abs(s) for s in samples)
-                out["rms"] = round(
-                    (sum(s * s for s in samples) / len(samples)) ** 0.5, 3
-                )
+        # PCM widths per the WAVE spec: 8-bit is UNSIGNED (bias 128),
+        # 16/24/32-bit are signed little-endian (round-5: previously
+        # only 16-bit got rms/peak)
+        samples: list[int] | None = None
+        if frames:
+            usable = len(frames) - len(frames) % max(width, 1)
+            if width == 1:
+                samples = [b - 128 for b in frames[:usable]]
+            elif width == 2:
+                arr = array.array("h")
+                arr.frombytes(frames[:usable])
+                samples = list(arr)
+            elif width == 3:
+                samples = [
+                    int.from_bytes(
+                        frames[i : i + 3], "little", signed=True
+                    )
+                    for i in range(0, usable, 3)
+                ]
+            elif width == 4:
+                arr = array.array("i")
+                arr.frombytes(frames[:usable])
+                samples = list(arr)
+        if samples:
+            out["peak"] = max(abs(s) for s in samples)
+            out["rms"] = round(
+                (sum(s * s for s in samples) / len(samples)) ** 0.5, 3
+            )
         return out
     if fmt == "bmp":
         if len(data) < 54 or not data.startswith(b"BM"):
@@ -671,7 +702,8 @@ def frame_sample_plan(
 # v8: png slot includes palette (color type 3) variants, with and
 #     without tRNS alpha
 # v9: jpeg slots alternate PROGRESSIVE (SOF2) encodes with baseline
-MEDIA_FIXTURE_VERSION = 9
+# v10: wav slot cycles 8/16/24-bit PCM widths
+MEDIA_FIXTURE_VERSION = 10
 # bump when probe_media SEMANTICS change (cache key of the golden,
 # like KERNEL_VERSION for the q34 golden — a probe fix must never be
 # compared against a stale cached golden)
@@ -684,7 +716,8 @@ MEDIA_FIXTURE_VERSION = 9
 MEDIA_PROBE_VERSION = 5
 # bump when decode_payload_summary SEMANTICS change (q53 golden key)
 # d2: baseline jpeg decodes for real (decode_ok + pixel md5)
-MEDIA_DECODE_VERSION = 2
+# d3: 8/24/32-bit PCM wav get real rms/peak (was 16-bit only)
+MEDIA_DECODE_VERSION = 3
 
 
 def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
@@ -699,19 +732,34 @@ def generate_media_rows(n: int, seed: int = 21) -> list[tuple[int, bytes]]:
     rows: list[tuple[int, bytes]] = []
     for i in range(n):
         kind = i % 5
-        if kind == 0:  # wav, 1-2 channels, varying length
+        if kind == 0:  # wav, 1-2 channels, widths 8/16/24-bit
             buf = io.BytesIO()
             with wave.open(buf, "wb") as wf:
                 nch = 1 + (i // 5) % 2
+                if i % 25 == 5:
+                    width = 1  # unsigned 8-bit PCM
+                elif i % 25 == 15:
+                    width = 3  # signed 24-bit PCM
+                else:
+                    width = 2
                 wf.setnchannels(nch)
-                wf.setsampwidth(2)
+                wf.setsampwidth(width)
                 wf.setframerate(8000)
                 nfr = 400 + (i % 7) * 100
-                wf.writeframes(
-                    array.array(
+                if width == 1:
+                    pcm = bytes(rng.randrange(256) for _ in range(nfr * nch))
+                elif width == 3:
+                    pcm = b"".join(
+                        rng.randint(-400000, 400000).to_bytes(
+                            3, "little", signed=True
+                        )
+                        for _ in range(nfr * nch)
+                    )
+                else:
+                    pcm = array.array(
                         "h", [rng.randint(-3000, 3000) for _ in range(nfr * nch)]
                     ).tobytes()
-                )
+                wf.writeframes(pcm)
             rows.append((i, buf.getvalue()))
         elif kind == 1:  # bmp: bottom-up, TOP-DOWN, or truncated
             w, h = 2 + i % 6, 1 + i % 4

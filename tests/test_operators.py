@@ -631,6 +631,44 @@ def _wav_bytes(rate=8000, samples=(0, 1000, -1000, 2000)) -> bytes:
     return buf.getvalue()
 
 
+def test_wav_pcm_widths_decode():
+    """8/24/32-bit PCM rms/peak with hand-computed pins: 8-bit is
+    UNSIGNED (bias 128), wider widths signed little-endian."""
+    import io
+    import wave
+
+    from ai_pdf_extraction_spark.operators.multimodal import decode_media
+
+    def wav(width, pcm):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(width)
+            wf.setframerate(8000)
+            wf.writeframes(pcm)
+        return buf.getvalue()
+
+    # 8-bit samples 128,255,0 → biased 0,127,-128
+    d = decode_media(wav(1, bytes([128, 255, 0])), "wav")
+    assert d["peak"] == 128
+    assert d["rms"] == round(((0 + 127**2 + 128**2) / 3) ** 0.5, 3)
+
+    # 24-bit signed LE
+    pcm24 = (100000).to_bytes(3, "little", signed=True) + (
+        -200000
+    ).to_bytes(3, "little", signed=True)
+    d = decode_media(wav(3, pcm24), "wav")
+    assert d["peak"] == 200000
+    assert d["rms"] == round(((100000**2 + 200000**2) / 2) ** 0.5, 3)
+
+    # 32-bit signed LE
+    pcm32 = (1 << 30).to_bytes(4, "little", signed=True) + (
+        -5
+    ).to_bytes(4, "little", signed=True)
+    d = decode_media(wav(4, pcm32), "wav")
+    assert d["peak"] == 1 << 30
+
+
 def _bmp_bytes(w=4, h=2) -> bytes:
     import struct
 
