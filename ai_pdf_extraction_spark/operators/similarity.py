@@ -217,19 +217,54 @@ def train_ivf_centroids(
     return [[round(float(x), 6) for x in c] for c in C]
 
 
+# -- single-parse SQL builders for quantizer expressions --------------------
+#
+# The Column-builder form of these expressions crosses py4j once per
+# function call: at (m=8, 16 codes) a PQ lookup table is ~128 codeword
+# arrays × (array + zip_with + aggregate + round) ≈ thousands of
+# driver round trips — measured ~4 s of pure plan-CONSTRUCTION latency
+# per query. Emitting the identical expression as ONE SQL string
+# parses JVM-side in a single call (~10×). Semantics are unchanged
+# (same functions, same 0.0D seed, same round-6); the q26/q56/q58
+# oracles and the pq parity tests pin the equivalence.
+
+
+def _sql_double(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _sql_d2(col_sql: str, center: list[float]) -> str:
+    arr = "array(" + ",".join(_sql_double(x) for x in center) + ")"
+    return (
+        f"round(aggregate(zip_with({col_sql}, {arr}, "
+        f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6)"
+    )
+
+
+def _sql_d2_array(col_sql: str, book: list[list[float]]) -> str:
+    return "array(" + ",".join(_sql_d2(col_sql, c) for c in book) + ")"
+
+
 def ivf_assign(vec_col, centroids: list[list[float]]):
     """Coarse-quantizer assignment as a pure Column expression: argmin
     of per-centroid squared-L2 distance (rounded to 6 for cross-engine
     float parity; ties break to the lowest centroid index — both
     ``array_position`` and DuckDB ``list_position`` return the first
     match). Centroid literals ride the plan (broadcast by closure).
+    A string ``vec_col`` takes the single-parse SQL path (hot);
+    Column input keeps the builder form (interactive/tests).
 
     Plan-size bound: literals are right for the coarse-quantizer
     regime (k ≲ 256; k·d doubles in the plan). A FAISS-scale k (4096+)
     would bloat the plan — there, broadcast a centroid DataFrame and
     assign in an Arrow-batched pandas UDF (same contract, different
     transport); the trained-sample/offline structure is unchanged."""
-    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    if isinstance(vec_col, str):
+        d = _sql_d2_array(vec_col, centroids)
+        return F.expr(
+            f"cast(array_position({d}, array_min({d})) - 1 as int)"
+        )
+    v = vec_col
     dists = []
     for c in centroids:
         lit_c = F.array(*[F.lit(x) for x in c])
@@ -246,8 +281,17 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
 def ivf_probes(vec_col, centroids: list[list[float]], nprobe: int):
     """The query's ``nprobe`` nearest coarse clusters, as an int array
     ordered by distance (ties → lower index; array_sort on (d, i)
-    structs is lexicographic)."""
-    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    structs is lexicographic). String input = single-parse SQL path."""
+    if isinstance(vec_col, str):
+        entries = ",".join(
+            f"struct({_sql_d2(vec_col, c)} as d, {i} as i)"
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(
+            f"transform(slice(array_sort(array({entries})), 1, {nprobe}),"
+            f" e -> cast(e.i as int))"
+        )
+    v = vec_col
     entries = []
     for i, c in enumerate(centroids):
         lit_c = F.array(*[F.lit(x) for x in c])
@@ -333,12 +377,13 @@ def _sliced(df: DataFrame, id_col, id_alias: str, vec_col: str, m: int, sub: int
 def _codes_from_slices(codebooks: list[list[list[float]]]):
     """Code array over the ``_s*`` bound slice columns: per-subspace
     argmin of the codeword distances (rounded 6; first-match ties —
-    the ``ivf_assign`` rule)."""
+    the ``ivf_assign`` rule). Single-parse SQL (see the builder note
+    above ``ivf_assign``)."""
     codes = []
     for s, book in enumerate(codebooks):
-        darr = _slice_d2_array(F.col(f"_s{s}"), book)
-        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
-    return F.array(*codes)
+        d = _sql_d2_array(f"_s{s}", book)
+        codes.append(f"cast(array_position({d}, array_min({d})) - 1 as int)")
+    return F.expr("array(" + ",".join(codes) + ")")
 
 
 def pq_encode(vec_col, codebooks: list[list[list[float]]]):
@@ -426,7 +471,7 @@ def pq_codes(
     )
     cols = [F.col(id_col), _codes_from_slices(codebooks).alias("codes")]
     if centroids is not None:
-        cols.append(ivf_assign(F.col("_v"), centroids).alias("coarse"))
+        cols.append(ivf_assign("_v", centroids).alias("coarse"))
     return sliced.select(*cols)
 
 
@@ -470,11 +515,10 @@ def pq_topk(
         c = _sliced(emb, id_col, "neighbor_id", vec_col, m, sub).select(
             "neighbor_id", _codes_from_slices(codebooks).alias("codes")
         )
-    lut = F.array(
-        *[
-            _slice_d2_array(F.col(f"_s{s}"), book)
-            for s, book in enumerate(codebooks)
-        ]
+    lut = F.expr(
+        "array("
+        + ",".join(_sql_d2_array(f"_s{s}", book) for s, book in enumerate(codebooks))
+        + ")"
     )
     q = _sliced(queries, id_col, "query_id", vec_col, m, sub).select(
         "query_id", lut.alias("lut")
@@ -550,15 +594,17 @@ def ivfpq_topk(
     else:
         c = prep(emb, "neighbor_id").select(
             "neighbor_id",
-            ivf_assign(F.col("_v"), centroids).alias("cc"),
+            ivf_assign("_v", centroids).alias("cc"),
             _codes_from_slices(codebooks).alias("codes"),
         )
-    lut = F.array(
-        *[_slice_d2_array(F.col(f"_s{s}"), book) for s, book in enumerate(codebooks)]
+    lut = F.expr(
+        "array("
+        + ",".join(_sql_d2_array(f"_s{s}", book) for s, book in enumerate(codebooks))
+        + ")"
     )
     q = prep(queries, "query_id").select(
         "query_id",
-        ivf_probes(F.col("_v"), centroids, nprobe).alias("qp"),
+        ivf_probes("_v", centroids, nprobe).alias("qp"),
         lut.alias("lut"),
     )
     approx = F.round(
@@ -609,9 +655,9 @@ def ivf_topk(
     recall, exactly FAISS's IVF contract."""
     if centroids is not None:
         qs = _side(queries, id_col, vec_col, "query_id", "qv", "qn")
-        qs = qs.withColumn("qp", ivf_probes(F.col("qv"), centroids, nprobe))
+        qs = qs.withColumn("qp", ivf_probes("qv", centroids, nprobe))
         cs = _side(emb, id_col, vec_col, "neighbor_id", "cv", "cn")
-        cs = cs.withColumn("cc", ivf_assign(F.col("cv"), centroids))
+        cs = cs.withColumn("cc", ivf_assign("cv", centroids))
         pred = F.array_contains(F.col("qp"), F.col("cc"))
     else:
         if nprobe != 1:
