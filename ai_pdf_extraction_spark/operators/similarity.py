@@ -107,7 +107,20 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-LSH bucket id: bit i = (v · plane_i) > 0. Pure Column
     expression; the planes are plan-time literals (broadcast by
     closure, the inverse of the reference's rebuild-every-time prompt
-    anti-pattern, SURVEY.md §4 X10)."""
+    anti-pattern, SURVEY.md §4 X10). A string column name takes the
+    single-parse SQL path (the ``ivf_assign`` builder note: 8 planes ×
+    64-double literal arrays ≈ 500 py4j round trips as Columns)."""
+    if isinstance(vec_col, str):
+        v = f"transform({vec_col}, x -> cast(x as double))"
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = "array(" + ",".join(_sql_double(x) for x in plane) + ")"
+            dot = (
+                f"aggregate(zip_with({v}, {arr}, (a, b) -> a * b), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"(case when {dot} > 0.0D then {1 << i} else 0 end)")
+        return F.expr("cast((" + " + ".join(terms) + ") as int)")
     v = F.transform(vec_col, lambda x: x.cast("double"))
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
@@ -135,10 +148,10 @@ def lsh_topk(
     count. Same output shape as ``cosine_topk``."""
     planes = lsh_planes(n_planes, dim)
     q = _side(queries, id_col, vec_col, "query_id", "qv", "qn").withColumn(
-        "qb", lsh_bucket(F.col("qv"), planes)
+        "qb", lsh_bucket("qv", planes)
     )
     c = _side(emb, id_col, vec_col, "neighbor_id", "cv", "cn").withColumn(
-        "cb", lsh_bucket(F.col("cv"), planes)
+        "cb", lsh_bucket("cv", planes)
     )
     return _ranked_topk(
         q,
