@@ -9,6 +9,17 @@ oracle in ``__spark_entry__.py`` — keep the two in lockstep.
 These extend the reference's per-document enrichment model (extraction
 record + confidence + warnings, ``app/backend/models.py:159-205``) to
 corpus-level curation ops the reference never needed at 21-doc scale.
+
+**Language-ID scope (round 5, final):** the deterministic model is
+script charsets → weighted stopword markers + character trigrams
+(``lang_detect_trigram``), 13 languages + 'und'. This is the engine's
+final deterministic stand-in: a production deployment swaps in a
+fastText ONNX/ctypes call behind the SAME operator shape (one column
+in, one label column out, oracle becomes a golden), which is a
+transport change, not an architecture change. Growing the literal
+model further hits janino's 64 KB generated-method limit (measured at
+~100 replace calls) for marginal accuracy — the remaining gap is
+model quality, not Spark plumbing.
 """
 
 from __future__ import annotations
