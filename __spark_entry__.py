@@ -1152,6 +1152,105 @@ from scored
 """
 
 
+# Edge-case snippets for q60 — each crafted to trip exactly one Gopher
+# rule (or pass them all); doc_id % 7 ∈ {0..4} injects, 5-6 keep real
+# corpus text.
+_GOPHER_SAMPLES: tuple[str, ...] = (
+    "the data to be of and that have with " * 20,  # passes every rule
+    "• one\n• two\n- three\n* four",  # bullet-led lines
+    "first line...\nsecond part...\nthird bit...",  # ellipsis-ended
+    "# # # # # # tag soup with hashes",  # symbol ratio
+    "12345 67890 00000 11111 22222",  # no alphabetic words
+)
+
+
+def q60_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText quality rules (Rae et al. 2021 A1.1): the
+    full public filter set over the documents table, with crafted
+    snippets cycled in so every rule's fail branch AND the all-pass
+    branch land in the contract hash."""
+    from ai_pdf_extraction_spark.operators.text_analysis import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    sample = F.col("text")
+    for idx, snippet in enumerate(_GOPHER_SAMPLES):
+        sample = F.when(m == idx, F.lit(snippet)).otherwise(sample)
+    return gopher_quality(
+        d.select("doc_id", sample.alias("text"))
+    )
+
+
+def _q60_oracle_sql() -> str:
+    """DuckDB twin of q60, rebuilt from the operator's own thresholds
+    and stop-word list (the q52/q59 oracle-construction contract)."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOP_WORDS,
+    )
+
+    snippet_case = "case (doc_id % 7)\n"
+    for idx, snippet in enumerate(_GOPHER_SAMPLES):
+        snippet_case += f"      when {idx} then '{snippet}'\n"
+    snippet_case += "      else text end"
+    stop_sum = " + ".join(
+        f"cast(position(' {w} ' in padded) > 0 as bigint)"
+        for w in GOPHER_STOP_WORDS
+    )
+    return f"""
+with base as (
+  select doc_id, {snippet_case} as t from documents
+),
+proj as (
+  select doc_id, t,
+    regexp_split_to_array(trim(t), '\\s+') as words,
+    string_split(t, chr(10)) as lines,
+    ' ' || lower(t) || ' ' as padded
+  from base
+),
+sig as (
+  select doc_id,
+    cast(case when length(trim(t)) = 0 then 0 else len(words) end as bigint)
+      as n_words,
+    round(length(regexp_replace(t, '\\s', '', 'g'))
+          / greatest(case when length(trim(t)) = 0 then 0 else len(words) end, 1), 4)
+      as mean_word_len,
+    round((length(t) - length(replace(t, '#', ''))
+           + cast((length(t) - length(replace(t, '...', ''))) / 3 as bigint))
+          / greatest(case when length(trim(t)) = 0 then 0 else len(words) end, 1), 4)
+      as symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•*-]')))
+          / greatest(len(lines), 1), 4) as bullet_frac,
+    round(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+          / greatest(len(lines), 1), 4) as ellipsis_frac,
+    round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+          / greatest(case when length(trim(t)) = 0 then 0 else len(words) end, 1), 4)
+      as alpha_frac,
+    cast({stop_sum} as bigint) as stop_hits
+  from proj
+)
+select doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+  ellipsis_frac, alpha_frac, stop_hits,
+  (n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS}
+   and mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+   and mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+   and symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+   and bullet_frac < {GOPHER_MAX_BULLET_FRAC}
+   and ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC}
+   and alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+   and stop_hits >= {GOPHER_MIN_STOP_HITS}) as gopher_pass
+from sig
+"""
+
+
 def q39_field_confidences(spark, sf_dir):
     """Per-field confidences (reference ``field_confidences`` dict,
     ``models.py:186-199``) surfaced as one column per span kind via map
@@ -1650,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_curated_corpus_v2": q57_curated_corpus_v2,
         "q58_ivfpq_topk": q58_ivfpq_topk,
         "q59_lang_trigram": q59_lang_trigram,
+        "q60_gopher_quality": q60_gopher_quality,
     }
 
 
@@ -2436,6 +2536,7 @@ select query_id, neighbor_id, cos, rank from (
         "q56_pq_topk": _q56_oracle_sql(),
         "q58_ivfpq_topk": _q58_oracle_sql(),
         "q59_lang_trigram": _q59_oracle_sql(),
+        "q60_gopher_quality": _q60_oracle_sql(),
         "q27_hourly_event_counts": """
 select date_trunc('hour', ts) as hour, event_type,
   count(*) as n_events, round(sum(value), 2) as sum_value

@@ -285,6 +285,95 @@ def quality_score(col: Column | str = "text") -> Column:
     return F.round(length_comp * 0.4 + stop_comp * 0.3 + word_comp * 0.3, 4)
 
 
+# Gopher quality-rule thresholds (Rae et al. 2021, appendix A1.1 —
+# the public DeepMind/MassiveText filter set production pipelines
+# reuse). Embedded in the q60 oracle verbatim.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The full Gopher/MassiveText document-quality rule set (public:
+    Rae et al. 2021 A1.1) as one declarative pass — the recognized
+    production filter family beyond q18's composite score and q42's
+    repetition signals. Output per doc: the measured signals plus
+    ``gopher_pass`` (every rule holds).
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    (hash + ellipsis)/words ≤ 0.1; <90% of lines bullet-led; <30% of
+    lines ellipsis-ended; ≥80% of words contain a letter; ≥2 distinct
+    English stop words present.
+
+    Shape notes: the word and line arrays are PROJECTED before the
+    element-wise lambdas (the HOF-projection remedy — each array is
+    consumed by two+ filters, and inlined expressions recompute per
+    element); everything else is single-pass column arithmetic.
+    Mirrors the q60 oracle SQL exactly; keep in lockstep."""
+    c = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        c.alias("_t"),
+        F.split(F.trim(c), r"\s+").alias("_words"),
+        F.split(c, "\n").alias("_lines"),
+        F.concat(F.lit(" "), F.lower(c), F.lit(" ")).alias("_padded"),
+    )
+    n_words = F.when(F.length(F.trim("_t")) == 0, F.lit(0)).otherwise(
+        F.size("_words")
+    ).cast("long")
+    nw1 = F.greatest(n_words, F.lit(1))
+    nonspace = F.length(F.regexp_replace("_t", r"\s", ""))
+    mean_wl = F.round(nonspace / nw1, 4)
+    hash_n = F.length("_t") - F.length(F.replace("_t", F.lit("#"), F.lit("")))
+    ellipsis_n = (
+        (F.length("_t") - F.length(F.replace("_t", F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    symbol_ratio = F.round((hash_n + ellipsis_n) / nw1, 4)
+    n_lines = F.greatest(F.size("_lines"), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter("_lines", lambda l: F.ltrim(l).rlike("^[•*-]"))) / n_lines, 4
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter("_lines", lambda l: F.rtrim(l).endswith("..."))) / n_lines, 4
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("_words", lambda w: w.rlike("[a-zA-Z]"))) / nw1, 4
+    )
+    stop_hits = sum(
+        F.when(F.col("_padded").contains(f" {w} "), 1).otherwise(0)
+        for w in GOPHER_STOP_WORDS
+    ).cast("long")
+    out = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") < GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") < GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS),
+    )
+
+
 def fingerprint(col: Column | str = "text") -> Column:
     """Content fingerprint: md5 over lowercased alphanumerics — the
     Spark/DuckDB-portable analogue of the reference's sha256 content

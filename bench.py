@@ -48,6 +48,7 @@ HEADLINE = [
     "q57_curated_corpus_v2",  # full-curation capstone
     "q58_ivfpq_topk",  # composed IVF-PQ index
     "q59_lang_trigram",  # char-trigram language ID
+    "q60_gopher_quality",  # full Gopher rule set
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

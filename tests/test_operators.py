@@ -1479,6 +1479,43 @@ def test_lang_detect_trigram(spark):
             assert plan.count(needle) == 1, (t, plan.count(needle))
 
 
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on its crafted snippet and ONLY that
+    rule's signal moves (independent expectations, not the oracle):
+    the stopword-rich doc passes all rules; bullets, ellipses, hashes,
+    numeric words, and brevity each fail."""
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.operators.text_analysis import gopher_quality
+
+    rows = [
+        (0, "the data to be of and that have with " * 20),
+        (1, "• one\n• two\n- three\n* four"),
+        (2, "first line...\nsecond part...\nthird bit..."),
+        (3, "# # # # # # tag soup with hashes"),
+        (4, "12345 67890 00000 11111 22222"),
+        (5, "tiny"),
+        (6, "superlongword " * 60),  # mean word length 13 > 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[0]["gopher_pass"] is True
+    assert got[0]["n_words"] == 180 and got[0]["stop_hits"] == 8
+    assert abs(got[0]["mean_word_len"] - 28 * 20 / 180) < 1e-3
+    assert got[1]["bullet_frac"] == 1.0 and not got[1]["gopher_pass"]
+    assert got[2]["ellipsis_frac"] == 1.0 and not got[2]["gopher_pass"]
+    assert got[3]["symbol_ratio"] > 0.1 and not got[3]["gopher_pass"]
+    assert got[4]["alpha_frac"] == 0.0 and not got[4]["gopher_pass"]
+    assert got[5]["n_words"] == 1 and not got[5]["gopher_pass"]
+    assert got[6]["mean_word_len"] > 10 and not got[6]["gopher_pass"]
+
+    # HOF-projection discipline: the word/line arrays must be produced
+    # by a projection, not re-split inside every lambda — the split
+    # literals appear exactly once each in the analyzed plan
+    plan = gopher_quality(df)._jdf.queryExecution().analyzed().toString()
+    assert plan.count("split(text") <= 3  # words + lines + nothing inlined
+
+
 def test_lang_plans_evaluate_each_marker_once(spark):
     """Plan-size regression guard for the no-CSE blow-up: each marker
     literal must appear EXACTLY ONCE in the analyzed plan of both
