@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import re as _re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ai_pdf_extraction_spark.operators.text_analysis import fingerprint
@@ -539,11 +539,15 @@ def neardup_clusters(
         )
     edges.unpersist()
     _register_labels(labels)
-    w = Window.partitionBy("label")
-    out = labels.select(
+    # cluster sizes via partial-aggregating groupBy + join back — the
+    # exact_dedup rule: a giant near-dup cluster (boilerplate family at
+    # crawl scale) is a hot label, a window over it funnels one task
+    # with no AQE remedy, while the join back IS skew-splittable
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),
-        F.count("*").over(w).alias("cluster_size"),
+        "cluster_size",
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
     return out
