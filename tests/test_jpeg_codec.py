@@ -358,16 +358,21 @@ def test_resize_and_malformed():
     with pytest.raises(ValueError, match="short SOS"):
         decode_jpeg(short_sos + b"\xff\xd9")
 
-    # deterministic corrupt-bytes sweep: decode either succeeds or
-    # raises ValueError/NotImplementedError — never crashes
-    base = bytearray(encode_jpeg(16, 8, 3, bytes(16 * 8 * 3), quality=80))
-    for k in range(0, len(base), 7):
-        mutated = bytearray(base)
-        mutated[k] ^= 0xA5
-        try:
-            decode_jpeg(bytes(mutated))
-        except (ValueError, NotImplementedError):
-            pass
+    # deterministic corrupt-bytes sweep (baseline AND progressive):
+    # decode either succeeds or raises ValueError/NotImplementedError —
+    # never crashes
+    for progressive in (False, True):
+        base = bytearray(
+            encode_jpeg(16, 8, 3, bytes(16 * 8 * 3), quality=80,
+                        progressive=progressive)
+        )
+        for k in range(0, len(base), 7):
+            mutated = bytearray(base)
+            mutated[k] ^= 0xA5
+            try:
+                decode_jpeg(bytes(mutated))
+            except (ValueError, NotImplementedError):
+                pass
 
 
 def test_decode_media_and_summary_integration():

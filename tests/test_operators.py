@@ -421,6 +421,39 @@ def test_pq_codes_at_rest_parity(spark, tmp_path):
     assert inline2 == rest2
 
 
+def test_ann_index_job_end_to_end(spark, tmp_path):
+    """The ANN-index job: build writes codes parquet + quantizer JSON,
+    load feeds pq_topk/ivfpq_topk via codes=, and the results equal
+    the inline-encode path (the at-rest parity contract, now through
+    the job surface)."""
+    from ai_pdf_extraction_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+    from jobs.ann_index_job import build_ann_index, load_ann_index
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "index")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    manifest = build_ann_index(spark, src, out, m=8, n_codes=16, n_clusters=4)
+    assert manifest["n_vectors"] == spark.read.parquet(src).count()
+
+    codes, cents, books, mf = load_ann_index(spark, out)
+    emb = spark.read.parquet(src)
+    qs = emb.filter(F.col("vec_id") < 3)
+    inline = sorted(map(tuple, pq_topk(emb, qs, books, k=5).collect()))
+    rest = sorted(
+        map(tuple, pq_topk(None, qs, books, k=5, codes=codes).collect())
+    )
+    assert inline == rest and len(rest) == 15
+    got = ivfpq_topk(
+        None, qs, cents, books, k=5, nprobe=2, codes=codes
+    ).count()
+    assert got > 0
+
+
 def test_ivf_trained_quantizer(spark):
     """Real coarse quantizer: deterministic across calls, separates
     two obvious clusters, and the trained ivf_topk path returns only
