@@ -2671,10 +2671,14 @@ with raw as (
 ), s1 as (select event_id, raw_url,
             regexp_replace(raw_url, '#.*$', '', 'g') as u from raw
 ), s2 as (select event_id, raw_url,
-            regexp_replace(regexp_replace(regexp_replace(u,
-              '(?i)\?((?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)+', '?', 'g'),
-              '(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-              '[?&]$', '', 'g') as u from s1
+            case when instr(u, '?') > 0 then
+              substring(u, 1, instr(u, '?') - 1) ||
+              regexp_replace(regexp_replace(regexp_replace(
+                substring(u, instr(u, '?')),
+                '(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                '^&', '?', 'g'),
+                '[?&]$', '', 'g')
+            else u end as u from s1
 ), s3 as (select event_id, raw_url,
             case when regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) = ''
                  then u

@@ -20,16 +20,25 @@ def canonicalize_url(col: Column | str = "url") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # 1. drop fragment
     u = F.regexp_replace(c, r"#.*$", "")
-    # 2a. a run of tracking params straight after '?' keeps the '?'
-    #     for whatever follows ('?utm_a=1&utm_b=2&q=1' → '?q=1') —
-    #     NEVER promote a bare '&' to '?' afterwards: that rewrite
-    #     corrupted urls with a literal '&' in the path
-    u = F.regexp_replace(
-        u, r"(?i)\?(?:(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)+", "?"
+    # 2. strip tracking params INSIDE the query substring only (review
+    #    r5: the old '&'-anywhere form corrupted urls carrying a
+    #    literal '&' in the PATH when no '?' preceded it — the very
+    #    hazard its comment claimed to avoid). Split on the first '?';
+    #    within the query, '[?&]'-prefixed matches are always safe, a
+    #    leading '&' left by stripping the first param promotes back
+    #    to '?', and a trailing lone '?'/'&' drops.
+    qpos2 = F.instr(u, "?")
+    path2 = F.when(qpos2 > 0, F.substring(u, F.lit(1), qpos2 - 1)).otherwise(u)
+    query2 = (
+        F.when(qpos2 > 0, F.substring(u, qpos2, F.length(u)))
+        .otherwise(F.lit(""))
     )
-    # 2b. remaining tracking params (lone '?t=..' or mid/trailing '&t=..')
-    u = F.regexp_replace(u, r"(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
-    u = F.regexp_replace(u, r"[?&]$", "")
+    query2 = F.regexp_replace(
+        query2, r"(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*", ""
+    )
+    query2 = F.regexp_replace(query2, r"^&", "?")
+    query2 = F.regexp_replace(query2, r"[?&]$", "")
+    u = F.concat(path2, query2)
     # 3. lowercase scheme://host (leave path/query case alone)
     head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1))
     tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")

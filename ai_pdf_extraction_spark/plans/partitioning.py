@@ -26,8 +26,14 @@ DEFAULT_N_SALTS = 16
 
 
 def url_host(col: str = "url"):
-    """Extract the host from a url column — JVM-side regex, no UDF."""
-    return F.regexp_extract(F.col(col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    """Extract the host from a url column — JVM-side regex, no UDF.
+    The host stops at '/', '?' OR '#' (review r5: a path-less url like
+    ``https://a.com?session=42`` must not splinter one host into a
+    pseudo-host per query string) and the scheme matches
+    case-insensitively (``HTTPS://`` pages are the same host)."""
+    return F.regexp_extract(
+        F.col(col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+    )
 
 
 def url_bucket(col: str = "url", n_buckets: int = DEFAULT_N_BUCKETS):
@@ -36,7 +42,15 @@ def url_bucket(col: str = "url", n_buckets: int = DEFAULT_N_BUCKETS):
 
 
 def salt(col: str = "url", n_salts: int = DEFAULT_N_SALTS):
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_salts)).cast("int")
+    """Per-row salt, hashed with a SEED DISTINCT from url_bucket's:
+    unseeded, salt ≡ bucket mod n_salts whenever n_salts divides
+    n_buckets (it does by default), so within any one bucket — the
+    resume/commit unit — every row carried the SAME salt and
+    (host, salt) degenerated to (host): the hot-host funnel the salt
+    exists to prevent (review r5)."""
+    return F.pmod(
+        F.xxhash64(F.col(col), F.lit("salt")), F.lit(n_salts)
+    ).cast("int")
 
 
 def with_partition_columns(
@@ -85,9 +99,21 @@ def salted_join(
     full-row duplicates are what exact dedup removes upstream; if a
     pathological all-columns-identical hot set matters, dedup first.
     """
+    # hash only the HASHABLE columns: xxhash64 rejects MapType (and
+    # map-nested types) at plan time, and the pipeline's own output
+    # schema carries maps (field_confidences, tables) — review r5. The
+    # join key always participates, so a hot key still spreads as long
+    # as any hashable column varies across its rows.
+    hashable = [
+        f.name
+        for f in skewed.schema.fields
+        if "map" not in f.dataType.simpleString()
+    ]
+    if key not in hashable:
+        raise ValueError(f"join key {key!r} must be a hashable type")
     fact = skewed.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int"),
+        F.pmod(F.xxhash64(*hashable), F.lit(n_salts)).cast("int"),
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

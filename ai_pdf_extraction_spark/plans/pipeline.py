@@ -145,7 +145,22 @@ def run_extraction(
     (None = single commit; smaller values trade commit overhead for
     finer resume points, the knob a 1000-executor run would set to
     bound recomputation after preemption).
+
+    ``output_root`` is a PATH: this chunked-resume writer drives the
+    parquet+manifest ``SnapshotTable`` (its commit-id data layout and
+    manifest chain). An Iceberg deployment instead drives
+    ``project_extraction`` + ``make_output_table(...).append`` per
+    bucket group — the shared append/read/committed_buckets interface
+    (see the seam note in ``sources/snapshot_table.py``). A
+    catalog-style name here fails loud rather than creating a local
+    directory literally named ``catalog.ns.table``.
     """
+    if "/" not in output_root and "\\" not in output_root and output_root.count(".") >= 1:
+        raise ValueError(
+            f"output_root {output_root!r} looks like a catalog table name; "
+            "run_extraction writes the parquet SnapshotTable layout — for "
+            "Iceberg, drive project_extraction + make_output_table().append"
+        )
     table = SnapshotTable(output_root)
     # Resume invariant: the bucketing fanout is baked into every
     # committed row's bucket id — resuming with a different n_buckets

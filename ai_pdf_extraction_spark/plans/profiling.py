@@ -81,8 +81,15 @@ def representative_sample(pages: DataFrame, max_docs: int = 64) -> DataFrame:
     rows — exactly max_docs whenever the stride filter leaves ≥ middle
     candidates, which the 4× oversampling makes near-certain (and
     exact-by-construction when stride == 1, i.e. n < 8·middle)."""
-    # one deterministic row per duplicated url
-    w_dup = Window.partitionBy("url").orderBy(F.xxhash64(F.col("html")))
+    # one deterministic row per duplicated url — tie-broken past the
+    # html hash by the remaining metadata (review r5: recrawl rows with
+    # IDENTICAL html but different warc_ts/lang tied, and which row
+    # won depended on partition order, breaking the no-RNG determinism
+    # contract)
+    w_dup = Window.partitionBy("url").orderBy(
+        F.xxhash64(F.col("html")),
+        *[F.col(c) for c in pages.columns if c not in ("url", "html")],
+    )
     deduped = (
         pages.withColumn("_dup_rn", F.row_number().over(w_dup))
         .filter(F.col("_dup_rn") == 1)
@@ -140,8 +147,9 @@ def profile_corpus(spark: SparkSession, input_path: str, max_docs: int = 64) -> 
     sample.unpersist()
     return {
         "n_sampled": int(stats["n_sampled"]),
-        "avg_chars": float(stats["avg_chars"]),
-        "avg_spans": float(stats["avg_spans"]),
+        # empty corpus: avg() is null — report 0.0, don't TypeError
+        "avg_chars": float(stats["avg_chars"] or 0.0),
+        "avg_spans": float(stats["avg_spans"] or 0.0),
         "parse_fail_rate": round(stats["n_parse_fail"] / max(stats["n_sampled"], 1), 4),
         "content_type_mix": ctype_mix,
         "span_kind_mix": kind_mix,

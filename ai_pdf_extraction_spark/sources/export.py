@@ -115,12 +115,18 @@ def export_json(
     # extraction plan, and without the cache the kernel UDF would run
     # the whole corpus twice (once per action)
     df = df.persist()
-    df.write.mode("overwrite").json(os.path.join(path, "results"))
-    agg = [F.count("*").alias("total_documents")]
-    if confidence_col:
-        agg.append(F.round(F.avg(confidence_col), 3).alias("average_confidence"))
-    row = df.agg(*agg).collect()[0]
-    df.unpersist()
+    try:
+        df.write.mode("overwrite").json(os.path.join(path, "results"))
+        agg = [F.count("*").alias("total_documents")]
+        if confidence_col:
+            agg.append(
+                F.round(F.avg(confidence_col), 3).alias("average_confidence")
+            )
+        row = df.agg(*agg).collect()[0]
+    finally:
+        # a failed write must not leave the whole extraction corpus
+        # pinned in executor storage for the rest of the session
+        df.unpersist()
     envelope = {
         "schema": schema_name,
         "batch_id": batch_id,

@@ -48,6 +48,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class SnapshotConflictError(RuntimeError):
+    """Two writers raced for the same snapshot sequence number; the
+    loser gets this instead of silently overwriting the winner."""
+
+
 class SnapshotTable:
     def __init__(self, root: str) -> None:
         self.root = root
@@ -137,8 +142,16 @@ class SnapshotTable:
         properties: dict | None = None,
     ) -> dict:
         """Commit a snapshot manifest (data already written under
-        ``commit_id``). The ``os.replace`` rename is the atomicity
-        point — a crash before it leaves the data files invisible.
+        ``commit_id``). Publication is an EXCLUSIVE ``os.link`` of the
+        temp manifest onto ``snapshot-{seq}.json`` — link fails with
+        EEXIST if another committer already claimed the sequence
+        number, which surfaces the conflict as
+        ``SnapshotConflictError`` instead of last-writer-wins
+        overwriting the other commit's manifest (review r5: a zombie
+        driver racing its replacement silently orphaned the loser's
+        buckets). This is the CAS half of Iceberg's optimistic commit;
+        callers may re-read the chain and retry. A crash before the
+        link leaves the data files invisible, as before.
         ``replaces`` marks prior commit ids superseded by this one
         (compaction); ``properties`` carries table-level invariants
         (e.g. the bucketing fanout) checked on resume."""
@@ -158,7 +171,19 @@ class SnapshotTable:
         tmp = os.path.join(self.manifest_dir, f".tmp-{snap['snapshot_id']}")
         with open(tmp, "w") as fh:
             json.dump(snap, fh, indent=1)
-        os.replace(tmp, os.path.join(self.manifest_dir, f"snapshot-{seq:06d}.json"))
+        target = os.path.join(self.manifest_dir, f"snapshot-{seq:06d}.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"snapshot sequence {seq} already committed by a "
+                f"concurrent writer ({target}); re-read the chain and retry"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return snap
 
     # -- read path -----------------------------------------------------
@@ -406,9 +431,15 @@ def make_output_table(spark: SparkSession, root: str):
     """The output-table seam: an Iceberg table when the session has the
     catalog loaded AND ``root`` names a catalog table
     (``catalog.namespace.table`` — no path separators), else the
-    parquet+manifest ``SnapshotTable``. The extraction pipeline only
-    touches the shared interface, so flipping a cluster to real Iceberg
-    is a jar + table-name change."""
+    parquet+manifest ``SnapshotTable``. The SHARED interface is
+    append/read/read_at/committed_buckets/current_snapshot — a
+    deployment writes via ``project_extraction`` + ``append`` per
+    bucket group in either mode. ``plans.pipeline.run_extraction``'s
+    chunked-resume writer is parquet-layout-specific by design (it
+    manages commit-id data dirs and the manifest chain directly) and
+    rejects catalog names loudly; flipping IT to Iceberg means
+    swapping its write loop for ``append`` calls, not a table-name
+    change (review r5 corrected the earlier overstated claim here)."""
     from ai_pdf_extraction_spark.session import iceberg_available
 
     looks_like_table = "/" not in root and "\\" not in root and root.count(".") >= 1

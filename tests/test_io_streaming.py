@@ -496,6 +496,39 @@ def test_warc_stream_matches_batch_read(spark, tmp_path):
     assert g == b
 
 
+def test_snapshot_commit_conflict_and_catalog_guard(spark, tmp_path):
+    """Review r5: (a) two writers racing for the same snapshot
+    sequence must surface SnapshotConflictError (CAS via exclusive
+    link), never last-writer-wins overwrite; (b) run_extraction
+    rejects catalog-style output names loudly instead of creating a
+    local dir named 'catalog.ns.table'."""
+    import pytest
+
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+    from ai_pdf_extraction_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "t")
+    a = SnapshotTable(root)
+    b = SnapshotTable(root)  # concurrent writer, same chain
+    a.commit(buckets=[0], run_id="r1")
+    # real race shape: b reads the head (seq 0), THEN a publishes
+    # seq 1, then b tries to publish its own seq 1 — the loser must
+    # get the conflict, not overwrite
+    stale_head = b.current_snapshot()
+    a.commit(buckets=[1], run_id="r2a")
+    b.current_snapshot = lambda: stale_head  # b acts on its stale read
+    with pytest.raises(SnapshotConflictError, match="sequence 1"):
+        b.commit(buckets=[2], run_id="r2b")
+    # the winner's manifest is intact
+    assert SnapshotTable(root).committed_buckets() == {0, 1}
+
+    with pytest.raises(ValueError, match="catalog table name"):
+        run_extraction(spark, "x.parquet", "graft.db.tbl", run_id="g")
+
+
 def test_output_table_seam_both_modes(spark, tmp_path):
     """The Iceberg seam: make_output_table routes a catalog-style name
     to IcebergSnapshotTable when the JVM has the catalog class, and to

@@ -1627,6 +1627,14 @@ def test_url_canonicalization(spark):
         ("https://h.com/a?utm_a=1&utm_b=2&q=1", "https://h.com/a?q=1"),
         # only tracking params → query gone entirely
         ("https://h.com/a?utm_a=1&utm_b=2", "https://h.com/a"),
+        # round-5 review regressions: a tracking-LOOKING sequence after
+        # a literal '&' in the PATH (no '?') must stay untouched —
+        # the old '&'-anywhere strip ate '/rest' too
+        ("http://a/b&gclid=x/rest", "http://a/b&gclid=x/rest"),
+        # ...while the same sequence genuinely in the query strips
+        ("http://a/b?x=1&gclid=x", "http://a/b?x=1"),
+        # tracking first + keep later, with a path '&' upstream
+        ("http://a/b&c?utm_a=1&keep=2", "http://a/b&c?keep=2"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
