@@ -1654,9 +1654,22 @@ def q50_representative_sample(spark, sf_dir):
     return representative_sample(pages_like, max_docs=16).select("url")
 
 
+# Adversarial url shapes for q37 (review-r5 regression classes) —
+# shared verbatim with the oracle so the hard cases are cross-engine
+# hashed every round, not just pytest-pinned.
+_URL_SAMPLES: tuple[str, ...] = (
+    "http://a/b&gclid=x/rest",  # literal '&' in PATH, no query
+    "https://a.com?sessionid=42",  # query directly after host
+    "http://h/a&b?utm_a=1&keep=2",  # path '&' + real tracking strip
+    "https://h.com/a?utm_a=1&utm_b=2",  # all-tracking query
+    "https://a.com/p?u=http://x.com//y",  # query carrying a url
+)
+
+
 def q37_url_canonicalize(spark, sf_dir):
     """URL canonicalization (crawl-dedup key normalization): messy
-    urls deterministically synthesized from events rows, canonicalized
+    urls deterministically synthesized from events rows — plus the
+    adversarial literal shapes above every 23rd row — canonicalized
     with the same regex pipeline in both engines."""
     from ai_pdf_extraction_spark.operators.urls import canonicalize_url
 
@@ -1670,6 +1683,9 @@ def q37_url_canonicalize(spark, sf_dir):
         .when(F.col("event_id") % 3 == 1, "/#frag")
         .otherwise("/"),
     )
+    m = F.col("event_id") % 23
+    for idx, u in enumerate(_URL_SAMPLES):
+        messy = F.when(m == idx, F.lit(u)).otherwise(messy)
     return e.select(
         "event_id",
         messy.alias("raw_url"),
@@ -2664,9 +2680,14 @@ where s.doc_id not in (select doc_id from near_losers)
         "q37_url_canonicalize": r"""
 with raw as (
   select event_id,
+    case (event_id % 23)
+""" + "".join(
+            f"      when {i} then '{u}'\n" for i, u in enumerate(_URL_SAMPLES)
+        ) + r"""      else
     'HTTPS://Src' || (event_id % 20) || '.Example.COM:443/Path//' || event_id ||
     (case when event_id % 3 = 0 then '/?utm_source=x&q=1'
-          when event_id % 3 = 1 then '/#frag' else '/' end) as raw_url
+          when event_id % 3 = 1 then '/#frag' else '/' end)
+    end as raw_url
   from events
 ), s1 as (select event_id, raw_url,
             regexp_replace(raw_url, '#.*$', '', 'g') as u from raw

@@ -1642,6 +1642,36 @@ def test_url_canonicalization(spark):
         assert actual == want, f"{raw!r}: {actual!r} != {want!r}"
 
 
+def test_url_canonicalization_idempotent(spark):
+    """Canonicalization must be a FIXPOINT: canonical(canonical(u)) ==
+    canonical(u) over a combinatorial sweep of schemes, ports, paths
+    (incl. literal '&', '//', trailing '/'), queries (tracking mixes,
+    url-valued params) and fragments — a second pass changing anything
+    means two crawls of one page could key differently."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.operators.urls import canonicalize_url
+
+    schemes = ["http://", "HTTPS://", ""]
+    hosts = ["Example.COM", "h.com:443", "a.b.c:80"]
+    paths = ["/", "/a//b/", "/x&gclid=1/y", "/p", ""]
+    queries = ["", "?utm_a=1", "?utm_a=1&q=2", "?q=http://x//y", "?a=1&fbclid=2&b=3"]
+    frags = ["", "#frag"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select("url", canonicalize_url("url").alias("c1"))
+    rows = once.select(
+        "url", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    bad = [(r["url"], r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
+
+
 def test_ivfpq_topk_composes_quantizers(spark):
     """IVF-PQ: every returned neighbor shares the query's coarse
     cluster, and its ADC score equals the plain-PQ score for the same
