@@ -55,15 +55,24 @@ class SnapshotConflictError(RuntimeError):
 
 class SnapshotTable:
     def __init__(self, root: str) -> None:
+        # LAZY directory creation (review r5): constructing a handle
+        # must not mkdir as a side effect — make_output_table probes
+        # routing by constructing one, and an Iceberg-style name
+        # ('graft.db.extract_test') left junk dirs in the cwd. Dirs
+        # materialize on first read/write via _ensure_dirs().
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
+
+    def _ensure_dirs(self) -> None:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
 
     # -- snapshot chain --------------------------------------------------
 
     def _manifest_paths(self) -> list[str]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
         names = sorted(
             n for n in os.listdir(self.manifest_dir)
             if n.startswith("snapshot-") and n.endswith(".json")
@@ -110,6 +119,7 @@ class SnapshotTable:
     # -- write path --------------------------------------------------------
 
     def new_commit_id(self) -> str:
+        self._ensure_dirs()
         return uuid.uuid4().hex
 
     def append(
@@ -155,6 +165,7 @@ class SnapshotTable:
         ``replaces`` marks prior commit ids superseded by this one
         (compaction); ``properties`` carries table-level invariants
         (e.g. the bucketing fanout) checked on resume."""
+        self._ensure_dirs()
         parent = self.current_snapshot()
         seq = (parent["sequence"] + 1) if parent else 0
         snap = {
@@ -198,6 +209,7 @@ class SnapshotTable:
         runs appears as null in pre-evolution commits, Iceberg
         add-column semantics). Off by default: schema merging reads
         every file footer."""
+        self._ensure_dirs()  # fresh-path read keeps the empty-table shape
         reader = spark.read.option("basePath", self.data_dir)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
