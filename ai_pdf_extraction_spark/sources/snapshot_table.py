@@ -293,6 +293,8 @@ class SnapshotTable:
         for snap in self.snapshots():
             replaced.update(snap.get("replaces", []))
         removed: list[str] = []
+        if not os.path.isdir(self.data_dir):  # never-written table
+            return removed
         for cid in sorted(replaced - live):
             for bucket_dir in os.listdir(self.data_dir):
                 victim = os.path.join(self.data_dir, bucket_dir, f"commit_id={cid}")
