@@ -140,8 +140,12 @@ class _BitReader:
                 raise _MarkerHit()
         else:
             self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
+        # _fill is only reached with nbits == 0 (read_bit refills on
+        # empty), so the consumed high bits must be dropped here —
+        # `(bitbuf << 8) | b` would grow an unbounded bigint and make
+        # decode O(n^2) in scan bytes (minutes for an MB-scale JPEG).
+        self.bitbuf = b
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -664,6 +668,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop emitted high bits — otherwise acc grows into an
+        # ever-larger bigint and encode is O(n^2) in output bits
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:

@@ -20,9 +20,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_N_BUCKETS = 64
 DEFAULT_N_SALTS = 16
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """True iff the type tree contains a MapType node (xxhash64 rejects
+    maps wherever they nest: top-level, struct field, array element)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    return False
 
 
 def url_host(col: str = "url"):
@@ -103,11 +116,13 @@ def salted_join(
     # map-nested types) at plan time, and the pipeline's own output
     # schema carries maps (field_confidences, tables) — review r5. The
     # join key always participates, so a hot key still spreads as long
-    # as any hashable column varies across its rows.
+    # as any hashable column varies across its rows. The check walks
+    # the type tree for actual MapType nodes — a substring match on
+    # simpleString() would also exclude any column whose nested struct
+    # FIELD NAME contains "map" (sitemap_url, mapping), silently
+    # shrinking salt entropy (advice r6).
     hashable = [
-        f.name
-        for f in skewed.schema.fields
-        if "map" not in f.dataType.simpleString()
+        f.name for f in skewed.schema.fields if not _contains_map(f.dataType)
     ]
     if key not in hashable:
         raise ValueError(f"join key {key!r} must be a hashable type")

@@ -16,6 +16,7 @@ Lifecycle parity with the reference's flagship path
 
 from __future__ import annotations
 
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,13 +154,19 @@ def run_extraction(
     bucket group — the shared append/read/committed_buckets interface
     (see the seam note in ``sources/snapshot_table.py``). A
     catalog-style name here fails loud rather than creating a local
-    directory literally named ``catalog.ns.table``.
+    directory literally named ``catalog.ns.table``. The guard matches
+    only strict catalog identifiers (``ns.table`` / ``cat.ns.table`` of
+    word chars) — a bare ``out.v2`` is inherently ambiguous with
+    ``ns.table`` so it still fails loud, but the error names the escape
+    and ``./out.v2`` (any path with a separator or non-identifier char)
+    always reads as a path (advice r6).
     """
-    if "/" not in output_root and "\\" not in output_root and output_root.count(".") >= 1:
+    if re.fullmatch(r"\w+(\.\w+){1,2}", output_root):
         raise ValueError(
             f"output_root {output_root!r} looks like a catalog table name; "
             "run_extraction writes the parquet SnapshotTable layout — for "
-            "Iceberg, drive project_extraction + make_output_table().append"
+            "Iceberg, drive project_extraction + make_output_table().append "
+            "(prefix './' to force the path interpretation)"
         )
     table = SnapshotTable(output_root)
     # Resume invariant: the bucketing fanout is baked into every

@@ -404,3 +404,32 @@ def test_decode_media_and_summary_integration():
     )
     s = decode_payload_summary(stub)
     assert s["format"] == "jpeg" and not s["decode_ok"]
+
+
+def test_large_noise_image_decodes_in_linear_time():
+    """Regression: _BitReader._fill once kept consumed high bits in
+    bitbuf (`(bitbuf << 8) | b` with nbits==0), growing a bigint and
+    making decode O(n^2) in entropy-scan bytes — 7 s for a 256 px noise
+    JPEG, unbounded for a crawl-scale one. _BitWriter.write had the
+    same unbounded `acc` on encode. Both now mask consumed bits; a
+    384x384 noise image (incompressible → max scan bytes) must
+    encode AND decode comfortably under a bound the quadratic shape
+    blows past ~10x (generous for the overcommitted sandbox host)."""
+    import time
+
+    rng = np.random.default_rng(7)
+    w = h = 384
+    pix = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+
+    t0 = time.monotonic()
+    data = encode_jpeg(w, h, 3, pix, quality=95)
+    t_enc = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    out = decode_jpeg(data)
+    t_dec = time.monotonic() - t0
+
+    assert out["width"] == w and out["height"] == h
+    assert len(out["pixels"]) == w * h * 3
+    assert t_enc < 10.0, f"encode took {t_enc:.1f}s — bitbuf growth regression?"
+    assert t_dec < 10.0, f"decode took {t_dec:.1f}s — bitbuf growth regression?"

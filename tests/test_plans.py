@@ -200,3 +200,88 @@ def test_streaming_schema_matches_batch(spark, corpus_dir):
     batch = extraction_plan(pages, run_id="r")
     stream = extraction_stream(spark, os.path.join(corpus_dir, "pages.parquet"), "r")
     assert stream.schema == batch.schema
+
+
+def test_contains_map_walks_type_tree(spark):
+    """salted_join's hashable-column filter must exclude exactly the
+    columns whose TYPE TREE contains a MapType — not any column whose
+    nested struct happens to have a field NAMED like 'sitemap_url'
+    (the simpleString substring trap, advice r6)."""
+    from pyspark.sql import types as T
+
+    from ai_pdf_extraction_spark.plans.partitioning import (
+        _contains_map,
+        salted_join,
+    )
+
+    assert _contains_map(T.MapType(T.StringType(), T.IntegerType()))
+    assert _contains_map(
+        T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))])
+    )
+    assert _contains_map(
+        T.ArrayType(T.MapType(T.StringType(), T.StringType()))
+    )
+    assert not _contains_map(T.StringType())
+    assert not _contains_map(
+        T.StructType(
+            [
+                T.StructField("sitemap_url", T.StringType()),
+                T.StructField("mapping", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+
+    # end-to-end: a struct column with a map-ish FIELD NAME but no map
+    # type participates in the salt hash (plan builds + join is exact)
+    fact = spark.createDataFrame(
+        [(i % 3, (f"https://h{i}.com/sitemap.xml", i)) for i in range(30)],
+        "k int, meta struct<sitemap_url:string, page_rank:int>",
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, v string")
+    out = salted_join(fact, dim, "k", n_salts=4)
+    assert out.count() == 30
+    # ... and the salt actually varies (entropy from the struct column)
+    n_salts_seen = (
+        fact.withColumn(
+            "_s",
+            F.pmod(F.xxhash64("k", "meta"), F.lit(4)).cast("int"),
+        ).select("_s").distinct().count()
+    )
+    assert n_salts_seen > 1
+
+
+def test_catalog_name_guard_accepts_dotted_relative_paths(
+    spark, corpus_dir, tmp_path, monkeypatch
+):
+    """A bare `out.v2` is indistinguishable from a 2-part catalog name
+    `ns.table`, so the strict-identifier guard still rejects it — but
+    the error names the documented escape hatch, and './out.v2' (or any
+    separator-bearing path) always reads as a path (advice r6). Names
+    the old substring heuristic wrongly rejected — 'results.v2.final'
+    with a non-word char, or anything with a separator — now pass."""
+    import pytest
+
+    from ai_pdf_extraction_spark.plans.pipeline import run_extraction
+
+    for bad in ("graft.db.tbl", "ns.table", "out.v2"):
+        with pytest.raises(ValueError, match="prefix './'"):
+            run_extraction(spark, "x.parquet", bad, run_id="g")
+
+    monkeypatch.chdir(tmp_path)
+    res = run_extraction(
+        spark,
+        os.path.join(corpus_dir, "pages.parquet"),
+        "./out.v2",
+        run_id="dotted",
+        n_buckets=4,
+    )
+    assert res["docs"] > 0 and (tmp_path / "out.v2").is_dir()
+    # a dotted name with a non-identifier char is a path, no escape needed
+    res2 = run_extraction(
+        spark,
+        os.path.join(corpus_dir, "pages.parquet"),
+        "out-v2.final",
+        run_id="dashed",
+        n_buckets=4,
+    )
+    assert res2["docs"] > 0 and (tmp_path / "out-v2.final").is_dir()
