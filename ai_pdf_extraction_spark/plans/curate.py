@@ -9,10 +9,19 @@ the banded MinHash-LSH scale path (``operators.dedup.minhash_lsh_pairs``)
 (``ngram_jaccard_pairs`` is the correctness baseline, not the plan to
 run on a corpus).
 
-Scale notes (10^12 docs): one shingle explode persisted across the
-signature/verify consumers; exact dedup is a single window shuffle on
-the 32-byte fingerprint; the near-dup loser set is tiny relative to
-the corpus, so its anti-join broadcasts under AQE.
+Scale notes (10^12 docs): ONE narrow ``(id, lang, text)`` projection of
+the source table is persisted (MEMORY_AND_DISK — spills, never OOMs)
+and threaded through every leg, so the wide source table is scanned
+once per capstone plan — not once per leg (quality, exact-dedup
+fingerprint, LSH shingles, contamination shingles, granules all read
+from the cached projection; plan-asserted in
+``tests/test_plans.py``). Exact dedup is a partial-aggregating
+``groupBy(fp)`` + join-back — hot duplicate groups collapse map-side
+and the join is AQE-skew-splittable (the window-over-fp shape was
+removed in round 5: a window funnels a 10^8-row duplicate group
+through one task with no remedy). One shingle explode is persisted
+across the LSH signature/verify consumers; the near-dup loser set is
+tiny relative to the corpus, so its anti-join broadcasts under AQE.
 """
 
 from __future__ import annotations
@@ -21,12 +30,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ai_pdf_extraction_spark.operators.dedup import (
+    _persist_latest,
     contamination_flags,
     exact_dedup,
     granule_dedup,
     minhash_lsh_pairs,
 )
 from ai_pdf_extraction_spark.operators.text_analysis import quality_score, token_count
+
+# The capstones' shared narrow doc projection gets its own
+# most-recently-persisted slot (same lifecycle as dedup's shingle and
+# granule slots — see operators/dedup.py:_SHINGLE_CACHE) so persisting
+# it never evicts the shingle or granule relations it composes with.
+_DOCS_CACHE: list[DataFrame] = []
+
+
+def _narrow_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One persisted narrow ``(id, lang, text)`` projection feeding
+    every curation leg.
+
+    Why: the v2 capstone composes five consumers of ``(id, text)``
+    (quality/tokens, fingerprint, 2 shingle explodes, granules); without
+    this cache each leg re-scans the source table — at 100 TB that is
+    five reads of the text column where one suffices. The projection is
+    narrow (only the columns curation needs), and ``persist`` defaults
+    to MEMORY_AND_DISK, so an oversized corpus spills instead of OOMing.
+
+    The projection is also repartitioned to 4× default parallelism when
+    the source arrives narrower — the ``_ensure_parallel`` rule (a
+    single-row-group parquet file byte-splits into mostly-EMPTY
+    partitions, serializing every explode on one straggler) applied
+    ONCE here so the per-leg guards see an already-parallel cached
+    relation and skip their own repartition shuffles. A real crawl
+    (≫4× parallelism partitions) skips this and keeps its layout.
+    """
+    narrow = docs.select(id_col, "lang", text_col)
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target * 4:
+        narrow = narrow.repartition(target * 4, F.col(id_col))
+    return _persist_latest(_DOCS_CACHE, narrow)
 
 
 def curated_corpus(
@@ -38,24 +81,30 @@ def curated_corpus(
     n: int = 3,
     k: int = 12,
     bands: int = 4,
+    _narrow: DataFrame | None = None,
 ) -> DataFrame:
-    """One scan, one fingerprint window, one LSH pass; survivors carry
-    their quality score and token count. Output: (id, lang, quality,
-    n_tokens)."""
-    scored = docs.select(
+    """One source scan (persisted narrow projection), one partial-agg
+    fingerprint group-by, one LSH pass; survivors carry their quality
+    score and token count. Output: (id, lang, quality, n_tokens).
+
+    ``_narrow`` hands in the already-persisted projection when this
+    plan runs as a leg of ``curated_corpus_v2`` — the composed capstone
+    then owns the single cache slot for all of its legs."""
+    narrow = _narrow if _narrow is not None else _narrow_docs(docs, id_col, text_col)
+    scored = narrow.select(
         id_col,
         "lang",
         quality_score(text_col).alias("quality"),
         token_count(text_col).alias("n_tokens"),
     )
     canon = (
-        exact_dedup(docs, id_col=id_col, text_col=text_col)
+        exact_dedup(narrow, id_col=id_col, text_col=text_col)
         .filter(~F.col("is_dup"))
         .select(id_col)
     )
     near_losers = (
         minhash_lsh_pairs(
-            docs, id_col=id_col, text_col=text_col,
+            narrow, id_col=id_col, text_col=text_col,
             n=n, k=k, bands=bands, threshold=jaccard_threshold,
         )
         .select(F.col("id_b").alias(id_col))
@@ -80,21 +129,26 @@ def curated_corpus_v2(
     """The FULL curation pass, composing every dedup/filter family the
     engine ships: quality ∧ exact-canonical ∧ ¬LSH-near-dup (the v1
     plan) ∧ ¬benchmark-contaminated, with corpus-level granule-dedup
-    stats riding each survivor. Scale shapes compose unchanged: the
+    stats riding each survivor. Scale shapes compose unchanged — and
+    all five legs read the ONE persisted narrow projection built here
+    (the source table is scanned once; plan-asserted): the
     contamination shingle set broadcasts, granule winners partial-
-    aggregate, the LSH loser set anti-joins — and the shingle and
-    granule persists live in separate cache slots so neither evicts
-    the other. Output: (id, lang, quality, n_tokens, n_granules,
+    aggregate, the LSH loser set anti-joins — and the docs, shingle and
+    granule persists live in separate cache slots so none evicts
+    another. Output: (id, lang, quality, n_tokens, n_granules,
     n_kept)."""
-    base = curated_corpus(docs, id_col=id_col, text_col=text_col, **knobs)
+    narrow = _narrow_docs(docs, id_col, text_col)
+    base = curated_corpus(
+        docs, id_col=id_col, text_col=text_col, _narrow=narrow, **knobs
+    )
     contaminated = (
         contamination_flags(
-            docs, benchmark, n=contamination_n, id_col=id_col, text_col=text_col
+            narrow, benchmark, n=contamination_n, id_col=id_col, text_col=text_col
         )
         .filter(F.col("contaminated"))
         .select(id_col)
     )
-    gran = granule_dedup(docs, id_col=id_col, text_col=text_col).select(
+    gran = granule_dedup(narrow, id_col=id_col, text_col=text_col).select(
         id_col, "n_granules", "n_kept"
     )
     return base.join(contaminated, id_col, "left_anti").join(gran, id_col)

@@ -1770,3 +1770,43 @@ def test_contamination_monotonic_in_benchmark(spark):
     f_big = {r["doc_id"] for r in contamination_flags(docs, big, n=3)
              .filter("contaminated").collect()}
     assert f_small <= f_big and len(f_big) > len(f_small)
+
+
+def test_all_pairs_guard_refuses_large_corpora(spark, docs):
+    """The two all-pairs correctness baselines must refuse corpora
+    above max_docs (their docstrings designate the bucketed twins as
+    the scale plans; the guard is the enforcement — verdict r5 #7).
+    The LSH verify path is candidate-restricted, not all-pairs, so the
+    guard must NOT fire there."""
+    import pytest
+
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, threshold=0.5, max_docs=2).collect()
+    # escape hatch: explicit opt-in to the quadratic plan
+    assert ngram_jaccard_pairs(docs, threshold=0.5, max_docs=None).count() > 0
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="LSH/IVF"):
+        embedding_near_dup_pairs(emb, max_docs=3).collect()
+    assert embedding_near_dup_pairs(emb, threshold=0.999, max_docs=None).count() == 0
+
+    # candidate-restricted verify (the LSH path) is linear in
+    # candidates, not all-pairs — the guard must not fire even at
+    # max_docs=0 when _candidates is given
+    cands = spark.createDataFrame([(1, 4)], "id_a long, id_b long")
+    verified = ngram_jaccard_pairs(
+        docs, threshold=0.5, max_docs=0, _candidates=cands
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(1, 4)}
+    # ... and the composed LSH operator (which routes through that
+    # path) still runs on a corpus the baseline would refuse
+    assert minhash_lsh_pairs(docs, threshold=0.5).count() > 0

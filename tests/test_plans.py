@@ -285,3 +285,58 @@ def test_catalog_name_guard_accepts_dotted_relative_paths(
         n_buckets=4,
     )
     assert res2["docs"] > 0 and (tmp_path / "out-v2.final").is_dir()
+
+
+def test_capstone_curation_single_source_scan(spark):
+    """The curation capstones must scan the source table ONCE: all five
+    legs (quality/tokens, exact-dedup fingerprint, LSH shingles,
+    contamination shingles, granules) read the persisted narrow
+    (id, lang, text) projection — at 100 TB, five text-column scans
+    versus one is the difference the cache exists for (verdict r5 #1).
+
+    Asserted at the optimized-plan level: every leaf of the composed
+    plan is an InMemoryRelation (or the benchmark-side LogicalRDD) —
+    the parquet relation appears ONLY inside the cached projection's
+    own plan, i.e. it is read exactly once, when the cache populates.
+    """
+    from ai_pdf_extraction_spark.plans import curate
+
+    def leaf_names(jplan):
+        ls = jplan.collectLeaves()
+        return [ls.apply(i).nodeName() for i in range(ls.size())]
+
+    def source_scan_count(df):
+        """Parquet-scan leaves across the plan AND the cached plans of
+        every distinct InMemoryRelation it references (unwrapping AQE)."""
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        n = sum("parquet" in name.lower() for name in leaf_names(jplan))
+        ls = jplan.collectLeaves()
+        cached = {}
+        for i in range(ls.size()):
+            node = ls.apply(i)
+            if node.nodeName() == "InMemoryRelation":
+                cp = node.cachedPlan()
+                cached[cp.id()] = cp
+        for cp in cached.values():
+            inner = (
+                cp.initialPlan() if cp.nodeName() == "AdaptiveSparkPlan" else cp
+            )
+            n += sum("parquet" in name.lower() for name in leaf_names(inner))
+        return n, len(cached)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "bench_id long, text string"
+    )
+
+    v1 = curate.curated_corpus(docs)
+    n_scans, n_cached = source_scan_count(v1)
+    assert n_scans == 1, f"v1 scans the source {n_scans}x (want 1)"
+    assert n_cached >= 2  # narrow projection + shingle relation
+
+    v2 = curate.curated_corpus_v2(docs, bench, contamination_n=3)
+    n_scans, n_cached = source_scan_count(v2)
+    assert n_scans == 1, f"v2 scans the source {n_scans}x (want 1)"
+    assert n_cached >= 3  # narrow + shingles + granules
+    # sanity: the composed plan still produces rows
+    assert v2.count() > 0
