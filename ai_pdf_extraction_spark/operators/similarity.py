@@ -258,6 +258,25 @@ def _sql_d2_array(col_sql: str, book: list[list[float]]) -> str:
     return "array(" + ",".join(_sql_d2(col_sql, c) for c in book) + ")"
 
 
+def _sql_residual(vec_sql: str, coarse_sql: str, centroids: list[list[float]]) -> str:
+    """Residual ``x − centroid[coarse]`` as one SQL expression: the
+    centroid table rides the plan as an array-of-arrays literal indexed
+    by the (0-based) coarse column. Exact float subtraction — residuals
+    are deterministic given the assignment, so the DuckDB oracle's
+    ``[[..],[..]][cluster + 1]`` lookup reproduces them bit-for-bit."""
+    cents = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in c) + ")" for c in centroids
+        )
+        + ")"
+    )
+    return (
+        f"zip_with({vec_sql}, element_at({cents}, {coarse_sql} + 1), "
+        f"(a, b) -> a - b)"
+    )
+
+
 def ivf_assign(vec_col, centroids: list[list[float]]):
     """Coarse-quantizer assignment as a pure Column expression: argmin
     of per-centroid squared-L2 distance (rounded to 6 for cross-engine
@@ -322,12 +341,26 @@ def ivf_probes(vec_col, centroids: list[list[float]], nprobe: int):
     )
 
 
+def assign_coarse(vectors: list[list[float]], centroids: list[list[float]]) -> list[int]:
+    """Python twin of :func:`ivf_assign` for offline/training use:
+    per-vector coarse cluster via round-6 squared-L2 FIRST-MATCH argmin
+    — the exact plan semantics, so residual training and the DuckDB
+    oracle assign identically to the Spark encode path."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+    return [int(i) for i in d2.argmin(axis=1)]
+
+
 def train_pq_codebooks(
     vectors: list[list[float]],
     m: int = 8,
     n_codes: int = 16,
     n_iters: int = 10,
     seed: int = 17,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou/Douze/Schmid 2011,
     public): split the dimension into ``m`` subspaces and train an
@@ -336,10 +369,27 @@ def train_pq_codebooks(
     trains IDENTICAL books from the same sample. At 10^12 vectors the
     point is memory: codes are ``m`` small ints per vector instead of
     4·d bytes, which is what makes exhaustive ADC scans (or IVF-PQ
-    candidate rescoring) feasible at all."""
+    candidate rescoring) feasible at all.
+
+    ``centroids`` switches to RESIDUAL training (Jégou 2011 §III, the
+    FAISS IVFPQ default): each sample vector is replaced by
+    ``x − centroid[coarse(x)]`` before the subspace k-means, so the
+    books model the within-cluster displacement rather than absolute
+    position — at the same (m, n_codes) budget the codewords spend no
+    capacity re-describing the coarse structure, which materially
+    improves recall on clustered data. Coarse assignment uses
+    :func:`assign_coarse` (the plan's round-6 first-match rule) so
+    the training-time and encode-time residuals agree."""
     d = len(vectors[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if centroids is not None:
+        import numpy as np
+
+        X = np.asarray(vectors, dtype=np.float64)
+        C = np.asarray(centroids, dtype=np.float64)
+        X = X - C[assign_coarse(vectors, centroids)]
+        vectors = [[float(x) for x in row] for row in X]
     sub = d // m
     return [
         train_ivf_centroids(
@@ -448,7 +498,11 @@ def pq_encode_udf(codebooks: list[list[list[float]]]):
 
 # Bump when the encode semantics change (rounding, tie-break, layout):
 # materialized codes relations key their cache/compatibility on this.
-PQ_CODES_VERSION = 1
+# v2: the relation may carry RESIDUAL codes (encode of x − centroid
+# [coarse] when residual=True) — raw-vector codes fed to a residual
+# query plan (or vice versa) would silently score garbage, so at-rest
+# caches must rekey.
+PQ_CODES_VERSION = 2
 
 
 def pq_codes(
@@ -457,6 +511,7 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Encode-once relation for PQ codes **at rest**: (id, codes[,
     coarse]) — ``codes`` is the m-int PQ code array, ``coarse`` (when
@@ -471,12 +526,42 @@ def pq_codes(
     Encoding is bit-identical to the inline path by construction: both
     route through ``_sliced`` + ``_codes_from_slices`` (round-6
     distances, first-match argmin), pinned by the at-rest parity test.
+
+    ``residual=True`` (requires ``centroids``; codebooks must have been
+    trained with the same ``centroids`` — see
+    :func:`train_pq_codebooks`) encodes ``x − centroid[coarse]``
+    instead of ``x``: the Jégou 2011 §III / FAISS-default IVFPQ shape.
+    Consumers must query with :func:`ivfpq_topk(residual=True)`;
+    ``PQ_CODES_VERSION`` keys at-rest relations so raw and residual
+    codes can't silently mix.
     """
     m, sub = len(codebooks), len(codebooks[0][0])
+    if residual and centroids is None:
+        raise ValueError("residual=True requires centroids")
     casted = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    if residual:
+        # three bound-projection levels (the _sliced discipline): the
+        # coarse argmin reads _v once; the residual reads (_v, coarse)
+        # once; each slice reads _rv once
+        with_coarse = casted.select(
+            id_col, "_v", ivf_assign("_v", centroids).alias("coarse")
+        )
+        with_res = with_coarse.select(
+            id_col,
+            "coarse",
+            F.expr(_sql_residual("_v", "coarse", centroids)).alias("_rv"),
+        )
+        sliced = with_res.select(
+            id_col,
+            "coarse",
+            *[F.slice("_rv", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
+        )
+        return sliced.select(
+            F.col(id_col), _codes_from_slices(codebooks).alias("codes"), "coarse"
+        )
     sliced = casted.select(
         id_col,
         F.col("_v"),
@@ -571,6 +656,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the canonical 10^12-vector index shape (FAISS IVFPQ,
     Jégou et al. 2011 §V) — the coarse quantizer restricts candidates
@@ -584,7 +670,20 @@ def ivfpq_topk(
 
     ``codes=`` feeds a precomputed (id, codes, coarse) relation from
     :func:`pq_codes(centroids=...)` — the at-rest path: the corpus
-    side is then a pure codes scan (``emb`` may be None)."""
+    side is then a pure codes scan (``emb`` may be None).
+
+    ``residual=True`` scores ADC over RESIDUAL codes (Jégou 2011 §III,
+    the FAISS IVFPQ default; codes and codebooks must both be
+    residual-trained — :func:`train_pq_codebooks(centroids=...)`,
+    :func:`pq_codes(residual=True)`). The query side then needs one
+    lookup table PER PROBED CLUSTER (the query residual differs per
+    centroid), so probes are exploded to (query, probe) rows — still
+    |queries|·nprobe broadcast rows, and the join becomes an equi-join
+    on the coarse id instead of an array_contains theta-join: at scale
+    the candidate restriction hash-partitions instead of nested-loop
+    scanning. At the same (m, n_codes) budget residual ADC materially
+    improves recall on clustered corpora (the codewords stop
+    re-describing coarse structure); pinned by the recall test."""
     m, sub = len(codebooks), len(codebooks[0][0])
 
     def prep(df, id_alias):
@@ -598,28 +697,77 @@ def ivfpq_topk(
             *[F.slice("_v", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
         )
 
+    lut = F.expr(
+        "array("
+        + ",".join(_sql_d2_array(f"_s{s}", book) for s, book in enumerate(codebooks))
+        + ")"
+    )
+
     if codes is not None:
         c = codes.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("coarse").alias("cc"),
             "codes",
         )
+    elif residual:
+        casted = emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        with_coarse = casted.select(
+            "neighbor_id", "_v", ivf_assign("_v", centroids).alias("cc")
+        )
+        with_res = with_coarse.select(
+            "neighbor_id",
+            "cc",
+            F.expr(_sql_residual("_v", "cc", centroids)).alias("_rv"),
+        )
+        c = with_res.select(
+            "neighbor_id",
+            "cc",
+            *[F.slice("_rv", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
+        ).select("neighbor_id", "cc", _codes_from_slices(codebooks).alias("codes"))
     else:
         c = prep(emb, "neighbor_id").select(
             "neighbor_id",
             ivf_assign("_v", centroids).alias("cc"),
             _codes_from_slices(codebooks).alias("codes"),
         )
-    lut = F.expr(
-        "array("
-        + ",".join(_sql_d2_array(f"_s{s}", book) for s, book in enumerate(codebooks))
-        + ")"
-    )
-    q = prep(queries, "query_id").select(
-        "query_id",
-        ivf_probes("_v", centroids, nprobe).alias("qp"),
-        lut.alias("lut"),
-    )
+
+    if residual:
+        # one LUT per (query, probed cluster): explode the probe list,
+        # compute the residual against THAT centroid, then the tables
+        casted_q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        probed = casted_q.select(
+            "query_id",
+            "_v",
+            F.explode(ivf_probes("_v", centroids, nprobe)).alias("probe"),
+        )
+        with_res = probed.select(
+            "query_id",
+            "probe",
+            F.expr(_sql_residual("_v", "probe", centroids)).alias("_rv"),
+        )
+        q = with_res.select(
+            "query_id",
+            "probe",
+            *[F.slice("_rv", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
+        ).select("query_id", "probe", lut.alias("lut"))
+        join_pred = (F.col("probe") == F.col("cc")) & (
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        q = prep(queries, "query_id").select(
+            "query_id",
+            ivf_probes("_v", centroids, nprobe).alias("qp"),
+            lut.alias("lut"),
+        )
+        join_pred = F.array_contains(F.col("qp"), F.col("cc")) & (
+            F.col("query_id") != F.col("neighbor_id")
+        )
     approx = F.round(
         F.aggregate(
             F.zip_with(
@@ -632,11 +780,9 @@ def ivfpq_topk(
         ),
         6,
     )
-    scored = c.join(
-        F.broadcast(q),
-        F.array_contains(F.col("qp"), F.col("cc"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    ).select("query_id", "neighbor_id", approx.alias("approx_d2"))
+    scored = c.join(F.broadcast(q), join_pred).select(
+        "query_id", "neighbor_id", approx.alias("approx_d2")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("neighbor_id")
     )

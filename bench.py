@@ -49,6 +49,7 @@ HEADLINE = [
     "q58_ivfpq_topk",  # composed IVF-PQ index
     "q59_lang_trigram",  # char-trigram language ID
     "q60_gopher_quality",  # full Gopher rule set
+    "q61_ivfpq_residual_topk",  # residual-encoding IVF-PQ (FAISS default)
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

@@ -41,9 +41,17 @@ def build_ann_index(
     sample_rows: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> dict:
     """Train quantizers, encode the corpus, write codes + quantizers.
-    Returns the manifest dict (also written as ``index.json``)."""
+    Returns the manifest dict (also written as ``index.json``).
+
+    ``residual=True`` builds the FAISS-default IVFPQ (Jégou 2011 §III):
+    codebooks train on coarse residuals and the codes relation stores
+    residual codes — better recall at the same (m, n_codes) budget on
+    clustered corpora; the manifest records the flag so
+    ``load_ann_index`` consumers query with the matching
+    ``ivfpq_topk(residual=...)`` path."""
     from ai_pdf_extraction_spark.operators.similarity import (
         PQ_CODES_VERSION,
         load_embedding_sample,
@@ -55,12 +63,15 @@ def build_ann_index(
     sample = load_embedding_sample(
         input_path, max_rows=sample_rows, vec_col=vec_col, id_col=id_col
     )
-    books = train_pq_codebooks(sample, m=m, n_codes=n_codes)
     cents = train_ivf_centroids(sample, n_clusters=n_clusters)
+    books = train_pq_codebooks(
+        sample, m=m, n_codes=n_codes, centroids=cents if residual else None
+    )
     emb = spark.read.parquet(input_path)
     codes_path = os.path.join(output_dir, "codes.parquet")
     pq_codes(
-        emb, books, id_col=id_col, vec_col=vec_col, centroids=cents
+        emb, books, id_col=id_col, vec_col=vec_col, centroids=cents,
+        residual=residual,
     ).write.mode("overwrite").parquet(codes_path)
     n = spark.read.parquet(codes_path).count()
     manifest = {
@@ -74,6 +85,7 @@ def build_ann_index(
         "sample_rows": sample_rows,
         "id_col": id_col,
         "vec_col": vec_col,
+        "residual": residual,
         "codebooks": books,
         "centroids": cents,
     }
@@ -99,6 +111,11 @@ def main() -> None:
     parser.add_argument("--codes", type=int, default=16)
     parser.add_argument("--clusters", type=int, default=8)
     parser.add_argument("--sample-rows", type=int, default=4096)
+    parser.add_argument(
+        "--residual", action="store_true",
+        help="residual-encode (FAISS IVFPQ default): codebooks train on "
+        "x - centroid[coarse]; query with ivfpq_topk(residual=True)",
+    )
     args = parser.parse_args()
 
     from ai_pdf_extraction_spark.session import build_session
@@ -113,6 +130,7 @@ def main() -> None:
         n_codes=args.codes,
         n_clusters=args.clusters,
         sample_rows=args.sample_rows,
+        residual=args.residual,
     )
     print(
         json.dumps(
