@@ -1720,6 +1720,40 @@ def q57_curated_corpus_v2(spark, sf_dir):
     return curated_corpus_v2(d, bench, contamination_n=3)
 
 
+def q62_salted_host_counts(spark, sf_dir):
+    """Salted skewed-host aggregation (the north rule's "salted
+    repartition of skewed hosts", ``plans/partitioning.py:44-129`` —
+    the one north-rule component that was pytest-only until r6):
+    synthetic doc urls put ~30% of the corpus on one hot host (the
+    Common-Crawl Zipf shape), counts run through the two-phase
+    (host, salt) partial aggregation + tiny recombine. The per-host
+    totals are SALT-INVARIANT, so the DuckDB oracle is a plain
+    group-by over the same synthesized host expression — the salt
+    (seeded xxhash64, no DuckDB twin) affects only the intermediate
+    shuffle distribution, which is exactly the point."""
+    from ai_pdf_extraction_spark.plans.partitioning import (
+        salted_host_counts,
+        with_partition_columns,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pages_like = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 10 < 3, F.lit("hot.example.com")).otherwise(
+                F.concat(
+                    F.lit("host-"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit(".example.org"),
+                )
+            ),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return salted_host_counts(with_partition_columns(pages_like))
+
+
 def q50_representative_sample(spark, sf_dir):
     """Representative sampling (S4 — the reference's first2 + last2 +
     strided-middle page policy, ``pdf_service.py:203-283``, lifted to
@@ -1854,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_lang_trigram": q59_lang_trigram,
         "q60_gopher_quality": q60_gopher_quality,
         "q61_ivfpq_residual_topk": q61_ivfpq_residual_topk,
+        "q62_salted_host_counts": q62_salted_host_counts,
     }
 
 
@@ -2725,6 +2760,13 @@ select query_id, neighbor_id, cos, rank from (
         "q56_pq_topk": _q56_oracle_sql(),
         "q58_ivfpq_topk": _q58_oracle_sql(),
         "q61_ivfpq_residual_topk": _q61_oracle_sql(),
+        "q62_salted_host_counts": """
+select case when doc_id % 10 < 3 then 'hot.example.com'
+            else 'host-' || (doc_id % 97)::VARCHAR || '.example.org' end as host,
+       count(*) as n_docs
+from documents
+group by 1
+""",
         "q59_lang_trigram": _q59_oracle_sql(),
         "q60_gopher_quality": _q60_oracle_sql(),
         "q27_hourly_event_counts": """

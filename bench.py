@@ -50,6 +50,7 @@ HEADLINE = [
     "q59_lang_trigram",  # char-trigram language ID
     "q60_gopher_quality",  # full Gopher rule set
     "q61_ivfpq_residual_topk",  # residual-encoding IVF-PQ (FAISS default)
+    "q62_salted_host_counts",  # north-rule salted skewed-host aggregation
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

@@ -340,3 +340,18 @@ def test_capstone_curation_single_source_scan(spark):
     assert n_cached >= 3  # narrow + shingles + granules
     # sanity: the composed plan still produces rows
     assert v2.count() > 0
+
+
+def test_salted_host_counts_two_phase_agg(spark):
+    """q62's salted aggregation must be two REAL aggregation phases
+    ((host, salt) partial then host recombine), each with its own
+    map-side partial — and no window (the hot-host funnel the salt
+    exists to prevent)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q62_salted_host_counts(spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4, (
+        "expected partial+final HashAggregate for BOTH phases"
+    )
+    assert "partial_count" in plan and "partial_sum" in plan
