@@ -51,7 +51,11 @@ from ai_pdf_extraction_spark.kernels.types import ExtractionResult, Span
 #      open-only routing let a childless self-closed boiler container
 #      (<nav/>, <div id="comments"/>) push an unpoppable boiler entry
 #      that masked the entire rest of the document
-KERNEL_VERSION = 13
+# v14: multi-column PDF reading order — x-histogram column split
+#      (left column top-to-bottom before the right; full-width lines
+#      band-separate); negative baseline gaps (column tops) start a
+#      new block. Single-column pages are byte-identical to v13.
+KERNEL_VERSION = 14
 
 
 def extract_document(data: bytes) -> ExtractionResult:

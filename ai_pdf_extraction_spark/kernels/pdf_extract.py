@@ -10,15 +10,22 @@ PDF content streams:
    positioned text runs ``(page, y, x, font_size, text)``;
 2. cluster runs into lines by baseline ``y`` (pdfminer's LTTextLine
    analogue), sort in reading order ``(page, -y, x)``;
-3. group lines into blocks by vertical gap relative to the line's font
+3. detect multi-column pages from the line x-start histogram
+   (``_column_order``): when the starts split into two clusters across
+   a ≥``_COLUMN_GAP_MIN`` gap with overlapping y-ranges, read the left
+   column top-to-bottom before the right one, with full-width lines
+   (estimated to span past the gap — titles, footers) acting as
+   vertical band separators read in place;
+4. group lines into blocks by vertical gap relative to the line's font
    size (LTTextBox analogue), classify ``title`` vs ``paragraph`` by
    font size.
 
-Scope (SURVEY.md §7.4): single-column text PDFs with uncompressed
-content streams — exactly the shape the synthetic corpus generator
-emits (pattern: reference ``tests/conftest.py:20-59`` builds a minimal
-valid PDF by hand). Parity with the oracle, not pdfminer-completeness,
-is the bar.
+Scope (SURVEY.md §7.4 + r5 verdict #5): single- and two-column text
+PDFs with uncompressed or Flate content streams — invoices and SEC
+8-K filings (the reference's own golden classes,
+``app/test-pdfs/Invoices/``, ``SEC 8-K/``) are routinely two-column,
+so naive ``(-y, x)`` interleaving would zipper the columns line by
+line. Parity with the oracle, not pdfminer-completeness, is the bar.
 """
 
 from __future__ import annotations
@@ -49,6 +56,12 @@ _BLOCK_GAP_FACTOR = 1.6
 _TITLE_FONT_SIZE = 18.0
 # Baseline-y tolerance for clustering runs into one line.
 _LINE_Y_TOL = 2.0
+# Minimum gap between line x-start clusters that reads as a column
+# boundary (1 inch — US-letter two-column layouts gutter at ≥0.5in and
+# the START positions of the two columns differ by a column width,
+# ~3in; table cell runs don't participate because a line's x is its
+# FIRST run's x, which stays at the left margin).
+_COLUMN_GAP_MIN = 72.0
 
 _ESCAPES = {
     b"n": "\n",
@@ -282,6 +295,85 @@ def _runs_from_stream(buf: bytes) -> list[tuple[float, float, float, str]]:
     return runs
 
 
+def _column_order(page_lines: list) -> list:
+    """Reading order for one page's lines (already ``(-y, x)``-sorted):
+    x-histogram column split (r5 verdict #5).
+
+    The line x-starts are clustered by their single largest gap; a gap
+    ≥ ``_COLUMN_GAP_MIN`` with ≥2 genuinely-columnar lines on each side
+    AND overlapping y-ranges reads as a two-column layout. Lines that
+    START left of the boundary but whose estimated extent (the same
+    ``0.5·size·len`` advance model the interpreter uses) reaches well
+    past it are FULL-WIDTH (titles, footers): they separate vertical
+    bands and read in place; within each band the left column reads
+    top-to-bottom before the right.
+
+    Deliberately conservative: any failed precondition returns the
+    input order unchanged, so single-column pages — including
+    column-aligned TABLE blocks, whose lines all start at the left
+    margin — are byte-identical to kernel v13. The y-overlap guard
+    keeps an indented block *below* the body (a signature line, a
+    right-aligned footer) from masquerading as a second column.
+
+    Scope note: this operates on LINES, after baseline clustering —
+    the zipper failure it fixes is interleaved independent baselines
+    (the real two-column shape; columns don't share leading for long).
+    Two columns whose baselines align EXACTLY (within ``_LINE_Y_TOL``)
+    merge into single lines upstream and read row-major — that
+    degenerate layout is indistinguishable from a 2-column table row
+    block, which the table capture handles as such.
+    """
+    if len(page_lines) < 4:
+        return page_lines
+    starts = sorted(ln[2] for ln in page_lines)
+    best_gap, best_i = 0.0, -1
+    for i in range(len(starts) - 1):
+        g = starts[i + 1] - starts[i]
+        if g > best_gap:
+            best_gap, best_i = g, i
+    if best_gap < _COLUMN_GAP_MIN:
+        return page_lines
+    boundary = (starts[best_i] + starts[best_i + 1]) / 2.0
+    span_limit = boundary + 0.25 * best_gap
+
+    def _end_x(ln) -> float:
+        size = ln[3]
+        return max(px + 0.5 * size * len(t) for px, t in ln[5])
+
+    left = [ln for ln in page_lines if ln[2] < boundary]
+    right = [ln for ln in page_lines if ln[2] >= boundary]
+    spanning = {id(ln) for ln in left if _end_x(ln) > span_limit}
+    col_left = [ln for ln in left if id(ln) not in spanning]
+    if len(col_left) < 2 or len(right) < 2:
+        return page_lines
+    l_top = min(ln[1] for ln in col_left)
+    l_bot = max(ln[1] for ln in col_left)
+    r_top = min(ln[1] for ln in right)
+    r_bot = max(ln[1] for ln in right)
+    if l_bot < r_top or r_bot < l_top:  # disjoint y-ranges (-y space)
+        return page_lines
+    out: list = []
+    band_l: list = []
+    band_r: list = []
+
+    def _flush_band() -> None:
+        out.extend(band_l)
+        out.extend(band_r)
+        band_l.clear()
+        band_r.clear()
+
+    for ln in page_lines:
+        if id(ln) in spanning:
+            _flush_band()
+            out.append(ln)
+        elif ln[2] < boundary:
+            band_l.append(ln)
+        else:
+            band_r.append(ln)
+    _flush_band()
+    return out
+
+
 def extract_pdf(data: bytes) -> ExtractionResult:
     """Extract reading-ordered text + spans from raw PDF bytes."""
     warnings: list[str] = []
@@ -354,8 +446,20 @@ def extract_pdf(data: bytes) -> ExtractionResult:
             content_type="pdf",
         )
 
-    # Reading order: (page, top-to-bottom, left-to-right).
+    # Reading order: (page, top-to-bottom, left-to-right), then a
+    # per-page column pass — a two-column page must read left column
+    # top-to-bottom BEFORE the right column, not zipper the baselines.
     lines.sort(key=lambda ln: (ln[0], ln[1], ln[2]))
+    reordered: list[tuple[int, float, float, float, str, list]] = []
+    _page_buf: list = []
+    _page_no = -1
+    for ln in lines:
+        if ln[0] != _page_no:
+            reordered.extend(_column_order(_page_buf))
+            _page_buf, _page_no = [], ln[0]
+        _page_buf.append(ln)
+    reordered.extend(_column_order(_page_buf))
+    lines = reordered
 
     # Structured table capture (the deterministic analogue of the
     # reference's LLM reading PDF layout tables — `array` FieldType,
@@ -410,7 +514,14 @@ def extract_pdf(data: bytes) -> ExtractionResult:
         else:
             p_page, p_neg_y, p_size = prev
             gap = neg_y - p_neg_y
-            if page != p_page or gap > _BLOCK_GAP_FACTOR * max(p_size, size):
+            # a NEGATIVE gap means the pen moved back UP the page —
+            # only the column order does that (top of the next column
+            # after the bottom of the previous): always a new block
+            if (
+                page != p_page
+                or gap > _BLOCK_GAP_FACTOR * max(p_size, size)
+                or gap < -_LINE_Y_TOL
+            ):
                 new_block = True
             elif (size >= _TITLE_FONT_SIZE) != (p_size >= _TITLE_FONT_SIZE):
                 new_block = True

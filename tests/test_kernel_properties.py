@@ -389,3 +389,62 @@ def test_probe_media_never_raises(data):
     ):
         meta = probe_media(prefix + data)
         assert isinstance(meta["n_bytes"], int)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=150, max_value=480),  # right column x
+    st.integers(min_value=0, max_value=12),     # right baseline offset
+    st.integers(min_value=1, max_value=5),      # lines per column
+    st.booleans(),                               # full-width title?
+    st.booleans(),                               # trailing footer?
+)
+def test_two_column_pdf_shapes_never_raise_and_stay_ordered(
+    rx, dy, n_lines, with_title, with_footer
+):
+    """Kernel-v14 fuzz pin: randomized two-column geometries (column
+    gap from sub-threshold to wide, aligned to offset baselines, with
+    and without full-width bands) must never raise, must be
+    deterministic, and — whenever the geometry actually satisfies the
+    split preconditions — must read every left-column line before any
+    right-column line."""
+    from ai_pdf_extraction_spark.kernels.pdf_extract import (
+        _COLUMN_GAP_MIN,
+        _LINE_Y_TOL,
+        extract_pdf,
+    )
+
+    parts = []
+    if with_title:
+        parts.append("BT /F1 22 Tf 60 720 Td (Grand Header Spanning Wide) Tj ET")
+    for col, (x, y0) in enumerate(((60, 680), (rx, 680 - dy))):
+        ops = [f"BT /F1 9 Tf {x} {y0} Td 13 TL"]
+        for j in range(n_lines):
+            tail = "" if j == n_lines - 1 else " T*"
+            ops.append(f"(c{col} l{j}) Tj{tail}")
+        ops.append("ET")
+        parts.append("\n".join(ops))
+    if with_footer:
+        parts.append("BT /F1 9 Tf 60 80 Td (Footer Line Extending Across The Whole Page Width Here) Tj ET")
+    pdf = ("%PDF-1.4\nstream\n" + "\n".join(parts) + "\nendstream\n%%EOF\n").encode()
+
+    res = extract_pdf(pdf)
+    assert res.parse_ok
+    res2 = extract_pdf(pdf)
+    assert res.text == res2.text
+
+    gap = rx - 60
+    # baselines stay un-merged only when the offset keeps every right
+    # baseline > _LINE_Y_TOL away from every left one MODULO the 13pt
+    # leading (dy=12 puts right line j within 1pt of left line j+1 —
+    # cross-column merge, the documented row-major corner)
+    offset_baselines = min(dy % 13, 13 - dy % 13) > _LINE_Y_TOL
+    if gap >= _COLUMN_GAP_MIN and offset_baselines and n_lines >= 2:
+        # preconditions hold by construction → column order guaranteed
+        last_left = res.text.index(f"c0 l{n_lines - 1}")
+        first_right = res.text.index("c1 l0")
+        assert last_left < first_right, res.text
+    # every line's text must be present exactly once regardless
+    for col in (0, 1):
+        for j in range(n_lines):
+            assert res.text.count(f"c{col} l{j}") == 1

@@ -407,3 +407,61 @@ def test_kernel_v13_selfclosed_boiler_container():
     )
     assert r.tables and r.tables[0][0].get("a") == "1"
     assert r.tables[0][0].get("c") == "3", r.tables
+
+
+def test_pdf_two_column_reading_order():
+    """Kernel v14: a two-column page reads the LEFT column
+    top-to-bottom before the right one — never zippered by baseline.
+    Full-width lines (the title here: 22pt from the left margin,
+    extending past the column gap) band-separate and read in place;
+    the jump back UP the page to the right column's top starts a new
+    block (negative-gap rule). Baselines are OFFSET (680 vs 674) —
+    independent column leading, the interleaving that makes the
+    zipper; exactly-aligned baselines merge upstream into the
+    table-row shape instead (documented scope)."""
+    pdf = (
+        b"%PDF-1.4\nstream\n"
+        b"BT /F1 22 Tf 60 720 Td (Wide Title Across Both Columns) Tj ET\n"
+        b"BT /F1 9 Tf 60 680 Td 13 TL (left one) Tj T* (left two) Tj T* (left three) Tj ET\n"
+        b"BT /F1 9 Tf 330 674 Td 13 TL (right one) Tj T* (right two) Tj T* (right three) Tj ET\n"
+        b"endstream\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert res.parse_ok
+    idx = {
+        t: res.text.index(t)
+        for t in ("Wide Title", "left one", "left three", "right one", "right three")
+    }
+    assert idx["Wide Title"] < idx["left one"] < idx["left three"] < idx["right one"] < idx["right three"]
+    # same-baseline pairs must NOT share a line
+    assert "left one right one" not in res.text
+    # columns are separate blocks (negative-gap rule), title its own
+    assert "left one left two left three" in res.text
+    assert "right one right two right three" in res.text
+    assert res.spans[0].kind == "title"
+
+
+def test_pdf_column_split_preconditions_hold_order():
+    """The split is conservative: an indented block BELOW the body
+    (disjoint y-ranges — a signature/footer, not a second column)
+    keeps plain (-y, x) order; so does a page whose x-starts cluster
+    under the 72pt gap threshold."""
+    # right-side cluster strictly below the left body: no column split
+    below = (
+        b"%PDF-1.4\nstream\n"
+        b"BT /F1 9 Tf 60 700 Td 13 TL (body a) Tj T* (body b) Tj T* (body c) Tj ET\n"
+        b"BT /F1 9 Tf 330 500 Td 13 TL (sig x) Tj T* (sig y) Tj ET\n"
+        b"endstream\n%%EOF\n"
+    )
+    res = extract_pdf(below)
+    assert res.text.index("body c") < res.text.index("sig x")
+
+    # 40pt start offset (an indent, not a column): order is (-y, x)
+    indent = (
+        b"%PDF-1.4\nstream\n"
+        b"BT /F1 9 Tf 60 700 Td 13 TL (alpha a) Tj T* (alpha b) Tj ET\n"
+        b"BT /F1 9 Tf 100 700 Td 13 TL (beta a) Tj T* (beta b) Tj ET\n"
+        b"endstream\n%%EOF\n"
+    )
+    res2 = extract_pdf(indent)
+    assert res2.text.index("alpha a") < res2.text.index("beta a") < res2.text.index("alpha b")
