@@ -633,3 +633,24 @@ def test_warc_streamed_batches_cap_memory(tmp_path):
     bad.write_bytes(bytes(data))
     survivors = [r for b in iter_row_batches(str(bad), 8) for r in b]
     assert 0 <= len(survivors) < 37  # truncated, never raises
+
+
+def test_iceberg_integration_job_skips_cleanly_without_jar(tmp_path):
+    """The opt-in real-catalog evidence script (r5 verdict #6) must
+    exit 0 with a {"skipped": true} JSON line when no runtime jar is
+    reachable — safe in any CI lane; the jar path is by definition
+    out-of-sandbox evidence."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_ICEBERG_JAR", None)
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/jobs/iceberg_integration_job.py"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["skipped"] is True and "jar" in out["reason"]
