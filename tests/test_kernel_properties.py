@@ -448,3 +448,80 @@ def test_two_column_pdf_shapes_never_raise_and_stay_ordered(
     for col in (0, 1):
         for j in range(n_lines):
             assert res.text.count(f"c{col} l{j}") == 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=37),   # width (crosses 8/16 blocks)
+    st.integers(min_value=1, max_value=37),   # height
+    st.sampled_from([1, 3]),                  # gray / RGB
+    st.integers(min_value=5, max_value=95),   # quality
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_progressive_jpeg_roundtrip_matches_baseline(w, h, ch, quality, seed):
+    """r6 fuzz extension (r5 verdict #8): across random geometry
+    (including non-block-multiple and non-MCU-multiple dims), quality
+    and content, the progressive (SOF2 spectral-selection) encoding
+    must decode PIXEL-IDENTICAL to the baseline encoding of the same
+    image — the multi-scan coefficient accumulation reconstructs
+    exactly the coefficients the sequential scan carries."""
+    import numpy as np
+
+    from ai_pdf_extraction_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, ch, pix, quality=quality))
+    prog = decode_jpeg(
+        encode_jpeg(w, h, ch, pix, quality=quality, progressive=True)
+    )
+    assert (base["width"], base["height"]) == (w, h)
+    assert base["pixels"] == prog["pixels"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),  # image seed
+    st.lists(  # byte mutations (position-fraction, new byte value)
+        st.tuples(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_mutated_progressive_jpeg_stays_in_taxonomy(seed, mutations):
+    """Corrupted PROGRESSIVE streams (multi-scan accumulation,
+    successive approximation, EOB-run state) must fail inside the
+    documented taxonomy (ValueError/NotImplementedError) or decode to
+    a well-formed result — never IndexError/struct.error/MemoryError,
+    and never hang (the r6 bitbuf-growth class)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ai_pdf_extraction_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    w = h = 24
+    pix = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    data = bytearray(
+        encode_jpeg(w, h, 3, pix, quality=75, progressive=True)
+    )
+    for frac, val in mutations:
+        # mutate past the SOI marker so the format stays 'jpeg'
+        pos = 2 + int(frac * (len(data) - 3))
+        data[pos] = val
+    try:
+        out = decode_jpeg(bytes(data))
+    except (ValueError, NotImplementedError):
+        return
+    except Exception as exc:  # pragma: no cover
+        _pytest.fail(f"unexpected {type(exc).__name__}: {exc}")
+    assert len(out["pixels"]) == out["width"] * out["height"] * out["channels"]
