@@ -279,6 +279,21 @@ def granule_dedup(
     )
 
 
+def _is_cache_backed(df: DataFrame) -> bool:
+    """True when every leaf of the optimized plan is an
+    InMemoryRelation — the partition count of such a plan is REAL
+    (cache blocks), never the byte-split illusion a single-row-group
+    parquet scan reports."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    except Exception:
+        return False
+    n = leaves.size()
+    return n > 0 and all(
+        leaves.apply(i).nodeName() == "InMemoryRelation" for i in range(n)
+    )
+
+
 def _ensure_parallel(docs: DataFrame, id_col: str) -> DataFrame:
     """CPU-heavy explodes must not inherit a skewed scan.
 
@@ -290,12 +305,20 @@ def _ensure_parallel(docs: DataFrame, id_col: str) -> DataFrame:
     the raw docs is far cheaper than the explode/join work downstream.
     A real crawl (thousands of files, ≫4× parallelism partitions)
     skips this. Never repartitions DOWN: inputs already wider than the
-    2× target keep their width (only empties get rebalanced)."""
+    2× target keep their width (only empties get rebalanced).
+
+    Cache-backed inputs (every optimized-plan leaf an InMemoryRelation
+    — the curation capstones' shared narrow projection) are trusted at
+    ≥ 2× parallelism: their partition counts are real, and re-shuffling
+    an already-balanced cached relation once per leg measurably
+    dominated the capstone wall time at local scale (r6)."""
     target = docs.sparkSession.sparkContext.defaultParallelism
     parts = docs.rdd.getNumPartitions()
-    if parts < target * 4:
-        docs = docs.repartition(max(target * 2, parts), F.col(id_col))
-    return docs
+    if parts >= target * 4:
+        return docs
+    if parts >= target * 2 and _is_cache_backed(docs):
+        return docs
+    return docs.repartition(max(target * 2, parts), F.col(id_col))
 
 
 def _word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

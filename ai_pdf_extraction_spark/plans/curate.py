@@ -56,19 +56,20 @@ def _narrow_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     narrow (only the columns curation needs), and ``persist`` defaults
     to MEMORY_AND_DISK, so an oversized corpus spills instead of OOMing.
 
-    The projection is also repartitioned to 4× default parallelism when
+    The projection is also repartitioned to 2× default parallelism when
     the source arrives narrower — the ``_ensure_parallel`` rule (a
     single-row-group parquet file byte-splits into mostly-EMPTY
     partitions, serializing every explode on one straggler) applied
-    ONCE here so the per-leg guards see an already-parallel cached
-    relation and skip their own repartition shuffles. A real crawl
-    (≫4× parallelism partitions) skips this and keeps its layout.
+    ONCE here; the per-leg guards then trust the cache-backed relation
+    (real partition counts — ``dedup._is_cache_backed``) and skip
+    their own repartition shuffles. A real crawl (≫4× parallelism
+    partitions) skips this and keeps its layout.
     """
     narrow = docs.select(id_col, "lang", text_col)
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
     if docs.rdd.getNumPartitions() < target * 4:
-        narrow = narrow.repartition(target * 4, F.col(id_col))
+        narrow = narrow.repartition(target * 2, F.col(id_col))
     return _persist_latest(_DOCS_CACHE, narrow)
 
 
