@@ -1754,6 +1754,63 @@ def q62_salted_host_counts(spark, sf_dir):
     return salted_host_counts(with_partition_columns(pages_like))
 
 
+def q63_schema_registry_apply(spark, sf_dir):
+    """Versioned schema-registry application (the reference's saved
+    FieldDefinition schemas, ``routers/schemas.py:42-209`` /
+    ``models_db.py:43-105``, as versioned config-in-repo — closes r5
+    "missing #4"): synthesize a JSON invoice document per order, load
+    the LATEST non-deleted ``invoice`` config (v2 — the committed
+    evolution example), and compile it to a typed Catalyst projection:
+    currency/date/boolean/percentage/email parsers (the q13/q47
+    oracle-checked family) + required/empty warnings (P6). Pure Column
+    expressions — schema application is a plan fragment, not a UDF."""
+    from ai_pdf_extraction_spark.functions.schema_registry import (
+        apply_schema,
+        load_schema,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    doc = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("INV-"), F.col("o_orderkey").cast("string")).alias(
+                    "invoice_number"
+                ),
+                F.concat(F.lit("$"), F.format_number(F.col("o_totalprice"), 2)).alias(
+                    "total"
+                ),
+                F.date_format("o_orderdate", "MM/dd/yyyy").alias("issued_on"),
+                F.when(F.col("o_orderstatus") == "F", F.lit("yes"))
+                .otherwise(F.lit("no"))
+                .alias("paid"),
+                F.concat((F.col("o_orderkey") % 50).cast("string"), F.lit("%")).alias(
+                    "discount_pct"
+                ),
+                # absent for 2/3 of rows → the v2-mandatory field's
+                # required warning fires (to_json drops null fields)
+                F.when(
+                    F.col("o_orderkey") % 3 == 0,
+                    F.concat(F.lit("PO-"), F.col("o_custkey").cast("string")),
+                ).alias("po_reference"),
+                F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-an-email"))
+                .otherwise(
+                    F.concat(
+                        F.lit("c"),
+                        F.col("o_custkey").cast("string"),
+                        F.lit("@example.com"),
+                    )
+                )
+                .alias("contact_email"),
+            )
+        ).alias("doc"),
+    )
+    out = apply_schema(doc, load_schema("invoice"), "doc", keys=["o_orderkey"])
+    return out.withColumn(
+        "schema_warnings", F.concat_ws("|", F.col("schema_warnings"))
+    )
+
+
 def q50_representative_sample(spark, sf_dir):
     """Representative sampling (S4 — the reference's first2 + last2 +
     strided-middle page policy, ``pdf_service.py:203-283``, lifted to
@@ -1889,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_gopher_quality": q60_gopher_quality,
         "q61_ivfpq_residual_topk": q61_ivfpq_residual_topk,
         "q62_salted_host_counts": q62_salted_host_counts,
+        "q63_schema_registry_apply": q63_schema_registry_apply,
     }
 
 
@@ -2760,6 +2818,22 @@ select query_id, neighbor_id, cos, rank from (
         "q56_pq_topk": _q56_oracle_sql(),
         "q58_ivfpq_topk": _q58_oracle_sql(),
         "q61_ivfpq_residual_topk": _q61_oracle_sql(),
+        "q63_schema_registry_apply": """
+select o_orderkey,
+  'INV-' || o_orderkey::varchar as invoice_number,
+  round(o_totalprice, 2) as total,
+  o_orderdate::date as issued_on,
+  (o_orderstatus = 'F') as paid,
+  (o_orderkey % 50)::double as discount_pct,
+  case when o_orderkey % 3 = 0 then 'PO-' || o_custkey::varchar end as po_reference,
+  case when o_orderkey % 7 = 0 then null
+       else 'c' || o_custkey::varchar || '@example.com' end as contact_email,
+  'invoice' as schema_name,
+  2 as schema_version,
+  case when o_orderkey % 3 = 0 then ''
+       else 'Required field ''po_reference'' is empty' end as schema_warnings
+from orders
+""",
         "q62_salted_host_counts": """
 select case when doc_id % 10 < 3 then 'hot.example.com'
             else 'host-' || (doc_id % 97)::VARCHAR || '.example.org' end as host,

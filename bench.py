@@ -51,6 +51,7 @@ HEADLINE = [
     "q60_gopher_quality",  # full Gopher rule set
     "q61_ivfpq_residual_topk",  # residual-encoding IVF-PQ (FAISS default)
     "q62_salted_host_counts",  # north-rule salted skewed-host aggregation
+    "q63_schema_registry_apply",  # versioned schema config -> typed projection
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

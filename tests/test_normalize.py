@@ -300,3 +300,81 @@ def test_repair_skips_unparseable_rule(spark):
     out = repair_with_rules(df, ["a == b +", "a == b"]).first()
     assert out["a"] == 2.0  # bad rule skipped, good rule applied
     assert out["repaired_fields"] == ["a"]
+
+
+def test_schema_registry_listing_and_soft_delete(tmp_path):
+    """Reference parity (routers/schemas.py:42-209): listings exclude
+    soft-deleted schemas, explicit-version fetch still returns them,
+    latest resolves the highest non-deleted version, and an unsupported
+    field type fails at LOAD."""
+    import json
+
+    import pytest
+
+    from ai_pdf_extraction_spark.functions import schema_registry as sr
+
+    assert sr.list_schemas()["invoice"] == [1, 2]
+    assert "legacy_report" not in sr.list_schemas()
+    assert sr.latest_version("invoice") == 2
+    assert sr.load_schema("invoice")["version"] == 2
+    assert sr.load_schema("invoice", version=1)["version"] == 1
+    assert sr.load_schema("legacy_report", version=1)["deleted"] is True
+    with pytest.raises(KeyError):
+        sr.latest_version("legacy_report")
+    with pytest.raises(KeyError):
+        sr.load_schema("invoice", version=9)
+
+    bad = {"name": "x", "version": 1, "fields": [{"name": "a", "type": "blob"}]}
+    (tmp_path / "x_v1.json").write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="unsupported type"):
+        sr.load_schema("x", schema_dir=str(tmp_path))
+
+
+def test_schema_evolution_v2_superset_and_typed_apply(spark):
+    """The committed invoice v1→v2 evolution: v2's output columns are a
+    strict superset of v1's, shared fields parse identically, the new
+    required field warns when absent, and the whole application plan is
+    UDF-free (pure Catalyst)."""
+    from ai_pdf_extraction_spark.functions.schema_registry import (
+        apply_schema,
+        load_schema,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, '{"invoice_number": "INV-7", "total": "$1,234.50", '
+                '"issued_on": "01/15/2024", "paid": "yes", '
+                '"discount_pct": "12%", "po_reference": "PO-9", '
+                '"contact_email": "a@b.com"}'),
+            (2, '{"invoice_number": "", "total": "oops", '
+                '"contact_email": "nope"}'),
+        ],
+        "id long, doc string",
+    )
+    v1 = apply_schema(docs, load_schema("invoice", version=1), "doc", keys=["id"])
+    v2 = apply_schema(docs, load_schema("invoice", version=2), "doc", keys=["id"])
+    assert set(v1.columns) < set(v2.columns)
+
+    r1, r2 = [r.asDict() for r in v2.orderBy("id").collect()]
+    assert r1["invoice_number"] == "INV-7" and r1["total"] == 1234.5
+    assert str(r1["issued_on"]) == "2024-01-15" and r1["paid"] is True
+    assert r1["discount_pct"] == 12.0 and r1["contact_email"] == "a@b.com"
+    assert r1["schema_warnings"] == []
+    # row 2: empty-string required invoice_number + missing
+    # po_reference warn (P6 checks the RAW value: null/''; whitespace-
+    # only is non-empty by the pinned reference rule); unparseable
+    # total nulls; invalid email nulls
+    assert r2["invoice_number"] is None and r2["total"] is None
+    assert r2["contact_email"] is None
+    assert r2["schema_warnings"] == [
+        "Required field 'invoice_number' is empty",
+        "Required field 'po_reference' is empty",
+    ]
+    # shared fields identical across versions
+    v1r = {r["id"]: r.asDict() for r in v1.collect()}
+    for row in (r1, r2):
+        for k in ("invoice_number", "total", "issued_on", "paid"):
+            assert v1r[row["id"]][k] == row[k]
+
+    plan = v2._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
