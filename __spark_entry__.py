@@ -536,14 +536,17 @@ def _pq_codebooks_residual(sf_dir: str) -> list:
     return got
 
 
-def _ensure_pq_codes(spark, sf_dir) -> str:
+def _ensure_pq_codes(spark, sf_dir, residual: bool = False) -> str:
     """Materialized PQ codes **at rest** for ``sf_dir``'s embeddings:
     (vec_id, codes, coarse) encoded ONCE via ``pq_codes`` and written
     to parquet — m small ints + one coarse id per vector instead of
-    4·d bytes. q56/q58 read this relation back and never touch the
-    vector column on the corpus side, which is the production shape
-    (encode on ingest, store codes, scan codes per query). Cache keyed
-    on PQ_CODES_VERSION + training params + the source path, atomic
+    4·d bytes. q56/q58 (and q61 with ``residual=True``: codes of
+    x − centroid[coarse], trained on residuals) read this relation back
+    and never touch the vector column on the corpus side, which is the
+    production shape (encode on ingest, store codes, scan codes per
+    query). ONE cache protocol for both modes (review r6): keyed on
+    PQ_CODES_VERSION + training params + the source path + a ``_res``
+    suffix so raw and residual codes can never silently mix; atomic
     temp+rename like every other fixture cache."""
     import hashlib
     import uuid
@@ -555,16 +558,21 @@ def _ensure_pq_codes(spark, sf_dir) -> str:
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(src.encode()).hexdigest()[:12]
+    suffix = "res_" if residual else ""
     path = (
         f"/tmp/spark_graft_pq_codes_v{PQ_CODES_VERSION}"
-        f"_m8c16s17_ivf8s13_{key}"
+        f"_m8c16s17_ivf8s13_{suffix}{key}"
     )
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        books = (
+            _pq_codebooks_residual(sf_dir) if residual else _pq_codebooks(sf_dir)
+        )
         codes = pq_codes(
             _t(spark, sf_dir, "embeddings"),
-            _pq_codebooks(sf_dir),
+            books,
             centroids=_ivf_centroids(sf_dir),
+            residual=residual,
         )
         codes.write.mode("overwrite").parquet(tmp)
         try:
@@ -591,44 +599,6 @@ def q56_pq_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     codes = spark.read.parquet(_ensure_pq_codes(spark, sf_dir))
     return pq_topk(None, queries, _pq_codebooks(sf_dir), k=5, codes=codes)
-
-
-def _ensure_pq_codes_residual(spark, sf_dir) -> str:
-    """Residual twin of ``_ensure_pq_codes``: (vec_id, codes, coarse)
-    with ``codes`` encoding the coarse residual — the at-rest relation
-    ``ivfpq_topk(residual=True)`` scans. Separate cache path (the
-    ``_res`` suffix + PQ_CODES_VERSION) so raw and residual codes can
-    never silently mix."""
-    import hashlib
-    import uuid
-
-    from ai_pdf_extraction_spark.operators.similarity import (
-        PQ_CODES_VERSION,
-        pq_codes,
-    )
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    key = hashlib.md5(src.encode()).hexdigest()[:12]
-    path = (
-        f"/tmp/spark_graft_pq_codes_v{PQ_CODES_VERSION}"
-        f"_m8c16s17_ivf8s13_res_{key}"
-    )
-    if not os.path.exists(path):
-        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        codes = pq_codes(
-            _t(spark, sf_dir, "embeddings"),
-            _pq_codebooks_residual(sf_dir),
-            centroids=_ivf_centroids(sf_dir),
-            residual=True,
-        )
-        codes.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return path
 
 
 def q58_ivfpq_topk(spark, sf_dir):
@@ -661,13 +631,13 @@ def q61_ivfpq_residual_topk(spark, sf_dir):
     codewords model within-cluster displacement only (measured
     recall@10 0.66 vs 0.42 on clustered data — pinned in pytest).
     Corpus side reads residual codes AT REST
-    (``_ensure_pq_codes_residual``); the query side builds one LUT per
+    (``_ensure_pq_codes(residual=True)``); the query side builds one LUT per
     probed cluster from ITS residual against that centroid."""
     from ai_pdf_extraction_spark.operators.similarity import ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    codes = spark.read.parquet(_ensure_pq_codes_residual(spark, sf_dir))
+    codes = spark.read.parquet(_ensure_pq_codes(spark, sf_dir, residual=True))
     return ivfpq_topk(
         None,
         queries,

@@ -279,19 +279,25 @@ def granule_dedup(
     )
 
 
-def _is_cache_backed(df: DataFrame) -> bool:
-    """True when every leaf of the optimized plan is an
-    InMemoryRelation — the partition count of such a plan is REAL
-    (cache blocks), never the byte-split illusion a single-row-group
-    parquet scan reports."""
-    try:
-        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-    except Exception:
-        return False
-    n = leaves.size()
-    return n > 0 and all(
-        leaves.apply(i).nodeName() == "InMemoryRelation" for i in range(n)
-    )
+# Attribute set by mark_parallel_balanced: the explicit (and only)
+# channel for skipping _ensure_parallel's repartition.
+_BALANCED_ATTR = "_graft_parallel_balanced"
+
+
+def mark_parallel_balanced(df: DataFrame) -> DataFrame:
+    """Mark a DataFrame as ALREADY balanced so ``_ensure_parallel``
+    trusts it and skips its repartition. Only callers that just
+    repartitioned (and typically persisted) the relation themselves may
+    set this — the curation capstones' shared narrow projection is the
+    canonical case: re-shuffling the already-balanced cached relation
+    once per leg measurably dominated capstone wall time at local
+    scale (r6). An explicit marker, NOT a cache-backed heuristic:
+    persisting preserves the child's partitioning, so a cached
+    byte-split parquet scan keeps its empty partitions and a
+    "trust any cached input" rule would reintroduce the one-straggler
+    outage this guard exists to prevent (review r6)."""
+    setattr(df, _BALANCED_ATTR, True)
+    return df
 
 
 def _ensure_parallel(docs: DataFrame, id_col: str) -> DataFrame:
@@ -305,18 +311,14 @@ def _ensure_parallel(docs: DataFrame, id_col: str) -> DataFrame:
     the raw docs is far cheaper than the explode/join work downstream.
     A real crawl (thousands of files, ≫4× parallelism partitions)
     skips this. Never repartitions DOWN: inputs already wider than the
-    2× target keep their width (only empties get rebalanced).
-
-    Cache-backed inputs (every optimized-plan leaf an InMemoryRelation
-    — the curation capstones' shared narrow projection) are trusted at
-    ≥ 2× parallelism: their partition counts are real, and re-shuffling
-    an already-balanced cached relation once per leg measurably
-    dominated the capstone wall time at local scale (r6)."""
+    2× target keep their width (only empties get rebalanced). Inputs
+    explicitly marked by :func:`mark_parallel_balanced` (the caller
+    just repartitioned them itself) are trusted as-is."""
+    if getattr(docs, _BALANCED_ATTR, False):
+        return docs
     target = docs.sparkSession.sparkContext.defaultParallelism
     parts = docs.rdd.getNumPartitions()
     if parts >= target * 4:
-        return docs
-    if parts >= target * 2 and _is_cache_backed(docs):
         return docs
     return docs.repartition(max(target * 2, parts), F.col(id_col))
 

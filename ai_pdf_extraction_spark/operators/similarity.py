@@ -710,23 +710,16 @@ def ivfpq_topk(
             "codes",
         )
     elif residual:
-        casted = emb.select(
+        # inline encode routes through pq_codes — ONE residual encode
+        # pipeline, so at-rest and inline codes cannot drift (review r6)
+        c = pq_codes(
+            emb, codebooks, id_col=id_col, vec_col=vec_col,
+            centroids=centroids, residual=True,
+        ).select(
             F.col(id_col).alias("neighbor_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+            F.col("coarse").alias("cc"),
+            "codes",
         )
-        with_coarse = casted.select(
-            "neighbor_id", "_v", ivf_assign("_v", centroids).alias("cc")
-        )
-        with_res = with_coarse.select(
-            "neighbor_id",
-            "cc",
-            F.expr(_sql_residual("_v", "cc", centroids)).alias("_rv"),
-        )
-        c = with_res.select(
-            "neighbor_id",
-            "cc",
-            *[F.slice("_rv", s * sub + 1, sub).alias(f"_s{s}") for s in range(m)],
-        ).select("neighbor_id", "cc", _codes_from_slices(codebooks).alias("codes"))
     else:
         c = prep(emb, "neighbor_id").select(
             "neighbor_id",

@@ -34,6 +34,7 @@ from ai_pdf_extraction_spark.operators.dedup import (
     contamination_flags,
     exact_dedup,
     granule_dedup,
+    mark_parallel_balanced,
     minhash_lsh_pairs,
 )
 from ai_pdf_extraction_spark.operators.text_analysis import quality_score, token_count
@@ -56,21 +57,21 @@ def _narrow_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     narrow (only the columns curation needs), and ``persist`` defaults
     to MEMORY_AND_DISK, so an oversized corpus spills instead of OOMing.
 
-    The projection is also repartitioned to 2× default parallelism when
-    the source arrives narrower — the ``_ensure_parallel`` rule (a
-    single-row-group parquet file byte-splits into mostly-EMPTY
-    partitions, serializing every explode on one straggler) applied
-    ONCE here; the per-leg guards then trust the cache-backed relation
-    (real partition counts — ``dedup._is_cache_backed``) and skip
+    The projection is also rebalanced ONCE here under exactly the
+    ``_ensure_parallel`` rule — repartition to ``max(2× parallelism,
+    parts)`` when below 4× parallelism (the byte-split-lie guard;
+    never narrows a wider input) — and then explicitly marked
+    (``dedup.mark_parallel_balanced``) so the per-leg guards skip
     their own repartition shuffles. A real crawl (≫4× parallelism
-    partitions) skips this and keeps its layout.
+    partitions) skips the rebalance and keeps its layout.
     """
     narrow = docs.select(id_col, "lang", text_col)
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target * 4:
-        narrow = narrow.repartition(target * 2, F.col(id_col))
-    return _persist_latest(_DOCS_CACHE, narrow)
+    parts = docs.rdd.getNumPartitions()
+    if parts < target * 4:
+        narrow = narrow.repartition(max(target * 2, parts), F.col(id_col))
+    return mark_parallel_balanced(_persist_latest(_DOCS_CACHE, narrow))
 
 
 def curated_corpus(

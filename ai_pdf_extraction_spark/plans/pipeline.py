@@ -155,13 +155,14 @@ def run_extraction(
     (see the seam note in ``sources/snapshot_table.py``). A
     catalog-style name here fails loud rather than creating a local
     directory literally named ``catalog.ns.table``. The guard matches
-    only strict catalog identifiers (``ns.table`` / ``cat.ns.table`` of
-    word chars) — a bare ``out.v2`` is inherently ambiguous with
+    dotted word-char identifiers of ANY depth (``ns.table``,
+    ``cat.ns.table``, ``cat.ns1.ns2.table`` — Iceberg namespaces nest,
+    review r6) — a bare ``out.v2`` is inherently ambiguous with
     ``ns.table`` so it still fails loud, but the error names the escape
     and ``./out.v2`` (any path with a separator or non-identifier char)
     always reads as a path (advice r6).
     """
-    if re.fullmatch(r"\w+(\.\w+){1,2}", output_root):
+    if re.fullmatch(r"\w+(\.\w+)+", output_root):
         raise ValueError(
             f"output_root {output_root!r} looks like a catalog table name; "
             "run_extraction writes the parquet SnapshotTable layout — for "

@@ -60,7 +60,14 @@ class SnapshotTable:
         # routing by constructing one, and an Iceberg-style name
         # ('graft.db.extract_test') left junk dirs in the cwd. Dirs
         # materialize on first read/write via _ensure_dirs().
-        self.root = root
+        #
+        # ABSOLUTE root (review r6): a relative root is resolved by
+        # Python (manifests, os.listdir) against the PROCESS cwd but by
+        # the JVM parquet writer against the JVM's launch cwd — if the
+        # caller chdir'ed after session start, data and manifests land
+        # in DIFFERENT directories. Pin both sides to one path up front.
+        self.root = os.path.abspath(root)
+        root = self.root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
 

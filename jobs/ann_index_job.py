@@ -96,9 +96,27 @@ def build_ann_index(
 
 def load_ann_index(spark, index_dir: str):
     """(codes DataFrame, centroids, codebooks, manifest) from a built
-    index — feed straight into ``pq_topk``/``ivfpq_topk`` ``codes=``."""
+    index — feed straight into ``pq_topk``/``ivfpq_topk`` ``codes=``;
+    query with ``ivfpq_topk(residual=manifest["residual"])``.
+
+    Compatibility (review r6): manifests written before codes v2 lack
+    the ``residual`` key — those codes ARE raw, so it defaults False
+    (v1→v2 changed nothing about raw encode semantics). A manifest
+    whose version is NEWER than this library's ``PQ_CODES_VERSION``
+    fails loud: its encode semantics are unknown here, and feeding such
+    codes into the wrong ADC plan would silently score garbage."""
+    from ai_pdf_extraction_spark.operators.similarity import PQ_CODES_VERSION
+
     with open(os.path.join(index_dir, "index.json")) as fh:
         manifest = json.load(fh)
+    version = manifest.get("version", 1)
+    if version > PQ_CODES_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has codes version {version}, newer than "
+            f"this library's PQ_CODES_VERSION={PQ_CODES_VERSION} — rebuild "
+            "the index or upgrade the library"
+        )
+    manifest.setdefault("residual", False)
     codes = spark.read.parquet(os.path.join(index_dir, manifest["codes"]))
     return codes, manifest["centroids"], manifest["codebooks"], manifest
 

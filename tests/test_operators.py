@@ -1939,3 +1939,35 @@ def test_ann_index_job_residual_mode(spark, tmp_path):
         )
     )
     assert inline == rest and len(rest) == 15
+
+
+def test_load_ann_index_version_and_residual_compat(spark, tmp_path):
+    """Pre-v2 manifests (no 'residual' key) load with residual=False —
+    their raw codes are still valid; a manifest NEWER than this
+    library's PQ_CODES_VERSION fails loud (unknown encode semantics
+    must not feed an ADC plan)."""
+    import json
+    import os
+
+    import pytest
+
+    from jobs.ann_index_job import build_ann_index, load_ann_index
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "idx")
+    os.makedirs(out, exist_ok=True)
+    build_ann_index(spark, src, out, m=8, n_codes=16, n_clusters=4)
+
+    mpath = os.path.join(out, "index.json")
+    manifest = json.load(open(mpath))
+    # simulate a pre-round-6 manifest: v1, no residual key
+    manifest["version"] = 1
+    manifest.pop("residual")
+    json.dump(manifest, open(mpath, "w"))
+    codes, cents, books, mf = load_ann_index(spark, out)
+    assert mf["residual"] is False and codes.count() > 0
+
+    manifest["version"] = 99
+    json.dump(manifest, open(mpath, "w"))
+    with pytest.raises(ValueError, match="newer than"):
+        load_ann_index(spark, out)

@@ -263,7 +263,12 @@ def test_catalog_name_guard_accepts_dotted_relative_paths(
 
     from ai_pdf_extraction_spark.plans.pipeline import run_extraction
 
-    for bad in ("graft.db.tbl", "ns.table", "out.v2"):
+    for bad in (
+        "graft.db.tbl",
+        "ns.table",
+        "out.v2",
+        "graft.ns1.ns2.extractions",  # nested Iceberg namespace (r6 review)
+    ):
         with pytest.raises(ValueError, match="prefix './'"):
             run_extraction(spark, "x.parquet", bad, run_id="g")
 
