@@ -301,12 +301,15 @@ def _column_order(page_lines: list) -> list:
 
     The line x-starts are clustered by their single largest gap; a gap
     ≥ ``_COLUMN_GAP_MIN`` with ≥2 genuinely-columnar lines on each side
-    AND overlapping y-ranges reads as a two-column layout. Lines that
+    AND overlapping y-ranges reads as a column boundary. Lines that
     START left of the boundary but whose estimated extent (the same
     ``0.5·size·len`` advance model the interpreter uses) reaches well
     past it are FULL-WIDTH (titles, footers): they separate vertical
-    bands and read in place; within each band the left column reads
-    top-to-bottom before the right.
+    bands and read in place; within each band the left side reads
+    top-to-bottom before the right, and each side RECURSES, so a
+    3+-column layout resolves column by column (the first split peels
+    one column off; the multi-column side re-splits on its own largest
+    gap).
 
     Deliberately conservative: any failed precondition returns the
     input order unchanged, so single-column pages — including
@@ -357,8 +360,13 @@ def _column_order(page_lines: list) -> list:
     band_r: list = []
 
     def _flush_band() -> None:
-        out.extend(band_l)
-        out.extend(band_r)
+        # each side recurses: a 3+-column layout's first split separates
+        # one column from the rest, and the multi-column side re-splits
+        # on ITS largest start gap (same preconditions; recursion stops
+        # when any fails, so 2-column pages recurse exactly once into
+        # trivially-unsplittable halves)
+        out.extend(_column_order(band_l))
+        out.extend(_column_order(band_r))
         band_l.clear()
         band_r.clear()
 

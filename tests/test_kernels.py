@@ -465,3 +465,24 @@ def test_pdf_column_split_preconditions_hold_order():
     )
     res2 = extract_pdf(indent)
     assert res2.text.index("alpha a") < res2.text.index("beta a") < res2.text.index("alpha b")
+
+
+def test_pdf_three_column_reading_order():
+    """The column split recurses: a 3-column page reads col1, col2,
+    col3 — the first boundary peels one column, the recursive call on
+    the remaining side finds the second. Column start baselines are
+    chosen pairwise non-congruent mod the 13pt leading (700/694/691
+    -> residues 11/5/2) so no cross-column baseline ever falls within
+    the 2pt line-clustering tolerance."""
+    pdf = (
+        b"%PDF-1.4\nstream\n"
+        b"BT /F1 9 Tf 50 700 Td 13 TL (aa one) Tj T* (aa two) Tj T* (aa three) Tj ET\n"
+        b"BT /F1 9 Tf 240 694 Td 13 TL (bb one) Tj T* (bb two) Tj T* (bb three) Tj ET\n"
+        b"BT /F1 9 Tf 430 691 Td 13 TL (cc one) Tj T* (cc two) Tj T* (cc three) Tj ET\n"
+        b"endstream\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert res.parse_ok
+    order = [res.text.index(t) for t in (
+        "aa one", "aa three", "bb one", "bb three", "cc one", "cc three")]
+    assert order == sorted(order), res.text
