@@ -146,21 +146,34 @@ def apply_schema(
     column.
 
     Output: ``keys`` (passthrough) + one typed column per schema field
-    (named by the field) + ``schema_name`` / ``schema_version`` litera
+    (named by the field) + ``schema_name`` / ``schema_version`` literal
     columns + ``schema_warnings`` (sorted array: the required/empty
-    warnings, P6). The raw value for field ``f`` is
-    ``get_json_object(source_col, '$.f')`` — absent keys read null,
-    and the required rule fires on null/empty for required fields
-    only (``validation.py:440-464``).
+    warnings, P6). The document is parsed ONCE per row —
+    ``from_json`` into an all-strings struct projected as a bound
+    column — and every field reads its struct member; absent keys read
+    null, and the required rule fires on null/empty for required
+    fields only (``validation.py:440-464``). (A ``get_json_object``
+    per field re-parses the JSON per FIELD — measured ~5× slower at 7
+    fields over 150k docs.)
 
     Pure Column expressions end to end: schema application is a plan
     fragment (prunable, codegen-able), not a UDF — at 100 TB the JSON
-    probe + parses pipeline inside one WholeStageCodegen over the scan.
+    parse + typed parses pipeline inside one WholeStageCodegen over
+    the scan.
     """
+    from pyspark.sql import types as T
+
+    raw_struct = T.StructType(
+        [T.StructField(f_["name"], T.StringType()) for f_ in schema["fields"]]
+    )
+    df = df.select(
+        *[F.col(k) for k in (keys or [])],
+        F.from_json(F.col(source_col), raw_struct).alias("_doc"),
+    )
     cols: list[Column] = [F.col(k) for k in (keys or [])]
     warn_arrays: list[Column] = []
     for f_ in schema["fields"]:
-        raw = F.get_json_object(F.col(source_col), f"$.{f_['name']}")
+        raw = F.col("_doc")[f_["name"]]
         cols.append(field_expr(f_, raw).alias(f_["name"]))
         if f_.get("required"):
             warn_arrays.append(required_empty_warning(raw, f_["name"]))
