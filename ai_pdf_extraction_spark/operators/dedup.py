@@ -51,14 +51,18 @@ ALL_PAIRS_MAX_DOCS = 100_000
 
 
 def _guard_all_pairs(df: DataFrame, max_docs: int | None, op: str, scale_twin: str) -> None:
+    # limit(max+1).count(), NOT count(): the guard must stay cheap on
+    # the very corpora it refuses — a full count of a 10^12-row table
+    # just to say "too big" would itself be a major job; the limit
+    # short-circuits the scan as soon as max_docs+1 rows exist.
     if max_docs is None:
         return
-    n = df.count()
+    n = df.limit(max_docs + 1).count()
     if n > max_docs:
         raise ValueError(
             f"{op} is an all-pairs correctness baseline and refuses "
-            f"{n} docs (> max_docs={max_docs}); run {scale_twin} at "
-            "corpus scale, or pass max_docs=None to force the "
+            f">{max_docs} docs (max_docs={max_docs}); run {scale_twin} "
+            "at corpus scale, or pass max_docs=None to force the "
             "quadratic plan"
         )
 
