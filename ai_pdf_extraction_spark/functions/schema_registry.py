@@ -54,6 +54,22 @@ SCHEMA_DIR = os.path.join(os.path.dirname(__file__), "schemas")
 
 _FILE_RE = re.compile(r"^(?P<name>[a-z0-9_]+)_v(?P<version>\d+)\.json$")
 
+
+def _schema_root(schema_dir: str | None):
+    """Traversable root of the schema configs. A filesystem override
+    (tests) uses a plain Path; the default goes through
+    ``importlib.resources`` so the registry also works when the
+    package is imported FROM the --py-files ZIP (``os.listdir`` on a
+    path inside a zip raises NotADirectoryError — found by the
+    spark-submit drive, review r6)."""
+    if schema_dir is not None:
+        import pathlib
+
+        return pathlib.Path(schema_dir)
+    from importlib import resources
+
+    return resources.files("ai_pdf_extraction_spark.functions.schemas")
+
 # field type → (Column transform, Spark type name in the output)
 _PARSERS = {
     "text": (lambda c: F.when(F.trim(c) == "", None).otherwise(F.trim(c)), "string"),
@@ -76,20 +92,20 @@ SUPPORTED_TYPES = frozenset(_PARSERS)
 
 
 def _iter_schema_files(schema_dir: str | None = None):
-    d = schema_dir or SCHEMA_DIR
-    for fn in sorted(os.listdir(d)):
-        m = _FILE_RE.match(fn)
+    root = _schema_root(schema_dir)
+    entries = sorted(root.iterdir(), key=lambda e: e.name)
+    for entry in entries:
+        m = _FILE_RE.match(entry.name)
         if m:
-            yield m.group("name"), int(m.group("version")), os.path.join(d, fn)
+            yield m.group("name"), int(m.group("version")), entry
 
 
 def list_schemas(schema_dir: str | None = None) -> dict[str, list[int]]:
     """Visible registry listing: {name: [versions...]}, soft-deleted
     versions EXCLUDED (the reference's deleted_at filter)."""
     out: dict[str, list[int]] = {}
-    for name, version, path in _iter_schema_files(schema_dir):
-        with open(path) as fh:
-            doc = json.load(fh)
+    for name, version, entry in _iter_schema_files(schema_dir):
+        doc = json.loads(entry.read_text())
         if doc.get("deleted"):
             continue
         out.setdefault(name, []).append(version)
@@ -113,11 +129,11 @@ def load_schema(
     plan build."""
     if version is None:
         version = latest_version(name, schema_dir)
-    path = os.path.join(schema_dir or SCHEMA_DIR, f"{name}_v{version}.json")
-    if not os.path.exists(path):
-        raise KeyError(f"schema {name!r} v{version} not found at {path}")
-    with open(path) as fh:
-        doc = json.load(fh)
+    entry = _schema_root(schema_dir) / f"{name}_v{version}.json"
+    try:
+        doc = json.loads(entry.read_text())
+    except (FileNotFoundError, NotADirectoryError):
+        raise KeyError(f"schema {name!r} v{version} not found at {entry}")
     for f_ in doc["fields"]:
         if f_["type"] not in SUPPORTED_TYPES:
             raise ValueError(

@@ -464,7 +464,10 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     return F.array(*codes)
 
 
-def pq_encode_udf(codebooks: list[list[list[float]]]):
+def pq_encode_udf(
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]] | None = None,
+):
     """Arrow-batched pandas-UDF PQ encoder — the documented transport
     escape hatch for LARGE codebooks: beyond ~(m=16, 64 codes) the
     plan-literal Column form bloats the expression tree (m·n_codes
@@ -472,16 +475,27 @@ def pq_encode_udf(codebooks: list[list[list[float]]]):
     ride the closure ONCE and each batch is one numpy einsum-free
     argmin per subspace. Bit-identical to :func:`pq_encode` on the
     same books (distances rounded 6 before argmin, first-match ties)
-    — pinned by test_pq_encode_udf_matches_column_form."""
+    — pinned by test_pq_encode_udf_matches_column_form.
+
+    ``centroids`` switches to RESIDUAL encoding (the
+    :func:`pq_codes(residual=True)` twin at pandas-UDF transport):
+    each vector is first reduced by its coarse centroid — assignment
+    via the same round-6 first-match rule as :func:`ivf_assign` /
+    :func:`assign_coarse`, so the codes match the Column form
+    bit-for-bit; codebooks must be residual-trained."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
+    C = None if centroids is None else np.asarray(centroids, dtype=np.float64)
 
     def _encode_fn(vecs):
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if C is not None:
+            d2c = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+            X = X - C[d2c.argmin(axis=1)]
         out = np.zeros((len(X), len(books)), dtype=np.int32)
         for s, B in enumerate(books):
             sl = X[:, s * sub : (s + 1) * sub]

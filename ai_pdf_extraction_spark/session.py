@@ -152,14 +152,16 @@ def build_session(
 
 def _package_manifest(pkg_dir: str) -> list[tuple[str, str]]:
     """Sorted (abs path, archive-relative path) of the package's .py
-    files — single source of truth for both zip producers."""
+    files AND .json package data (the schema-registry configs — the
+    zip must carry them or ``load_schema`` fails on a --py-files-only
+    deployment) — single source of truth for both zip producers."""
     pkg_name = os.path.basename(pkg_dir)
     out: list[tuple[str, str]] = []
     for root, _dirs, files in os.walk(pkg_dir):
         if "__pycache__" in root:
             continue
         for name in sorted(files):
-            if name.endswith(".py"):
+            if name.endswith((".py", ".json")):
                 full = os.path.join(root, name)
                 rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
                 out.append((full, rel))

@@ -654,3 +654,48 @@ def test_iceberg_integration_job_skips_cleanly_without_jar(tmp_path):
     assert proc.returncode == 0, proc.stderr
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["skipped"] is True and "jar" in out["reason"]
+
+
+def test_apply_schema_is_stream_safe(spark, tmp_path):
+    """Schema application is a pure projection, so the IDENTICAL
+    config-compiled plan runs under Structured Streaming: an
+    availableNow pass over a parquet dir must produce exactly the
+    batch result (the registry-on-a-stream twin)."""
+    from ai_pdf_extraction_spark.functions.schema_registry import (
+        apply_schema,
+        load_schema,
+    )
+
+    src = str(tmp_path / "docs_in")
+    rows = [
+        (i, '{"invoice_number": "INV-%d", "total": "$%d.50", '
+            '"po_reference": "PO-%d"}' % (i, 100 + i, i))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, "id long, doc string").write.parquet(src)
+    schema = load_schema("invoice")  # v2
+
+    batch = apply_schema(spark.read.parquet(src), schema, "doc", keys=["id"])
+    expected = sorted(
+        (r["id"], r["invoice_number"], r["total"], tuple(r["schema_warnings"]))
+        for r in batch.collect()
+    )
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    typed = apply_schema(stream, schema, "doc", keys=["id"])
+    out = str(tmp_path / "docs_out")
+    q = (
+        typed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["id"], r["invoice_number"], r["total"], tuple(r["schema_warnings"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == expected and len(got) == 40

@@ -1971,3 +1971,36 @@ def test_load_ann_index_version_and_residual_compat(spark, tmp_path):
     json.dump(manifest, open(mpath, "w"))
     with pytest.raises(ValueError, match="newer than"):
         load_ann_index(spark, out)
+
+
+def test_pq_encode_udf_residual_matches_pq_codes(spark):
+    """The pandas-UDF transport's residual mode must produce
+    BIT-IDENTICAL codes to pq_codes(residual=True) — same coarse
+    assignment (round-6 first-match), same residual, same subspace
+    argmin."""
+    from ai_pdf_extraction_spark.operators.similarity import (
+        load_embedding_sample,
+        pq_codes,
+        pq_encode_udf,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    sample = load_embedding_sample(path)
+    cents = train_ivf_centroids(sample, n_clusters=4, n_iters=5, seed=13)
+    books = train_pq_codebooks(sample, m=8, n_codes=16, centroids=cents)
+    emb = spark.read.parquet(path).limit(200)
+
+    col_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_codes(emb, books, centroids=cents, residual=True).collect()
+    }
+    udf_codes = {
+        r["vec_id"]: list(r["c"])
+        for r in emb.select(
+            "vec_id",
+            pq_encode_udf(books, centroids=cents)(F.col("embedding")).alias("c"),
+        ).collect()
+    }
+    assert col_codes == udf_codes and len(col_codes) == 200
