@@ -525,3 +525,56 @@ def test_mutated_progressive_jpeg_stays_in_taxonomy(seed, mutations):
     except Exception as exc:  # pragma: no cover
         _pytest.fail(f"unexpected {type(exc).__name__}: {exc}")
     assert len(out["pixels"]) == out["width"] * out["height"] * out["channels"]
+
+
+_FIELD_TYPES = st.sampled_from(
+    ["text", "number", "currency", "date", "boolean", "percentage", "email"]
+)
+_FIELD_NAMES = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+_JSON_VALUES = st.one_of(
+    st.none(),
+    st.just(""),
+    st.text(alphabet="abz019@%$,.:/- ", max_size=18),
+    st.integers(min_value=-10**9, max_value=10**9).map(str),
+    st.just("01/15/2024"),
+    st.just("$1,234.56"),
+    st.just("yes"),
+    st.just("12%"),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_FIELD_NAMES, _FIELD_TYPES, st.booleans()),
+        min_size=1, max_size=4, unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(_FIELD_NAMES, _JSON_VALUES, max_size=4),
+)
+def test_apply_schema_never_raises_and_warns_exactly(spark, fields, doc):
+    """Registry robustness: ANY config over the supported types applied
+    to ANY JSON document must plan+execute without raising, emit one
+    typed column per field, and warn exactly for required fields whose
+    raw value is null/absent/empty-string (P6)."""
+    import json as _json
+
+    from ai_pdf_extraction_spark.functions.schema_registry import apply_schema
+    schema = {
+        "name": "fuzz",
+        "version": 1,
+        "fields": [
+            {"name": n, "type": t, "required": r} for n, t, r in fields
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, _json.dumps(doc))], "id long, doc string"
+    )
+    out = apply_schema(df, schema, "doc", keys=["id"]).collect()[0].asDict()
+    for n, _t, _r in fields:
+        assert n in out
+    expected_warn = sorted(
+        f"Required field '{n}' is empty"
+        for n, _t, r in fields
+        if r and (doc.get(n) is None or doc.get(n) == "")
+    )
+    assert sorted(out["schema_warnings"]) == expected_warn
