@@ -13,8 +13,12 @@ Scope — the honest boundary:
 * **decode**: baseline + extended-sequential (SOF0/SOF1) AND
   progressive (SOF2, T.81 Annex G: spectral selection, successive
   approximation, EOB runs, interleaved DC / non-interleaved AC
-  scans), 8-bit, grayscale or YCbCr with any integer sampling factors
-  (4:4:4, 4:2:2, 4:2:0, ...), arbitrary DQT/DHT read from the stream,
+  scans), 8-bit AND 12-bit samples (12-bit reconstructs in the
+  0..4095 domain — level shift 2048 — and maps to the 8-bit pixel
+  payload by round(v·255/4095); ``precision`` in the result records
+  the source depth; SOF0 stays 8-bit-only per T.81), grayscale or
+  YCbCr with any integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
+  arbitrary DQT/DHT (8- or 16-bit entries) read from the stream,
   restart markers, byte stuffing. Chroma upsampling is
   nearest-neighbor (box replication) — a legitimate decoder choice,
   deterministic.
@@ -25,9 +29,11 @@ Scope — the honest boundary:
   bits, all AC symbols 8 bits — a valid canonical code; compression
   is deliberately naive, correctness is exact and there is no risk of
   mis-transcribing the Annex-K Huffman tables).
-* arithmetic coding, hierarchical, 12-bit, and CMYK raise
+* arithmetic coding, hierarchical, 12-bit ENCODE, and CMYK raise
   ``NotImplementedError`` — the documented seams (like webp/mp4
-  pixels in :mod:`multimodal`).
+  pixels in :mod:`multimodal`; the QM arithmetic coder is spec-heavy
+  state-machine work with no independent in-sandbox oracle, the same
+  unverifiability class as VP8L).
 
 DCT math uses numpy (float64 matrix products — deterministic); the
 entropy loop is pure Python over fixture-scale payloads. The
@@ -213,9 +219,11 @@ def decode_jpeg(data: bytes) -> dict:
     interleaved bytes. Decodes baseline/extended-sequential (SOF0/1)
     AND progressive (SOF2) streams — spectral selection, successive
     approximation, interleaved DC scans, non-interleaved AC scans,
-    EOB runs, restarts (T.81 Annex F + Annex G, public spec). Raises
-    ``ValueError`` on malformed input and ``NotImplementedError`` on
-    arithmetic-coded/hierarchical/12-bit streams (documented seams)."""
+    EOB runs, restarts (T.81 Annex F + Annex G, public spec), 8- and
+    12-bit samples (``precision`` in the result; 12-bit maps to the
+    8-bit payload by round(v·255/4095)). Raises ``ValueError`` on
+    malformed input and ``NotImplementedError`` on arithmetic-coded/
+    hierarchical streams and 12-bit SOF0 (documented seams)."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG")
     qt: dict[int, list[int]] = {}
@@ -280,8 +288,13 @@ def decode_jpeg(data: bytes) -> dict:
             if len(body) < 6:
                 raise ValueError("short SOF")
             precision = body[0]
-            if precision != 8:
-                raise NotImplementedError(f"{precision}-bit JPEG")
+            # T.81: baseline (SOF0) is 8-bit only; extended sequential
+            # (SOF1) and progressive (SOF2) also allow 12-bit samples
+            allowed = (8,) if marker == 0xC0 else (8, 12)
+            if precision not in allowed:
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG (SOF{marker - 0xC0})"
+                )
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             if w <= 0 or h <= 0 or ncomp not in (1, 3):
@@ -305,6 +318,7 @@ def decode_jpeg(data: bytes) -> dict:
                 "h": int(h),
                 "comps": comps,
                 "progressive": marker == 0xC2,
+                "precision": precision,
             }
             coeffs = _alloc_coeffs(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -573,8 +587,17 @@ def _decode_scan_into(
 
 def _finish(frame, coeffs, qt) -> dict:
     """Dequantize (zigzag-order tables), de-zigzag, batch-IDCT every
-    block, then level-shift, upsample (nearest), color-convert."""
+    block, then level-shift, upsample (nearest), color-convert.
+
+    12-bit frames (SOF1/SOF2 extended precision) reconstruct in the
+    full 0..4095 sample domain — level shift 2048, YCbCr chroma
+    centered at 2048 — and then map to the 8-bit pixel payload with
+    ``round(v·255/4095)`` (the output contract is 8-bit interleaved
+    bytes; ``precision`` in the result records the source depth)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    precision = frame.get("precision", 8)
+    mid = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
     out_ch = 1 if len(comps) == 1 else 3
     hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
@@ -598,23 +621,34 @@ def _finish(frame, coeffs, qt) -> dict:
         # nearest-neighbor upsample to full resolution + level shift
         ys = (np.arange(h) * c["v"]) // vmax
         xs = (np.arange(w) * c["h"]) // hmax
-        full.append(plane[np.ix_(ys, xs)] + 128.0)
+        full.append(plane[np.ix_(ys, xs)] + mid)
+
+    def _to_u8(p: np.ndarray) -> np.ndarray:
+        v = np.clip(np.rint(p), 0, maxval)
+        if precision != 8:
+            v = np.rint(v * (255.0 / maxval))
+        return v.astype(np.uint8)
+
     if out_ch == 1:
-        gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return {
             "width": w,
             "height": h,
             "channels": 1,
-            "pixels": gray.tobytes(),
+            "pixels": _to_u8(full[0]).tobytes(),
+            "precision": precision,
         }
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    y, cb, cr = full[0], full[1] - mid, full[2] - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    rgb = np.stack(
-        [np.clip(np.rint(p), 0, 255) for p in (r, g, b)], axis=-1
-    ).astype(np.uint8)
-    return {"width": w, "height": h, "channels": 3, "pixels": rgb.tobytes()}
+    rgb = np.stack([_to_u8(p) for p in (r, g, b)], axis=-1)
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixels": rgb.tobytes(),
+        "precision": precision,
+    }
 
 
 # ---------------------------------------------------------------------------

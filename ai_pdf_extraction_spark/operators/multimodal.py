@@ -242,8 +242,8 @@ def decode_media(data: bytes, fmt: str):
       (:mod:`png_codec`), no codec library needed.
     * ``jpeg`` → dict with width/height/channels and decoded pixels —
       REAL DCT-Huffman decode (:mod:`jpeg_codec`), baseline AND
-      progressive (SOF0/1/2); only arithmetic-coded/hierarchical/
-      12-bit streams raise.
+      progressive (SOF0/1/2), 8- and 12-bit samples; only
+      arithmetic-coded/hierarchical streams raise.
 
     The remaining compressed codecs (webp, mp4/avi) require
     PIL/soundfile/av — not in this container — and raise

@@ -433,3 +433,55 @@ def test_large_noise_image_decodes_in_linear_time():
     assert len(out["pixels"]) == w * h * 3
     assert t_enc < 10.0, f"encode took {t_enc:.1f}s — bitbuf growth regression?"
     assert t_dec < 10.0, f"decode took {t_dec:.1f}s — bitbuf growth regression?"
+
+
+def _gray12_jpeg(w: int, h: int, scan: bytes) -> bytes:
+    """Extended-sequential (SOF1) 12-bit grayscale, same hand tables."""
+    return (
+        b"\xff\xd8"
+        + _tables()
+        + _seg(0xC1, b"\x0c" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+        + _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def test_hand_packed_12bit_dc_only_block():
+    """12-bit extended sequential (SOF1): DC=+10, q=1 → sample
+    round(10/8 + 2048) = 2049 in the 0..4095 domain, mapped to the
+    8-bit payload as round(2049·255/4095) = 128 — hand arithmetic.
+    Same scan bits as the 8-bit pin (cat4 '0100' + '1010' + EOB)."""
+    dec = decode_jpeg(_gray12_jpeg(8, 8, bytes([0x4A, 0x00])))
+    assert (dec["width"], dec["height"], dec["channels"]) == (8, 8, 1)
+    assert dec["precision"] == 12
+    assert dec["pixels"] == bytes([128]) * 64
+
+    # negative DC −10: sample 2047 → round(2047·255/4095) = 127
+    dec = decode_jpeg(_gray12_jpeg(8, 8, bytes([0x45, 0x00])))
+    assert dec["pixels"] == bytes([127]) * 64
+
+    # wide-range DC +1000 (category 10 — only exists at 12-bit):
+    # cat10 '1010' + magnitude '1111101000' + EOB → sample 2173 →
+    # round(2173·255/4095) = 135
+    dec = decode_jpeg(_gray12_jpeg(8, 8, bytes([0xAF, 0xA0, 0x03])))
+    assert dec["pixels"] == bytes([135]) * 64
+
+    # 8-bit results carry precision 8 and are unchanged
+    dec8 = decode_jpeg(_gray_jpeg(8, 8, bytes([0x4A, 0x00])))
+    assert dec8["precision"] == 8 and dec8["pixels"] == bytes([129]) * 64
+
+
+def test_12bit_baseline_sof0_still_rejected():
+    """T.81: baseline (SOF0) is 8-bit only — 12-bit must arrive as
+    SOF1/SOF2; a 12-bit SOF0 stays a loud NotImplementedError."""
+    bad = (
+        b"\xff\xd8"
+        + _tables()
+        + _seg(0xC0, b"\x0c" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
+        + _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes([0x4A, 0x00])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bad)
