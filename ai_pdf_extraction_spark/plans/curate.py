@@ -65,7 +65,12 @@ def _narrow_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     their own repartition shuffles. A real crawl (≫4× parallelism
     partitions) skips the rebalance and keeps its layout.
     """
-    narrow = docs.select(id_col, "lang", text_col)
+    lang = (
+        F.col("lang")
+        if "lang" in docs.columns
+        else F.lit(None).cast("string").alias("lang")
+    )
+    narrow = docs.select(id_col, lang, text_col)
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
     parts = docs.rdd.getNumPartitions()

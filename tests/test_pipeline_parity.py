@@ -316,3 +316,19 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert rows["u1"]["confidence"] is None
     assert rows["u2"]["confidence"] == 0.9
     assert merged.count() == 2
+
+
+def test_curated_corpus_without_lang_column(spark):
+    """A docs relation with no `lang` column still curates — the narrow
+    projection fills null lang instead of failing analysis (usability:
+    not every corpus carries language metadata)."""
+    from ai_pdf_extraction_spark.plans.curate import curated_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"some document body text number {i} with several words here")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = curated_corpus(docs, quality_threshold=0.0).collect()
+    assert len(out) == 30
+    assert all(r["lang"] is None for r in out)
