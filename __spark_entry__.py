@@ -1841,6 +1841,24 @@ def q37_url_canonicalize(spark, sf_dir):
     )
 
 
+def q64_embedding_near_dup_lsh(spark, sf_dir):
+    """Sign-LSH-bucketed embedding near-dup pairs — the SCALE TWIN of
+    q24 (whose all-pairs plan is the flagged-weak-by-design baseline):
+    the quadratic search runs only within hyperplane-sign buckets, so
+    the composition q24's docstring mandates at 10^12 docs is now an
+    operator with its own oracle (same plane literals, same round-4
+    half-away cosine, same threshold — the result is exactly q24's
+    pair set restricted to same-bucket pairs)."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    return embedding_near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 def q38_lsh_topk(spark, sf_dir):
     """Sign-LSH-bucketed ANN (random hyperplanes, single probe) — the
     LSH twin of the IVF variant, oracle-checked with the identical
@@ -1917,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_ivfpq_residual_topk": q61_ivfpq_residual_topk,
         "q62_salted_host_counts": q62_salted_host_counts,
         "q63_schema_registry_apply": q63_schema_registry_apply,
+        "q64_embedding_near_dup_lsh": q64_embedding_near_dup_lsh,
     }
 
 
@@ -2188,6 +2207,34 @@ select query_id, neighbor_id, approx_d2, rank from (
                                order by approx_d2 asc, neighbor_id asc) as rank
   from scored
 ) where rank <= {k}
+"""
+
+
+def _q64_oracle_sql() -> str:
+    """q64 oracle: the q24 all-pairs cosine restricted to same
+    sign-LSH bucket — bucket expression generated from the IDENTICAL
+    deterministic plane literals the Spark plan embeds
+    (``lsh_planes()``), cosine/rounding shared via ``_COS_EXPR``."""
+    from ai_pdf_extraction_spark.operators.similarity import lsh_planes
+
+    terms = []
+    for i, plane in enumerate(lsh_planes()):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(case when list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"x -> x[1]::DOUBLE * x[2])) > 0 then {1 << i} else 0 end)"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    return f"""
+with bucketed as (
+  select vec_id, embedding, {bucket} as bucket from embeddings
+)
+select * from (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    {_COS_EXPR.format(r=4)} as cos
+  from bucketed a join bucketed b
+    on a.vec_id < b.vec_id and a.bucket = b.bucket
+) where cos >= 0.45
 """
 
 
@@ -2788,6 +2835,7 @@ select query_id, neighbor_id, cos, rank from (
         "q56_pq_topk": _q56_oracle_sql(),
         "q58_ivfpq_topk": _q58_oracle_sql(),
         "q61_ivfpq_residual_topk": _q61_oracle_sql(),
+        "q64_embedding_near_dup_lsh": _q64_oracle_sql(),
         "q63_schema_registry_apply": """
 select o_orderkey,
   'INV-' || o_orderkey::varchar as invoice_number,

@@ -676,6 +676,72 @@ def simhash16_sketch(
     )
 
 
+def _round_half_away_4(x):
+    """Round to 4 half-AWAY-from-zero: np.round is banker's (half-even)
+    but F.round and DuckDB round are half-away — cross-engine lockstep
+    demands the same rule everywhere a cosine is emitted."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 10_000 + 0.5) / 10_000
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH-bucketed embedding near-dup pairs — the SCALE TWIN that
+    :func:`embedding_near_dup_pairs`'s docstring mandates at 10^12
+    docs, now an operator instead of an instruction: vectors are
+    assigned their hyperplane-sign bucket (``similarity.lsh_bucket``,
+    deterministic plane literals shared verbatim with the DuckDB
+    oracle), and the quadratic pair search runs ONLY within each
+    bucket (groupBy(bucket) → one BLAS ``X @ X.T`` per bucket inside
+    ``applyInPandas``). Output: (id_a, id_b, cos), id_a < id_b, cos
+    rounded 4 — identical semantics to the baseline restricted to
+    same-bucket pairs.
+
+    Scale shape: no replication, no corpus-wide product — with p
+    planes the corpus shards into ≤2^p buckets and per-bucket work is
+    |bucket|²; p is the knob that bounds task memory (raise it until
+    the hottest bucket fits). Recall trade (the LSH contract): a pair
+    is found iff NO hyperplane separates it — P = Π(1 − θᵢ/π), high
+    precisely for the near-dup angles this operator exists to find;
+    pairs straddling a plane are missed (pinned in pytest alongside a
+    recall measurement on clustered data)."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_pdf_extraction_spark.operators.similarity import lsh_bucket, lsh_planes
+
+    planes = lsh_planes(n_planes, dim)
+    bucketed = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).select("_id", "v", lsh_bucket("v", planes).alias("bucket"))
+
+    out_schema = "id_a long, id_b long, cos double"
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = _round_half_away_4(unit @ unit.T)
+        hit = np.triu(cos >= threshold, k=1)
+        ia, ib = np.nonzero(hit)
+        id_a, id_b, c = ids[ia], ids[ib], cos[ia, ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": c})
+
+    return bucketed.groupBy("bucket").applyInPandas(bucket_pairs, out_schema)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -696,8 +762,9 @@ def embedding_near_dup_pairs(
     block grid shards the quadratic work across the cluster with
     bounded per-task memory. The total work is still all-pairs, so the
     operator refuses corpora above ``max_docs`` (``ALL_PAIRS_MAX_DOCS``):
-    at 10^12 docs, pre-filter candidates with LSH/IVF (``lsh_topk`` /
-    ``ivf_topk`` buckets) first and run this within buckets."""
+    at 10^12 docs run :func:`embedding_near_dup_pairs_lsh` — the
+    bucketed composition, shipped as an operator (q64) rather than an
+    instruction."""
     import numpy as np
     import pandas as pd
 
@@ -731,11 +798,7 @@ def embedding_near_dup_pairs(
     # second time for nothing.
 
     out_schema = "id_a long, id_b long, cos double"
-
-    def _round_half_away(x: np.ndarray) -> np.ndarray:
-        # np.round is banker's (half-even); the DuckDB oracle and
-        # F.round are half away from zero — lockstep demands the same
-        return np.sign(x) * np.floor(np.abs(x) * 10_000 + 0.5) / 10_000
+    _round_half_away = _round_half_away_4  # shared with the LSH twin
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ba = int(pdf["bp"].iloc[0]["ba"])

@@ -52,6 +52,7 @@ HEADLINE = [
     "q61_ivfpq_residual_topk",  # residual-encoding IVF-PQ (FAISS default)
     "q62_salted_host_counts",  # north-rule salted skewed-host aggregation
     "q63_schema_registry_apply",  # versioned schema config -> typed projection
+    "q64_embedding_near_dup_lsh",  # bucketed scale twin of q24
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

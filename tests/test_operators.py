@@ -2059,3 +2059,50 @@ def test_residual_ivfpq_nprobe_recall_monotone(spark):
     # (m=4, 16 codes) over noisy d=16 blobs; the monotone property
     # above is the contract, the floor is a regression tripwire)
     assert recalls[-1] >= 0.4
+
+
+def test_embedding_near_dup_lsh_twin(spark):
+    """The sign-LSH bucketed twin of embedding_near_dup_pairs: its
+    result is EXACTLY the baseline's pair set restricted to same-bucket
+    pairs (subset property, identical cos values), and at genuine
+    near-dup angles (cos >= 0.99 here, theta <= ~8deg) recall is high —
+    P(same bucket) = prod(1 - theta_i/pi) ~ 0.9^8 for these angles."""
+    import numpy as np
+
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(5)
+    d, n_base = 16, 60
+    base = rng.normal(0, 1, (n_base, d))
+    rows = []
+    for i in range(n_base):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        # near-duplicate: tiny perturbation → cos ≈ 0.999
+        rows.append(
+            (2 * i + 1, [float(x) for x in base[i] + rng.normal(0, 0.01, d)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    baseline = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.99, n_planes=8, dim=d
+        ).collect()
+    }
+    # subset with identical values
+    assert set(lsh) <= set(baseline)
+    for k, v in lsh.items():
+        assert baseline[k] == v
+    # the 60 planted near-dup pairs dominate the baseline; the twin
+    # recovers most of them (measured ~0.9+; floor leaves slack)
+    planted = {(2 * i, 2 * i + 1) for i in range(n_base)}
+    assert planted <= set(baseline)
+    recall = len(planted & set(lsh)) / len(planted)
+    assert recall >= 0.7, f"near-dup recall {recall} too low"
