@@ -1781,6 +1781,28 @@ def q63_schema_registry_apply(spark, sf_dir):
     )
 
 
+def q65_curated_corpus_v3(spark, sf_dir):
+    """The EVERY-family curation capstone: v2 (quality ∧
+    exact-canonical ∧ ¬LSH-near-dup ∧ ¬contaminated + granule stats)
+    ∧ ¬embedding-near-dup-loser — the semantic dedup family via the
+    sign-LSH bucketed twin (q64), so paraphrase-class duplicates drop
+    too and every leg stays scale-safe (no all-pairs anywhere)."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.plans.curate import curated_corpus_v3
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curated_corpus_v3(
+        d,
+        bench,
+        _t(spark, sf_dir, "embeddings"),
+        contamination_n=3,
+        cos_threshold=0.45,
+    )
+
+
 def q50_representative_sample(spark, sf_dir):
     """Representative sampling (S4 — the reference's first2 + last2 +
     strided-middle page policy, ``pdf_service.py:203-283``, lifted to
@@ -1936,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_salted_host_counts": q62_salted_host_counts,
         "q63_schema_registry_apply": q63_schema_registry_apply,
         "q64_embedding_near_dup_lsh": q64_embedding_near_dup_lsh,
+        "q65_curated_corpus_v3": q65_curated_corpus_v3,
     }
 
 
@@ -2430,6 +2453,86 @@ where ('0x' || substr(md5(coalesce(lang, '__null__') || ':' || doc_id), 1, 4))::
       < case when lang = 'de' then 1.0
              when lang = 'en' then 0.5
              else 0.1 end
+"""
+
+
+def _emb_losers_cte() -> str:
+    """Bucketed embedding near-dup losers (the q64 composition) as a
+    CTE fragment for the v3 capstone oracle — the SAME plane literals
+    and round-4 half-away cosine as q64's own oracle."""
+    from ai_pdf_extraction_spark.operators.similarity import lsh_planes
+
+    terms = []
+    for i, plane in enumerate(lsh_planes()):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(case when list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"x -> x[1]::DOUBLE * x[2])) > 0 then {1 << i} else 0 end)"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    return f""",
+embucketed as (
+  select vec_id, embedding, {bucket} as bucket from embeddings
+),
+emb_losers as (
+  select distinct id_b from (
+    select b.vec_id as id_b, {_COS_EXPR.format(r=4)} as cos
+    from embucketed a join embucketed b
+      on a.vec_id < b.vec_id and a.bucket = b.bucket
+  ) where cos >= 0.45
+)"""
+
+
+def _curate_v2_sql(fingerprint_expr: str, extra_cte: str = "", extra_where: str = "") -> str:
+    """One template for the v2/v3 capstone oracles: q57 is the base,
+    q65 appends the bucketed embedding-loser CTE + filter — shared so
+    the two can never diverge on the common legs."""
+    return f"""
+with {_minhash_cte()},
+fp as (select doc_id, {fingerprint_expr} as fp from documents),
+canon as (
+  select doc_id from (
+    select doc_id, min(doc_id) over (partition by fp) as canonical_id from fp
+  ) where doc_id = canonical_id
+),
+near_losers as (
+  select distinct cand.id_b as doc_id
+  from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
+  where jacc.jaccard >= 0.8
+),
+{_SCORED_CTE},
+cw as (select doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') as cwords
+       from documents),
+cdoc as (
+  select doc_id,
+    unnest(list_distinct([array_to_string(cwords[i:i+2], ' ')
+                          for i in range(1, len(cwords) - 1)])) as cshingle
+  from cw
+),
+cbench as (select distinct cshingle from cdoc where doc_id % 50 = 0),
+chits as (select distinct d.doc_id from cdoc d join cbench using (cshingle)),
+gbase as (select doc_id,
+            list_filter(string_split(text, '. '), x -> length(x) > 0) as garr
+          from documents),
+gg as (select doc_id, unnest(garr) as granule,
+         unnest(range(1, len(garr) + 1)) as pos from gbase),
+gwin as (select doc_id, granule, pos,
+           row_number() over (partition by granule
+                              order by doc_id, pos) as rn from gg),
+gstat as (
+  select b.doc_id, len(b.garr) as n_granules, coalesce(k.n_kept, 0) as n_kept
+  from gbase b
+  left join (select doc_id, count(*) as n_kept from gwin
+             where rn = 1 group by doc_id) k using (doc_id)
+){extra_cte}
+select s.doc_id, s.lang, s.quality, s.n_tokens, g.n_granules, g.n_kept
+from scored s
+join canon using (doc_id)
+join gstat g using (doc_id)
+where s.doc_id not in (select doc_id from near_losers)
+  and s.doc_id not in (select doc_id from chits)
+{extra_where}  and s.quality >= 0.5
 """
 
 
@@ -2938,53 +3041,12 @@ join canon using (doc_id)
 where s.doc_id not in (select doc_id from near_losers)
   and s.quality >= 0.5
 """,
-        "q57_curated_corpus_v2": f"""
-with {_minhash_cte()},
-fp as (select doc_id, {fingerprint_expr} as fp from documents),
-canon as (
-  select doc_id from (
-    select doc_id, min(doc_id) over (partition by fp) as canonical_id from fp
-  ) where doc_id = canonical_id
-),
-near_losers as (
-  select distinct cand.id_b as doc_id
-  from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
-  where jacc.jaccard >= 0.8
-),
-{_SCORED_CTE},
-cw as (select doc_id,
-         regexp_split_to_array(lower(trim(text)), '\\s+') as cwords
-       from documents),
-cdoc as (
-  select doc_id,
-    unnest(list_distinct([array_to_string(cwords[i:i+2], ' ')
-                          for i in range(1, len(cwords) - 1)])) as cshingle
-  from cw
-),
-cbench as (select distinct cshingle from cdoc where doc_id % 50 = 0),
-chits as (select distinct d.doc_id from cdoc d join cbench using (cshingle)),
-gbase as (select doc_id,
-            list_filter(string_split(text, '. '), x -> length(x) > 0) as garr
-          from documents),
-gg as (select doc_id, unnest(garr) as granule,
-         unnest(range(1, len(garr) + 1)) as pos from gbase),
-gwin as (select doc_id, granule, pos,
-           row_number() over (partition by granule
-                              order by doc_id, pos) as rn from gg),
-gstat as (
-  select b.doc_id, len(b.garr) as n_granules, coalesce(k.n_kept, 0) as n_kept
-  from gbase b
-  left join (select doc_id, count(*) as n_kept from gwin
-             where rn = 1 group by doc_id) k using (doc_id)
-)
-select s.doc_id, s.lang, s.quality, s.n_tokens, g.n_granules, g.n_kept
-from scored s
-join canon using (doc_id)
-join gstat g using (doc_id)
-where s.doc_id not in (select doc_id from near_losers)
-  and s.doc_id not in (select doc_id from chits)
-  and s.quality >= 0.5
-""",
+        "q57_curated_corpus_v2": _curate_v2_sql(fingerprint_expr),
+        "q65_curated_corpus_v3": _curate_v2_sql(
+            fingerprint_expr,
+            extra_cte=_emb_losers_cte(),
+            extra_where="  and s.doc_id not in (select id_b from emb_losers)\n",
+        ),
         "q37_url_canonicalize": r"""
 with raw as (
   select event_id,

@@ -159,3 +159,45 @@ def curated_corpus_v2(
         id_col, "n_granules", "n_kept"
     )
     return base.join(contaminated, id_col, "left_anti").join(gran, id_col)
+
+
+def curated_corpus_v3(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    emb: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    contamination_n: int = 13,
+    cos_threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    **knobs,
+) -> DataFrame:
+    """v2 ∧ ¬embedding-near-dup-loser: the capstone extended with the
+    SEMANTIC dedup family — paraphrased/templated near-duplicates that
+    share almost no word shingles still collide in embedding space, so
+    the higher id of each cosine-near-dup pair drops. The pair search
+    is the sign-LSH-bucketed twin (``dedup.embedding_near_dup_pairs_lsh``,
+    q64) — within-bucket BLAS only, never the all-pairs product, so
+    every leg of v3 remains scale-safe. ``emb`` is the (vec_id,
+    embedding) relation keyed like the docs ids. Output: v2's columns.
+    """
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    base = curated_corpus_v2(
+        docs, benchmark, id_col=id_col, text_col=text_col,
+        contamination_n=contamination_n, **knobs,
+    )
+    emb_losers = (
+        embedding_near_dup_pairs_lsh(
+            emb, id_col=vec_id_col, vec_col=vec_col,
+            threshold=cos_threshold, n_planes=n_planes, dim=dim,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return base.join(emb_losers, id_col, "left_anti")

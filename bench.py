@@ -53,6 +53,7 @@ HEADLINE = [
     "q62_salted_host_counts",  # north-rule salted skewed-host aggregation
     "q63_schema_registry_apply",  # versioned schema config -> typed projection
     "q64_embedding_near_dup_lsh",  # bucketed scale twin of q24
+    "q65_curated_corpus_v3",  # every-family capstone (adds semantic dedup)
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

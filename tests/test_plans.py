@@ -314,7 +314,12 @@ def test_capstone_curation_single_source_scan(spark):
         """Parquet-scan leaves across the plan AND the cached plans of
         every distinct InMemoryRelation it references (unwrapping AQE)."""
         jplan = df._jdf.queryExecution().optimizedPlan()
-        n = sum("parquet" in name.lower() for name in leaf_names(jplan))
+        # logical file relations are leaf nodeName "LogicalRelation"
+        # (the physical form inside cached plans prints "Scan parquet")
+        n = sum(
+            "parquet" in name.lower() or name in ("Relation", "LogicalRelation")
+            for name in leaf_names(jplan)
+        )
         ls = jplan.collectLeaves()
         cached = {}
         for i in range(ls.size()):
@@ -345,6 +350,14 @@ def test_capstone_curation_single_source_scan(spark):
     assert n_cached >= 3  # narrow + shingles + granules
     # sanity: the composed plan still produces rows
     assert v2.count() > 0
+
+    # v3 adds the embeddings relation: docs still scanned once, plus
+    # exactly one embeddings scan (the LSH-bucketed loser leg)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    v3 = curate.curated_corpus_v3(docs, bench, emb, contamination_n=3,
+                                  cos_threshold=0.45)
+    n_scans, n_cached = source_scan_count(v3)
+    assert n_scans == 2, f"v3: want docs once + embeddings once, got {n_scans}"
 
 
 def test_salted_host_counts_two_phase_agg(spark):
