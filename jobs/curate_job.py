@@ -8,7 +8,8 @@ Usage::
         jobs/curate_job.py --input <documents parquet> \
         --output <curated parquet dir> \
         [--quality 0.5] [--jaccard 0.8] [--partitions 64] \
-        [--benchmark <eval parquet> [--contamination-n 13]]
+        [--benchmark <eval parquet> [--contamination-n 13]] \
+        [--embeddings <vec parquet> [--cos-threshold 0.95]]  # v3 pass
 
 Same contract as ``extract_job``: public package API only, so the
 file submits unchanged to a real cluster.
@@ -30,22 +31,44 @@ def main() -> None:
     parser.add_argument(
         "--benchmark",
         default=None,
-        help="parquet of (bench_id, text) eval items; when given, runs "
-        "the v2 pass (adds decontamination + granule-dedup stats)",
+        help="parquet of (bench_id, text) eval items — those exact column "
+        "names; when given, runs the v2 pass (adds decontamination + "
+        "granule-dedup stats)",
     )
     parser.add_argument("--contamination-n", type=int, default=13)
+    parser.add_argument(
+        "--embeddings",
+        default=None,
+        help="parquet of (vec_id, embedding) keyed like the doc ids; with "
+        "--benchmark, runs the v3 pass (adds semantic embedding dedup via "
+        "the sign-LSH bucketed pair search)",
+    )
+    parser.add_argument("--cos-threshold", type=float, default=0.95)
     args = parser.parse_args()
 
     from ai_pdf_extraction_spark.plans.curate import (
         curated_corpus,
         curated_corpus_v2,
+        curated_corpus_v3,
     )
     from ai_pdf_extraction_spark.session import build_session
 
     spark = build_session(app_name="curate")
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
-    if args.benchmark:
+    if args.benchmark and args.embeddings:
+        curated = curated_corpus_v3(
+            docs,
+            spark.read.parquet(args.benchmark),
+            spark.read.parquet(args.embeddings),
+            quality_threshold=args.quality,
+            jaccard_threshold=args.jaccard,
+            contamination_n=args.contamination_n,
+            cos_threshold=args.cos_threshold,
+        )
+    elif args.embeddings:
+        raise SystemExit("--embeddings requires --benchmark (the v3 pass)")
+    elif args.benchmark:
         curated = curated_corpus_v2(
             docs,
             spark.read.parquet(args.benchmark),
