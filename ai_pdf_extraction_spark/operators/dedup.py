@@ -685,6 +685,80 @@ def _round_half_away_4(x):
     return np.sign(x) * np.floor(np.abs(x) * 10_000 + 0.5) / 10_000
 
 
+def _block_pair_search(
+    rel: DataFrame, threshold: float, n_blocks: int, extra_keys: list[str]
+) -> DataFrame:
+    """Block-grid quadratic cosine search over ``rel`` (columns:
+    ``_id``, double-array ``v``, plus ``extra_keys``), WITHIN each
+    ``extra_keys`` group: rows hash into ``n_blocks`` blocks, each row
+    replicates to its ``n_blocks`` block-pairs (√-replication), and
+    every (group, block_i, block_j) task computes one normalized BLAS
+    ``X @ Y.T`` — per-task memory is (|group|/n_blocks)² regardless of
+    group skew. Shared by the all-pairs baseline (no keys) and the
+    sign-LSH twin (keys=["bucket"]) so the arithmetic (round-4
+    half-away, zero-norm handling, tie rules) cannot drift."""
+    import numpy as np
+    import pandas as pd
+
+    blocked = rel.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
+    )
+    # replicate each row to every block-pair (min(blk,o), max(blk,o))
+    expanded = blocked.select(
+        "_id",
+        "v",
+        "blk",
+        *extra_keys,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda o: F.struct(
+                    F.least(F.col("blk"), o).alias("ba"),
+                    F.greatest(F.col("blk"), o).alias("bb"),
+                ),
+            )
+        ).alias("bp"),
+    )
+    # NOTE: no dropDuplicates of the replication needed — for a fixed
+    # blk the structs (least(blk,o), greatest(blk,o)) over o are
+    # pairwise distinct, and deduplicating would shuffle the whole
+    # vector-carrying relation a second time for nothing.
+
+    out_schema = "id_a long, id_b long, cos double"
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ba = int(pdf["bp"].iloc[0]["ba"])
+        bb = int(pdf["bp"].iloc[0]["bb"])
+        ids = pdf["_id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        blks = pdf["blk"].to_numpy()
+        # threshold BEFORE materializing id/pair arrays: matches are
+        # sparse, so only the boolean mask is ever O(n·m)
+        if ba == bb:
+            cos = _round_half_away_4(unit @ unit.T)
+            hit = np.triu(cos >= threshold, k=1)
+            ia, ib = np.nonzero(hit)
+            id_a, id_b, c = ids[ia], ids[ib], cos[ia, ib]
+        else:
+            ma, mb = blks == ba, blks == bb
+            cos = _round_half_away_4(unit[ma] @ unit[mb].T)
+            ia, ib = np.nonzero(cos >= threshold)
+            id_a, id_b, c = ids[ma][ia], ids[mb][ib], cos[ia, ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        keep = lo < hi  # drops self-pairs only (ids are unique)
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "cos": c[keep]})
+
+    return (
+        expanded.groupBy(*extra_keys, "bp")
+        .applyInPandas(block_pairs, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -692,6 +766,7 @@ def embedding_near_dup_pairs_lsh(
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int = 64,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Sign-LSH-bucketed embedding near-dup pairs — the SCALE TWIN that
     :func:`embedding_near_dup_pairs`'s docstring mandates at 10^12
@@ -699,22 +774,19 @@ def embedding_near_dup_pairs_lsh(
     assigned their hyperplane-sign bucket (``similarity.lsh_bucket``,
     deterministic plane literals shared verbatim with the DuckDB
     oracle), and the quadratic pair search runs ONLY within each
-    bucket (groupBy(bucket) → one BLAS ``X @ X.T`` per bucket inside
-    ``applyInPandas``). Output: (id_a, id_b, cos), id_a < id_b, cos
-    rounded 4 — identical semantics to the baseline restricted to
-    same-bucket pairs.
+    bucket — through the SAME block grid as the baseline
+    (``_block_pair_search`` keyed by (bucket, block-pair)), so a HOT
+    bucket (embeddings cluster; sign buckets are Zipfian too) shards
+    across (|bucket|/n_blocks)²-bounded tasks instead of funneling one
+    task. Output: (id_a, id_b, cos), id_a < id_b, cos rounded 4 —
+    exactly the baseline's pair set restricted to same-bucket pairs.
 
-    Scale shape: no replication, no corpus-wide product — with p
-    planes the corpus shards into ≤2^p buckets and per-bucket work is
-    |bucket|²; p is the knob that bounds task memory (raise it until
-    the hottest bucket fits). Recall trade (the LSH contract): a pair
-    is found iff NO hyperplane separates it — P = Π(1 − θᵢ/π), high
-    precisely for the near-dup angles this operator exists to find;
-    pairs straddling a plane are missed (pinned in pytest alongside a
-    recall measurement on clustered data)."""
-    import numpy as np
-    import pandas as pd
-
+    Total work is Σ|bucket|² ≪ |corpus|² — n_planes trades recall
+    against candidate mass, n_blocks bounds task memory. Recall (the
+    LSH contract): a pair is found iff NO hyperplane separates it —
+    P = Π(1 − θᵢ/π), high precisely for the near-dup angles this
+    operator exists to find; pairs straddling a plane are missed
+    (pinned in pytest alongside a recall measurement)."""
     from ai_pdf_extraction_spark.operators.similarity import lsh_bucket, lsh_planes
 
     planes = lsh_planes(n_planes, dim)
@@ -722,24 +794,7 @@ def embedding_near_dup_pairs_lsh(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).select("_id", "v", lsh_bucket("v", planes).alias("bucket"))
-
-    out_schema = "id_a long, id_b long, cos double"
-
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["_id"].to_numpy()
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        cos = _round_half_away_4(unit @ unit.T)
-        hit = np.triu(cos >= threshold, k=1)
-        ia, ib = np.nonzero(hit)
-        id_a, id_b, c = ids[ia], ids[ib], cos[ia, ib]
-        lo = np.minimum(id_a, id_b)
-        hi = np.maximum(id_a, id_b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": c})
-
-    return bucketed.groupBy("bucket").applyInPandas(bucket_pairs, out_schema)
+    return _block_pair_search(bucketed, threshold, n_blocks, ["bucket"])
 
 
 def embedding_near_dup_pairs(
@@ -764,70 +819,13 @@ def embedding_near_dup_pairs(
     operator refuses corpora above ``max_docs`` (``ALL_PAIRS_MAX_DOCS``):
     at 10^12 docs run :func:`embedding_near_dup_pairs_lsh` — the
     bucketed composition, shipped as an operator (q64) rather than an
-    instruction."""
-    import numpy as np
-    import pandas as pd
-
+    instruction. Both route through :func:`_block_pair_search` (this
+    one with no grouping key), so their arithmetic cannot drift."""
     _guard_all_pairs(
-        emb, max_docs, "embedding_near_dup_pairs", "an LSH/IVF bucket pre-filter"
+        emb, max_docs, "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh"
     )
-
-    blocked = emb.select(
+    rel = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    # replicate each row to every block-pair (min(blk,o), max(blk,o))
-    expanded = blocked.select(
-        "_id",
-        "v",
-        "blk",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-                lambda o: F.struct(
-                    F.least(F.col("blk"), o).alias("ba"),
-                    F.greatest(F.col("blk"), o).alias("bb"),
-                ),
-            )
-        ).alias("bp"),
-    )
-    # NOTE: no dropDuplicates needed — for a fixed blk the structs
-    # (least(blk,o), greatest(blk,o)) over o are pairwise distinct, and
-    # deduplicating would shuffle the whole vector-carrying relation a
-    # second time for nothing.
-
-    out_schema = "id_a long, id_b long, cos double"
-    _round_half_away = _round_half_away_4  # shared with the LSH twin
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ba = int(pdf["bp"].iloc[0]["ba"])
-        bb = int(pdf["bp"].iloc[0]["bb"])
-        ids = pdf["_id"].to_numpy()
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        blks = pdf["blk"].to_numpy()
-        # threshold BEFORE materializing id/pair arrays: matches are
-        # sparse, so only the boolean mask is ever O(n·m)
-        if ba == bb:
-            cos = _round_half_away(unit @ unit.T)
-            hit = np.triu(cos >= threshold, k=1)
-            ia, ib = np.nonzero(hit)
-            id_a, id_b, c = ids[ia], ids[ib], cos[ia, ib]
-        else:
-            ma, mb = blks == ba, blks == bb
-            cos = _round_half_away(unit[ma] @ unit[mb].T)
-            ia, ib = np.nonzero(cos >= threshold)
-            id_a, id_b, c = ids[ma][ia], ids[mb][ib], cos[ia, ib]
-        lo = np.minimum(id_a, id_b)
-        hi = np.maximum(id_a, id_b)
-        keep = lo < hi  # drops self-pairs only (ids are unique)
-        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "cos": c[keep]})
-
-    return (
-        expanded.groupBy("bp")
-        .applyInPandas(block_pairs, out_schema)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _block_pair_search(rel, threshold, n_blocks, [])

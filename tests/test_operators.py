@@ -1795,7 +1795,7 @@ def test_all_pairs_guard_refuses_large_corpora(spark, docs):
         [(i, [float(i), 1.0]) for i in range(5)],
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(ValueError, match="LSH/IVF"):
+    with pytest.raises(ValueError, match="embedding_near_dup_pairs_lsh"):
         embedding_near_dup_pairs(emb, max_docs=3).collect()
     assert embedding_near_dup_pairs(emb, threshold=0.999, max_docs=None).count() == 0
 
