@@ -2233,11 +2233,13 @@ select query_id, neighbor_id, approx_d2, rank from (
 """
 
 
-def _q64_oracle_sql() -> str:
-    """q64 oracle: the q24 all-pairs cosine restricted to same
-    sign-LSH bucket — bucket expression generated from the IDENTICAL
-    deterministic plane literals the Spark plan embeds
-    (``lsh_planes()``), cosine/rounding shared via ``_COS_EXPR``."""
+def _lsh_bucket_duck() -> str:
+    """Sign-LSH bucket expression over the ``embedding`` column for
+    DuckDB, generated from the IDENTICAL deterministic plane literals
+    the Spark plans embed (``lsh_planes()``) — ONE generator shared by
+    the q64 oracle and the q65 loser CTE so the two can never drift
+    (review r6; the Spark side shares ``_block_pair_search`` for the
+    same reason)."""
     from ai_pdf_extraction_spark.operators.similarity import lsh_planes
 
     terms = []
@@ -2247,7 +2249,13 @@ def _q64_oracle_sql() -> str:
             f"(case when list_sum(list_transform(list_zip(embedding, {lit}), "
             f"x -> x[1]::DOUBLE * x[2])) > 0 then {1 << i} else 0 end)"
         )
-    bucket = "(" + " + ".join(terms) + ")"
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q64_oracle_sql() -> str:
+    """q64 oracle: the q24 all-pairs cosine restricted to same
+    sign-LSH bucket; cosine/rounding shared via ``_COS_EXPR``."""
+    bucket = _lsh_bucket_duck()
     return f"""
 with bucketed as (
   select vec_id, embedding, {bucket} as bucket from embeddings
@@ -2456,20 +2464,12 @@ where ('0x' || substr(md5(coalesce(lang, '__null__') || ':' || doc_id), 1, 4))::
 """
 
 
-def _emb_losers_cte() -> str:
+def _emb_losers_cte(threshold: float = 0.45) -> str:
     """Bucketed embedding near-dup losers (the q64 composition) as a
-    CTE fragment for the v3 capstone oracle — the SAME plane literals
-    and round-4 half-away cosine as q64's own oracle."""
-    from ai_pdf_extraction_spark.operators.similarity import lsh_planes
-
-    terms = []
-    for i, plane in enumerate(lsh_planes()):
-        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
-        terms.append(
-            f"(case when list_sum(list_transform(list_zip(embedding, {lit}), "
-            f"x -> x[1]::DOUBLE * x[2])) > 0 then {1 << i} else 0 end)"
-        )
-    bucket = "(" + " + ".join(terms) + ")"
+    CTE fragment for the v3 capstone oracle — the bucket expression
+    comes from the SAME generator as q64's oracle
+    (``_lsh_bucket_duck``) and the cosine from ``_COS_EXPR``."""
+    bucket = _lsh_bucket_duck()
     return f""",
 embucketed as (
   select vec_id, embedding, {bucket} as bucket from embeddings
@@ -2479,7 +2479,7 @@ emb_losers as (
     select b.vec_id as id_b, {_COS_EXPR.format(r=4)} as cos
     from embucketed a join embucketed b
       on a.vec_id < b.vec_id and a.bucket = b.bucket
-  ) where cos >= 0.45
+  ) where cos >= {threshold}
 )"""
 
 

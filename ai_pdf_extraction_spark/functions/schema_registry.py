@@ -34,7 +34,6 @@ soft-delete (absent from listings, still loadable explicitly).
 from __future__ import annotations
 
 import json
-import os
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -49,8 +48,6 @@ from ai_pdf_extraction_spark.functions.normalize import (
     parse_percentage,
     required_empty_warning,
 )
-
-SCHEMA_DIR = os.path.join(os.path.dirname(__file__), "schemas")
 
 _FILE_RE = re.compile(r"^(?P<name>[a-z0-9_]+)_v(?P<version>\d+)\.json$")
 

@@ -686,7 +686,11 @@ def _round_half_away_4(x):
 
 
 def _block_pair_search(
-    rel: DataFrame, threshold: float, n_blocks: int, extra_keys: list[str]
+    rel: DataFrame,
+    threshold: float,
+    n_blocks: int,
+    extra_keys: list[str],
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Block-grid quadratic cosine search over ``rel`` (columns:
     ``_id``, double-array ``v``, plus ``extra_keys``), WITHIN each
@@ -731,6 +735,14 @@ def _block_pair_search(
         bb = int(pdf["bp"].iloc[0]["bb"])
         ids = pdf["_id"].to_numpy()
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        if expected_dim is not None and mat.shape[1] != expected_dim:
+            raise ValueError(
+                f"embedding dimension {mat.shape[1]} != expected "
+                f"{expected_dim} — the sign-LSH planes were built for "
+                f"dim={expected_dim}; pass the actual dimension (a "
+                "mismatch null-poisons every bucket to 0 and degrades "
+                "to the unguarded all-pairs product)"
+            )
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
@@ -794,7 +806,15 @@ def embedding_near_dup_pairs_lsh(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).select("_id", "v", lsh_bucket("v", planes).alias("bucket"))
-    return _block_pair_search(bucketed, threshold, n_blocks, ["bucket"])
+    # expected_dim FAILS LOUD on a mismatch (checked in the pair task
+    # before any matmul): zip_with pads the shorter side with nulls, a
+    # null poisons every plane dot to NULL, `NULL > 0` is false — so
+    # wrong-dim vectors would all silently land in bucket 0 and the
+    # "scale twin" would degrade to the unguarded |corpus|² product it
+    # exists to avoid (review r6).
+    return _block_pair_search(
+        bucketed, threshold, n_blocks, ["bucket"], expected_dim=dim
+    )
 
 
 def embedding_near_dup_pairs(

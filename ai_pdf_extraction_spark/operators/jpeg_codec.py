@@ -385,13 +385,24 @@ def _alloc_coeffs(frame):
     ]
 
 
-def _block_full(reader, comp, dct, act, coef) -> None:
-    """Sequential block: DC diff + full AC band (T.81 F.2.2)."""
+def _dc_diff(reader, dct, precision: int) -> int:
+    """DC difference per T.81 F.1.2.1.1: SSSS 0..11 at 8-bit
+    precision, 0..16 at 12-bit (the DCT of 12-bit samples reaches DC
+    diffs of ±32760, so categories 12-15 are LEGAL there — review r6
+    caught the 8-bit cap misclassifying valid 12-bit streams — and
+    SSSS=16 means DIFF=32768 with NO appended magnitude bits)."""
     s = reader.decode_symbol(dct)
-    if s > 11:
+    max_s = 11 if precision == 8 else 16
+    if s > max_s:
         raise ValueError("bad DC category")
-    diff = _extend(reader.read_bits(s), s) if s else 0
-    comp["pred"] += diff
+    if s == 16:
+        return 32768
+    return _extend(reader.read_bits(s), s) if s else 0
+
+
+def _block_full(reader, comp, dct, act, coef, precision: int = 8) -> None:
+    """Sequential block: DC diff + full AC band (T.81 F.2.2)."""
+    comp["pred"] += _dc_diff(reader, dct, precision)
     coef[0] = comp["pred"]
     k = 1
     while k < 64:
@@ -527,19 +538,18 @@ def _decode_scan_into(
         uw, uh = order[0]["nw"], order[0]["nh"]
         units = uw * uh
 
+    precision = frame.get("precision", 8)
+
     def dispatch(c, coef):
         nonlocal eobrun
         if not progressive:
             _block_full(
-                reader, c, huff[(0, c["dc"])], huff[(1, c["ac"])], coef
+                reader, c, huff[(0, c["dc"])], huff[(1, c["ac"])], coef,
+                precision,
             )
         elif ss == 0:
             if ah == 0:
-                s = reader.decode_symbol(huff[(0, c["dc"])])
-                if s > 11:
-                    raise ValueError("bad DC category")
-                diff = _extend(reader.read_bits(s), s) if s else 0
-                c["pred"] += diff
+                c["pred"] += _dc_diff(reader, huff[(0, c["dc"])], precision)
                 coef[0] = c["pred"] * (1 << al)
             else:
                 if reader.read_bit():

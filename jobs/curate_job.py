@@ -44,6 +44,11 @@ def main() -> None:
         "the sign-LSH bucketed pair search)",
     )
     parser.add_argument("--cos-threshold", type=float, default=0.95)
+    parser.add_argument(
+        "--dim", type=int, default=64,
+        help="embedding dimension (the v3 sign-LSH planes are built for "
+        "it; a mismatch fails loud)",
+    )
     args = parser.parse_args()
 
     from ai_pdf_extraction_spark.plans.curate import (
@@ -65,6 +70,7 @@ def main() -> None:
             jaccard_threshold=args.jaccard,
             contamination_n=args.contamination_n,
             cos_threshold=args.cos_threshold,
+            dim=args.dim,
         )
     elif args.embeddings:
         raise SystemExit("--embeddings requires --benchmark (the v3 pass)")

@@ -67,7 +67,15 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        if not finished:
+            # counting partial output as success would be silent data
+            # loss at the job surface (review r6)
+            q.stop()
+            raise SystemExit(
+                "streaming pass did not finish within 600s — rerun (the "
+                "checkpoint resumes) or use the batch mode"
+            )
         n = spark.read.parquet(args.output).count()
     else:
         typed = apply_schema(

@@ -485,3 +485,41 @@ def test_12bit_baseline_sof0_still_rejected():
     )
     with pytest.raises(NotImplementedError, match="12-bit"):
         decode_jpeg(bad)
+
+
+def test_12bit_dc_categories_12_to_16():
+    """T.81 F.1.2.1.1: DC SSSS 12-16 are LEGAL at 12-bit precision
+    (review r6: the 8-bit cap misclassified valid high-brightness
+    12-bit streams); SSSS=16 means DIFF=32768 with no appended bits.
+    At 8-bit the same symbols stay 'bad DC category'."""
+    # custom DC table: categories 0..16 as 5-bit codes 0..16
+    dc_bits = bytes([0, 0, 0, 0, 17] + [0] * 11)
+    dc_vals = bytes(range(17))
+    tables = (
+        _seg(0xDB, bytes([0]) + b"\x01" * 64)
+        + _seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+        + _seg(0xC4, bytes([0x10]) + _AC_BITS + _AC_VALS)
+    )
+
+    def jpeg(precision: int, scan: bytes) -> bytes:
+        sof = 0xC1 if precision == 12 else 0xC0
+        return (
+            b"\xff\xd8" + tables
+            + _seg(sof, bytes([precision]) + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
+            + _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+            + scan + b"\xff\xd9"
+        )
+
+    # cat12, DIFF=+2048: '01100' + '100000000000' + EOB + pad ->
+    # sample 2048/8+2048 = 2304 -> round(2304*255/4095) = 143
+    dec = decode_jpeg(jpeg(12, bytes([0x64, 0x00, 0x00, 0x7F])))
+    assert dec["precision"] == 12 and dec["pixels"] == bytes([143]) * 64
+
+    # cat16: '10000' + NO magnitude bits + EOB -> DIFF 32768 ->
+    # sample clamps to 4095 -> 255
+    dec = decode_jpeg(jpeg(12, bytes([0x80, 0x07])))
+    assert dec["pixels"] == bytes([255]) * 64
+
+    # the same cat12 symbol in an 8-bit SOF0 stream stays invalid
+    with pytest.raises(ValueError, match="bad DC category"):
+        decode_jpeg(jpeg(8, bytes([0x64, 0x00, 0x00, 0x7F])))

@@ -2106,3 +2106,28 @@ def test_embedding_near_dup_lsh_twin(spark):
     assert planted <= set(baseline)
     recall = len(planted & set(lsh)) / len(planted)
     assert recall >= 0.7, f"near-dup recall {recall} too low"
+
+
+def test_embedding_lsh_twin_rejects_dim_mismatch(spark):
+    """A dim mismatch must FAIL LOUD, not silently degrade: zip_with
+    null-pads, every plane dot goes NULL, `NULL > 0` is false, and all
+    rows would land in bucket 0 — the unguarded all-pairs product the
+    twin exists to avoid (review r6). The check runs in the pair task
+    before any matmul."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(PythonException, match="dimension 3 != expected 64"):
+        embedding_near_dup_pairs_lsh(emb, threshold=0.9).collect()
+    # correct dim passes
+    assert (
+        embedding_near_dup_pairs_lsh(emb, threshold=0.999, dim=3).count() >= 0
+    )

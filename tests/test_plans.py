@@ -315,7 +315,10 @@ def test_capstone_curation_single_source_scan(spark):
         every distinct InMemoryRelation it references (unwrapping AQE)."""
         jplan = df._jdf.queryExecution().optimizedPlan()
         # logical file relations are leaf nodeName "LogicalRelation"
-        # (the physical form inside cached plans prints "Scan parquet")
+        # (the physical form inside cached plans prints "Scan parquet").
+        # nodeName cannot distinguish the file FORMAT, so this counts
+        # SOURCE relations — exactness of the expected totals (not
+        # format-matching) is what pins the single-scan property
         n = sum(
             "parquet" in name.lower() or name in ("Relation", "LogicalRelation")
             for name in leaf_names(jplan)
