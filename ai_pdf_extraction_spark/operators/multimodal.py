@@ -251,55 +251,18 @@ def decode_media(data: bytes, fmt: str):
     around it (batch shape, schema, partitioning) is production-real.
     """
     if fmt == "wav":
-        import array
-
-        with wave.open(io.BytesIO(data)) as wf:
-            rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
-            n_frames = wf.getnframes()
-            # untrusted-crawl hardening (the png zlib-bomb rule): the
-            # header's frame count is attacker-controlled; cap the PCM
-            # we materialize rather than trusting it
-            if n_frames * nch * width > (1 << 28):
-                raise ValueError(
-                    f"refusing wav with {n_frames} declared frames"
-                )
-            frames = wf.readframes(n_frames)
-        out = {
-            "sample_rate": rate,
-            "n_channels": nch,
-            "duration_ms": (len(frames) // max(width * nch, 1)) * 1000 // max(rate, 1),
-            "rms": 0.0,
-            "peak": 0,
-        }
-        # PCM widths per the WAVE spec: 8-bit is UNSIGNED (bias 128),
-        # 16/24/32-bit are signed little-endian (round-5: previously
-        # only 16-bit got rms/peak)
-        samples: list[int] | None = None
-        if frames:
-            usable = len(frames) - len(frames) % max(width, 1)
-            if width == 1:
-                samples = [b - 128 for b in frames[:usable]]
-            elif width == 2:
-                arr = array.array("h")
-                arr.frombytes(frames[:usable])
-                samples = list(arr)
-            elif width == 3:
-                samples = [
-                    int.from_bytes(
-                        frames[i : i + 3], "little", signed=True
-                    )
-                    for i in range(0, usable, 3)
-                ]
-            elif width == 4:
-                arr = array.array("i")
-                arr.frombytes(frames[:usable])
-                samples = list(arr)
-        if samples:
-            out["peak"] = max(abs(s) for s in samples)
-            out["rms"] = round(
-                (sum(s * s for s in samples) / len(samples)) ** 0.5, 3
-            )
-        return out
+        try:
+            return _decode_pcm_wav(data)
+        except wave.Error as exc:
+            # stdlib `wave` reads integer PCM only; IEEE-float (format
+            # 3, common for mastered/audio-tool output) is a manual
+            # RIFF walk; anything else stays inside the documented
+            # ValueError taxonomy instead of leaking wave.Error
+            # (review r6: 'unknown format: 3' escaped decode_media)
+            out = _decode_float_wav(data)
+            if out is None:
+                raise ValueError(f"wav: {exc}") from None
+            return out
     if fmt == "bmp":
         if len(data) < 54 or not data.startswith(b"BM"):
             raise ValueError("not a BMP")
@@ -529,6 +492,108 @@ DECODE_SUMMARY_TYPE = StructType(
         StructField("payload_md5", StringType(), True),
     ]
 )
+
+
+def _decode_pcm_wav(data: bytes) -> dict:
+    """Integer-PCM WAV via the stdlib ``wave`` module: sample_rate,
+    n_channels, duration_ms, and rms/peak over the samples (8-bit
+    unsigned bias-128; 16/24/32-bit signed little-endian)."""
+    import array
+
+    with wave.open(io.BytesIO(data)) as wf:
+        rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        n_frames = wf.getnframes()
+        # untrusted-crawl hardening (the png zlib-bomb rule): the
+        # header's frame count is attacker-controlled; cap the PCM
+        # we materialize rather than trusting it
+        if n_frames * nch * width > (1 << 28):
+            raise ValueError(f"refusing wav with {n_frames} declared frames")
+        frames = wf.readframes(n_frames)
+    out = {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "duration_ms": (len(frames) // max(width * nch, 1)) * 1000 // max(rate, 1),
+        "rms": 0.0,
+        "peak": 0,
+    }
+    # PCM widths per the WAVE spec: 8-bit is UNSIGNED (bias 128),
+    # 16/24/32-bit are signed little-endian (round-5: previously
+    # only 16-bit got rms/peak)
+    samples: list[int] | None = None
+    if frames:
+        usable = len(frames) - len(frames) % max(width, 1)
+        if width == 1:
+            samples = [b - 128 for b in frames[:usable]]
+        elif width == 2:
+            arr = array.array("h")
+            arr.frombytes(frames[:usable])
+            samples = list(arr)
+        elif width == 3:
+            samples = [
+                int.from_bytes(frames[i : i + 3], "little", signed=True)
+                for i in range(0, usable, 3)
+            ]
+        elif width == 4:
+            arr = array.array("i")
+            arr.frombytes(frames[:usable])
+            samples = list(arr)
+    if samples:
+        out["peak"] = max(abs(s) for s in samples)
+        out["rms"] = round(
+            (sum(s * s for s in samples) / len(samples)) ** 0.5, 3
+        )
+    return out
+
+
+def _decode_float_wav(data: bytes) -> dict | None:
+    """IEEE-float WAV (WAVE_FORMAT_IEEE_FLOAT = 3, 32- or 64-bit):
+    manual RIFF chunk walk (stdlib ``wave`` rejects non-PCM). Returns
+    None when the stream is not a well-formed format-3 WAVE (the
+    caller then raises the taxonomy ValueError). rms/peak are in the
+    native [-1, 1] float domain, rounded 6 (PCM reports raw integer
+    units; the two domains are honest about their sources)."""
+    import struct as _struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    fmt_chunk = None
+    pcm = b""
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or len(fmt_chunk) < 16:
+        return None
+    audio_fmt, nch, rate, _br, _ba, bits = _struct.unpack(
+        "<HHIIHH", fmt_chunk[:16]
+    )
+    if audio_fmt != 3 or bits not in (32, 64) or nch < 1 or rate < 1:
+        return None
+    if len(pcm) > (1 << 28):
+        raise ValueError("refusing oversized float wav data chunk")
+    width = bits // 8
+    usable = len(pcm) - len(pcm) % width
+    code = "f" if bits == 32 else "d"
+    samples = list(_struct.unpack(f"<{usable // width}{code}", pcm[:usable]))
+    out = {
+        "sample_rate": int(rate),
+        "n_channels": int(nch),
+        "duration_ms": (usable // (width * nch)) * 1000 // rate,
+        "rms": 0.0,
+        "peak": 0.0,
+    }
+    if samples:
+        out["peak"] = round(max(abs(s) for s in samples), 6)
+        out["rms"] = round(
+            (sum(s * s for s in samples) / len(samples)) ** 0.5, 6
+        )
+    return out
 
 
 def decode_payload_summary(raw: bytes) -> dict:

@@ -2131,3 +2131,52 @@ def test_embedding_lsh_twin_rejects_dim_mismatch(spark):
     assert (
         embedding_near_dup_pairs_lsh(emb, threshold=0.999, dim=3).count() >= 0
     )
+
+
+def test_float_wav_decode_and_taxonomy():
+    """IEEE-float WAV (format 3, 32/64-bit) decodes via the manual
+    RIFF walk (stdlib `wave` rejects non-PCM); rms/peak are in the
+    native [-1,1] domain rounded 6 — hand-computed pins. Any OTHER
+    non-PCM format stays a taxonomy ValueError instead of leaking
+    wave.Error out of decode_media (review r6)."""
+    import struct
+
+    import pytest
+
+    from ai_pdf_extraction_spark.operators.multimodal import (
+        decode_media,
+        decode_payload_summary,
+    )
+
+    def wav(fmt_code, bits, payload, nch=1, rate=8000):
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, nch, rate, rate * nch * bits // 8,
+            nch * bits // 8, bits,
+        )
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    # float32: samples [0.5, -0.25, 1.0, 0.0] → rms √(1.3125/4) =
+    # 0.572822 (round 6), peak 1.0, 4 frames @ 8 kHz = 0 ms
+    f32 = wav(3, 32, struct.pack("<4f", 0.5, -0.25, 1.0, 0.0))
+    dec = decode_media(f32, "wav")
+    assert dec["rms"] == 0.572822 and dec["peak"] == 1.0
+    assert dec["sample_rate"] == 8000 and dec["n_channels"] == 1
+    assert decode_payload_summary(f32)["decode_ok"] is True
+
+    # float64 path + a duration that rounds to whole ms
+    f64 = wav(3, 64, struct.pack("<8000d", *([0.5] * 8000)))
+    dec = decode_media(f64, "wav")
+    assert dec["duration_ms"] == 1000 and dec["rms"] == 0.5 and dec["peak"] == 0.5
+
+    # mu-law (format 7): not decodable here — taxonomy ValueError,
+    # summary stays decode_ok=False without raising
+    mulaw = wav(7, 8, b"\x00\x01")
+    with pytest.raises(ValueError, match="wav"):
+        decode_media(mulaw, "wav")
+    assert decode_payload_summary(mulaw)["decode_ok"] is False
