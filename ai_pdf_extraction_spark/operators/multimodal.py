@@ -3,7 +3,8 @@
 Media columns are ``binary`` + a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. Header probes (PNG/JPEG/BMP/WebP dimensions,
-WAV/MP4 duration) and wav (8/16/24/32-bit PCM) / bmp / PNG (every
+WAV/MP4 duration) and wav (8/16/24/32-bit PCM + 32/64-bit
+IEEE-float) / bmp / PNG (every
 legal shape) / GIF / JPEG (baseline AND progressive) decode + resize
 are REAL — stdlib+numpy only (:mod:`png_codec` / :mod:`gif_codec` /
 :mod:`jpeg_codec`).
@@ -151,10 +152,16 @@ def probe_media(raw: bytes) -> dict:
                 seg_len = struct.unpack(">H", raw[i + 2 : i + 4])[0]
                 i += 2 + seg_len
         elif fmt == "wav":
-            with wave.open(io.BytesIO(raw)) as wf:
-                rate = wf.getframerate()
-                if rate:
-                    meta["duration_ms"] = wf.getnframes() * 1000 // rate
+            try:
+                with wave.open(io.BytesIO(raw)) as wf:
+                    rate = wf.getframerate()
+                    if rate:
+                        meta["duration_ms"] = wf.getnframes() * 1000 // rate
+            except wave.Error:
+                # IEEE-float wav: header-only walk, no sample unpack
+                fd = _decode_float_wav(raw, stats=False)
+                if fd is not None:
+                    meta["duration_ms"] = fd["duration_ms"]
         elif fmt == "webp" and len(raw) >= 16:
             chunk = raw[12:16]
             if chunk == b"VP8X" and len(raw) >= 30:
@@ -545,7 +552,7 @@ def _decode_pcm_wav(data: bytes) -> dict:
     return out
 
 
-def _decode_float_wav(data: bytes) -> dict | None:
+def _decode_float_wav(data: bytes, stats: bool = True) -> dict | None:
     """IEEE-float WAV (WAVE_FORMAT_IEEE_FLOAT = 3, 32- or 64-bit):
     manual RIFF chunk walk (stdlib ``wave`` rejects non-PCM). Returns
     None when the stream is not a well-formed format-3 WAVE (the
@@ -580,7 +587,11 @@ def _decode_float_wav(data: bytes) -> dict | None:
     width = bits // 8
     usable = len(pcm) - len(pcm) % width
     code = "f" if bits == 32 else "d"
-    samples = list(_struct.unpack(f"<{usable // width}{code}", pcm[:usable]))
+    samples = (
+        list(_struct.unpack(f"<{usable // width}{code}", pcm[:usable]))
+        if stats
+        else []
+    )
     out = {
         "sample_rate": int(rate),
         "n_channels": int(nch),
