@@ -1757,12 +1757,16 @@ def q63_schema_registry_apply(spark, sf_dir):
                 F.concat((F.col("o_orderkey") % 50).cast("string"), F.lit("%")).alias(
                     "discount_pct"
                 ),
-                # absent for 2/3 of rows → the v2-mandatory field's
-                # required warning fires (to_json drops null fields)
+                # three presence states for the v2-mandatory field:
+                # %3==0 present+valued, %3==1 present EXPLICITLY empty
+                # (warns), %3==2 null → to_json DROPS the key → missing
+                # → trusted, no warning (validation.py:441-445)
                 F.when(
                     F.col("o_orderkey") % 3 == 0,
                     F.concat(F.lit("PO-"), F.col("o_custkey").cast("string")),
-                ).alias("po_reference"),
+                )
+                .when(F.col("o_orderkey") % 3 == 1, F.lit(""))
+                .alias("po_reference"),
                 F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-an-email"))
                 .otherwise(
                     F.concat(
@@ -2951,8 +2955,9 @@ select o_orderkey,
        else 'c' || o_custkey::varchar || '@example.com' end as contact_email,
   'invoice' as schema_name,
   2 as schema_version,
-  case when o_orderkey % 3 = 0 then ''
-       else 'Required field ''po_reference'' is empty' end as schema_warnings
+  case when o_orderkey % 3 = 1
+       then 'Required field ''po_reference'' is empty'
+       else '' end as schema_warnings
 from orders
 """,
         "q62_salted_host_counts": """

@@ -243,12 +243,25 @@ def clean_null_from_arrays_deep(col: Column | str, dtype) -> Column:
     return _walk(_c(col), dtype)
 
 
-def required_empty_warning(col: Column | str, field_name: str) -> Column:
-    """Warn iff a required value is null or empty string — missing
-    keys are trusted (``validation.py:440-464``)."""
+def required_empty_warning(
+    col: Column | str, field_name: str, present: Column | None = None
+) -> Column:
+    """Warn iff a required value is EXPLICITLY null or empty string —
+    missing keys are trusted (``validation.py:441-445`` checks
+    ``if field.name in extracted_fields`` before the null/empty test).
+
+    A Column over a bare VALUE cannot tell "key absent" from "key
+    present with null", so callers that have presence information (a
+    JSON document parsed to a map — see ``apply_schema``) pass it as
+    ``present``; the warning then additionally requires presence.
+    Without ``present`` the value-only rule applies (null/'' warns),
+    which is correct when the input relation has no missing-key state
+    (e.g. a typed column that always exists)."""
     c = _c(col)
+    empty = c.isNull() | (c.cast("string") == "")
+    cond = empty if present is None else (present & empty)
     return F.when(
-        c.isNull() | (c.cast("string") == ""),
+        cond,
         F.array(F.lit(f"Required field '{field_name}' is empty")),
     ).otherwise(F.array().cast("array<string>"))
 

@@ -162,26 +162,26 @@ def apply_schema(
     (named by the field) + ``schema_name`` / ``schema_version`` literal
     columns + ``schema_warnings`` (sorted array: the required/empty
     warnings, P6). The document is parsed ONCE per row —
-    ``from_json`` into an all-strings struct projected as a bound
-    column — and every field reads its struct member; absent keys read
-    null, and the required rule fires on null/empty for required
-    fields only (``validation.py:440-464``). (A ``get_json_object``
-    per field re-parses the JSON per FIELD — measured ~5× slower at 7
-    fields over 150k docs.)
+    ``from_json`` into ``map<string,string>`` projected as a bound
+    column — and every field reads its map entry (non-string JSON
+    scalars coerce to their text form, same as the struct route).
+    The map (unlike a struct) keeps the missing-vs-explicit-null
+    distinction the reference rule needs: ``validation.py:441-445``
+    TRUSTS keys the model never emitted and warns only when a required
+    key is present with an explicit null/empty value, so the warning
+    here gates on ``map_contains_key`` (a whole-document parse failure
+    yields a null map = nothing present = nothing warned). (A
+    ``get_json_object`` per field re-parses the JSON per FIELD —
+    measured ~5× slower at 7 fields over 150k docs.)
 
     Pure Column expressions end to end: schema application is a plan
     fragment (prunable, codegen-able), not a UDF — at 100 TB the JSON
     parse + typed parses pipeline inside one WholeStageCodegen over
     the scan.
     """
-    from pyspark.sql import types as T
-
-    raw_struct = T.StructType(
-        [T.StructField(f_["name"], T.StringType()) for f_ in schema["fields"]]
-    )
     df = df.select(
         *[F.col(k) for k in (keys or [])],
-        F.from_json(F.col(source_col), raw_struct).alias("_doc"),
+        F.from_json(F.col(source_col), "map<string,string>").alias("_doc"),
     )
     cols: list[Column] = [F.col(k) for k in (keys or [])]
     warn_arrays: list[Column] = []
@@ -189,7 +189,13 @@ def apply_schema(
         raw = F.col("_doc")[f_["name"]]
         cols.append(field_expr(f_, raw).alias(f_["name"]))
         if f_.get("required"):
-            warn_arrays.append(required_empty_warning(raw, f_["name"]))
+            warn_arrays.append(
+                required_empty_warning(
+                    raw,
+                    f_["name"],
+                    present=F.map_contains_key(F.col("_doc"), f_["name"]),
+                )
+            )
     warnings = (
         F.array_sort(F.flatten(F.array(*warn_arrays)))
         if warn_arrays

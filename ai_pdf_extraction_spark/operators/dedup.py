@@ -734,15 +734,29 @@ def _block_pair_search(
         ba = int(pdf["bp"].iloc[0]["ba"])
         bb = int(pdf["bp"].iloc[0]["bb"])
         ids = pdf["_id"].to_numpy()
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        if expected_dim is not None and mat.shape[1] != expected_dim:
-            raise ValueError(
-                f"embedding dimension {mat.shape[1]} != expected "
-                f"{expected_dim} — the sign-LSH planes were built for "
-                f"dim={expected_dim}; pass the actual dimension (a "
-                "mismatch null-poisons every bucket to 0 and degrades "
-                "to the unguarded all-pairs product)"
+        vecs = [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+        # validate per-row lengths BEFORE np.array stacks them: ragged
+        # input would build a 1-D object array whose .shape[1] raises a
+        # bare IndexError instead of the diagnostic below
+        dims = sorted({v.shape[0] for v in vecs})
+        if len(dims) > 1 or (
+            expected_dim is not None and dims != [expected_dim]
+        ):
+            plane_note = (
+                f", and the sign-LSH planes were built for "
+                f"dim={expected_dim} (a mismatch null-poisons every "
+                "bucket to 0 and degrades to the unguarded all-pairs "
+                "product)"
+                if expected_dim is not None
+                else ""
             )
+            raise ValueError(
+                f"embedding dimensions {dims} != expected "
+                f"{[expected_dim] if expected_dim is not None else dims[:1]}"
+                " — vectors in one search must share one dimension"
+                + plane_note
+            )
+        mat = np.array(vecs)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]

@@ -341,16 +341,28 @@ def ivf_probes(vec_col, centroids: list[list[float]], nprobe: int):
     )
 
 
+def _round_half_away_6(x):
+    """Round to 6 half-AWAY-from-zero: np.round is banker's (half-even)
+    but F.round and DuckDB round are half-away — a squared-L2 distance
+    landing exactly on a .5e-6 boundary must pick the same cluster in
+    training (numpy), the Column plan, and the oracle (same rule as
+    dedup's ``_round_half_away_4`` for cosines)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1_000_000 + 0.5) / 1_000_000
+
+
 def assign_coarse(vectors: list[list[float]], centroids: list[list[float]]) -> list[int]:
     """Python twin of :func:`ivf_assign` for offline/training use:
-    per-vector coarse cluster via round-6 squared-L2 FIRST-MATCH argmin
-    — the exact plan semantics, so residual training and the DuckDB
-    oracle assign identically to the Spark encode path."""
+    per-vector coarse cluster via round-6 (half-away, matching F.round)
+    squared-L2 FIRST-MATCH argmin — the exact plan semantics, so
+    residual training and the DuckDB oracle assign identically to the
+    Spark encode path."""
     import numpy as np
 
     X = np.asarray(vectors, dtype=np.float64)
     C = np.asarray(centroids, dtype=np.float64)
-    d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+    d2 = _round_half_away_6(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
     return [int(i) for i in d2.argmin(axis=1)]
 
 
@@ -494,15 +506,17 @@ def pq_encode_udf(
     def _encode_fn(vecs):
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if C is not None:
-            d2c = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+            d2c = _round_half_away_6(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            )
             X = X - C[d2c.argmin(axis=1)]
         out = np.zeros((len(X), len(books)), dtype=np.int32)
         for s, B in enumerate(books):
             sl = X[:, s * sub : (s + 1) * sub]
             d2 = ((sl[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
-            # mirror the Column form exactly: round 6, then FIRST
-            # index attaining the minimum (argmin is first-match)
-            out[:, s] = np.round(d2, 6).argmin(axis=1)
+            # mirror the Column form exactly: round 6 HALF-AWAY (the
+            # F.round rule), then FIRST index attaining the minimum
+            out[:, s] = _round_half_away_6(d2).argmin(axis=1)
         return pd.Series(list(out))
 
     # annotation-free form: the signature's pd alias is function-local,

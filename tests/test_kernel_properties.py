@@ -555,7 +555,8 @@ def test_apply_schema_never_raises_and_warns_exactly(spark, fields, doc):
     """Registry robustness: ANY config over the supported types applied
     to ANY JSON document must plan+execute without raising, emit one
     typed column per field, and warn exactly for required fields whose
-    raw value is null/absent/empty-string (P6)."""
+    key is PRESENT with an explicit null/empty value — absent keys are
+    trusted (P6, validation.py:441-445)."""
     import json as _json
 
     from ai_pdf_extraction_spark.functions.schema_registry import apply_schema
@@ -575,6 +576,6 @@ def test_apply_schema_never_raises_and_warns_exactly(spark, fields, doc):
     expected_warn = sorted(
         f"Required field '{n}' is empty"
         for n, _t, r in fields
-        if r and (doc.get(n) is None or doc.get(n) == "")
+        if r and n in doc and (doc[n] is None or doc[n] == "")
     )
     assert sorted(out["schema_warnings"]) == expected_warn

@@ -333,8 +333,9 @@ def test_schema_registry_listing_and_soft_delete(tmp_path):
 def test_schema_evolution_v2_superset_and_typed_apply(spark):
     """The committed invoice v1→v2 evolution: v2's output columns are a
     strict superset of v1's, shared fields parse identically, the new
-    required field warns when absent, and the whole application plan is
-    UDF-free (pure Catalyst)."""
+    required field warns on explicit null/empty but is TRUSTED when its
+    key is absent, and the whole application plan is UDF-free (pure
+    Catalyst)."""
     from ai_pdf_extraction_spark.functions.schema_registry import (
         apply_schema,
         load_schema,
@@ -347,7 +348,8 @@ def test_schema_evolution_v2_superset_and_typed_apply(spark):
                 '"discount_pct": "12%", "po_reference": "PO-9", '
                 '"contact_email": "a@b.com"}'),
             (2, '{"invoice_number": "", "total": "oops", '
-                '"contact_email": "nope"}'),
+                '"po_reference": null, "contact_email": "nope"}'),
+            (3, '{"invoice_number": "INV-8", "total": "$1.00"}'),
         ],
         "id long, doc string",
     )
@@ -355,24 +357,28 @@ def test_schema_evolution_v2_superset_and_typed_apply(spark):
     v2 = apply_schema(docs, load_schema("invoice", version=2), "doc", keys=["id"])
     assert set(v1.columns) < set(v2.columns)
 
-    r1, r2 = [r.asDict() for r in v2.orderBy("id").collect()]
+    r1, r2, r3 = [r.asDict() for r in v2.orderBy("id").collect()]
     assert r1["invoice_number"] == "INV-7" and r1["total"] == 1234.5
     assert str(r1["issued_on"]) == "2024-01-15" and r1["paid"] is True
     assert r1["discount_pct"] == 12.0 and r1["contact_email"] == "a@b.com"
     assert r1["schema_warnings"] == []
-    # row 2: empty-string required invoice_number + missing
-    # po_reference warn (P6 checks the RAW value: null/''; whitespace-
-    # only is non-empty by the pinned reference rule); unparseable
-    # total nulls; invalid email nulls
+    # row 2: empty-string required invoice_number + EXPLICIT-null
+    # po_reference warn (P6 checks the raw value null/'' of PRESENT
+    # keys; whitespace-only is non-empty by the pinned reference
+    # rule); unparseable total nulls; invalid email nulls
     assert r2["invoice_number"] is None and r2["total"] is None
     assert r2["contact_email"] is None
     assert r2["schema_warnings"] == [
         "Required field 'invoice_number' is empty",
         "Required field 'po_reference' is empty",
     ]
+    # row 3: po_reference key entirely ABSENT → trusted, no warning
+    # (validation.py:441-445 — the missing-vs-explicit-null split)
+    assert r3["invoice_number"] == "INV-8" and r3["total"] == 1.0
+    assert r3["schema_warnings"] == []
     # shared fields identical across versions
     v1r = {r["id"]: r.asDict() for r in v1.collect()}
-    for row in (r1, r2):
+    for row in (r1, r2, r3):
         for k in ("invoice_number", "total", "issued_on", "paid"):
             assert v1r[row["id"]][k] == row[k]
 

@@ -375,6 +375,41 @@ def test_pq_encode_udf_matches_column_form(spark):
     assert len(col_codes) == 200
 
 
+def test_round_half_away_6_matches_spark_round(spark):
+    """The numpy rounding helper used by training/encode twins
+    (assign_coarse, pq_encode_udf) must agree with F.round — Spark
+    rounds HALF-AWAY (HALF_UP on the double's shortest decimal repr)
+    while np.round is banker's, so a distance on a .5e-6 boundary
+    would otherwise assign a different coarse cluster at training time
+    than at plan time (ADVICE r6). Grid: the boundary LITERALS
+    (k+0.5)·1e-6 where the two rules diverge, plus non-boundary
+    values. (Doubles a few ulps off a boundary — e.g. 5/2*1e-6 =
+    2.4999999999999998e-6 — are out of scope: there even Spark and
+    DuckDB disagree with each other, and no computed distance lands on
+    them except by the same freak construction.)"""
+    import numpy as np
+
+    from ai_pdf_extraction_spark.operators.similarity import (
+        _round_half_away_6,
+    )
+
+    vals = [
+        2.5e-6, -2.5e-6, 4.5e-6, -4.5e-6, 0.5e-6, -0.5e-6, 1.5e-6,
+        3.5e-6, 6.5e-6, 1.23456789, -0.9999995, 2.0000005, 0.0, 1e-7,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    spark_rounded = {
+        r["x"]: r["r"]
+        for r in df.select("x", F.round("x", 6).alias("r")).collect()
+    }
+    ours = {v: float(_round_half_away_6(v)) for v in vals}
+    assert ours == spark_rounded
+    # and banker's np.round genuinely diverges on this grid — the bug
+    # class the helper exists to close
+    bankers = {v: float(np.round(v, 6)) for v in vals}
+    assert bankers != spark_rounded
+
+
 def test_pq_codes_at_rest_parity(spark, tmp_path):
     """Encode-once materialization (PQ codes at rest): ``pq_codes``
     written to parquet and read back must drive pq_topk/ivfpq_topk to
@@ -2125,12 +2160,37 @@ def test_embedding_lsh_twin_rejects_dim_mismatch(spark):
         [(i, [float(i), 1.0, 0.5]) for i in range(10)],
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(PythonException, match="dimension 3 != expected 64"):
+    with pytest.raises(
+        PythonException, match=r"dimensions \[3\] != expected \[64\]"
+    ):
         embedding_near_dup_pairs_lsh(emb, threshold=0.9).collect()
     # correct dim passes
     assert (
         embedding_near_dup_pairs_lsh(emb, threshold=0.999, dim=3).count() >= 0
     )
+
+
+def test_embedding_pairs_ragged_dims_fail_loud(spark):
+    """RAGGED vector lengths inside one task must raise the SAME
+    explanatory ValueError, not numpy's bare IndexError: np.array over
+    mixed-length rows builds a 1-D object array with no .shape[1]
+    (ADVICE r6). Exercised through the baseline (no expected_dim) so
+    the per-row length validation itself is what fires."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(
+        PythonException, match=r"dimensions \[2, 3\] .* one dimension"
+    ):
+        embedding_near_dup_pairs(emb, threshold=0.5).collect()
 
 
 def test_float_wav_decode_and_taxonomy():
