@@ -1885,6 +1885,134 @@ def q64_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+# Incremental-dedup split: the contract tables have no cross-batch
+# duplicates, so the "new crawl" batch is synthesized deterministically
+# from the documents table itself — old = doc_id % 4 != 0, new =
+# doc_id % 4 == 0 PLUS re-idded copies (+1e9, collision-free at any sf)
+# of every old doc with doc_id % 10 == 1, planting exact cross-batch
+# duplicate groups. Both engines build the same split (SQL CTE below).
+_DELTA_ID_OFFSET = 1_000_000_000
+
+
+def _delta_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    old = docs.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    planted = old.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + F.lit(_DELTA_ID_OFFSET)).alias("doc_id"), "text"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return old, new
+
+
+_DELTA_SPLIT_CTE = """
+old as (select doc_id, text from documents where doc_id % 4 != 0),
+new as (
+  select doc_id, text from documents where doc_id % 4 = 0
+  union all
+  select doc_id + 1000000000 as doc_id, text
+  from (select * from old where doc_id % 10 = 1)
+)"""
+
+
+def q66_exact_dedup_delta(spark, sf_dir):
+    """Incremental exact dedup: the NEW batch against an at-rest
+    fingerprint index built over the OLD corpus (the reference's
+    ingest-time hash-vs-DB duplicate rejection, routers/batches.py:381,
+    at corpus scale). The oracle checks BATCH EQUIVALENCE — the delta
+    must equal exact dedup over old ∪ new restricted to new ids, with
+    in_index = the fingerprint was already stored."""
+    from ai_pdf_extraction_spark.operators.dedup_index import (
+        exact_dedup_delta,
+        index_fingerprints,
+    )
+
+    old, new = _delta_split(_t(spark, sf_dir, "documents"))
+    return exact_dedup_delta(new, index_fingerprints(old))
+
+
+# Span-dedup planting: the synthetic corpus texts are pairwise unique,
+# so cross-doc duplicated SPANS are planted the q54 way — a shared
+# 10-word license header on every doc and a doc_id%5-templated 9-word
+# footer. The first doc to carry each gram keeps it; every other doc
+# loses the span but keeps its unique body (byte-identical
+# reconstruction is what the oracle hashes).
+_SPAN_HEADER = (
+    "Standard license header granting use copy and modify rights globally"
+)
+_SPAN_FOOTER = "all rights reserved by template number"
+
+
+def _span_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_SPAN_HEADER + " "),
+            F.col("text"),
+            F.lit(" " + _SPAN_FOOTER + " "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" closing words"),
+        ).alias("text"),
+    )
+
+
+_SPAN_DOCS_CTE = f"""
+docs2 as (
+  select doc_id,
+         '{_SPAN_HEADER} ' || text || ' {_SPAN_FOOTER} ' ||
+         (doc_id % 5) || ' closing words' as text
+  from documents
+)"""
+
+
+def q67_span_dedup(spark, sf_dir):
+    """Substring-level (span) dedup — the Lee et al. (2107.06499)
+    duplicated-substring family at word-gram granularity: every
+    stride-1 8-word gram that is not the globally-first occurrence of
+    its hash marks its span removed; output is the byte-identical
+    surviving text (single-space joined). The oracle recomputes the
+    identical rule in DuckDB list algebra."""
+    from ai_pdf_extraction_spark.operators.span_dedup import span_dedup
+
+    return span_dedup(_span_docs(spark, sf_dir), k=8)
+
+
+def q70_span_decontaminate(spark, sf_dir):
+    """Span-level benchmark decontamination: docs sharing an 8-word
+    gram with the benchmark set (every 50th doc, the q55 split) get
+    the span EXCISED rather than the whole doc dropped —
+    contamination_flags' surgical sibling. Benchmark grams broadcast;
+    the doc side is a map-side semi probe."""
+    from ai_pdf_extraction_spark.operators.span_dedup import span_decontaminate
+
+    d = _span_docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return span_decontaminate(d, bench, k=8)
+
+
+def q71_minhash_lsh_delta(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup: the NEW batch probes an
+    at-rest signature index (frozen hot-shingle universe computed over
+    the OLD corpus at index-build time); verification touches only
+    candidate old docs. Oracle = banded-LSH over old ∪ new under the
+    SAME frozen universe, restricted to pairs touching a new id."""
+    from ai_pdf_extraction_spark.operators.dedup_index import (
+        hot_shingles,
+        index_signatures,
+        minhash_lsh_delta,
+    )
+
+    old, new = _delta_split(_t(spark, sf_dir, "documents"))
+    hot = hot_shingles(old)
+    sigs = index_signatures(old, hot=hot)
+    return minhash_lsh_delta(new, sigs, old, threshold=0.8, hot=hot)
+
+
 def q38_lsh_topk(spark, sf_dir):
     """Sign-LSH-bucketed ANN (random hyperplanes, single probe) — the
     LSH twin of the IVF variant, oracle-checked with the identical
@@ -1963,6 +2091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_schema_registry_apply": q63_schema_registry_apply,
         "q64_embedding_near_dup_lsh": q64_embedding_near_dup_lsh,
         "q65_curated_corpus_v3": q65_curated_corpus_v3,
+        "q66_exact_dedup_delta": q66_exact_dedup_delta,
+        "q67_span_dedup": q67_span_dedup,
+        "q70_span_decontaminate": q70_span_decontaminate,
+        "q71_minhash_lsh_delta": q71_minhash_lsh_delta,
     }
 
 
@@ -2363,6 +2495,137 @@ select cand.id_a, cand.id_b, jacc.jaccard
 from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
 where jacc.jaccard >= 0.8
 """
+
+
+def _minhash_delta_sql(k: int = 12, bands: int = 4) -> str:
+    """q71 oracle: banded LSH over old ∪ new under the FROZEN universe
+    (hot shingles = DF over the OLD corpus only > cap — the index-build
+    rule in ``dedup_index.hot_shingles``), candidates restricted to
+    pairs touching a new id. Batch equivalence makes this exactly the
+    delta's result (pinned independently in ``tests/test_dedup_index``
+    for the uncapped case; this oracle covers the frozen-capped one)."""
+    r = k // bands
+    hashes = ", ".join(f"min(md5('{i}:' || shingle)) as h{i}" for i in range(k))
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * r + j}" for j in range(r)) + f") as band{b}"
+        for b in range(bands)
+    )
+    bucket_list = ", ".join(f"'{b}#' || band{b}" for b in range(bands))
+    return f"""
+with {_DELTA_SPLIT_CTE},
+allb as (
+  select doc_id, text, false as is_new from old
+  union all
+  select doc_id, text, true as is_new from new
+),
+sh_all as (
+  select doc_id,
+         unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+                               for i in range(1, len(words) - 1)])) as shingle
+  from (select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as words
+        from allb)
+),
+hot as (
+  select shingle from sh_all
+  join (select doc_id from allb where not is_new) using (doc_id)
+  group by shingle having count(*) > {DEFAULT_MAX_SHINGLE_DF}
+),
+sh as (
+  select doc_id, shingle from sh_all
+  where shingle not in (select shingle from hot)
+),
+sig as (select doc_id, {hashes} from sh group by doc_id),
+banded as (select doc_id, {band_exprs} from sig),
+stacked as (select doc_id, unnest([{bucket_list}]) as bucket from banded),
+newids as (select doc_id from allb where is_new),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from stacked a join stacked b using (bucket)
+  where a.doc_id < b.doc_id
+    and (a.doc_id in (select doc_id from newids)
+         or b.doc_id in (select doc_id from newids))
+),
+sizes as (select doc_id, count(*) as n from sh group by 1),
+shared as (
+  select sh_a.doc_id as id_a, sh_b.doc_id as id_b, count(*) as shared
+  from sh sh_a join sh sh_b using (shingle)
+  where sh_a.doc_id < sh_b.doc_id
+  group by 1, 2
+),
+jacc as (
+  select id_a, id_b,
+         round(shared * 1.0 / (sa.n + sb.n - shared), 4) as jaccard
+  from shared
+  join sizes sa on sa.doc_id = id_a
+  join sizes sb on sb.doc_id = id_b
+)
+select cand.id_a, cand.id_b, jacc.jaccard
+from cand join jacc on cand.id_a = jacc.id_a and cand.id_b = jacc.id_b
+where jacc.jaccard >= 0.8
+"""
+
+
+def _span_sql(marked_cte: str) -> str:
+    """q67/q70 oracle scaffold: the span-removal rule of
+    ``operators/span_dedup`` in DuckDB list algebra — stride-1 8-word
+    gram md5s (lowercased match), a rule-specific ``marked(doc_id,
+    start)`` CTE, spans merged at word-index granularity, surviving
+    text = single-space join of unremoved words (byte-identical to the
+    Spark reconstruction). Parallel ``unnest`` calls of equal-length
+    lists zip positionally (documented DuckDB behavior) — that is what
+    pairs each gram with its start offset."""
+    return f"""
+with {_SPAN_DOCS_CTE},
+words as (
+  select doc_id,
+         case when length(trim(coalesce(text, ''))) = 0 then []
+              else regexp_split_to_array(trim(text), '\\s+') end as w
+  from docs2
+),
+grams_arr as (
+  select doc_id,
+         [md5(lower(array_to_string(w[i+1:i+8], ' ')))
+          for i in range(0, len(w) - 7)] as gs
+  from words where len(w) >= 8
+),
+occ as (
+  select doc_id, unnest(range(0, len(gs))) as start, unnest(gs) as g
+  from grams_arr
+),
+{marked_cte},
+ridx as (
+  select distinct doc_id, idx
+  from (select doc_id, unnest(range(start, start + 8)) as idx from marked)
+),
+ragg as (
+  select doc_id, count(*) as n_removed, list(idx) as removed
+  from ridx group by doc_id
+)
+select w.doc_id,
+       len(w.w) as n_words,
+       coalesce(r.n_removed, 0) as n_removed,
+       coalesce(array_to_string([w.w[i+1] for i in range(0, len(w.w))
+                                 if not list_contains(coalesce(r.removed, []), i)],
+                                ' '), '') as surviving_text
+from words w left join ragg r using (doc_id)
+"""
+
+
+_SPAN_DEDUP_MARKED = """
+firsts as (select g, min(doc_id) as fdoc from occ group by g),
+firsts2 as (
+  select occ.g, fdoc, min(start) as fstart
+  from occ join firsts on occ.g = firsts.g and occ.doc_id = firsts.fdoc
+  group by occ.g, fdoc
+),
+marked as (
+  select occ.doc_id, occ.start from occ join firsts2 on occ.g = firsts2.g
+  where occ.doc_id != firsts2.fdoc or occ.start != firsts2.fstart
+)"""
+
+_SPAN_DECON_MARKED = """
+bench as (select distinct g from occ where doc_id % 50 = 0),
+marked as (select doc_id, start from occ where g in (select g from bench))"""
 
 
 def _neardup_clusters_sql() -> str:
@@ -3052,6 +3315,23 @@ where s.doc_id not in (select doc_id from near_losers)
             extra_cte=_emb_losers_cte(),
             extra_where="  and s.doc_id not in (select id_b from emb_losers)\n",
         ),
+        "q66_exact_dedup_delta": f"""
+with {_DELTA_SPLIT_CTE},
+fpo as (select doc_id, coalesce({fingerprint_expr}, 'null-text') as fp from old),
+fpn as (select doc_id, coalesce({fingerprint_expr}, 'null-text') as fp from new),
+groups as (
+  select fp, min(doc_id) as canonical_id, count(*) as group_size
+  from (select * from fpo union all select * from fpn) group by fp
+),
+idx as (select distinct fp from fpo)
+select f.doc_id, g.canonical_id, g.group_size,
+       f.doc_id != g.canonical_id as is_dup,
+       exists (select 1 from idx where idx.fp = f.fp) as in_index
+from fpn f join groups g using (fp)
+""",
+        "q67_span_dedup": _span_sql(_SPAN_DEDUP_MARKED),
+        "q70_span_decontaminate": _span_sql(_SPAN_DECON_MARKED),
+        "q71_minhash_lsh_delta": _minhash_delta_sql(),
         "q37_url_canonicalize": r"""
 with raw as (
   select event_id,

@@ -466,6 +466,36 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 12, bands: int = 4
+) -> DataFrame:
+    """Banded LSH bucket keys from a MinHash signature relation
+    (``minhash_signatures`` layout: id + h0..h{k-1}): band b's key is
+    ``md5(h_{b·r} | … | h_{b·r+r−1})`` prefixed with the band index,
+    stacked into one (id, bucket) relation ready for the bucket
+    equi-join. Shared by the batch LSH (``minhash_lsh_pairs``) and the
+    incremental delta (``dedup_index``) so at-rest signatures and a
+    fresh batch can never band differently."""
+    rows_per_band = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}#"), F.col(f"band{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -485,29 +515,11 @@ def minhash_lsh_pairs(
     and verification all use one DF-capped shingle universe so the
     verified Jaccard matches ``ngram_jaccard_pairs`` exactly.
     """
-    rows_per_band = k // bands
     sh = _persist_shingles(
         _df_capped(_word_shingles(docs, id_col, text_col, n), max_shingle_df)
     )
     sig = minhash_signatures(docs, id_col, text_col, n, k, _shingles=sh)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    # one (id, band_idx, bucket) relation → self-join per bucket
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.concat(F.lit(f"{b}#"), F.col(f"band{b}")) for b in range(bands)
-            ])
-        ).alias("bucket"),
-    )
+    stacked = band_buckets(sig, id_col, k, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     candidates = (

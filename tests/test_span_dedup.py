@@ -1,0 +1,131 @@
+"""Substring-level span dedup / span decontamination (operators/span_dedup).
+
+The load-bearing property is BYTE-IDENTICAL reconstruction: the Spark
+Column-algebra pipeline and the independent pure-Python twin (derived
+from the module-doc rule, not the plan) must agree on every surviving
+text byte — plus the rule's edge semantics (first occurrence wins,
+intra-doc repeats removed, spans shorter than k survive, overlapping
+spans merge) and the scale-shape plan asserts (partial-agg groupBy for
+the first-occurrence rule; broadcast probe for decontamination)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ai_pdf_extraction_spark.operators.span_dedup import (
+    span_decontaminate,
+    span_decontaminate_py,
+    span_dedup,
+    span_dedup_py,
+)
+
+BOILER = "this license text block is repeated verbatim in many documents exactly"
+
+
+def _planted_texts() -> dict[int, str | None]:
+    return {
+        0: f"unique start zero {BOILER} tail zero ends here now",
+        1: f"{BOILER} and one more different tail for doc one",
+        2: "totally unique document two with no duplicated span at all present",
+        3: f"doc three prefix then {BOILER} then {BOILER} suffix three",
+        4: "",
+        5: None,
+        6: "short doc",
+        7: "Case VARIANT test: " + BOILER.upper() + " mixed case tail",
+        8: "seven words is less than the k",  # 7 words < k=8: never grams
+    }
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def _got(df):
+    return {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["surviving_text"])
+        for r in df.collect()
+    }
+
+
+def test_span_dedup_matches_python_twin_planted(spark):
+    texts = _planted_texts()
+    got = _got(span_dedup(_df(spark, texts), k=8))
+    assert got == span_dedup_py(texts, k=8)
+    # rule spot-checks, independent of both implementations:
+    # doc 0 is the first occurrence — keeps every byte
+    assert got[0][1] == 0 and BOILER in got[0][2]
+    # doc 1 loses the boilerplate but keeps its unique tail verbatim
+    assert BOILER not in got[1][2]
+    assert got[1][2] == "and one more different tail for doc one"
+    # doc 3: BOTH embedded copies (incl. the intra-doc repeat) removed
+    assert BOILER not in got[3][2] and got[3][2].startswith("doc three prefix")
+    # case-insensitive match removes the uppercased copy too
+    assert "LICENSE" not in got[7][2] and got[7][2].startswith("Case VARIANT")
+    # sub-k docs survive untouched
+    assert got[6] == (2, 0, "short doc") and got[8][1] == 0
+
+
+def test_span_dedup_fuzz_matches_python_twin(spark):
+    """Random corpora with planted shared runs at random offsets —
+    overlap-merge, boundary grams, multi-way duplication."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(rng.randint(8, 14))) for _ in range(3)]
+    texts: dict[int, str | None] = {}
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        for s in shared:
+            if rng.random() < 0.4:
+                pos = rng.randint(0, len(words))
+                words[pos:pos] = s.split()
+        texts[i] = " ".join(words)
+    got = _got(span_dedup(_df(spark, texts), k=8))
+    assert got == span_dedup_py(texts, k=8)
+    assert any(v[1] > 0 for v in got.values())  # non-vacuous
+
+
+def test_span_decontaminate_matches_twin_and_broadcasts(spark):
+    texts = _planted_texts()
+    bench = {100: f"benchmark question quoting {BOILER} as its context"}
+    docs = _df(spark, texts)
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in bench.items()], "bench_id long, text string"
+    )
+    out = span_decontaminate(docs, bdf, k=8)
+    assert _got(out) == span_decontaminate_py(texts, bench, k=8)
+    # the benchmark probe must be a broadcast join (no doc-gram shuffle)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "extended"
+    )
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_span_dedup_first_occurrence_partial_aggregates(spark):
+    """The first-occurrence groupBy must map-side combine (min(struct)
+    partial agg) — the hot-key-safe shape shared with granule_dedup;
+    a window over g would funnel every occurrence of a hot gram into
+    one task."""
+    texts = _planted_texts()
+    out = span_dedup(_df(spark, texts), k=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "extended"
+    )
+    assert "partial_min" in plan, "expected partial min(struct) aggregate"
+    assert "Window" not in plan
+
+
+def test_span_dedup_removes_long_run_end_to_end(spark):
+    """A duplicated run of m >= k words is removed END-TO-END (the
+    m-k+1 marked grams tile it) — not just the first k words."""
+    run = " ".join(f"r{i}" for i in range(20))
+    texts = {0: f"first carrier of {run} here", 1: f"second carrier of {run} here"}
+    got = _got(span_dedup(_df(spark, texts), k=8))
+    assert got == span_dedup_py(texts, k=8)
+    # doc 1: the whole 20-word run is gone ("of"/"here" neighbors may
+    # go with it — they sit inside marked grams; assert the run core)
+    assert "r0" not in got[1][2] and "r19" not in got[1][2]
+    assert got[1][1] >= 20
