@@ -1995,6 +1995,79 @@ def q70_span_decontaminate(spark, sf_dir):
     return span_decontaminate(d, bench, k=8)
 
 
+def _q68_golden_path() -> str:
+    """Golden parquet for the exact-BPE oracle: DuckDB has no merge
+    loop, so the oracle is the INDEPENDENT naive twin
+    (``oracle/bpe_naive.py`` — one-leftmost-merge-at-a-time, a
+    different strategy from the kernel's all-occurrences pass) run
+    single-process over the contract documents table. Cache key covers
+    kernel version, twin version, the merge-table digest, AND the
+    source table's (mtime_ns, size) digest — a retrained table or
+    regenerated parquet can never compare against a stale golden."""
+    import hashlib
+
+    from ai_pdf_extraction_spark.kernels.bpe import BPE_VERSION, merges_digest
+    from ai_pdf_extraction_spark.oracle.bpe_naive import (
+        TWIN_VERSION,
+        write_bpe_golden,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if os.path.exists(src):
+        st = os.stat(src)
+        digest = hashlib.md5(
+            f"{st.st_mtime_ns}|{st.st_size}|{merges_digest()}".encode()
+        ).hexdigest()[:12]
+    else:
+        digest = "missing"
+    out = (
+        f"/tmp/spark_graft_bpe_golden_k{BPE_VERSION}_t{TWIN_VERSION}"
+        f"_{tag}_{digest}.parquet"
+    )
+    if not os.path.exists(out) and os.path.exists(src):
+        write_bpe_golden(src, out)
+    return out
+
+
+def q68_bpe_token_counts(spark, sf_dir):
+    """EXACT merge-table BPE token counts (repo-trained table, public
+    Sennrich algorithm) — upgrading the q30 regex proxy to real token
+    prices. Oracle: golden parquet from the independent naive twin."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        token_count_bpe_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_bpe_exact("text").alias("n_tokens_bpe")
+    )
+
+
+def q72_token_budget_bpe(spark, sf_dir):
+    """q44's token-budget selection twinned to EXACT BPE counts — the
+    budget now prices documents in real tokens (a long-word doc costs
+    more than its whitespace count says), which is what a production
+    data-mixture job spends against."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.scrub import token_budget_selection
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        quality_score,
+        token_count_bpe_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("quality"),
+        token_count_bpe_exact("text").alias("n_tokens"),
+    )
+    return token_budget_selection(scored, budget_per_stratum=3000)
+
+
 def q71_minhash_lsh_delta(spark, sf_dir):
     """Incremental MinHash-LSH near-dup: the NEW batch probes an
     at-rest signature index (frozen hot-shingle universe computed over
@@ -2093,8 +2166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_curated_corpus_v3": q65_curated_corpus_v3,
         "q66_exact_dedup_delta": q66_exact_dedup_delta,
         "q67_span_dedup": q67_span_dedup,
+        "q68_bpe_token_counts": q68_bpe_token_counts,
         "q70_span_decontaminate": q70_span_decontaminate,
         "q71_minhash_lsh_delta": q71_minhash_lsh_delta,
+        "q72_token_budget_bpe": q72_token_budget_bpe,
     }
 
 
@@ -3330,8 +3405,26 @@ select f.doc_id, g.canonical_id, g.group_size,
 from fpn f join groups g using (fp)
 """,
         "q67_span_dedup": _span_sql(_SPAN_DEDUP_MARKED),
+        "q68_bpe_token_counts": f"""
+select doc_id, n_tokens_bpe from read_parquet('{_q68_golden_path()}')
+""",
         "q70_span_decontaminate": _span_sql(_SPAN_DECON_MARKED),
         "q71_minhash_lsh_delta": _minhash_delta_sql(),
+        "q72_token_budget_bpe": f"""
+with {_SCORED_CTE},
+bpe as (select doc_id, n_tokens_bpe
+        from read_parquet('{_q68_golden_path()}')),
+j as (select s.doc_id, s.lang, s.quality, b.n_tokens_bpe as n_tokens
+      from scored s join bpe b using (doc_id)),
+c as (
+  select doc_id, lang, quality, n_tokens,
+    (sum(n_tokens) over (partition by lang order by quality desc, doc_id
+                         rows unbounded preceding))::bigint as cum_tokens
+  from j
+)
+select doc_id, lang, quality, n_tokens, cum_tokens from c
+where cum_tokens <= 3000
+""",
         "q37_url_canonicalize": r"""
 with raw as (
   select event_id,

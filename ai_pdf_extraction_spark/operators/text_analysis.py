@@ -382,6 +382,41 @@ def fingerprint(col: Column | str = "text") -> Column:
     return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9]", ""))
 
 
+def token_count_bpe_exact(col: Column | str = "text") -> Column:
+    """EXACT merge-table BPE token count (``kernels/bpe.py`` — the
+    repo-committed merge table), replacing the :func:`token_count_bpe`
+    regex proxy where budget decisions need real token prices.
+
+    Arrow-batched pandas UDF, justified: the greedy lowest-rank merge
+    loop is inherently iterative-per-word (data-dependent iteration
+    count) — no Column formulation exists. The tokenizer (with its
+    per-word LRU — web text repeats words heavily) is built once per
+    Python worker, not per batch; the merge table rides the package
+    zip as .json package data."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        tok = _bpe_singleton()
+        return texts.map(tok.count)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _count(c)
+
+
+_BPE_SINGLETON = None
+
+
+def _bpe_singleton():
+    """One tokenizer (ranks + word LRU) per Python worker process."""
+    global _BPE_SINGLETON
+    if _BPE_SINGLETON is None:
+        from ai_pdf_extraction_spark.kernels.bpe import BpeTokenizer
+
+        _BPE_SINGLETON = BpeTokenizer()
+    return _BPE_SINGLETON
+
+
 def winnowing_fingerprints_py(text: str, k: int = 8, window: int = 4) -> list[str]:
     """Winnowing fingerprint (Schleimer/Wilkerson/Aiken) of one text:
     rolling char k-gram hashes, minimum per sliding window, sorted
