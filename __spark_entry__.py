@@ -2068,6 +2068,71 @@ def q72_token_budget_bpe(spark, sf_dir):
     return token_budget_selection(scored, budget_per_stratum=3000)
 
 
+# q69 sample texts: 40 deterministic labeled snippets (8 langs × 5)
+# from the LID training corpus GENERATOR with a held-out seed — never
+# seen in training (tools/train_lid.py uses seed 123; accuracy on this
+# seed is what the pytest pins against the trigram baseline).
+def _lid_samples() -> list[str]:
+    from ai_pdf_extraction_spark.corpus.langtext import generate_lang_docs
+
+    return [text for _i, _lang, text in generate_lang_docs(40, seed=777)]
+
+
+def _q69_golden_path() -> str:
+    """Golden parquet for the trained-LID oracle: the naive scorer
+    twin (``oracle/lid_naive.py`` — re-derives hashing and argmax from
+    the model-file contract) over the q69 sample substitution. Cache
+    key covers kernel + twin versions, the model digest, and the
+    source table digest."""
+    import hashlib
+
+    from ai_pdf_extraction_spark.kernels.lid import LID_VERSION, model_digest
+    from ai_pdf_extraction_spark.oracle.lid_naive import (
+        TWIN_VERSION,
+        write_lid_golden,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if os.path.exists(src):
+        st = os.stat(src)
+        digest = hashlib.md5(
+            f"{st.st_mtime_ns}|{st.st_size}|{model_digest()}".encode()
+        ).hexdigest()[:12]
+    else:
+        digest = "missing"
+    out = (
+        f"/tmp/spark_graft_lid_golden_k{LID_VERSION}_t{TWIN_VERSION}"
+        f"_{tag}_{digest}.parquet"
+    )
+    if not os.path.exists(out) and os.path.exists(src):
+        write_lid_golden(src, _lid_samples(), out)
+    return out
+
+
+def q69_lang_trained(spark, sf_dir):
+    """TRAINED hashed-ngram language ID (fastText-style linear model,
+    repo-trained integer-quantized weights) — the production-model
+    slot the heuristic detectors stubbed. Docs cycle through 40
+    held-out-seed snippets from the labeled generator (the q52/q59
+    substitution rule), every 41st keeps its real text."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        lang_detect_trained,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    samples = _lid_samples()
+    m = F.col("doc_id") % (len(samples) + 1)
+    sample = F.col("text")
+    for idx, snippet in enumerate(samples):
+        sample = F.when(m == idx, F.lit(snippet)).otherwise(sample)
+    return d.select("doc_id", sample.alias("sample_text")).select(
+        "doc_id", lang_detect_trained(F.col("sample_text")).alias("lang_pred")
+    )
+
+
 def q71_minhash_lsh_delta(spark, sf_dir):
     """Incremental MinHash-LSH near-dup: the NEW batch probes an
     at-rest signature index (frozen hot-shingle universe computed over
@@ -2167,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_exact_dedup_delta": q66_exact_dedup_delta,
         "q67_span_dedup": q67_span_dedup,
         "q68_bpe_token_counts": q68_bpe_token_counts,
+        "q69_lang_trained": q69_lang_trained,
         "q70_span_decontaminate": q70_span_decontaminate,
         "q71_minhash_lsh_delta": q71_minhash_lsh_delta,
         "q72_token_budget_bpe": q72_token_budget_bpe,
@@ -3407,6 +3473,9 @@ from fpn f join groups g using (fp)
         "q67_span_dedup": _span_sql(_SPAN_DEDUP_MARKED),
         "q68_bpe_token_counts": f"""
 select doc_id, n_tokens_bpe from read_parquet('{_q68_golden_path()}')
+""",
+        "q69_lang_trained": f"""
+select doc_id, lang_pred from read_parquet('{_q69_golden_path()}')
 """,
         "q70_span_decontaminate": _span_sql(_SPAN_DECON_MARKED),
         "q71_minhash_lsh_delta": _minhash_delta_sql(),

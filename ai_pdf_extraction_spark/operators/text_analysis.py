@@ -417,6 +417,43 @@ def _bpe_singleton():
     return _BPE_SINGLETON
 
 
+def lang_detect_trained(col: Column | str = "text") -> Column:
+    """TRAINED language ID (``kernels/lid.py`` — fastText-style hashed
+    char-trigram + word features, integer-quantized repo-trained
+    weights), filling the production-model slot the heuristic
+    detectors (:func:`lang_guess`/:func:`lang_detect`/
+    :func:`lang_detect_trigram`) stub. Accuracy ≥ the trigram baseline
+    is pinned in pytest on the held-out synthetic corpus.
+
+    Arrow-batched pandas UDF, justified: 4096-bucket feature hashing +
+    an 8×4096 integer dot product per row has no sane Column
+    formulation (the 64 KB codegen limit killed far smaller literal
+    projections — see LANG_TRIGRAMS); the model loads once per Python
+    worker from .json package data."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _predict(texts: pd.Series) -> pd.Series:
+        model = _lid_singleton()
+        return texts.map(model.predict)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _predict(c)
+
+
+_LID_SINGLETON = None
+
+
+def _lid_singleton():
+    """One quantized LID model per Python worker process."""
+    global _LID_SINGLETON
+    if _LID_SINGLETON is None:
+        from ai_pdf_extraction_spark.kernels.lid import LidModel
+
+        _LID_SINGLETON = LidModel()
+    return _LID_SINGLETON
+
+
 def winnowing_fingerprints_py(text: str, k: int = 8, window: int = 4) -> list[str]:
     """Winnowing fingerprint (Schleimer/Wilkerson/Aiken) of one text:
     rolling char k-gram hashes, minimum per sliding window, sorted
