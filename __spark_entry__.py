@@ -2718,10 +2718,13 @@ def _span_sql(marked_cte: str) -> str:
     return f"""
 with {_SPAN_DOCS_CTE},
 words as (
-  select doc_id,
-         case when length(trim(coalesce(text, ''))) = 0 then []
-              else regexp_split_to_array(trim(text), '\\s+') end as w
-  from docs2
+  -- span_dedup.WS_RE collapse-then-split rule: one explicit ASCII
+  -- whitespace class, portable across Java regex / RE2 / Python re
+  select doc_id, case when t = '' then [] else string_split(t, ' ') end as w
+  from (select doc_id,
+               trim(regexp_replace(coalesce(text, ''),
+                                   '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) as t
+        from docs2)
 ),
 grams_arr as (
   select doc_id,

@@ -129,12 +129,21 @@ def _df_capped(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
     and would always shuffle."""
     if max_shingle_df is None:
         return sh
-    hot = (
+    return sh.join(hot_shingle_set(sh, max_shingle_df), "shingle", "left_anti")
+
+
+def hot_shingle_set(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Shingles with DF > cap over a distinct (doc, shingle) relation —
+    THE cap rule, in one place: the batch path (``_df_capped``) and the
+    frozen index universe (``dedup_index.hot_shingles``) both call it,
+    so a future edit (e.g. > vs >=) cannot silently unfreeze the
+    batch/delta universe equivalence."""
+    return (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df_"))
         .filter(F.col("df_") > max_shingle_df)
+        .select("shingle")
     )
-    return sh.join(hot.select("shingle"), "shingle", "left_anti")
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

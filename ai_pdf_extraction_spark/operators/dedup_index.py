@@ -37,12 +37,15 @@ At-rest layout (``write_dedup_index`` / ``append_dedup_index``)::
       index.json            # version, params, committed batch list
       fingerprints/<batch>/ # (fp, canonical_id, n_docs) per batch
       signatures/<batch>/   # (doc_id, h0..h{k-1}) per batch
-      hot_shingles/         # frozen DF-capped hot set (absent if uncapped)
+      hot_<token>/          # frozen DF-capped hot set (absent if uncapped)
 
-Appends write a NEW batch directory and then commit by atomically
-rewriting ``index.json`` (tmp + ``os.replace``) — a crashed append
-leaves an orphan directory the loader never reads, the same
-manifest-is-the-commit-point discipline as ``SnapshotTable``. Loading
+Every build and append writes under FRESH uniquely-named directories
+(``b{i}_{token}``) and then commits by atomically rewriting
+``index.json`` (tmp + ``os.replace``) — a crash at ANY point (append
+or rebuild-over-existing) leaves the previous manifest pointing only
+at intact previous directories; uncommitted orphans are never read,
+the same manifest-is-the-commit-point discipline as
+``SnapshotTable``. Loading
 re-aggregates fingerprints across batches (min canonical, summed
 counts — lossless for the delta semantics above). The manifest pins
 ``DEDUP_INDEX_VERSION`` plus the shingle/MinHash params; a version or
@@ -78,6 +81,7 @@ from ai_pdf_extraction_spark.operators.dedup import (
     _persist_latest,
     _word_shingles,
     band_buckets,
+    hot_shingle_set,
     minhash_signatures,
     ngram_jaccard_pairs,
 )
@@ -139,12 +143,9 @@ def hot_shingles(
     frozen set (and exact batch/delta equivalence, see module doc)."""
     if max_shingle_df is None:
         return None
-    return (
-        _word_shingles(docs, id_col, text_col, n)
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") > max_shingle_df)
-        .select("shingle")
+    # the ONE cap rule — shared with the batch path's _df_capped
+    return hot_shingle_set(
+        _word_shingles(docs, id_col, text_col, n), max_shingle_df
     )
 
 
@@ -290,9 +291,12 @@ def minhash_lsh_delta(
         .union(cand_no.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    old_cand = old_docs.join(
-        F.broadcast(old_cand_ids), id_col, "left_semi"
-    )
+    # plain semi-join — the candidate-id set is data-dependent and
+    # unbounded (boilerplate-heavy corpora amplify bucket collisions),
+    # so forcing a broadcast here could exceed the broadcast cap on
+    # exactly the inputs that need the delta most; AQE still converts
+    # it to a broadcast at runtime when the set is actually small.
+    old_cand = old_docs.join(old_cand_ids, id_col, "left_semi")
     old_cand_sh = _frozen_capped(
         _word_shingles(old_cand, id_col, text_col, n), hot
     )
@@ -343,11 +347,12 @@ def _write_batch(
     docs: DataFrame, index_dir: str, batch: str, params: dict, hot: DataFrame | None
 ) -> int:
     """Write one batch's fingerprint + signature relations; returns the
-    batch doc count (one count over the batch, reused for the manifest)."""
-    n_docs = docs.count()
+    batch doc count, read back from the just-written (tiny, aggregated)
+    fingerprint relation instead of a third full scan of the batch."""
+    fp_path = os.path.join(index_dir, "fingerprints", batch)
     index_fingerprints(docs, params["id_col"], params["text_col"]).write.mode(
         "overwrite"
-    ).parquet(os.path.join(index_dir, "fingerprints", batch))
+    ).parquet(fp_path)
     index_signatures(
         docs,
         params["id_col"],
@@ -356,7 +361,12 @@ def _write_batch(
         k=params["k"],
         hot=hot,
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "signatures", batch))
-    return n_docs
+    n = (
+        docs.sparkSession.read.parquet(fp_path)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    return int(n or 0)
 
 
 def write_dedup_index(
@@ -373,6 +383,8 @@ def write_dedup_index(
     """Build a fresh dedup index over ``docs``; returns the manifest.
     The hot-shingle universe is computed here and FROZEN — appends and
     deltas reuse it (module doc)."""
+    import uuid
+
     os.makedirs(index_dir, exist_ok=True)
     params = {
         "id_col": id_col,
@@ -382,23 +394,32 @@ def write_dedup_index(
         "bands": bands,
         "max_shingle_df": max_shingle_df,
     }
+    # every build writes under FRESH unique names, manifest-committed
+    # last — so rebuilding over an existing index is crash-safe too: a
+    # death mid-rebuild leaves the OLD manifest pointing at intact OLD
+    # directories, never at half-written new data (append always wrote
+    # fresh dirs; this extends the guarantee to rebuilds)
+    token = uuid.uuid4().hex[:8]
     hot = hot_shingles(docs, id_col, text_col, n, max_shingle_df)
+    hot_dir = None
     if hot is not None:
         hot = hot.persist()
         n_hot = hot.count()  # materialize before reuse; also manifest stat
-        hot.write.mode("overwrite").parquet(os.path.join(index_dir, "hot_shingles"))
+        hot_dir = f"hot_{token}"
+        hot.write.mode("overwrite").parquet(os.path.join(index_dir, hot_dir))
     else:
         n_hot = 0
-    n_docs = _write_batch(docs, index_dir, "b0", params, hot)
+    batch = f"b0_{token}"
+    n_docs = _write_batch(docs, index_dir, batch, params, hot)
     if hot is not None:
         hot.unpersist()
     manifest = {
         "version": DEDUP_INDEX_VERSION,
         "params": params,
-        "batches": ["b0"],
+        "batches": [batch],
         "n_docs": n_docs,
         "n_hot_shingles": n_hot,
-        "has_hot": hot is not None,
+        "hot_dir": hot_dir,
     }
     _write_manifest(index_dir, manifest)
     return manifest
@@ -431,8 +452,8 @@ def load_dedup_index(spark: SparkSession, index_dir: str) -> dict:
     for part in sig_parts[1:]:
         sigs = sigs.unionByName(part)
     hot = (
-        spark.read.parquet(os.path.join(index_dir, "hot_shingles"))
-        if manifest["has_hot"]
+        spark.read.parquet(os.path.join(index_dir, manifest["hot_dir"]))
+        if manifest["hot_dir"]
         else None
     )
     return {"manifest": manifest, "fps": fps, "sigs": sigs, "hot": hot}
@@ -444,18 +465,21 @@ def append_dedup_index(
     """Append a new batch to an existing index (the index-append half
     of the crawl loop: delta-dedup the batch, then append its survivors
     — or the whole batch — so the NEXT crawl sees it). Params come from
-    the manifest (an append cannot change the universe); the new batch
-    directory is invisible until the atomic manifest rewrite commits
-    it, so a crashed append is an ignored orphan and a re-run
-    overwrites it (resume-safe, pinned in pytest)."""
+    the manifest (an append cannot change the universe); the new
+    uniquely-named batch directory is invisible until the atomic
+    manifest rewrite commits it, so a crashed append leaves an ignored
+    orphan and a re-run simply writes a fresh one (resume-safe, pinned
+    in pytest)."""
+    import uuid
+
     manifest = _read_manifest(index_dir)
     params = manifest["params"]
     hot = (
-        spark.read.parquet(os.path.join(index_dir, "hot_shingles"))
-        if manifest["has_hot"]
+        spark.read.parquet(os.path.join(index_dir, manifest["hot_dir"]))
+        if manifest["hot_dir"]
         else None
     )
-    batch = f"b{len(manifest['batches'])}"
+    batch = f"b{len(manifest['batches'])}_{uuid.uuid4().hex[:8]}"
     n_new = _write_batch(new_docs, index_dir, batch, params, hot)
     manifest["batches"] = manifest["batches"] + [batch]
     manifest["n_docs"] += n_new

@@ -61,20 +61,32 @@ DEFAULT_SPAN_K = 8  # words; Lee et al. use 50 BPE tokens ≈ 35 words —
 # the synthetic contract corpus has short docs, so the operator default
 # is small and callers at real scale pass their own.
 
-# words-array persist slot (dedup._persist_latest discipline): the
-# projected words relation feeds the gram stream AND the final
-# reconstruction join — persist so the split+filter runs once, evict
-# the previous operator call's copy.
+# persist slots (dedup._persist_latest discipline): the projected
+# words relation feeds the gram stream AND the final reconstruction
+# join; span_dedup's gram-occurrence relation feeds BOTH the
+# first-occurrence groupBy and the occurrence join — each materializes
+# once, evicting the previous operator call's copy.
 _WORDS_CACHE: list[DataFrame] = []
+_OCC_CACHE: list[DataFrame] = []
+
+
+# ONE explicit whitespace class for all three engines. \s is NOT
+# portable here: Java \s and RE2 \s are ASCII but differ on \x0b, and
+# Python \s is Unicode (splits U+00A0) — and Spark's trim strips only
+# 0x20, so "text\n" would tokenize differently from the Python twin.
+# Collapsing runs of this class to single spaces FIRST, then trimming
+# and splitting on the literal space, makes Spark, DuckDB, and the
+# twin byte-identical by construction (pinned on \t/\n/\x0b/U+00A0
+# shapes in pytest).
+WS_RE = r"[ \t\n\x0b\f\r]+"
 
 
 def _words_col(text_col: str) -> Column:
-    """Whitespace tokenization shared by every leg: split trimmed text
-    on ``\\s+``. Empty/null text yields zero words (the raw split of ''
-    is [''] in both Spark and DuckDB — normalized away here and in the
-    oracle SQL identically)."""
-    w = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    return F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", F.array()).otherwise(w)
+    """Whitespace tokenization shared by every leg (see ``WS_RE``).
+    Empty/null text yields zero words."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.trim(F.regexp_replace(c, WS_RE, " "))
+    return F.when(t == "", F.array()).otherwise(F.split(t, " "))
 
 
 def _gram_occurrences(
@@ -137,7 +149,9 @@ def span_dedup(
     words = _persist_latest(
         _WORDS_CACHE, docs.select(id_col, _words_col(text_col).alias("w"))
     )
-    occ = _gram_occurrences(words, id_col, k)
+    # occ feeds two consumers (the groupBy below and the join back) —
+    # without the persist the O(n_words) md5 explode runs twice
+    occ = _persist_latest(_OCC_CACHE, _gram_occurrences(words, id_col, k))
     firsts = occ.groupBy("g").agg(
         F.min(F.struct(id_col, "start")).alias("first")
     )
@@ -190,9 +204,12 @@ def span_decontaminate(
 # ---------------------------------------------------------------------------
 
 
+_PY_WS = re.compile(WS_RE)
+
+
 def _py_words(text: str | None) -> list[str]:
-    t = (text or "").strip()
-    return re.split(r"\s+", t) if t else []
+    t = _PY_WS.sub(" ", text or "").strip(" ")
+    return t.split(" ") if t else []
 
 
 def _py_grams(words: list[str], k: int) -> list[str]:

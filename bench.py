@@ -54,6 +54,14 @@ HEADLINE = [
     "q63_schema_registry_apply",  # versioned schema config -> typed projection
     "q64_embedding_near_dup_lsh",  # bucketed scale twin of q24
     "q65_curated_corpus_v3",  # every-family capstone (adds semantic dedup)
+    # round-7 operators
+    "q66_exact_dedup_delta",  # incremental exact dedup vs at-rest index
+    "q67_span_dedup",  # substring-level duplicated-span removal
+    "q68_bpe_token_counts",  # exact merge-table BPE tokenizer
+    "q69_lang_trained",  # trained hashed-ngram LID
+    "q70_span_decontaminate",  # span-level benchmark decontamination
+    "q71_minhash_lsh_delta",  # incremental LSH near-dup vs at-rest index
+    "q72_token_budget_bpe",  # token budget priced in exact BPE tokens
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
@@ -124,11 +132,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # contended, so single timings swing several-fold run to run
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
+    # every trial timing, per query — "queries" stays best-of (the
+    # comparable number), "trials" shows the spread so a plan
+    # regression (all trials slow) is distinguishable from host noise
+    # (one slow outlier) without re-running
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _trial in range(n_trials):
         for name in HEADLINE:
             t0 = time.monotonic()
             rows = qs[name](spark, sf_dir).collect()
             dt = round(time.monotonic() - t0, 3)
+            trials[name].append(dt)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             del rows
@@ -138,6 +152,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # best-of-N like the queries
     _extraction_split_conf(True)
     extract_sec = None
+    trials["extract_pages"] = []
     for _trial in range(n_trials):
         t0 = time.monotonic()
         plan = extraction_plan(spark.read.parquet(corpus), run_id="bench")
@@ -147,6 +162,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             F.sum("n_chars").alias("chars"),
         ).collect()[0]
         dt = round(time.monotonic() - t0, 3)
+        trials["extract_pages"].append(dt)
         if extract_sec is None or dt < extract_sec:
             extract_sec = dt
     timings["extract_pages"] = extract_sec
@@ -159,6 +175,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "trials": trials,
+        "n_trials": n_trials,
         "sf": sf_dir,
         "extract_docs": int(agg["n"]),
         "extract_docs_per_sec": docs_per_sec,

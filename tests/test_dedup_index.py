@@ -125,9 +125,11 @@ def test_index_roundtrip_append_delta_and_orphan_resume(spark, tmp_path):
     old, new, new2 = _corpus(spark)
     idx_dir = str(tmp_path / "idx")
     m0 = write_dedup_index(spark, old, idx_dir, max_shingle_df=None)
-    assert m0["batches"] == ["b0"] and m0["n_docs"] == old.count()
+    # batch dirs are uniquely named per build/append (crash-safe rebuild)
+    assert len(m0["batches"]) == 1 and m0["batches"][0].startswith("b0_")
+    assert m0["n_docs"] == old.count()
     m1 = append_dedup_index(spark, idx_dir, new)
-    assert m1["batches"] == ["b0", "b1"]
+    assert [b[:3] for b in m1["batches"]] == ["b0_", "b1_"]
     assert m1["n_docs"] == old.count() + new.count()
 
     # an orphan directory from a crashed append is invisible to load
@@ -136,7 +138,7 @@ def test_index_roundtrip_append_delta_and_orphan_resume(spark, tmp_path):
     (orphan / "junk.parquet").write_bytes(b"not parquet")
 
     idx = load_dedup_index(spark, idx_dir)
-    assert idx["manifest"]["batches"] == ["b0", "b1"]
+    assert [b[:3] for b in idx["manifest"]["batches"]] == ["b0_", "b1_"]
 
     # delta of a THIRD batch against the appended index == batch over
     # all three, restricted to the third

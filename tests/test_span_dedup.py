@@ -35,6 +35,13 @@ def _planted_texts() -> dict[int, str | None]:
         6: "short doc",
         7: "Case VARIANT test: " + BOILER.upper() + " mixed case tail",
         8: "seven words is less than the k",  # 7 words < k=8: never grams
+        # whitespace shapes that once diverged between Java \s, RE2 \s
+        # and Python \s (see span_dedup.WS_RE): trailing newline, tabs,
+        # vertical tab, double spaces, and a U+00A0 which is NOT
+        # whitespace in any of the three engines' explicit class
+        9: f"{BOILER} with trailing newline\n",
+        10: f"\t{BOILER}\x0balso tab and vtab  double spaced",
+        11: "nbsp stays one word plus eight filler tokens here now",
     }
 
 
@@ -67,6 +74,11 @@ def test_span_dedup_matches_python_twin_planted(spark):
     assert "LICENSE" not in got[7][2] and got[7][2].startswith("Case VARIANT")
     # sub-k docs survive untouched
     assert got[6] == (2, 0, "short doc") and got[8][1] == 0
+    # whitespace shapes tokenize identically (parity assert above is
+    # the real check; these pin the intended semantics)
+    assert got[9][1] > 0 and got[10][1] > 0  # boilerplate still matches
+    # U+00A0 does NOT split: "nbsp\u00a0stays" is ONE word -> 9 words
+    assert got[11][0] == 9 and "\u00a0" in got[11][2]
 
 
 def test_span_dedup_fuzz_matches_python_twin(spark):
