@@ -2140,14 +2140,12 @@ def q71_minhash_lsh_delta(spark, sf_dir):
     candidate old docs. Oracle = banded-LSH over old ∪ new under the
     SAME frozen universe, restricted to pairs touching a new id."""
     from ai_pdf_extraction_spark.operators.dedup_index import (
-        hot_shingles,
-        index_signatures,
+        live_index_relations,
         minhash_lsh_delta,
     )
 
     old, new = _delta_split(_t(spark, sf_dir, "documents"))
-    hot = hot_shingles(old)
-    sigs = index_signatures(old, hot=hot)
+    sigs, hot = live_index_relations(old)
     return minhash_lsh_delta(new, sigs, old, threshold=0.8, hot=hot)
 
 

@@ -103,6 +103,16 @@ _DELTA_SHINGLE_CACHE: list[DataFrame] = []
 # candidate-old-id semi-join — persist so the index probe runs once.
 _DELTA_CAND_CACHE: list[DataFrame] = []
 
+# new-batch bucket slot: band_buckets(new_sig) feeds THREE consumers
+# (the index probe + both sides of the new×new self-join) — without the
+# persist each re-runs the signature groupBy over the shingle cache.
+_NEW_BUCKETS_CACHE: list[DataFrame] = []
+
+# live-index shingle slot: when the index relations are built in-plan
+# (no at-rest files — contract queries, tests, first build), the hot
+# set and the signatures share ONE persisted shingle explode.
+_INDEX_SHINGLE_CACHE: list[DataFrame] = []
+
 
 # ---------------------------------------------------------------------------
 # relation builders (pure plans — the IO layer below persists them)
@@ -164,12 +174,43 @@ def index_signatures(
     n: int = 3,
     k: int = 12,
     hot: DataFrame | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures over the frozen universe: (id, h0..h{k-1}).
     Docs with zero surviving shingles get no row — same as the batch
     path, where they can never collide in any bucket."""
-    sh = _frozen_capped(_word_shingles(docs, id_col, text_col, n), hot)
+    raw = (
+        _shingles
+        if _shingles is not None
+        else _word_shingles(docs, id_col, text_col, n)
+    )
+    sh = _frozen_capped(raw, hot)
     return minhash_signatures(docs, id_col, text_col, n, k, _shingles=sh)
+
+
+def live_index_relations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(signatures, hot) built IN-PLAN over one persisted shingle
+    explode — for callers without at-rest files (the q71 contract
+    query, tests, and the first build): the hot-set groupBy and the
+    signature aggregation otherwise each re-run the split+explode over
+    the whole corpus."""
+    sh = _persist_latest(
+        _INDEX_SHINGLE_CACHE, _word_shingles(docs, id_col, text_col, n)
+    )
+    hot = (
+        hot_shingle_set(sh, max_shingle_df)
+        if max_shingle_df is not None
+        else None
+    )
+    sigs = index_signatures(docs, id_col, text_col, n, k, hot, _shingles=sh)
+    return sigs, hot
 
 
 def exact_dedup_delta(
@@ -260,7 +301,9 @@ def minhash_lsh_delta(
         _frozen_capped(_word_shingles(new_docs, id_col, text_col, n), hot),
     )
     new_sig = minhash_signatures(new_docs, id_col, text_col, n, k, _shingles=new_sh)
-    new_b = band_buckets(new_sig, id_col, k, bands)
+    new_b = _persist_latest(
+        _NEW_BUCKETS_CACHE, band_buckets(new_sig, id_col, k, bands)
+    )
     old_b = band_buckets(index_sigs, id_col, k, bands)
 
     probe = F.broadcast(new_b) if broadcast_new else new_b
@@ -344,7 +387,12 @@ def _read_manifest(index_dir: str) -> dict:
 
 
 def _write_batch(
-    docs: DataFrame, index_dir: str, batch: str, params: dict, hot: DataFrame | None
+    docs: DataFrame,
+    index_dir: str,
+    batch: str,
+    params: dict,
+    hot: DataFrame | None,
+    sigs: DataFrame | None = None,
 ) -> int:
     """Write one batch's fingerprint + signature relations; returns the
     batch doc count, read back from the just-written (tiny, aggregated)
@@ -353,14 +401,16 @@ def _write_batch(
     index_fingerprints(docs, params["id_col"], params["text_col"]).write.mode(
         "overwrite"
     ).parquet(fp_path)
-    index_signatures(
-        docs,
-        params["id_col"],
-        params["text_col"],
-        n=params["n"],
-        k=params["k"],
-        hot=hot,
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "signatures", batch))
+    if sigs is None:
+        sigs = index_signatures(
+            docs,
+            params["id_col"],
+            params["text_col"],
+            n=params["n"],
+            k=params["k"],
+            hot=hot,
+        )
+    sigs.write.mode("overwrite").parquet(os.path.join(index_dir, "signatures", batch))
     n = (
         docs.sparkSession.read.parquet(fp_path)
         .agg(F.sum("n_docs"))
@@ -400,7 +450,10 @@ def write_dedup_index(
     # directories, never at half-written new data (append always wrote
     # fresh dirs; this extends the guarantee to rebuilds)
     token = uuid.uuid4().hex[:8]
-    hot = hot_shingles(docs, id_col, text_col, n, max_shingle_df)
+    # hot set + signatures off ONE persisted shingle explode
+    sigs, hot = live_index_relations(
+        docs, id_col, text_col, n, k, max_shingle_df
+    )
     hot_dir = None
     if hot is not None:
         hot = hot.persist()
@@ -410,7 +463,7 @@ def write_dedup_index(
     else:
         n_hot = 0
     batch = f"b0_{token}"
-    n_docs = _write_batch(docs, index_dir, batch, params, hot)
+    n_docs = _write_batch(docs, index_dir, batch, params, hot, sigs=sigs)
     if hot is not None:
         hot.unpersist()
     manifest = {
