@@ -376,3 +376,28 @@ def test_salted_host_counts_two_phase_agg(spark):
         "expected partial+final HashAggregate for BOTH phases"
     )
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_exact_dedup_delta_is_partial_agg_no_window(spark):
+    """q66's delta must keep exact_dedup's hot-key-safe shape: the
+    batch group-by partial-aggregates map-side, the index merge is an
+    equi-join, and no window ever funnels a hot fingerprint into one
+    task. The index side contributes NO full-corpus scan beyond its
+    own (already-aggregated) relation."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q66_exact_dedup_delta(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_delta_no_cartesian_and_semi_probe(spark):
+    """q71's delta: bucket equi-joins only (no cartesian product), and
+    the old-corpus text store is touched through a LEFT SEMI join on
+    the candidate ids — never scanned into the verification wholesale."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q71_minhash_lsh_delta(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
