@@ -1967,6 +1967,51 @@ docs2 as (
   from documents
 )"""
 
+# q73 planting: per-TEMPLATE footer with the template digit woven into
+# EVERY 3-word window — the contamination leg probes word TRIGRAMS, so
+# any template-independent trigram in a shared footer would flag every
+# doc against the %50 benchmark split and empty the capstone (a
+# globally-shared header did exactly that — caught by the 0-row probe).
+# With the interleave, only same-template docs share footer grams:
+# template-0 docs are contaminated (bench is all template 0), the rest
+# survive, and span dedup fires on the 15-word footer (8 shared
+# 8-gram windows) within each surviving template group.
+_Q73_FOOTER_WORDS = (
+    "rights", "reserved", "template", "legal", "notice", "clause",
+    "terms", "apply",
+)
+
+
+def _q73_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tpl = (F.col("doc_id") % 5).cast("string")
+    parts: list = [F.col("text")]
+    for i, w in enumerate(_Q73_FOOTER_WORDS):
+        parts.append(F.lit(f" {w}"))
+        if i < len(_Q73_FOOTER_WORDS) - 1:
+            parts.append(F.lit(" "))
+            parts.append(tpl)
+    return d.select(
+        "doc_id",
+        "lang",  # the capstone's quality leg needs it
+        F.concat(*parts).alias("text"),
+    )
+
+
+def _q73_docs_cte() -> str:
+    pieces = []
+    for i, w in enumerate(_Q73_FOOTER_WORDS):
+        pieces.append(f"' {w}'")
+        if i < len(_Q73_FOOTER_WORDS) - 1:
+            pieces.append("' '")
+            pieces.append("(doc_id % 5)")
+    expr = "text || " + " || ".join(pieces)
+    return f"""
+docs2 as (
+  select doc_id, lang, {expr} as text
+  from documents
+)"""
+
 
 def q67_span_dedup(spark, sf_dir):
     """Substring-level (span) dedup — the Lee et al. (2107.06499)
@@ -2133,6 +2178,30 @@ def q69_lang_trained(spark, sf_dir):
     )
 
 
+def q73_curated_corpus_v4(spark, sf_dir):
+    """The v4 capstone: v3 (quality ∧ exact-canonical ∧ ¬LSH-near-dup
+    ∧ ¬contaminated ∧ ¬embedding-near-dup + granule stats) with the
+    SUBSTRING family composed on top — survivors get duplicated spans
+    excised (computed within the surviving set), span_md5 hashing the
+    byte-exact remaining text. Runs over the span-planted docs (q67's
+    shared header/footer) so the span leg is non-vacuous."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.plans.curate import curated_corpus_v4
+
+    d = _q73_docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curated_corpus_v4(
+        d,
+        bench,
+        _t(spark, sf_dir, "embeddings"),
+        contamination_n=3,
+        cos_threshold=0.45,
+        span_k=8,
+    )
+
+
 def q71_minhash_lsh_delta(spark, sf_dir):
     """Incremental MinHash-LSH near-dup: the NEW batch probes an
     at-rest signature index (frozen hot-shingle universe computed over
@@ -2234,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_span_decontaminate": q70_span_decontaminate,
         "q71_minhash_lsh_delta": q71_minhash_lsh_delta,
         "q72_token_budget_bpe": q72_token_budget_bpe,
+        "q73_curated_corpus_v4": q73_curated_corpus_v4,
     }
 
 
@@ -2712,19 +2782,32 @@ def _span_sql(marked_cte: str) -> str:
     text = single-space join of unremoved words (byte-identical to the
     Spark reconstruction). Parallel ``unnest`` calls of equal-length
     lists zip positionally (documented DuckDB behavior) — that is what
-    pairs each gram with its start offset."""
+    pairs each gram with its start offset. The words/body pieces are
+    shared with the q73 capstone oracle (``_curate_v4_sql``)."""
     return f"""
-with {_SPAN_DOCS_CTE},
-words as (
-  -- span_dedup.WS_RE collapse-then-split rule: one explicit ASCII
-  -- whitespace class, portable across Java regex / RE2 / Python re
+with {_SPAN_DOCS_CTE.strip()},
+words as ({_SPAN_WORDS_INNER}
+),
+{_span_body(marked_cte)}
+select doc_id, n_words, n_removed, surviving_text from sp
+"""
+
+
+# span_dedup.WS_RE collapse-then-split rule over the docs2 relation:
+# one explicit ASCII whitespace class, portable across Java regex /
+# RE2 / Python re
+_SPAN_WORDS_INNER = """
   select doc_id, case when t = '' then [] else string_split(t, ' ') end as w
   from (select doc_id,
                trim(regexp_replace(coalesce(text, ''),
                                    '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) as t
-        from docs2)
-),
-grams_arr as (
+        from docs2)"""
+
+
+def _span_body(marked_cte: str) -> str:
+    """CTE chain from an existing ``words(doc_id, w)`` relation to
+    ``sp(doc_id, n_words, n_removed, surviving_text)``."""
+    return f"""grams_arr as (
   select doc_id,
          [md5(lower(array_to_string(w[i+1:i+8], ' ')))
           for i in range(0, len(w) - 7)] as gs
@@ -2742,14 +2825,47 @@ ridx as (
 ragg as (
   select doc_id, count(*) as n_removed, list(idx) as removed
   from ridx group by doc_id
-)
-select w.doc_id,
-       len(w.w) as n_words,
-       coalesce(r.n_removed, 0) as n_removed,
-       coalesce(array_to_string([w.w[i+1] for i in range(0, len(w.w))
-                                 if not list_contains(coalesce(r.removed, []), i)],
-                                ' '), '') as surviving_text
-from words w left join ragg r using (doc_id)
+),
+sp as (
+  select w.doc_id,
+         len(w.w) as n_words,
+         coalesce(r.n_removed, 0) as n_removed,
+         coalesce(array_to_string([w.w[i+1] for i in range(0, len(w.w))
+                                   if not list_contains(coalesce(r.removed, []), i)],
+                                  ' '), '') as surviving_text
+  from words w left join ragg r using (doc_id)
+)"""
+
+
+def _curate_v4_sql(fingerprint_expr: str) -> str:
+    """q73 oracle: the v3 capstone re-rooted on the span-planted docs2
+    relation (every ``from documents`` in the shared template becomes
+    ``from docs2``), wrapped as a CTE, then the span-dedup chain runs
+    over the SURVIVOR set only — the same composition as
+    ``plans.curate.curated_corpus_v4``."""
+    v3sql = _curate_v2_sql(
+        fingerprint_expr,
+        extra_cte=_emb_losers_cte(),
+        extra_where="  and s.doc_id not in (select id_b from emb_losers)\n",
+    )
+    head, sep, tail = v3sql.rpartition("\nselect s.doc_id")
+    assert sep, "v2 template final-select shape changed"
+    ctes = head.strip()
+    assert ctes.startswith("with ")
+    ctes = ctes[len("with "):].replace("from documents", "from docs2")
+    final_select = "select s.doc_id" + tail.rstrip()
+    return f"""
+with {_q73_docs_cte().strip()},
+{ctes},
+v3 as ({final_select}),
+words as (
+  select iw.doc_id, iw.w from ({_SPAN_WORDS_INNER}
+  ) iw join v3 on iw.doc_id = v3.doc_id
+),
+{_span_body(_SPAN_DEDUP_MARKED)}
+select v3.doc_id, v3.lang, v3.quality, v3.n_tokens, v3.n_granules, v3.n_kept,
+       sp.n_words, sp.n_removed, md5(sp.surviving_text) as span_md5
+from v3 join sp on v3.doc_id = sp.doc_id
 """
 
 
@@ -3480,6 +3596,7 @@ select doc_id, lang_pred from read_parquet('{_q69_golden_path()}')
 """,
         "q70_span_decontaminate": _span_sql(_SPAN_DECON_MARKED),
         "q71_minhash_lsh_delta": _minhash_delta_sql(),
+        "q73_curated_corpus_v4": _curate_v4_sql(fingerprint_expr),
         "q72_token_budget_bpe": f"""
 with {_SCORED_CTE},
 bpe as (select doc_id, n_tokens_bpe

@@ -201,3 +201,46 @@ def curated_corpus_v3(
         .distinct()
     )
     return base.join(emb_losers, id_col, "left_anti")
+
+
+_V4_BASE_CACHE: list[DataFrame] = []
+
+
+def curated_corpus_v4(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    emb: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_k: int = 8,
+    **knobs,
+) -> DataFrame:
+    """v3 + the substring family: survivors get their duplicated SPANS
+    removed (``operators.span_dedup`` — Lee et al. substring dedup at
+    word-gram granularity, computed WITHIN the surviving set so a span
+    whose only other copy was already curated away is kept). The doc
+    set is exactly v3's; the text leg adds per-survivor
+    (n_words, n_removed, span_md5) where span_md5 hashes the
+    byte-exact surviving text (the q54 dedup_md5 convention keeps the
+    contract row narrow). Every prior leg's scale shape is unchanged;
+    the span leg adds one partial-agg groupBy over gram hashes and a
+    narrow reconstruction."""
+    from ai_pdf_extraction_spark.operators.span_dedup import span_dedup
+
+    # v3 feeds BOTH the survivor semi-join and the final join — persist
+    # or the whole five-leg capstone plan executes twice
+    base = _persist_latest(
+        _V4_BASE_CACHE,
+        curated_corpus_v3(
+            docs, benchmark, emb, id_col=id_col, text_col=text_col, **knobs
+        ),
+    )
+    survivors = docs.join(base.select(id_col), id_col, "left_semi")
+    sp = span_dedup(survivors, id_col=id_col, text_col=text_col, k=span_k)
+    span_cols = sp.select(
+        id_col,
+        "n_words",
+        "n_removed",
+        F.md5("surviving_text").alias("span_md5"),
+    )
+    return base.join(span_cols, id_col)

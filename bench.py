@@ -62,6 +62,7 @@ HEADLINE = [
     "q70_span_decontaminate",  # span-level benchmark decontamination
     "q71_minhash_lsh_delta",  # incremental LSH near-dup vs at-rest index
     "q72_token_budget_bpe",  # token budget priced in exact BPE tokens
+    "q73_curated_corpus_v4",  # capstone + substring-span leg
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

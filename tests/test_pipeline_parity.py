@@ -332,3 +332,50 @@ def test_curated_corpus_without_lang_column(spark):
     out = curated_corpus(docs, quality_threshold=0.0).collect()
     assert len(out) == 30
     assert all(r["lang"] is None for r in out)
+
+
+def test_curated_corpus_v4_span_leg(spark):
+    """v4 = v3's doc set + span stats: same survivors, every survivor
+    carries (n_words, n_removed, span_md5), and a doc whose only text
+    is boilerplate shared with an earlier survivor loses that span —
+    while the FIRST carrier keeps it (removal is computed WITHIN the
+    surviving set, first occurrence wins)."""
+    from ai_pdf_extraction_spark.plans.curate import (
+        curated_corpus_v3,
+        curated_corpus_v4,
+    )
+    from pyspark.sql import functions as F
+
+    boiler = "standard license block repeated verbatim across corpus documents here"
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                f"the unique body of document {i} and with that several more "
+                f"plain filler words to pass the quality gate {boiler}",
+            )
+            for i in range(24)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "entirely unrelated benchmark text nothing shared")],
+        "bench_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, 2.0]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(contamination_n=13, cos_threshold=0.999, n_planes=4, dim=4,
+              quality_threshold=0.0)
+    v3 = curated_corpus_v3(docs, bench, emb, **kw)
+    v4 = curated_corpus_v4(docs, bench, emb, span_k=8, **kw)
+    v3_ids = {r["doc_id"] for r in v3.select("doc_id").collect()}
+    rows = {r["doc_id"]: r for r in v4.collect()}
+    assert set(rows) == v3_ids  # same survivors, span leg filters nothing
+    assert all(r["span_md5"] is not None for r in rows.values())
+    first = min(rows)
+    assert rows[first]["n_removed"] == 0  # first carrier keeps the boiler
+    others = [r for i, r in rows.items() if i != first]
+    assert others and all(r["n_removed"] >= 8 for r in others)
