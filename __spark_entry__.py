@@ -2178,6 +2178,26 @@ def q69_lang_trained(spark, sf_dir):
     )
 
 
+def q74_sequence_pack(spark, sf_dir):
+    """Training-sequence packing over EXACT BPE counts: every doc's
+    (start, end) offsets and chunk span in the concatenated 256-token
+    training-sequence stream — the layout step after tokenization in a
+    real pipeline. Global running sum in the two-phase sharded form
+    (no single-task window); oracle recomputes from the q68 golden
+    counts with one DuckDB window over the same (shard, id) order."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.scrub import sequence_pack
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        token_count_bpe_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", token_count_bpe_exact("text").alias("n_tokens")
+    )
+    return sequence_pack(toks, seq_len=256)
+
+
 def q73_curated_corpus_v4(spark, sf_dir):
     """The v4 capstone: v3 (quality ∧ exact-canonical ∧ ¬LSH-near-dup
     ∧ ¬contaminated ∧ ¬embedding-near-dup + granule stats) with the
@@ -2304,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_minhash_lsh_delta": q71_minhash_lsh_delta,
         "q72_token_budget_bpe": q72_token_budget_bpe,
         "q73_curated_corpus_v4": q73_curated_corpus_v4,
+        "q74_sequence_pack": q74_sequence_pack,
     }
 
 
@@ -3597,6 +3618,29 @@ select doc_id, lang_pred from read_parquet('{_q69_golden_path()}')
         "q70_span_decontaminate": _span_sql(_SPAN_DECON_MARKED),
         "q71_minhash_lsh_delta": _minhash_delta_sql(),
         "q73_curated_corpus_v4": _curate_v4_sql(fingerprint_expr),
+        "q74_sequence_pack": f"""
+with toks as (
+  select doc_id, doc_id % 64 as shard, n_tokens_bpe
+  from read_parquet('{_q68_golden_path()}')
+),
+c as (
+  select doc_id, n_tokens_bpe,
+         sum(n_tokens_bpe) over (order by shard, doc_id
+                                 rows unbounded preceding) as end_offset
+  from toks
+)
+select doc_id, n_tokens_bpe as n_tokens,
+       (end_offset - n_tokens_bpe)::bigint as start_offset,
+       end_offset::bigint as end_offset,
+       ((end_offset - n_tokens_bpe) // 256)::bigint as first_seq,
+       (case when n_tokens_bpe > 0 then (end_offset - 1) // 256
+             else (end_offset - n_tokens_bpe) // 256 end)::bigint as last_seq,
+       (case when n_tokens_bpe > 0
+             then (end_offset - 1) // 256
+                  - (end_offset - n_tokens_bpe) // 256 + 1
+             else 0 end)::bigint as n_seqs
+from c
+""",
         "q72_token_budget_bpe": f"""
 with {_SCORED_CTE},
 bpe as (select doc_id, n_tokens_bpe

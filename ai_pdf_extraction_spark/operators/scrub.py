@@ -127,3 +127,70 @@ def token_budget_selection(
         .filter(F.col("cum_tokens") <= budget_per_stratum)
         .select(id_col, strata_col, quality_col, tokens_col, "cum_tokens")
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Training-sequence packing layout: concatenate every document's
+    tokens in one deterministic global order and chunk the stream into
+    fixed ``seq_len`` sequences (the standard GPT-style pack — docs
+    straddle chunk boundaries). Output per doc: (id, n_tokens,
+    start_offset, end_offset, first_seq, last_seq, n_seqs) — enough
+    for a writer to place every doc without re-tokenizing.
+
+    The global running sum is the scale hazard: a single unpartitioned
+    window funnels the whole corpus through one task. This is the
+    two-phase form (the ``salted_join`` sibling): docs hash into
+    ``n_shards`` by id, the within-shard window runs partitioned, and
+    the per-shard totals — an ``n_shards``-row relation — carry the
+    cross-shard bases through one tiny window and a broadcast join.
+    The global order is (shard, id): arbitrary but stable, which is
+    all a packer needs. Zero-token docs occupy no stream positions
+    (n_seqs = 0)."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        id_col, tokens_col, (F.col(id_col) % n_shards).alias("_shard")
+    )
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = d.withColumn("_cum_in", F.sum(tokens_col).over(w_in))
+    # n_shards rows: the one permissible unpartitioned window
+    w_sh = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        d.groupBy("_shard")
+        .agg(F.sum(tokens_col).alias("_tot"))
+        .withColumn("_base", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0)))
+        .select("_shard", "_base")
+    )
+    end = F.col("_base") + F.col("_cum_in")
+    start = end - F.col(tokens_col)
+    first = F.floor(start / seq_len).cast("long")
+    last = F.when(
+        F.col(tokens_col) > 0, F.floor((end - 1) / seq_len)
+    ).otherwise(F.floor(start / seq_len)).cast("long")
+    return (
+        within.join(F.broadcast(bases), "_shard")
+        .select(
+            id_col,
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            start.cast("long").alias("start_offset"),
+            end.cast("long").alias("end_offset"),
+            first.alias("first_seq"),
+            last.alias("last_seq"),
+            F.when(F.col(tokens_col) > 0, last - first + 1)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_seqs"),
+        )
+    )

@@ -63,6 +63,7 @@ HEADLINE = [
     "q71_minhash_lsh_delta",  # incremental LSH near-dup vs at-rest index
     "q72_token_budget_bpe",  # token budget priced in exact BPE tokens
     "q73_curated_corpus_v4",  # capstone + substring-span leg
+    "q74_sequence_pack",  # training-sequence packing layout
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

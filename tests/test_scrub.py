@@ -112,3 +112,51 @@ def test_token_budget_selection(spark):
     assert set(got) == {1, 2, 4}
     assert got[2]["cum_tokens"] == 110  # inclusive: exactly the budget stays
     assert got[4]["cum_tokens"] == 100
+
+
+def test_sequence_pack_invariants(spark):
+    """Packing layout invariants: offsets tile the stream with no gaps
+    or overlaps in the (shard, id) order, totals add up, chunk spans
+    agree with offsets, zero-token docs occupy nothing."""
+    from ai_pdf_extraction_spark.operators.scrub import sequence_pack
+
+    rows = [(i, (i * 37) % 90) for i in range(200)]
+    rows[7] = (7, 0)  # zero-token doc
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in sequence_pack(docs, seq_len=64, n_shards=8).collect()
+    }
+    assert len(out) == 200
+    # reconstruct the global order and check contiguity
+    order = sorted(out, key=lambda i: (i % 8, i))
+    pos = 0
+    for i in order:
+        r = out[i]
+        assert r["start_offset"] == pos and r["end_offset"] == pos + r["n_tokens"]
+        pos = r["end_offset"]
+    assert pos == sum(t for _, t in rows)
+    for r in out.values():
+        if r["n_tokens"] == 0:
+            assert r["n_seqs"] == 0
+        else:
+            assert r["first_seq"] == r["start_offset"] // 64
+            assert r["last_seq"] == (r["end_offset"] - 1) // 64
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+
+def test_sequence_pack_windows_are_sharded(spark):
+    """The corpus-wide window must be PARTITIONED (by the hash shard);
+    only the n_shards-row bases relation may use the one global
+    window — otherwise the running sum funnels the corpus through a
+    single task."""
+    from ai_pdf_extraction_spark.operators.scrub import sequence_pack
+
+    docs = spark.range(100).selectExpr(
+        "id as doc_id", "id % 17 as n_tokens"
+    )
+    out = sequence_pack(docs, seq_len=64, n_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2
+    # the doc-side window carries the shard in its partition spec
+    assert "_shard" in plan.split("Window")[1]
