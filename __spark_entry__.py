@@ -2178,6 +2178,33 @@ def q69_lang_trained(spark, sf_dir):
     )
 
 
+def q75_embedding_near_dup_delta(spark, sf_dir):
+    """Incremental embedding near-dup: the semantic-family delta (the
+    q66/q71 split rule applied to embeddings — old = vec_id%4 != 0,
+    new = the rest plus re-idded copies of every old %10==1 vector,
+    planting exact cross-batch cosine-1.0 pairs). Old vectors in
+    untouched buckets never enter the search; old×old pairs are never
+    emitted. Oracle = same-bucket all-pairs cosine over old ∪ new
+    restricted to new-touching pairs (batch equivalence)."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_delta,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0).select("vec_id", "embedding")
+    planted = old.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + F.lit(_DELTA_ID_OFFSET)).alias("vec_id"),
+        "embedding",
+    )
+    new = (
+        emb.filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    return embedding_near_dup_delta(new, old, threshold=0.45)
+
+
 def q74_sequence_pack(spark, sf_dir):
     """Training-sequence packing over EXACT BPE counts: every doc's
     (start, end) offsets and chunk span in the concatenated 256-token
@@ -2325,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_token_budget_bpe": q72_token_budget_bpe,
         "q73_curated_corpus_v4": q73_curated_corpus_v4,
         "q74_sequence_pack": q74_sequence_pack,
+        "q75_embedding_near_dup_delta": q75_embedding_near_dup_delta,
     }
 
 
@@ -2631,6 +2659,37 @@ select * from (
     {_COS_EXPR.format(r=4)} as cos
   from bucketed a join bucketed b
     on a.vec_id < b.vec_id and a.bucket = b.bucket
+) where cos >= 0.45
+"""
+
+
+def _q75_oracle_sql() -> str:
+    """q75 oracle: same-bucket all-pairs cosine over old ∪ new (the
+    embedding delta split), restricted to new-touching pairs; bucket
+    and cosine expressions shared with the q64/q65 generators."""
+    bucket = _lsh_bucket_duck()
+    return f"""
+with eold as (select vec_id, embedding from embeddings where vec_id % 4 != 0),
+enew as (
+  select vec_id, embedding from embeddings where vec_id % 4 = 0
+  union all
+  select vec_id + {_DELTA_ID_OFFSET} as vec_id, embedding
+  from (select * from eold where vec_id % 10 = 1)
+),
+allb as (
+  select vec_id, embedding, false as is_new from eold
+  union all
+  select vec_id, embedding, true as is_new from enew
+),
+bucketed as (
+  select vec_id, embedding, is_new, {bucket} as bucket from allb
+)
+select * from (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    {_COS_EXPR.format(r=4)} as cos
+  from bucketed a join bucketed b
+    on a.vec_id < b.vec_id and a.bucket = b.bucket
+  where a.is_new or b.is_new
 ) where cos >= 0.45
 """
 
@@ -3618,6 +3677,7 @@ select doc_id, lang_pred from read_parquet('{_q69_golden_path()}')
         "q70_span_decontaminate": _span_sql(_SPAN_DECON_MARKED),
         "q71_minhash_lsh_delta": _minhash_delta_sql(),
         "q73_curated_corpus_v4": _curate_v4_sql(fingerprint_expr),
+        "q75_embedding_near_dup_delta": _q75_oracle_sql(),
         "q74_sequence_pack": f"""
 with toks as (
   select doc_id, doc_id % 64 as shard, n_tokens_bpe

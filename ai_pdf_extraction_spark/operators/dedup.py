@@ -712,6 +712,7 @@ def _block_pair_search(
     n_blocks: int,
     extra_keys: list[str],
     expected_dim: int | None = None,
+    probe_flag: str | None = None,
 ) -> DataFrame:
     """Block-grid quadratic cosine search over ``rel`` (columns:
     ``_id``, double-array ``v``, plus ``extra_keys``), WITHIN each
@@ -721,7 +722,14 @@ def _block_pair_search(
     ``X @ Y.T`` — per-task memory is (|group|/n_blocks)² regardless of
     group skew. Shared by the all-pairs baseline (no keys) and the
     sign-LSH twin (keys=["bucket"]) so the arithmetic (round-4
-    half-away, zero-norm handling, tie rules) cannot drift."""
+    half-away, zero-norm handling, tie rules) cannot drift.
+
+    ``probe_flag`` names a boolean column marking PROBE rows (the
+    incremental delta's new batch): only pairs touching a probe row
+    are emitted, and a block-pair task with no probe row returns
+    before any matmul — with the caller restricting ``rel`` to
+    probe-touched groups, total work is ~|new|·|touched buckets|
+    instead of Σ|bucket|²."""
     import numpy as np
     import pandas as pd
 
@@ -733,6 +741,7 @@ def _block_pair_search(
         "_id",
         "v",
         "blk",
+        *([probe_flag] if probe_flag else []),
         *extra_keys,
         F.explode(
             F.transform(
@@ -755,6 +764,11 @@ def _block_pair_search(
         ba = int(pdf["bp"].iloc[0]["ba"])
         bb = int(pdf["bp"].iloc[0]["bb"])
         ids = pdf["_id"].to_numpy()
+        probe = pdf[probe_flag].to_numpy() if probe_flag else None
+        if probe is not None and not probe.any():
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
         vecs = [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
         # validate per-row lengths BEFORE np.array stacks them: ragged
         # input would build a 1-D object array whose .shape[1] raises a
@@ -787,12 +801,17 @@ def _block_pair_search(
         if ba == bb:
             cos = _round_half_away_4(unit @ unit.T)
             hit = np.triu(cos >= threshold, k=1)
+            if probe is not None:
+                hit &= probe[:, None] | probe[None, :]
             ia, ib = np.nonzero(hit)
             id_a, id_b, c = ids[ia], ids[ib], cos[ia, ib]
         else:
             ma, mb = blks == ba, blks == bb
             cos = _round_half_away_4(unit[ma] @ unit[mb].T)
-            ia, ib = np.nonzero(cos >= threshold)
+            hit = cos >= threshold
+            if probe is not None:
+                hit &= probe[ma][:, None] | probe[mb][None, :]
+            ia, ib = np.nonzero(hit)
             id_a, id_b, c = ids[ma][ia], ids[mb][ib], cos[ia, ib]
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
@@ -849,6 +868,61 @@ def embedding_near_dup_pairs_lsh(
     # exists to avoid (review r6).
     return _block_pair_search(
         bucketed, threshold, n_blocks, ["bucket"], expected_dim=dim
+    )
+
+
+def embedding_near_dup_delta(
+    new_emb: DataFrame,
+    old_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Incremental embedding near-dup: pairs touching a NEW embedding
+    batch against the existing corpus — the semantic-family sibling of
+    ``dedup_index.minhash_lsh_delta``. Ids must be globally unique
+    across batches.
+
+    No at-rest index files are needed here: sign-LSH buckets derive
+    DETERMINISTICALLY from the committed plane literals
+    (``similarity.lsh_planes``), so the old corpus' parquet IS the
+    index — bucket assignment is one narrow projection over its scan.
+    The incremental win is in the search shape: (1) old vectors in
+    buckets no new vector landed in never replicate into the block
+    grid (semi-join on the ≤2^n_planes-row touched-bucket set —
+    broadcast by construction); (2) within touched buckets the shared
+    ``_block_pair_search`` runs in probe mode — old×old pairs are
+    never emitted and block-pair tasks with no new row return before
+    any matmul. Output: (id_a, id_b, cos), id_a < id_b, at least one
+    id from the new batch — exactly
+    ``embedding_near_dup_pairs_lsh(old ∪ new)`` restricted to
+    new-touching pairs (pinned in pytest)."""
+    from ai_pdf_extraction_spark.operators.similarity import lsh_bucket, lsh_planes
+
+    planes = lsh_planes(n_planes, dim)
+
+    def bucketize(df: DataFrame, is_new: bool) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ).select(
+            "_id",
+            "v",
+            lsh_bucket("v", planes).alias("bucket"),
+            F.lit(is_new).alias("_new"),
+        )
+
+    nb = bucketize(new_emb, True)
+    ob = bucketize(old_emb, False)
+    touched = nb.select("bucket").distinct()
+    ob_touched = ob.join(F.broadcast(touched), "bucket", "left_semi")
+    rel = nb.unionByName(ob_touched)
+    return _block_pair_search(
+        rel, threshold, n_blocks, ["bucket"], expected_dim=dim,
+        probe_flag="_new",
     )
 
 

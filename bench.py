@@ -64,6 +64,7 @@ HEADLINE = [
     "q72_token_budget_bpe",  # token budget priced in exact BPE tokens
     "q73_curated_corpus_v4",  # capstone + substring-span leg
     "q74_sequence_pack",  # training-sequence packing layout
+    "q75_embedding_near_dup_delta",  # incremental semantic near-dup
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

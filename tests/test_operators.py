@@ -2240,3 +2240,77 @@ def test_float_wav_decode_and_taxonomy():
     with pytest.raises(ValueError, match="wav"):
         decode_media(mulaw, "wav")
     assert decode_payload_summary(mulaw)["decode_ok"] is False
+
+
+def test_embedding_near_dup_delta_matches_batch_restriction(spark):
+    """The delta must equal embedding_near_dup_pairs_lsh(old ∪ new)
+    restricted to pairs touching a new id — and never emit an
+    old×old pair, even when both olds share a touched bucket."""
+    import random
+
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_delta,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = random.Random(5)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+
+    def jitter(v, eps):
+        return [x + rng.gauss(0, eps) for x in v]
+
+    rows = []
+    # old corpus: 30 vectors clustered around the 6 bases (old×old
+    # near-dups exist and must NOT appear in the delta)
+    for i in range(30):
+        rows.append((i, jitter(base[i % 6], 0.01)))
+    old_rows, new_rows = rows, []
+    # new batch: near-dups of old vectors + fresh noise
+    for j in range(8):
+        new_rows.append((100 + j, jitter(base[j % 6], 0.01)))
+    new_rows.append((150, [rng.gauss(0, 1) for _ in range(dim)]))
+    schema = "vec_id long, embedding array<float>"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    kw = dict(threshold=0.9, n_planes=4, dim=dim, n_blocks=2)
+
+    batch = embedding_near_dup_pairs_lsh(old.unionByName(new), **kw)
+    new_ids = {i for i, _ in new_rows}
+    expect = sorted(
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in batch.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in embedding_near_dup_delta(new, old, **kw).collect()
+    )
+    assert got == expect and got  # non-vacuous
+    assert all(a in new_ids or b in new_ids for a, b, _ in got)
+    # the batch run DID find old×old pairs the delta correctly omits
+    batch_pairs = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    assert any(a not in new_ids and b not in new_ids for a, b in batch_pairs)
+
+
+def test_embedding_near_dup_delta_skips_untouched_buckets(spark):
+    """Old vectors in buckets no new vector landed in must not enter
+    the block grid (the semi-join restriction): assert the plan carries
+    a LeftSemi join, and behaviorally that a new batch far from every
+    old cluster emits nothing."""
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_delta,
+    )
+
+    dim = 8
+    old = spark.createDataFrame(
+        [(i, [1.0 * (j == i % dim) for j in range(dim)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [(100, [-1.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    out = embedding_near_dup_delta(new, old, threshold=0.99, n_planes=4, dim=dim)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert out.count() == 0
