@@ -899,19 +899,42 @@ def embedding_near_dup_delta(
     any matmul. Output: (id_a, id_b, cos), id_a < id_b, at least one
     id from the new batch — exactly
     ``embedding_near_dup_pairs_lsh(old ∪ new)`` restricted to
-    new-touching pairs (pinned in pytest)."""
+    new-touching pairs (pinned in pytest).
+
+    Dimension mismatches fail loud AT BUCKET ASSIGNMENT (JVM
+    ``raise_error``), not in the pair task: a wrong-dim vector
+    null-poisons every plane dot and lands in bucket 0, and in the
+    delta the touched-bucket semi-join (or the probe-less early
+    return) can drop such rows before the in-task ``expected_dim``
+    check ever sees them — a re-embedded corpus queried at the wrong
+    ``dim`` would silently return a near-empty pair set instead of
+    raising like the batch twin (review r7)."""
     from ai_pdf_extraction_spark.operators.similarity import lsh_bucket, lsh_planes
 
     planes = lsh_planes(n_planes, dim)
 
     def bucketize(df: DataFrame, is_new: bool) -> DataFrame:
-        return df.select(
+        side = "new" if is_new else "old"
+        proj = df.select(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        ).select(
+        )
+        bucket = F.when(
+            F.size("v") == dim, lsh_bucket("v", planes)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "embedding_near_dup_delta: %s-side vector %%s has "
+                    "dim %%s, expected %d" % (side, dim),
+                    F.col("_id").cast("string"),
+                    F.size("v").cast("string"),
+                )
+            ).cast("long")
+        )
+        return proj.select(
             "_id",
             "v",
-            lsh_bucket("v", planes).alias("bucket"),
+            bucket.alias("bucket"),
             F.lit(is_new).alias("_new"),
         )
 

@@ -129,6 +129,12 @@ def token_budget_selection(
     )
 
 
+# sequence_pack's narrow (id, tokens, shard) projection — its own
+# most-recently-persisted slot (the dedup.py:_SHINGLE_CACHE lifecycle)
+# so packing never evicts a capstone's shingle/granule/docs persists
+_PACK_CACHE: list[DataFrame] = []
+
+
 def sequence_pack(
     docs: DataFrame,
     seq_len: int,
@@ -151,11 +157,26 @@ def sequence_pack(
     cross-shard bases through one tiny window and a broadcast join.
     The global order is (shard, id): arbitrary but stable, which is
     all a packer needs. Zero-token docs occupy no stream positions
-    (n_seqs = 0)."""
+    (n_seqs = 0).
+
+    The narrow (id, tokens, shard) projection feeds BOTH the
+    within-shard window and the per-shard totals groupBy — it is
+    persisted here, or the upstream plan (for q74 that is the exact-BPE
+    pandas UDF over the whole corpus, the most expensive kernel in the
+    repo) executes twice (review r7). Chunk indices use integer ``div``
+    — ``floor(x / n)`` is double division in Spark, which rounds the
+    long→double conversion of offsets past 2^53 and can misplace a doc
+    near a chunk boundary at the 10^12-doc scale this layout targets;
+    ``div`` on longs is exact (the DuckDB oracle's ``//``)."""
     from pyspark.sql import Window
 
-    d = docs.select(
-        id_col, tokens_col, (F.col(id_col) % n_shards).alias("_shard")
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    d = _persist_latest(
+        _PACK_CACHE,
+        docs.select(
+            id_col, tokens_col, (F.col(id_col) % n_shards).alias("_shard")
+        ),
     )
     w_in = (
         Window.partitionBy("_shard")
@@ -173,19 +194,22 @@ def sequence_pack(
         .withColumn("_base", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0)))
         .select("_shard", "_base")
     )
+    seq_len = int(seq_len)
     end = F.col("_base") + F.col("_cum_in")
     start = end - F.col(tokens_col)
-    first = F.floor(start / seq_len).cast("long")
+    first = F.expr(f"_start div {seq_len}")
     last = F.when(
-        F.col(tokens_col) > 0, F.floor((end - 1) / seq_len)
-    ).otherwise(F.floor(start / seq_len)).cast("long")
+        F.col(tokens_col) > 0, F.expr(f"(_end - 1) div {seq_len}")
+    ).otherwise(F.expr(f"_start div {seq_len}"))
     return (
         within.join(F.broadcast(bases), "_shard")
+        .withColumn("_start", start.cast("long"))
+        .withColumn("_end", end.cast("long"))
         .select(
             id_col,
             F.col(tokens_col).cast("long").alias("n_tokens"),
-            start.cast("long").alias("start_offset"),
-            end.cast("long").alias("end_offset"),
+            F.col("_start").alias("start_offset"),
+            F.col("_end").alias("end_offset"),
             first.alias("first_seq"),
             last.alias("last_seq"),
             F.when(F.col(tokens_col) > 0, last - first + 1)

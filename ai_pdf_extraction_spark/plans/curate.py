@@ -131,6 +131,7 @@ def curated_corpus_v2(
     id_col: str = "doc_id",
     text_col: str = "text",
     contamination_n: int = 13,
+    _narrow: DataFrame | None = None,
     **knobs,
 ) -> DataFrame:
     """The FULL curation pass, composing every dedup/filter family the
@@ -144,7 +145,7 @@ def curated_corpus_v2(
     granule persists live in separate cache slots so none evicts
     another. Output: (id, lang, quality, n_tokens, n_granules,
     n_kept)."""
-    narrow = _narrow_docs(docs, id_col, text_col)
+    narrow = _narrow if _narrow is not None else _narrow_docs(docs, id_col, text_col)
     base = curated_corpus(
         docs, id_col=id_col, text_col=text_col, _narrow=narrow, **knobs
     )
@@ -173,6 +174,7 @@ def curated_corpus_v3(
     cos_threshold: float = 0.95,
     n_planes: int = 8,
     dim: int = 64,
+    _narrow: DataFrame | None = None,
     **knobs,
 ) -> DataFrame:
     """v2 ∧ ¬embedding-near-dup-loser: the capstone extended with the
@@ -190,7 +192,7 @@ def curated_corpus_v3(
 
     base = curated_corpus_v2(
         docs, benchmark, id_col=id_col, text_col=text_col,
-        contamination_n=contamination_n, **knobs,
+        contamination_n=contamination_n, _narrow=_narrow, **knobs,
     )
     emb_losers = (
         embedding_near_dup_pairs_lsh(
@@ -224,18 +226,26 @@ def curated_corpus_v4(
     byte-exact surviving text (the q54 dedup_md5 convention keeps the
     contract row narrow). Every prior leg's scale shape is unchanged;
     the span leg adds one partial-agg groupBy over gram hashes and a
-    narrow reconstruction."""
+    narrow reconstruction.
+
+    The span leg reads the SAME persisted narrow projection as every
+    other leg (built here, handed down through v3→v2 via ``_narrow``)
+    — the single-source-scan invariant of the capstone family holds
+    for v4 too (review r7: joining the raw ``docs`` here silently
+    reintroduced a second full text-column scan)."""
     from ai_pdf_extraction_spark.operators.span_dedup import span_dedup
 
+    narrow = _narrow_docs(docs, id_col, text_col)
     # v3 feeds BOTH the survivor semi-join and the final join — persist
     # or the whole five-leg capstone plan executes twice
     base = _persist_latest(
         _V4_BASE_CACHE,
         curated_corpus_v3(
-            docs, benchmark, emb, id_col=id_col, text_col=text_col, **knobs
+            docs, benchmark, emb, id_col=id_col, text_col=text_col,
+            _narrow=narrow, **knobs,
         ),
     )
-    survivors = docs.join(base.select(id_col), id_col, "left_semi")
+    survivors = narrow.join(base.select(id_col), id_col, "left_semi")
     sp = span_dedup(survivors, id_col=id_col, text_col=text_col, k=span_k)
     span_cols = sp.select(
         id_col,

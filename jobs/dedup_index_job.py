@@ -83,9 +83,13 @@ def main() -> None:
         exact.write.mode("overwrite").parquet(args.output + "/exact")
         pairs = lsh_delta_from_index(idx, new, old, threshold=args.threshold)
         pairs.write.mode("overwrite").parquet(args.output + "/pairs")
+        # counts read back the just-written parquet — recounting the
+        # lazy `exact`/`pairs` plans would re-run the whole delta
         summary = {
             "new_docs": new.count(),
-            "already_in_index": exact.filter("in_index").count(),
+            "already_in_index": spark.read.parquet(args.output + "/exact")
+            .filter("in_index")
+            .count(),
             "near_dup_pairs": spark.read.parquet(args.output + "/pairs").count(),
         }
         if args.append:

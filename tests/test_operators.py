@@ -2314,3 +2314,25 @@ def test_embedding_near_dup_delta_skips_untouched_buckets(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert out.count() == 0
+
+
+def test_embedding_near_dup_delta_dim_mismatch_fails_loud(spark):
+    """A wrong-dim OLD vector must raise at bucket assignment, not be
+    silently dropped: null-poisoned plane dots send it to bucket 0,
+    and the touched-bucket semi-join can remove it before the in-task
+    expected_dim check runs (review r7). A re-embedded corpus queried
+    at the wrong dim must fail like the batch twin does."""
+    import pytest
+
+    from ai_pdf_extraction_spark.operators.dedup import (
+        embedding_near_dup_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, [0.1] * 32)], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [(100, [0.2] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="old-side vector 1 has dim 32"):
+        embedding_near_dup_delta(new, old, dim=64).collect()

@@ -312,7 +312,10 @@ def test_capstone_curation_single_source_scan(spark):
 
     def source_scan_count(df):
         """Parquet-scan leaves across the plan AND the cached plans of
-        every distinct InMemoryRelation it references (unwrapping AQE)."""
+        every distinct InMemoryRelation it references (unwrapping AQE),
+        RECURSIVELY — a persisted capstone (v4 persists the whole v3
+        base) nests cached relations inside cached plans, and a
+        one-level walk undercounts."""
         jplan = df._jdf.queryExecution().optimizedPlan()
         # logical file relations are leaf nodeName "LogicalRelation"
         # (the physical form inside cached plans prints "Scan parquet").
@@ -323,19 +326,48 @@ def test_capstone_curation_single_source_scan(spark):
             "parquet" in name.lower() or name in ("Relation", "LogicalRelation")
             for name in leaf_names(jplan)
         )
-        ls = jplan.collectLeaves()
-        cached = {}
-        for i in range(ls.size()):
-            node = ls.apply(i)
-            if node.nodeName() == "InMemoryRelation":
-                cp = node.cachedPlan()
-                cached[cp.id()] = cp
-        for cp in cached.values():
-            inner = (
-                cp.initialPlan() if cp.nodeName() == "AdaptiveSparkPlan" else cp
-            )
-            n += sum("parquet" in name.lower() for name in leaf_names(inner))
-        return n, len(cached)
+        seen: dict = {}
+
+        def walk_cached(plan):
+            nonlocal n
+            ls = plan.collectLeaves()
+            for i in range(ls.size()):
+                node = ls.apply(i)
+                name = node.nodeName()
+                if name == "InMemoryRelation":
+                    cp = node.cachedPlan()
+                    if cp.id() in seen:
+                        continue
+                    seen[cp.id()] = cp
+                    inner = (
+                        cp.initialPlan()
+                        if cp.nodeName() == "AdaptiveSparkPlan"
+                        else cp
+                    )
+                    n += sum(
+                        "parquet" in nm.lower() for nm in leaf_names(inner)
+                    )
+                    walk_cached(inner)
+                elif name == "InMemoryTableScan":
+                    # physical form inside a cached plan: its relation
+                    # child carries the nested cachedPlan
+                    rel = node.relation()
+                    cp = rel.cachedPlan()
+                    if cp.id() in seen:
+                        continue
+                    seen[cp.id()] = cp
+                    inner = (
+                        cp.initialPlan()
+                        if cp.nodeName() == "AdaptiveSparkPlan"
+                        else cp
+                    )
+                    n += sum(
+                        "parquet" in nm.lower() for nm in leaf_names(inner)
+                    )
+                    walk_cached(inner)
+
+        walk_cached(jplan)
+        return n, len(seen)
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     bench = spark.createDataFrame(
@@ -361,6 +393,14 @@ def test_capstone_curation_single_source_scan(spark):
                                   cos_threshold=0.45)
     n_scans, n_cached = source_scan_count(v3)
     assert n_scans == 2, f"v3: want docs once + embeddings once, got {n_scans}"
+
+    # v4's span leg must read the SAME narrow projection, not re-join
+    # the raw source (review r7: the wide-docs semi-join silently
+    # reintroduced a second full text-column scan)
+    v4 = curate.curated_corpus_v4(docs, bench, emb, contamination_n=3,
+                                  cos_threshold=0.45)
+    n_scans, n_cached = source_scan_count(v4)
+    assert n_scans == 2, f"v4: want docs once + embeddings once, got {n_scans}"
 
 
 def test_salted_host_counts_two_phase_agg(spark):

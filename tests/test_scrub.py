@@ -160,3 +160,10 @@ def test_sequence_pack_windows_are_sharded(spark):
     assert plan.count("Window") == 2
     # the doc-side window carries the shard in its partition spec
     assert "_shard" in plan.split("Window")[1]
+    # the narrow projection is persisted and read by BOTH consumers
+    # (within-shard window + bases groupBy) — without it the upstream
+    # plan (q74: the exact-BPE UDF over the whole corpus) runs twice
+    assert plan.count("InMemoryTableScan") >= 2
+    # chunk indices are exact integer division (` div `), never
+    # double-rounding floor(x / n) — offsets past 2^53 stay exact
+    assert " div " in plan and "FLOOR" not in plan.upper()
