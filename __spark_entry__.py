@@ -9,6 +9,7 @@ compare hashes values after sorting columns by name.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -2178,6 +2179,63 @@ def q69_lang_trained(spark, sf_dir):
     )
 
 
+def _lm_model_parquets() -> tuple[str, str, dict]:
+    """The committed bigram-LM model (kernels/lm_model.json) exported
+    as two tiny parquet relations for the DuckDB oracle — q76's oracle
+    is fully RELATIONAL (tokenize → pair → model join → sum), a third
+    independent evaluation of the same committed integers (the Spark
+    plan and the naive Python twin are the other two). Cache key: the
+    model file's bytes digest."""
+    import hashlib
+
+    from ai_pdf_extraction_spark.operators.lm import LM_VERSION, load_lm_payload
+
+    payload = load_lm_payload()
+    digest = hashlib.md5(
+        json.dumps(payload, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    base = f"/tmp/spark_graft_lm_v{LM_VERSION}_{digest}"
+    bi_path, back_path = base + "_bigrams.parquet", base + "_backoff.parquet"
+    if not (os.path.exists(bi_path) and os.path.exists(back_path)):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        bi = payload["bigrams"]
+        pq.write_table(
+            pa.table(
+                {
+                    "v": [r[0] for r in bi],
+                    "w": [r[1] for r in bi],
+                    "q": [int(r[2]) for r in bi],
+                }
+            ),
+            bi_path,
+        )
+        back = payload["backoff"]
+        pq.write_table(
+            pa.table(
+                {"w": [r[0] for r in back], "q": [int(r[1]) for r in back]}
+            ),
+            back_path,
+        )
+    return bi_path, back_path, payload
+
+
+def q76_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality bucketing (Wenzek et al. 1911.00359):
+    every doc scored by the repo-trained integer-quantized bigram LM
+    and bucketed head/middle/tail at the reference distribution's
+    terciles — the canonical crawl-corpus quality filter. Pure
+    relational plan: tokenize → predecessor-pair explode → two
+    broadcast model joins → partial-agg groupBy; bucket comparison is
+    integer cross-multiplication (sum ≥ cut·n), no division to drift
+    between engines."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.lm import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
 def q75_embedding_near_dup_delta(spark, sf_dir):
     """Incremental embedding near-dup: the semantic-family delta (the
     q66/q71 split rule applied to embeddings — old = vec_id%4 != 0,
@@ -2353,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_curated_corpus_v4": q73_curated_corpus_v4,
         "q74_sequence_pack": q74_sequence_pack,
         "q75_embedding_near_dup_delta": q75_embedding_near_dup_delta,
+        "q76_lm_perplexity": q76_lm_perplexity,
     }
 
 
@@ -2660,6 +2719,50 @@ select * from (
   from bucketed a join bucketed b
     on a.vec_id < b.vec_id and a.bucket = b.bucket
 ) where cos >= 0.45
+"""
+
+
+def _q76_oracle_sql() -> str:
+    """q76 oracle: the bigram-LM scoring pipeline in pure DuckDB SQL
+    over the committed model exported to parquet — tokenization
+    (ascii runs, per-token lower), predecessor pairing (list_zip with
+    a '<s>' prepend), two model joins, one group-by, and the same
+    no-division integer bucket comparison as the Spark plan."""
+    bi_path, back_path, payload = _lm_model_parquets()
+    oov = int(payload["oov_q"])
+    cut_head = int(payload["cut_head_q"])
+    cut_mid = int(payload["cut_mid_q"])
+    return f"""
+with toks as (
+  select doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        x -> lower(x)) as ws
+  from documents
+),
+pairs as (
+  select doc_id,
+         unnest(list_zip(list_prepend('<s>', list_slice(ws, 1, len(ws)-1)),
+                         ws)) as p
+  from toks where len(ws) > 0
+),
+scored as (
+  select t.doc_id, coalesce(b.q, k.q, {oov}) as q
+  from (select doc_id, p[1] as prev, p[2] as w from pairs) t
+  left join read_parquet('{bi_path}') b on b.v = t.prev and b.w = t.w
+  left join read_parquet('{back_path}') k on k.w = t.w
+),
+agg as (
+  select doc_id, count(*) as n_tokens, sum(q) as lm_q_sum
+  from scored group by doc_id
+)
+select d.doc_id,
+  coalesce(a.n_tokens, 0)::bigint as n_tokens,
+  coalesce(a.lm_q_sum, 0)::bigint as lm_q_sum,
+  case when a.doc_id is null then 'empty'
+       when a.lm_q_sum >= {cut_head} * a.n_tokens then 'head'
+       when a.lm_q_sum >= {cut_mid} * a.n_tokens then 'middle'
+       else 'tail' end as ppl_bucket
+from documents d left join agg a using (doc_id)
 """
 
 
@@ -3676,6 +3779,7 @@ select doc_id, lang_pred from read_parquet('{_q69_golden_path()}')
 """,
         "q70_span_decontaminate": _span_sql(_SPAN_DECON_MARKED),
         "q71_minhash_lsh_delta": _minhash_delta_sql(),
+        "q76_lm_perplexity": _q76_oracle_sql(),
         "q73_curated_corpus_v4": _curate_v4_sql(fingerprint_expr),
         "q75_embedding_near_dup_delta": _q75_oracle_sql(),
         "q74_sequence_pack": f"""

@@ -441,3 +441,18 @@ def test_minhash_lsh_delta_no_cartesian_and_semi_probe(spark):
     plan = _plan(e.q71_minhash_lsh_delta(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_lm_perplexity_model_joins_broadcast_no_window(spark):
+    """q76: both model lookups must be broadcast hash joins (the model
+    relation is the reference-sample vocabulary — tiny by
+    construction), scoring must stay partial-agg (token rows collapse
+    map-side; one row per doc shuffles), and nothing may funnel token
+    rows through a window or cartesian product."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q76_lm_perplexity(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
