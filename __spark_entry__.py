@@ -2236,6 +2236,45 @@ def q76_lm_perplexity(spark, sf_dir):
     return lm_perplexity(_t(spark, sf_dir, "documents"))
 
 
+# q77's mixture config: deliberately skewed integer parts (src0 is
+# upweighted far past its corpus size so the epoch-repeat path runs;
+# src19 is excluded so the drop path runs) over a budget close to the
+# corpus token volume. Integer parts, not floats — targets are exact
+# `budget*w div sum(w)` in every engine.
+MIXTURE_WEIGHTS = {
+    "src0": 40,
+    "src1": 10,
+    "src2": 10,
+    "src3": 5,
+    "src4": 5,
+    "src5": 30,
+}
+MIXTURE_BUDGET = 12_000
+MIXTURE_MAX_EPOCHS = 3
+
+
+def q77_mixture_sample(spark, sf_dir):
+    """Source-weighted data-mixture builder (The Pile 2101.00027 §2.1
+    / LLaMA 2302.13971 tbl-1): every source gets `budget*w div sum(w)`
+    tokens; undersized sources repeat up to max_epochs whole copies
+    with an epoch-keyed md5 re-permutation; the running-sum cut uses
+    the two-phase sharded window (no per-source funnel). Token counts
+    are the q16 whitespace rule."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.scrub import mixture_sample
+    from ai_pdf_extraction_spark.operators.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return mixture_sample(
+        docs,
+        weights=MIXTURE_WEIGHTS,
+        total_budget=MIXTURE_BUDGET,
+        max_epochs=MIXTURE_MAX_EPOCHS,
+    )
+
+
 def q75_embedding_near_dup_delta(spark, sf_dir):
     """Incremental embedding near-dup: the semantic-family delta (the
     q66/q71 split rule applied to embeddings — old = vec_id%4 != 0,
@@ -2412,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_sequence_pack": q74_sequence_pack,
         "q75_embedding_near_dup_delta": q75_embedding_near_dup_delta,
         "q76_lm_perplexity": q76_lm_perplexity,
+        "q77_mixture_sample": q77_mixture_sample,
     }
 
 
@@ -2763,6 +2803,58 @@ select d.doc_id,
        when a.lm_q_sum >= {cut_mid} * a.n_tokens then 'middle'
        else 'tail' end as ppl_bucket
 from documents d left join agg a using (doc_id)
+"""
+
+
+def _q77_oracle_sql() -> str:
+    """q77 oracle: the full mixture pipeline relationally in DuckDB —
+    q16 whitespace token counts, integer targets embedded from the
+    SAME driver-side `budget*w div sum(w)` arithmetic the operator
+    uses, ceil-division epoch counts, epoch-keyed md5 permutation, and
+    one per-source running-sum window whose ORDER (epoch, shard, hash,
+    id) equals the Spark plan's sharded two-phase global order."""
+    sum_w = sum(MIXTURE_WEIGHTS.values())
+    values = ", ".join(
+        f"('{s}', {(MIXTURE_BUDGET * w) // sum_w})"
+        for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+with d as (
+  select doc_id, source,
+    case when length(trim(text)) = 0 then 0
+         else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens
+  from documents
+),
+d2 as (
+  select * from d
+  where n_tokens > 0 and source in (select src from (values {values}) t(src, tgt))
+),
+ep as (
+  select a.source, t.tgt as target_q,
+         least({MIXTURE_MAX_EPOCHS}, (t.tgt + a.avail - 1) // a.avail)::bigint
+           as n_epochs
+  from (select source, sum(n_tokens) as avail from d2 group by source) a
+  join (values {values}) t(src, tgt) on t.src = a.source
+  where (t.tgt + a.avail - 1) // a.avail > 0
+),
+rep as (
+  select d2.doc_id, d2.source, d2.n_tokens, ep.target_q,
+         unnest(generate_series(0::bigint, ep.n_epochs - 1)) as epoch
+  from d2 join ep using (source)
+),
+c as (
+  select *,
+    sum(n_tokens) over (
+      partition by source
+      order by epoch, doc_id % 64,
+               md5(cast(epoch as varchar) || ':' || cast(doc_id as varchar)),
+               doc_id
+      rows between unbounded preceding and current row) as cum
+  from rep
+)
+select doc_id, source, epoch, n_tokens::bigint as n_tokens,
+       cum::bigint as cum_source_tokens
+from c where cum <= target_q
 """
 
 
@@ -3780,6 +3872,7 @@ select doc_id, lang_pred from read_parquet('{_q69_golden_path()}')
         "q70_span_decontaminate": _span_sql(_SPAN_DECON_MARKED),
         "q71_minhash_lsh_delta": _minhash_delta_sql(),
         "q76_lm_perplexity": _q76_oracle_sql(),
+        "q77_mixture_sample": _q77_oracle_sql(),
         "q73_curated_corpus_v4": _curate_v4_sql(fingerprint_expr),
         "q75_embedding_near_dup_delta": _q75_oracle_sql(),
         "q74_sequence_pack": f"""

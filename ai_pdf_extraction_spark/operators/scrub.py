@@ -218,3 +218,141 @@ def sequence_pack(
             .alias("n_seqs"),
         )
     )
+
+
+_MIX_CACHE: list[DataFrame] = []
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    total_budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Source-weighted data-mixture builder — the per-domain sampling
+    step every LLM training pipeline runs between curation and packing
+    (The Pile §2.1 arXiv:2101.00027, LLaMA tbl-1 arXiv:2302.13971:
+    each source gets a token share of the total budget, small
+    high-value sources are repeated for multiple epochs, large sources
+    are truncated).
+
+    ``weights`` are INTEGER parts (not floats): each source's target
+    is ``total_budget * w div sum(w)`` computed in exact integer
+    arithmetic, so Spark, DuckDB, and a retry of either pick identical
+    rows — the reproducibility property a 10^12-token mixture needs.
+    Sources absent from ``weights`` are dropped; a source whose corpus
+    is smaller than its target is repeated up to ``max_epochs`` whole
+    copies (ceil division, never a fractional epoch count).
+
+    Selection order within a source is ``(epoch, shard, md5(epoch ':'
+    id), id)`` — every epoch re-permutes the docs (the hash is
+    epoch-keyed), epochs fill in order so the cut lands inside the
+    LAST epoch, and rows are kept while the running inclusive token
+    sum stays ≤ target (the ``token_budget_selection`` rule).
+
+    Scale shape: the narrow (id, source, tokens) projection is
+    persisted (it feeds both the per-source totals and the replicate
+    leg — the q74 double-scan lesson); per-source totals partial-agg
+    to a sources-row relation; the epoch fan-out is a broadcast join +
+    ``sequence`` explode; and the running sum is the two-phase sharded
+    form from ``sequence_pack`` — within-(source, epoch, shard)
+    windows plus one tiny bases window over |sources|·epochs·shards
+    rows — so a source holding half the corpus never funnels through
+    one task. Per-doc token counts are the caller's column (whitespace
+    counts in q77; ``token_count_bpe_exact`` upstream for exact
+    budgets, the q72 pattern).
+
+    The reference engine has no corpus mixing (single-tenant uploads,
+    `app/backend/routers/batches.py` ingests whatever arrives); this
+    is part of the training-data surface the rebuild adds."""
+    from pyspark.sql import SparkSession, Window
+
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    if not weights or min(weights.values()) < 0 or total_budget < 0:
+        raise ValueError("weights must be non-negative ints, budget >= 0")
+    sum_w = sum(weights.values())
+    if sum_w == 0:
+        raise ValueError("at least one positive weight required")
+    targets = [
+        (s, (total_budget * w) // sum_w) for s, w in sorted(weights.items())
+    ]
+
+    spark = docs.sparkSession
+    assert isinstance(spark, SparkSession)
+    d = _persist_latest(
+        _MIX_CACHE,
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(source_col).alias("_src"),
+            F.col(tokens_col).cast("long").alias("_tok"),
+        ).filter(
+            (F.col("_tok") > 0)
+            & F.col("_src").isin([s for s, _ in targets])
+        ),
+    )
+    tgt = spark.createDataFrame(targets, "_src string, _target long")
+    epochs = (
+        d.groupBy("_src")
+        .agg(F.sum("_tok").alias("_avail"))
+        .join(F.broadcast(tgt), "_src")
+        .select(
+            "_src",
+            "_target",
+            F.least(
+                F.lit(int(max_epochs)),
+                F.expr("(_target + _avail - 1) div _avail"),
+            ).alias("_n_epochs"),
+        )
+        .filter(F.col("_n_epochs") > 0)
+    )
+    rep = (
+        d.join(F.broadcast(epochs), "_src")
+        .select(
+            "_id",
+            "_src",
+            "_tok",
+            "_target",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_n_epochs") - 1)
+            ).alias("_epoch"),
+        )
+        .withColumn("_shard", F.col("_id") % n_shards)
+        .withColumn(
+            "_h", F.md5(F.concat_ws(":", F.col("_epoch"), F.col("_id")))
+        )
+    )
+    w_in = (
+        Window.partitionBy("_src", "_epoch", "_shard")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = rep.withColumn("_cum_in", F.sum("_tok").over(w_in))
+    # |sources|*epochs*shards rows: the one permissible tiny window
+    w_base = (
+        Window.partitionBy("_src")
+        .orderBy("_epoch", "_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        rep.groupBy("_src", "_epoch", "_shard")
+        .agg(F.sum("_tok").alias("_t"))
+        .withColumn("_base", F.coalesce(F.sum("_t").over(w_base), F.lit(0)))
+        .select("_src", "_epoch", "_shard", "_base")
+    )
+    return (
+        within.join(F.broadcast(bases), ["_src", "_epoch", "_shard"])
+        .withColumn("_cum", F.col("_base") + F.col("_cum_in"))
+        .filter(F.col("_cum") <= F.col("_target"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_src").alias(source_col),
+            F.col("_epoch").cast("long").alias("epoch"),
+            F.col("_tok").alias(tokens_col),
+            F.col("_cum").cast("long").alias("cum_source_tokens"),
+        )
+    )

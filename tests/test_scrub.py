@@ -167,3 +167,106 @@ def test_sequence_pack_windows_are_sharded(spark):
     # chunk indices are exact integer division (` div `), never
     # double-rounding floor(x / n) — offsets past 2^53 stay exact
     assert " div " in plan and "FLOOR" not in plan.upper()
+
+
+def _naive_mixture(rows, weights, budget, max_epochs, n_shards=64):
+    """Independent pure-Python twin of mixture_sample: same integer
+    targets, ceil epochs, (epoch, shard, md5, id) order, inclusive
+    running-sum cut."""
+    import hashlib
+
+    sum_w = sum(weights.values())
+    targets = {s: (budget * w) // sum_w for s, w in weights.items()}
+    by_src = {}
+    for doc_id, src, tok in rows:
+        if src in targets and tok > 0:
+            by_src.setdefault(src, []).append((doc_id, tok))
+    out = []
+    for src, docs in by_src.items():
+        avail = sum(t for _, t in docs)
+        target = targets[src]
+        n_epochs = min(max_epochs, (target + avail - 1) // avail)
+        rep = [
+            (e, i % n_shards,
+             hashlib.md5(f"{e}:{i}".encode()).hexdigest(), i, t)
+            for e in range(n_epochs)
+            for i, t in docs
+        ]
+        cum = 0
+        for e, _sh, _h, i, t in sorted(rep):
+            cum += t
+            if cum <= target:
+                out.append((i, src, e, t, cum))
+    return sorted(out)
+
+
+def test_mixture_sample_budget_epochs_and_ties(spark):
+    from ai_pdf_extraction_spark.operators.scrub import mixture_sample
+
+    rows = (
+        [(i, "A", 40) for i in range(3)]          # avail 120, upweighted
+        + [(3, "A", 0)]                            # zero-token: dropped
+        + [(100 + i, "B", 50) for i in range(20)]  # avail 1000, truncated
+        + [(900 + i, "C", 30) for i in range(5)]   # unweighted: dropped
+    )
+    weights, budget, max_epochs = {"A": 50, "B": 50}, 1000, 3
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = sorted(
+        (r["doc_id"], r["source"], r["epoch"], r["n_tokens"],
+         r["cum_source_tokens"])
+        for r in mixture_sample(df, weights, budget, max_epochs).collect()
+    )
+    assert got == _naive_mixture(rows, weights, budget, max_epochs)
+    # A: target 500, avail 120 -> epoch cap binds (3 full copies = 360)
+    a = [r for r in got if r[1] == "A"]
+    assert len(a) == 9 and {r[2] for r in a} == {0, 1, 2}
+    assert max(r[4] for r in a) == 360
+    # B: exactly 10 of 20 docs; the 10th lands EXACTLY on the target
+    # (inclusive <= keeps it — the token_budget_selection tie rule)
+    b = [r for r in got if r[1] == "B"]
+    assert len(b) == 10 and max(r[4] for r in b) == 500
+    assert {r[1] for r in got} == {"A", "B"}
+
+
+def test_mixture_sample_stable_under_repartition(spark):
+    from ai_pdf_extraction_spark.operators.scrub import mixture_sample
+
+    rows = [(i, f"s{i % 4}", 5 + i % 13) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    w = {"s0": 3, "s1": 2, "s2": 1}
+    base = sorted(map(tuple, mixture_sample(df, w, 800, 2).collect()))
+    shuf = sorted(
+        map(tuple, mixture_sample(df.repartition(13), w, 800, 2).collect())
+    )
+    assert base == shuf and len(base) > 0
+
+
+def test_mixture_sample_validation():
+    import pytest as _pytest
+
+    from ai_pdf_extraction_spark.operators.scrub import mixture_sample
+
+    with _pytest.raises(ValueError):
+        mixture_sample(None, {}, 100)
+    with _pytest.raises(ValueError):
+        mixture_sample(None, {"a": -1}, 100)
+    with _pytest.raises(ValueError):
+        mixture_sample(None, {"a": 0}, 100)
+
+
+def test_mixture_windows_are_sharded(spark):
+    """Both heavy windows partition on (_src, _epoch, _shard); the
+    bases window is the only per-source one and runs over a tiny
+    grouped relation; the epoch fan-out and bases rejoin broadcast;
+    the narrow projection persists for its two consumers."""
+    from ai_pdf_extraction_spark.operators.scrub import mixture_sample
+
+    docs = spark.range(200).selectExpr(
+        "id as doc_id", "concat('s', id % 3) as source", "1 + id % 9 as n_tokens"
+    )
+    out = mixture_sample(docs, {"s0": 2, "s1": 1}, 500, 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" in plan.split("Window")[1]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
