@@ -65,6 +65,8 @@ HEADLINE = [
     "q73_curated_corpus_v4",  # capstone + substring-span leg
     "q74_sequence_pack",  # training-sequence packing layout
     "q75_embedding_near_dup_delta",  # incremental semantic near-dup
+    "q76_lm_perplexity",  # CCNet bigram-LM quality bucketing
+    "q77_mixture_sample",  # source-weighted data-mixture builder
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
