@@ -2275,6 +2275,20 @@ def q77_mixture_sample(spark, sf_dir):
     )
 
 
+def q78_bpe_pair_counts(spark, sf_dir):
+    """Distributed BPE training, round-0 pair counts (Sennrich
+    1508.07909 alg. 1): the corpus collapses to a word-TYPE frequency
+    table in one partial-agg pass (the only pass that touches 100 TB),
+    then character-pair counts weighted by type frequency rank the
+    first merge (highest count, ties → lexicographically smallest).
+    Row rnk=1 is the pair `train_bpe` merges first; pairs that occur
+    once can never merge and are filtered."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.operators.bpe_train import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
 def q75_embedding_near_dup_delta(spark, sf_dir):
     """Incremental embedding near-dup: the semantic-family delta (the
     q66/q71 split rule applied to embeddings — old = vec_id%4 != 0,
@@ -2452,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_embedding_near_dup_delta": q75_embedding_near_dup_delta,
         "q76_lm_perplexity": q76_lm_perplexity,
         "q77_mixture_sample": q77_mixture_sample,
+        "q78_bpe_pair_counts": q78_bpe_pair_counts,
     }
 
 
@@ -3873,6 +3888,26 @@ select doc_id, lang_pred from read_parquet('{_q69_golden_path()}')
         "q71_minhash_lsh_delta": _minhash_delta_sql(),
         "q76_lm_perplexity": _q76_oracle_sql(),
         "q77_mixture_sample": _q77_oracle_sql(),
+        "q78_bpe_pair_counts": r"""
+with words as (
+  select unnest(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) as word
+  from documents where text is not null
+),
+freqs as (select word, count(*) as freq from words group by word),
+pairs as (
+  select substr(word, i, 1) as left_sym, substr(word, i + 1, 1) as right_sym,
+         freq
+  from freqs, unnest(generate_series(1::bigint, length(word) - 1)) g(i)
+),
+counted as (
+  select left_sym, right_sym, sum(freq)::bigint as pair_count
+  from pairs group by 1, 2 having sum(freq) >= 2
+)
+select left_sym, right_sym, pair_count,
+  row_number() over (order by pair_count desc, left_sym, right_sym) as rnk
+from counted
+""",
         "q73_curated_corpus_v4": _curate_v4_sql(fingerprint_expr),
         "q75_embedding_near_dup_delta": _q75_oracle_sql(),
         "q74_sequence_pack": f"""

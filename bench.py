@@ -67,6 +67,7 @@ HEADLINE = [
     "q75_embedding_near_dup_delta",  # incremental semantic near-dup
     "q76_lm_perplexity",  # CCNet bigram-LM quality bucketing
     "q77_mixture_sample",  # source-weighted data-mixture builder
+    "q78_bpe_pair_counts",  # distributed BPE training round-0
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

@@ -123,3 +123,71 @@ def test_naive_twin_single_word_shapes():
     assert naive_encode_word("q", ranks) == ["q"]
     # unknown chars never merge
     assert naive_encode_word("éé", ranks) == ["é", "é"]
+
+
+def test_distributed_trainer_reproduces_committed_table(spark):
+    """train_bpe_distributed (Spark word-freq pass + kernel merge
+    loop) over the SAME corpus must reproduce tools/train_bpe.py's
+    committed table byte-identically — the distributed trainer is
+    exchangeable with the driver-side one."""
+    from ai_pdf_extraction_spark.kernels.bpe import load_merges_payload
+    from ai_pdf_extraction_spark.operators.bpe_train import (
+        train_bpe_distributed,
+    )
+
+    payload = load_merges_payload()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe_distributed(docs, payload["n_merges"])
+    assert [list(p) for p in merges] == payload["merges"]
+
+
+def test_pair_counts_round0_matches_kernel(spark):
+    """q78's rnk=1 row IS the kernel's first merge decision, and every
+    pair count equals a naive positional count."""
+    from ai_pdf_extraction_spark.kernels.bpe import pre_tokenize, train_bpe
+    from ai_pdf_extraction_spark.operators.bpe_train import bpe_pair_counts
+
+    texts = [
+        "the cat sat on the mat, the cat!",
+        "banana bandana ananas",
+        "aaa bbb aaa ccc?? 1234 12 12",
+        None,
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["left_sym"], r["right_sym"]): (r["pair_count"], r["rnk"])
+        for r in bpe_pair_counts(df).collect()
+    }
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        freqs.update(pre_tokenize(t))
+    naive = Counter()
+    for w, f in freqs.items():
+        for i in range(len(w) - 1):
+            naive[(w[i], w[i + 1])] += f
+    assert {p: c for p, c in naive.items() if c >= 2} == {
+        p: c for p, (c, _r) in got.items()
+    }
+    first = min(got.items(), key=lambda kv: kv[1][1])[0]
+    assert [first] == train_bpe(dict(freqs), 1)
+
+
+def test_word_type_cap_fails_loud(spark):
+    import pytest as _pytest
+
+    from ai_pdf_extraction_spark.operators.bpe_train import (
+        train_bpe_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(f"unique{i}word",) for i in range(50)], "text string"
+    )
+    with _pytest.raises(ValueError, match="max_word_types"):
+        train_bpe_distributed(df, 5, max_word_types=10)
+    # min_freq prunes the type table below the cap -> trains fine on
+    # the surviving head ("unique"/"word" at freq 50; digits vary)
+    merges = train_bpe_distributed(df, 5, min_freq=40, max_word_types=10)
+    assert len(merges) == 5
