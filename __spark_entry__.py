@@ -2360,6 +2360,35 @@ def q73_curated_corpus_v4(spark, sf_dir):
     )
 
 
+def q79_curated_corpus_v5(spark, sf_dir):
+    """The v5 capstone: v4 (quality ∧ exact-canonical ∧ ¬LSH-near-dup
+    ∧ ¬contaminated ∧ ¬embedding-near-dup ∧ span-deduped) with the
+    MODEL-based quality family composed on top — CCNet LM-perplexity
+    bucketing drops the tail tercile and survivors carry ppl_bucket
+    for downstream mixture weighting. Seven legs, one source scan.
+
+    Runs over the RAW documents, not q73's span-planted variant: the
+    injected boilerplate drags every planted doc into 'tail', which
+    would make this contract vacuous (0 rows on both engines proves
+    nothing). The span leg's non-vacuous check is q73's job; here the
+    LM leg must actually split the corpus."""
+    _ensure_shipped(spark)
+    from ai_pdf_extraction_spark.plans.curate import curated_corpus_v5
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curated_corpus_v5(
+        d,
+        bench,
+        _t(spark, sf_dir, "embeddings"),
+        contamination_n=3,
+        cos_threshold=0.45,
+        span_k=8,
+    )
+
+
 def q71_minhash_lsh_delta(spark, sf_dir):
     """Incremental MinHash-LSH near-dup: the NEW batch probes an
     at-rest signature index (frozen hot-shingle universe computed over
@@ -2467,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_lm_perplexity": q76_lm_perplexity,
         "q77_mixture_sample": q77_mixture_sample,
         "q78_bpe_pair_counts": q78_bpe_pair_counts,
+        "q79_curated_corpus_v5": q79_curated_corpus_v5,
     }
 
 
@@ -2777,39 +2807,48 @@ select * from (
 """
 
 
+def _lm_agg_ctes(source_rel: str) -> tuple[str, str, str]:
+    """The bigram-LM scoring chain (q76) as reusable CTE text over any
+    ``(doc_id, text)`` relation: returns (ctes, cut_head, cut_mid)
+    where ``ctes`` ends with ``agg(doc_id, n_tokens, lm_q_sum)``.
+    Shared by the standalone q76 oracle and the v5 capstone's LM leg
+    (q79) so both engines' model join + sum are literally one SQL."""
+    bi_path, back_path, payload = _lm_model_parquets()
+    oov = int(payload["oov_q"])
+    ctes = f"""lm_toks as (
+  select doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        x -> lower(x)) as ws
+  from {source_rel}
+),
+lm_pairs as (
+  select doc_id,
+         unnest(list_zip(list_prepend('<s>', list_slice(ws, 1, len(ws)-1)),
+                         ws)) as p
+  from lm_toks where len(ws) > 0
+),
+lm_scored as (
+  select t.doc_id, coalesce(b.q, k.q, {oov}) as q
+  from (select doc_id, p[1] as prev, p[2] as w from lm_pairs) t
+  left join read_parquet('{bi_path}') b on b.v = t.prev and b.w = t.w
+  left join read_parquet('{back_path}') k on k.w = t.w
+),
+lm_agg as (
+  select doc_id, count(*) as n_tokens, sum(q) as lm_q_sum
+  from lm_scored group by doc_id
+)"""
+    return ctes, str(int(payload["cut_head_q"])), str(int(payload["cut_mid_q"]))
+
+
 def _q76_oracle_sql() -> str:
     """q76 oracle: the bigram-LM scoring pipeline in pure DuckDB SQL
     over the committed model exported to parquet — tokenization
     (ascii runs, per-token lower), predecessor pairing (list_zip with
     a '<s>' prepend), two model joins, one group-by, and the same
     no-division integer bucket comparison as the Spark plan."""
-    bi_path, back_path, payload = _lm_model_parquets()
-    oov = int(payload["oov_q"])
-    cut_head = int(payload["cut_head_q"])
-    cut_mid = int(payload["cut_mid_q"])
+    ctes, cut_head, cut_mid = _lm_agg_ctes("documents")
     return f"""
-with toks as (
-  select doc_id,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-                        x -> lower(x)) as ws
-  from documents
-),
-pairs as (
-  select doc_id,
-         unnest(list_zip(list_prepend('<s>', list_slice(ws, 1, len(ws)-1)),
-                         ws)) as p
-  from toks where len(ws) > 0
-),
-scored as (
-  select t.doc_id, coalesce(b.q, k.q, {oov}) as q
-  from (select doc_id, p[1] as prev, p[2] as w from pairs) t
-  left join read_parquet('{bi_path}') b on b.v = t.prev and b.w = t.w
-  left join read_parquet('{back_path}') k on k.w = t.w
-),
-agg as (
-  select doc_id, count(*) as n_tokens, sum(q) as lm_q_sum
-  from scored group by doc_id
-)
+with {ctes}
 select d.doc_id,
   coalesce(a.n_tokens, 0)::bigint as n_tokens,
   coalesce(a.lm_q_sum, 0)::bigint as lm_q_sum,
@@ -2817,7 +2856,7 @@ select d.doc_id,
        when a.lm_q_sum >= {cut_head} * a.n_tokens then 'head'
        when a.lm_q_sum >= {cut_mid} * a.n_tokens then 'middle'
        else 'tail' end as ppl_bucket
-from documents d left join agg a using (doc_id)
+from documents d left join lm_agg a using (doc_id)
 """
 
 
@@ -3156,6 +3195,37 @@ words as (
 select v3.doc_id, v3.lang, v3.quality, v3.n_tokens, v3.n_granules, v3.n_kept,
        sp.n_words, sp.n_removed, md5(sp.surviving_text) as span_md5
 from v3 join sp on v3.doc_id = sp.doc_id
+"""
+
+
+def _curate_v5_sql(fingerprint_expr: str) -> str:
+    """q79 oracle: the v4 template's final select becomes a ``v4``
+    CTE, the q76 LM chain (``_lm_agg_ctes`` — literally the same SQL
+    text) runs over docs2 restricted to v4 survivors, and the final
+    select keeps head/middle only; docs2 is re-rooted on the RAW
+    documents (see q79_curated_corpus_v5's vacuity note). Same
+    composition as ``plans.curate.curated_corpus_v5``."""
+    v4sql = _curate_v4_sql(fingerprint_expr).replace(
+        _q73_docs_cte().strip(),
+        "docs2 as (\n  select doc_id, lang, text from documents\n)",
+    )
+    head, sep, tail = v4sql.rpartition("\nselect v3.doc_id")
+    assert sep, "v4 template final-select shape changed"
+    ctes = head.strip()
+    assert ctes.startswith("with ")
+    lm_ctes, cut_head, cut_mid = _lm_agg_ctes(
+        "(select d2.doc_id, d2.text from docs2 d2 "
+        "join v4 on v4.doc_id = d2.doc_id)"
+    )
+    return f"""
+{ctes},
+v4 as (select v3.doc_id{tail.rstrip()}),
+{lm_ctes}
+select v4.*,
+  case when a.lm_q_sum >= {cut_head} * a.n_tokens then 'head'
+       else 'middle' end as ppl_bucket
+from v4 join lm_agg a using (doc_id)
+where a.lm_q_sum >= {cut_mid} * a.n_tokens
 """
 
 
@@ -3909,6 +3979,7 @@ select left_sym, right_sym, pair_count,
 from counted
 """,
         "q73_curated_corpus_v4": _curate_v4_sql(fingerprint_expr),
+        "q79_curated_corpus_v5": _curate_v5_sql(fingerprint_expr),
         "q75_embedding_near_dup_delta": _q75_oracle_sql(),
         "q74_sequence_pack": f"""
 with toks as (

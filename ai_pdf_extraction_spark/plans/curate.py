@@ -215,6 +215,7 @@ def curated_corpus_v4(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_k: int = 8,
+    _narrow: DataFrame | None = None,
     **knobs,
 ) -> DataFrame:
     """v3 + the substring family: survivors get their duplicated SPANS
@@ -235,7 +236,7 @@ def curated_corpus_v4(
     reintroduced a second full text-column scan)."""
     from ai_pdf_extraction_spark.operators.span_dedup import span_dedup
 
-    narrow = _narrow_docs(docs, id_col, text_col)
+    narrow = _narrow if _narrow is not None else _narrow_docs(docs, id_col, text_col)
     # v3 feeds BOTH the survivor semi-join and the final join — persist
     # or the whole five-leg capstone plan executes twice
     base = _persist_latest(
@@ -254,3 +255,41 @@ def curated_corpus_v4(
         F.md5("surviving_text").alias("span_md5"),
     )
     return base.join(span_cols, id_col)
+
+
+def curated_corpus_v5(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    emb: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_payload: dict | None = None,
+    **knobs,
+) -> DataFrame:
+    """v4 + the model-based quality family: CCNet LM-perplexity
+    bucketing (``operators.lm``) drops the ``tail`` tercile — the
+    gibberish/boilerplate the rule-based Gopher leg cannot see (rules
+    catch FORM, the LM catches unpredictable CONTENT). Survivors carry
+    ``ppl_bucket`` for mixture weighting downstream (CCNet trains on
+    head+middle and keeps the bucket as a conditioning signal).
+
+    Composition keeps every invariant: the LM leg reads the SAME
+    persisted narrow projection as the other six legs (single source
+    scan), its scoring plan is explode → broadcast model joins →
+    partial agg (never a window), and the final filter is an inner
+    join against v4's survivor set — scoring work for curated-away
+    docs vanishes at the join, and ``empty`` docs (no tokens) were
+    already gone at the quality leg."""
+    from ai_pdf_extraction_spark.operators.lm import lm_perplexity
+
+    narrow = _narrow_docs(docs, id_col, text_col)
+    base = curated_corpus_v4(
+        docs, benchmark, emb, id_col=id_col, text_col=text_col,
+        _narrow=narrow, **knobs,
+    )
+    lm = (
+        lm_perplexity(narrow, id_col=id_col, payload=lm_payload)
+        .filter(F.col("ppl_bucket").isin("head", "middle"))
+        .select(id_col, "ppl_bucket")
+    )
+    return base.join(lm, id_col)

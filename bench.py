@@ -68,6 +68,7 @@ HEADLINE = [
     "q76_lm_perplexity",  # CCNet bigram-LM quality bucketing
     "q77_mixture_sample",  # source-weighted data-mixture builder
     "q78_bpe_pair_counts",  # distributed BPE training round-0
+    "q79_curated_corpus_v5",  # capstone + LM-perplexity leg (7 families)
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

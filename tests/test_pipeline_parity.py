@@ -379,3 +379,64 @@ def test_curated_corpus_v4_span_leg(spark):
     assert rows[first]["n_removed"] == 0  # first carrier keeps the boiler
     others = [r for i, r in rows.items() if i != first]
     assert others and all(r["n_removed"] >= 8 for r in others)
+
+
+def test_curated_corpus_v5_lm_leg(spark):
+    """v5 = v4 ∩ {head, middle}: survivors are exactly v4's docs whose
+    standalone lm_perplexity bucket is head/middle, each carrying the
+    SAME bucket the standalone operator assigns — the LM leg composes,
+    it does not recompute differently."""
+    from ai_pdf_extraction_spark.operators.lm import lm_perplexity
+    from ai_pdf_extraction_spark.plans.curate import (
+        curated_corpus_v4,
+        curated_corpus_v5,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                f"the unique body of document {i} with several plain filler "
+                "words to pass the quality gate",
+            )
+            for i in range(20)
+        ]
+        # gibberish docs: all-OOV tokens score at the oov floor -> tail
+        + [
+            (100 + i, "en", f"zzqx{i} vvrk qqpl mmwt bbgh nnjd kkfs xxcv "
+             "zzqa vvrb qqpc mmwd bbge nnjf kkfg xxch")
+            for i in range(4)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "entirely unrelated benchmark text nothing shared")],
+        "bench_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, 2.0]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(contamination_n=13, cos_threshold=0.999, n_planes=4, dim=4,
+              quality_threshold=0.0)
+    v4_ids = {
+        r["doc_id"]
+        for r in curated_corpus_v4(docs, bench, emb, **kw).collect()
+    }
+    standalone = {
+        r["doc_id"]: r["ppl_bucket"] for r in lm_perplexity(docs).collect()
+    }
+    v5 = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in curated_corpus_v5(docs, bench, emb, **kw).collect()
+    }
+    expect = {
+        i: b for i, b in standalone.items()
+        if i in v4_ids and b in ("head", "middle")
+    }
+    assert v5 == expect
+    # the LM leg actually filtered something: the planted gibberish
+    # docs survive v4 (unique text, fine quality) but score tail
+    dropped = v4_ids - set(v5)
+    assert any(i >= 100 for i in dropped), (v4_ids, v5, standalone)

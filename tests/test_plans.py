@@ -402,6 +402,13 @@ def test_capstone_curation_single_source_scan(spark):
     n_scans, n_cached = source_scan_count(v4)
     assert n_scans == 2, f"v4: want docs once + embeddings once, got {n_scans}"
 
+    # v5's LM leg scores the SAME narrow projection (the tiny model
+    # relations are driver-built LogicalRDDs, not source scans)
+    v5 = curate.curated_corpus_v5(docs, bench, emb, contamination_n=3,
+                                  cos_threshold=0.45)
+    n_scans, n_cached = source_scan_count(v5)
+    assert n_scans == 2, f"v5: want docs once + embeddings once, got {n_scans}"
+
 
 def test_salted_host_counts_two_phase_agg(spark):
     """q62's salted aggregation must be two REAL aggregation phases
