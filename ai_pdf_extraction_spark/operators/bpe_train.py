@@ -117,15 +117,25 @@ def train_bpe_distributed(
     The collect is bounded by construction: word TYPES, not tokens
     (and ``max_word_types`` fails loud — the all-pairs-guard
     discipline — instead of silently OOMing the driver; raise
-    ``min_freq`` to shrink the type table, the subword-nmt knob)."""
-    freqs_df = word_freq_table(docs, text_col, min_freq)
-    probe = freqs_df.limit(max_word_types + 1).count()
-    if probe > max_word_types:
-        raise ValueError(
-            f"word-type table exceeds max_word_types={max_word_types}; "
-            "raise min_freq (subword-nmt --min-frequency) or the cap"
-        )
-    from ai_pdf_extraction_spark.kernels.bpe import train_bpe
+    ``min_freq`` to shrink the type table, the subword-nmt knob).
 
-    word_freqs = {r["word"]: r["freq"] for r in freqs_df.collect()}
+    The type table is persisted across the guard probe and the
+    collect: unlike ``dedup._guard_all_pairs`` (where ``limit`` pushes
+    into the source scan and short-circuits), a limit ON TOP OF the
+    aggregation only emits rows after the full corpus pass — without
+    the persist the probe and the collect would each run the one
+    corpus-scale pass, doubling the only expensive job here."""
+    freqs_df = word_freq_table(docs, text_col, min_freq).persist()
+    try:
+        probe = freqs_df.limit(max_word_types + 1).count()
+        if probe > max_word_types:
+            raise ValueError(
+                f"word-type table exceeds max_word_types={max_word_types}; "
+                "raise min_freq (subword-nmt --min-frequency) or the cap"
+            )
+        from ai_pdf_extraction_spark.kernels.bpe import train_bpe
+
+        word_freqs = {r["word"]: r["freq"] for r in freqs_df.collect()}
+    finally:
+        freqs_df.unpersist()
     return train_bpe(word_freqs, n_merges)
