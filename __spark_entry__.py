@@ -1840,6 +1840,93 @@ _URL_SAMPLES: tuple[str, ...] = (
     "https://a.com/p?u=http://x.com//y",  # query carrying a url
 )
 
+# The DuckDB twin of operators.urls.canonicalize_url as CTE text over
+# a ``raw(event_id, raw_url)`` relation (steps s1–s5 mirror the
+# operator's numbered steps 1–5; keep in lockstep). Shared by the q37
+# oracle and the q80 frontier oracle so both contracts exercise ONE
+# canonicalization definition per engine.
+_URL_CANON_CHAIN_SQL = r"""s1 as (select event_id, raw_url,
+            regexp_replace(raw_url, '#.*$', '', 'g') as u from raw
+), s2 as (select event_id, raw_url,
+            case when instr(u, '?') > 0 then
+              substring(u, 1, instr(u, '?') - 1) ||
+              regexp_replace(regexp_replace(regexp_replace(
+                substring(u, instr(u, '?')),
+                '(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                '^&', '?', 'g'),
+                '[?&]$', '', 'g')
+            else u end as u from s1
+), s3 as (select event_id, raw_url,
+            case when regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) = ''
+                 then u
+                 else lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+                      || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '')
+            end as u from s2
+), s4 as (select event_id, raw_url,
+            regexp_replace(regexp_replace(u,
+              '^(https://[^/:?]+):443([/?]|$)', '\1\2'),
+              '^(http://[^/:?]+):80([/?]|$)', '\1\2') as u from s3
+), s5 as (select event_id, raw_url,
+            case when strpos(u, '?') > 0
+                 then regexp_replace(substr(u, 1, strpos(u, '?') - 1),
+                                     '([^:/])//+', '\1/', 'g')
+                      || substr(u, strpos(u, '?'))
+                 else regexp_replace(u, '([^:/])//+', '\1/', 'g')
+            end as u from s4
+)"""
+_URL_CANON_FINAL_SQL = (
+    r"regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/($|\?)', '\1\2')"
+)
+
+# q80's messy-url generator: COARSE keys (host mod 7, path mod 211)
+# so distinct events collide on a canonical url — the %3 variants 1/2
+# canonicalize together (frag drop / trailing-slash trim) while
+# variant 0 keeps its ?x=2 query, giving within-batch duplicate
+# groups AND old∩new seen-set hits under the %4 split.
+_Q80_RAW_URL_SQL = (
+    "'HTTPS://Host' || (event_id % 7) || '.Example.COM:443/p//' || "
+    "(event_id % 211) || (case when event_id % 3 = 0 then "
+    "'/?utm_source=a&x=2' when event_id % 3 = 1 then '/#frag' "
+    "else '/' end)"
+)
+
+
+def _q80_messy_url() -> F.Column:
+    """The Spark twin of ``_Q80_RAW_URL_SQL`` (keep in lockstep)."""
+    return F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/p//"),
+        (F.col("event_id") % 211).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, "/?utm_source=a&x=2")
+        .when(F.col("event_id") % 3 == 1, "/#frag")
+        .otherwise("/"),
+    )
+
+
+def q80_url_frontier_delta(spark, sf_dir):
+    """Crawl-frontier delta: the new batch's discovered urls (events
+    with id % 4 == 0) are canonicalized, collapsed within the batch,
+    and probed against the seen-set built from the already-crawled
+    partition — the url-keyed twin of the reference's ingest-time
+    duplicate rejection (routers/batches.py:381), decided BEFORE the
+    fetch. The seen-set is never shuffled (broadcast semi-probe)."""
+    from ai_pdf_extraction_spark.operators.urls import (
+        canonicalize_url,
+        url_frontier_delta,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    pages = e.select("event_id", _q80_messy_url().alias("url"))
+    # index-build job: one distinct over the historical partition
+    seen = (
+        pages.filter(F.col("event_id") % 4 != 0)
+        .select(canonicalize_url("url").alias("canon_url"))
+        .distinct()
+    )
+    new = pages.filter(F.col("event_id") % 4 == 0)
+    return url_frontier_delta(new, seen)
+
 
 def q37_url_canonicalize(spark, sf_dir):
     """URL canonicalization (crawl-dedup key normalization): messy
@@ -2497,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_mixture_sample": q77_mixture_sample,
         "q78_bpe_pair_counts": q78_bpe_pair_counts,
         "q79_curated_corpus_v5": q79_curated_corpus_v5,
+        "q80_url_frontier_delta": q80_url_frontier_delta,
     }
 
 
@@ -4031,38 +4119,28 @@ with raw as (
           when event_id % 3 = 1 then '/#frag' else '/' end)
     end as raw_url
   from events
-), s1 as (select event_id, raw_url,
-            regexp_replace(raw_url, '#.*$', '', 'g') as u from raw
-), s2 as (select event_id, raw_url,
-            case when instr(u, '?') > 0 then
-              substring(u, 1, instr(u, '?') - 1) ||
-              regexp_replace(regexp_replace(regexp_replace(
-                substring(u, instr(u, '?')),
-                '(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-                '^&', '?', 'g'),
-                '[?&]$', '', 'g')
-            else u end as u from s1
-), s3 as (select event_id, raw_url,
-            case when regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) = ''
-                 then u
-                 else lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
-                      || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '')
-            end as u from s2
-), s4 as (select event_id, raw_url,
-            regexp_replace(regexp_replace(u,
-              '^(https://[^/:?]+):443([/?]|$)', '\1\2'),
-              '^(http://[^/:?]+):80([/?]|$)', '\1\2') as u from s3
-), s5 as (select event_id, raw_url,
-            case when strpos(u, '?') > 0
-                 then regexp_replace(substr(u, 1, strpos(u, '?') - 1),
-                                     '([^:/])//+', '\1/', 'g')
-                      || substr(u, strpos(u, '?'))
-                 else regexp_replace(u, '([^:/])//+', '\1/', 'g')
-            end as u from s4
-)
+), """ + _URL_CANON_CHAIN_SQL + f"""
 select event_id, raw_url,
-  regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/($|\?)', '\1\2') as canonical_url
+  {_URL_CANON_FINAL_SQL} as canonical_url
 from s5
+""",
+        "q80_url_frontier_delta": f"""
+with raw as (
+  select event_id, {_Q80_RAW_URL_SQL} as raw_url from events
+), {_URL_CANON_CHAIN_SQL},
+canon as (
+  select event_id, {_URL_CANON_FINAL_SQL} as canon_url from s5
+),
+seen as (select distinct canon_url from canon where event_id % 4 != 0),
+batch as (select event_id, canon_url from canon where event_id % 4 = 0),
+grp as (
+  select canon_url, min(event_id) as first_id, count(*) as n_discovered
+  from batch group by canon_url
+)
+select g.canon_url, g.first_id, g.n_discovered,
+  (s.canon_url is not null) as in_seen,
+  (s.canon_url is null) as to_crawl
+from grp g left join seen s using (canon_url)
 """,
         "q38_lsh_topk": """
 with bucketed as (

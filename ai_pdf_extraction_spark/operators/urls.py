@@ -12,7 +12,7 @@ from non-root paths.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,3 +57,80 @@ def canonicalize_url(col: Column | str = "url") -> Column:
     # 6. trailing slash on a non-root path
     u = F.regexp_replace(u, r"(://[^/?]+/[^?]*[^/?])/($|\?)", r"$1$2")
     return u
+
+
+# the collapsed-batch persist slot (the scrub._PACK_CACHE lifecycle)
+_FRONTIER_CACHE: list[DataFrame] = []
+
+
+def url_frontier_delta(
+    new_urls: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    id_col: str = "event_id",
+    seen_col: str = "canon_url",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Crawl-frontier construction — the incremental url-level twin of
+    :func:`dedup_index.exact_dedup_delta`: canonicalize the new
+    batch's discovered urls, collapse within-batch duplicates (first
+    discoverer = min id wins), and probe the at-rest seen-set so
+    already-crawled pages are never refetched. The reference rejects
+    re-uploads by content hash at ingest (``routers/batches.py:381``);
+    a crawler must make the same decision BEFORE fetching, which is
+    exactly this url-keyed check.
+
+    Output one row per distinct canonical url in the batch::
+
+        (canon_url, first_id, n_discovered, in_seen, to_crawl)
+
+    ``filter(to_crawl)`` is the frontier; ``in_seen`` rows are the
+    refetch-suppressed hits. The caller appends the frontier's
+    ``canon_url`` column to the seen-set after the crawl commits (the
+    ``dedup_index`` append-then-atomically-commit discipline).
+
+    ``seen`` must hold ONE row per canonical url (the at-rest seen-set
+    is maintained that way — dedup at append time); the operator does
+    NOT distinct a possibly-10^12-row relation on every batch.
+
+    Scale shape: canonicalization is pure Column work inside the batch
+    scan; the within-batch collapse is a partial-agg ``groupBy`` on
+    the canon key; and with ``broadcast_new=True`` (the common case —
+    a crawl batch is ≪ the historical seen-set) the probe runs as a
+    broadcast LEFT-SEMI join on the SEEN side: the huge relation is
+    scanned map-side against the broadcast batch keys and only the
+    hits (≤ |batch|) come back to flag ``in_seen`` — the seen-set is
+    never shuffled. ``broadcast_new=False`` falls back to a plain
+    equi-join (AQE skew-safe) for batches too large to broadcast.
+    """
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    batch = new_urls.select(
+        F.col(id_col), canonicalize_url(url_col).alias("canon_url")
+    )
+    # the collapsed batch feeds BOTH the semi-join build side and the
+    # final left join — persist or the batch scan + agg run twice
+    groups = _persist_latest(
+        _FRONTIER_CACHE,
+        batch.groupBy("canon_url").agg(
+            F.min(id_col).alias("first_id"), F.count("*").alias("n_discovered")
+        ),
+    )
+    seen_keys = seen.select(F.col(seen_col).alias("canon_url"))
+    if broadcast_new:
+        # LEFT SEMI with the batch keys as the broadcast build side:
+        # a left-OUTER join could not broadcast `groups` (the preserved
+        # side must stream), so flag membership via the tiny hit set
+        hits = seen_keys.join(
+            F.broadcast(groups.select("canon_url")), "canon_url", "leftsemi"
+        ).withColumn("_seen", F.lit(True))
+    else:
+        hits = seen_keys.withColumn("_seen", F.lit(True))
+    in_seen = F.coalesce("_seen", F.lit(False))
+    return groups.join(hits, "canon_url", "left").select(
+        "canon_url",
+        "first_id",
+        "n_discovered",
+        in_seen.alias("in_seen"),
+        (~in_seen).alias("to_crawl"),
+    )

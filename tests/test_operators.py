@@ -2336,3 +2336,44 @@ def test_embedding_near_dup_delta_dim_mismatch_fails_loud(spark):
     )
     with pytest.raises(Exception, match="old-side vector 1 has dim 32"):
         embedding_near_dup_delta(new, old, dim=64).collect()
+
+
+def test_url_frontier_delta(spark):
+    """Within-batch collapse (first discoverer wins), seen-probe flags,
+    and the non-broadcast fallback agreeing with the broadcast path."""
+    from ai_pdf_extraction_spark.operators.urls import url_frontier_delta
+
+    new = spark.createDataFrame(
+        [
+            (1, "https://A.com:443/x//1/"),
+            (2, "https://a.com/x/1#frag"),  # canon-dup of event 1
+            (3, "http://b.com/y?utm_source=z"),  # seen hit after strip
+            (4, "http://c.com/new"),
+        ],
+        "event_id long, url string",
+    )
+    seen = spark.createDataFrame(
+        [("http://b.com/y",), ("http://other.com/z",)], "canon_url string"
+    )
+    out = {r["canon_url"]: r for r in url_frontier_delta(new, seen).collect()}
+    assert set(out) == {
+        "https://a.com/x/1", "http://b.com/y", "http://c.com/new"
+    }
+    a = out["https://a.com/x/1"]
+    assert (a["first_id"], a["n_discovered"], a["in_seen"], a["to_crawl"]) == (
+        1, 2, False, True
+    )
+    b = out["http://b.com/y"]
+    assert (b["n_discovered"], b["in_seen"], b["to_crawl"]) == (1, True, False)
+    assert out["http://c.com/new"]["to_crawl"]
+    # seen urls the batch never mentions must not appear
+    assert "http://other.com/z" not in out
+
+    plain = {
+        r["canon_url"]: (r["first_id"], r["n_discovered"], r["in_seen"])
+        for r in url_frontier_delta(new, seen, broadcast_new=False).collect()
+    }
+    assert plain == {
+        k: (v["first_id"], v["n_discovered"], v["in_seen"])
+        for k, v in out.items()
+    }

@@ -463,3 +463,14 @@ def test_lm_perplexity_model_joins_broadcast_no_window(spark):
     assert "partial_count" in plan and "partial_sum" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_frontier_seen_side_never_shuffled(spark):
+    """q80's probe must scan the seen-set map-side against broadcast
+    batch keys — a sort-merge (or any seen-side exchange) would
+    re-shuffle the 10^12-row historical relation on every crawl."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q80_url_frontier_delta(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
