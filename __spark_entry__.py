@@ -1928,6 +1928,22 @@ def q80_url_frontier_delta(spark, sf_dir):
     return url_frontier_delta(new, seen)
 
 
+def q81_cluster_balanced_sample(spark, sf_dir):
+    """Semantic cluster-balanced sampling: the trained IVF coarse
+    quantizer doubles as a domain clusterer (SemDeDup-style), and each
+    embedding-space domain is capped at 40 docs in a deterministic
+    (shard, md5, id) order — two-phase sharded rank, no per-cluster
+    funnel."""
+    from ai_pdf_extraction_spark.operators.scrub import (
+        cluster_balanced_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, _ivf_centroids(sf_dir), per_cluster=40
+    )
+
+
 def q37_url_canonicalize(spark, sf_dir):
     """URL canonicalization (crawl-dedup key normalization): messy
     urls deterministically synthesized from events rows — plus the
@@ -2585,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_bpe_pair_counts": q78_bpe_pair_counts,
         "q79_curated_corpus_v5": q79_curated_corpus_v5,
         "q80_url_frontier_delta": q80_url_frontier_delta,
+        "q81_cluster_balanced_sample": q81_cluster_balanced_sample,
     }
 
 
@@ -2660,11 +2677,11 @@ _COS_EXPR = (
 )
 
 
-def _ivf_sql(centroids: list, k: int = 5) -> str:
-    """q26 oracle: the SAME trained centroid literals as the Spark
-    plan, assignment = first-index argmin of rounded squared-L2
-    (list_position mirrors array_position's first-match rule), then
-    in-cluster cosine top-k."""
+def _d2_dlist_sql(centroids: list) -> str:
+    """Per-centroid rounded squared-L2 distances of ``embedding`` as a
+    DuckDB list literal — the assignment half of ``ivf_assign``'s SQL
+    twin, shared by the q26 IVF oracle and the q81 cluster-sampling
+    oracle."""
 
     def dist(c: list) -> str:
         lit = "[" + ", ".join(repr(x) for x in c) + "]"
@@ -2673,7 +2690,15 @@ def _ivf_sql(centroids: list, k: int = 5) -> str:
             "x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2]))), 6)"
         )
 
-    dlist = ",\n    ".join(dist(c) for c in centroids)
+    return ",\n    ".join(dist(c) for c in centroids)
+
+
+def _ivf_sql(centroids: list, k: int = 5) -> str:
+    """q26 oracle: the SAME trained centroid literals as the Spark
+    plan, assignment = first-index argmin of rounded squared-L2
+    (list_position mirrors array_position's first-match rule), then
+    in-cluster cosine top-k."""
+    dlist = _d2_dlist_sql(centroids)
     return f"""
 with darr as (
   select vec_id, embedding, [{dlist}] as dl from embeddings
@@ -3088,6 +3113,51 @@ def _q26_oracle_sql() -> str:
         return (
             "select * from read_parquet("
             "'/nonexistent/q26_ivf_centroid_training_failed')"
+        )
+
+
+def _cluster_sample_sql(centroids: list, per_cluster: int) -> str:
+    """q81 oracle: same centroid literals, first-match argmin, then a
+    per-cluster row_number in the operator's deterministic global
+    order (shard = id % 64, md5 of the decimal id, id) — DuckDB runs
+    the single-window form; the Spark plan's two-phase sharded rank
+    must equal it exactly."""
+    dlist = _d2_dlist_sql(centroids)
+    return f"""
+with darr as (
+  select vec_id, [{dlist}] as dl from embeddings
+),
+assign as (
+  select vec_id, (list_position(dl, list_min(dl)) - 1)::int as cluster
+  from darr
+),
+ranked as (
+  select vec_id, cluster,
+    row_number() over (partition by cluster
+                       order by vec_id % 64, md5(vec_id::varchar), vec_id)
+      as pick_rank,
+    count(*) over (partition by cluster) as cluster_size
+  from assign
+)
+select vec_id, cluster, pick_rank::bigint as pick_rank,
+       cluster_size::bigint as cluster_size
+from ranked where pick_rank <= {per_cluster}
+"""
+
+
+def _q81_oracle_sql() -> str:
+    """Degrades per-query like _q26_oracle_sql if training fails."""
+    try:
+        return _cluster_sample_sql(
+            _ivf_centroids(
+                os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+            ),
+            per_cluster=40,
+        )
+    except Exception:
+        return (
+            "select * from read_parquet("
+            "'/nonexistent/q81_ivf_centroid_training_failed')"
         )
 
 
@@ -4142,6 +4212,7 @@ select g.canon_url, g.first_id, g.n_discovered,
   (s.canon_url is null) as to_crawl
 from grp g left join seen s using (canon_url)
 """,
+        "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q38_lsh_topk": """
 with bucketed as (
   select vec_id, embedding,

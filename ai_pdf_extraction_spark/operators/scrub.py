@@ -356,3 +356,81 @@ def mixture_sample(
             F.col("_cum").cast("long").alias("cum_source_tokens"),
         )
     )
+
+
+_CBS_CACHE: list[DataFrame] = []
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Semantic cluster-balanced sampling — cap every embedding-space
+    domain at ``per_cluster`` docs so one dominant topic cannot swamp
+    the training mixture (the clustered-curation move of SemDeDup,
+    arXiv:2303.09540 §3, and the domain-balancing goal of DoReMi,
+    arXiv:2305.10429, using k-means domains; the trained IVF coarse
+    quantizer — ``similarity.train_ivf_centroids`` — IS the domain
+    clusterer, reused verbatim).
+
+    Output per kept doc: ``(id, cluster, pick_rank, cluster_size)`` —
+    rank and size stay in the row for auditability (how full was the
+    cap, how big was the domain).
+
+    Deterministic selection inside a cluster follows the mixture-
+    builder rule: global order ``(shard, md5(id), id)`` where ``shard
+    = id % n_shards`` — arbitrary but stable, reproducible across
+    engines and retries. The rank is computed in the two-phase sharded
+    form (``sequence_pack``'s shape): within-(cluster, shard) windows
+    plus one tiny bases window over ≤ k·n_shards rows, so a cluster
+    holding half the corpus never funnels through a single task.
+    Assignment is a pure Column argmin (JVM-side, centroid literals
+    ride the plan); the narrow (id, cluster, shard, h) projection is
+    persisted — it feeds both the rank leg and the bases leg.
+    """
+    from pyspark.sql import Window
+
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+    from ai_pdf_extraction_spark.operators.similarity import ivf_assign
+
+    d = _persist_latest(
+        _CBS_CACHE,
+        emb.select(
+            F.col(id_col).alias("_id"),
+            ivf_assign(vec_col, centroids).alias("cluster"),
+            (F.col(id_col) % n_shards).alias("_shard"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        ),
+    )
+    w_in = Window.partitionBy("cluster", "_shard").orderBy("_h", "_id")
+    within = d.withColumn("_rk_in", F.row_number().over(w_in))
+    # ≤ |centroids| * n_shards rows: the one permissible tiny window
+    w_base = (
+        Window.partitionBy("cluster")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_counts = d.groupBy("cluster", "_shard").agg(
+        F.count("*").alias("_n")
+    )
+    bases = shard_counts.select(
+        "cluster",
+        "_shard",
+        F.coalesce(F.sum("_n").over(w_base), F.lit(0)).alias("_base"),
+        F.sum("_n").over(Window.partitionBy("cluster")).alias("cluster_size"),
+    )
+    return (
+        within.join(F.broadcast(bases), ["cluster", "_shard"])
+        .withColumn("pick_rank", (F.col("_base") + F.col("_rk_in")).cast("long"))
+        .filter(F.col("pick_rank") <= per_cluster)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            "pick_rank",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -69,6 +69,8 @@ HEADLINE = [
     "q77_mixture_sample",  # source-weighted data-mixture builder
     "q78_bpe_pair_counts",  # distributed BPE training round-0
     "q79_curated_corpus_v5",  # capstone + LM-perplexity leg (7 families)
+    "q80_url_frontier_delta",  # crawl-frontier seen-set probe
+    "q81_cluster_balanced_sample",  # semantic domain capping
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

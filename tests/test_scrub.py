@@ -270,3 +270,67 @@ def test_mixture_windows_are_sharded(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_cluster_balanced_sample_matches_naive_window(spark):
+    """The two-phase sharded rank must equal the single-window
+    row_number over the operator's global (shard, md5, id) order, and
+    the cap must actually cut oversized clusters."""
+    from pyspark.sql import Window
+
+    from ai_pdf_extraction_spark.operators.scrub import (
+        cluster_balanced_sample,
+    )
+    from ai_pdf_extraction_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 5), float((i * 3) % 4)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[0.0, 0.0], [4.0, 3.0], [2.0, 1.0]]
+    got = sorted(
+        map(tuple, cluster_balanced_sample(
+            emb, cents, per_cluster=20, n_shards=8
+        ).collect())
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("vec_id") % 8, F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    naive = sorted(
+        map(tuple, emb.select(
+            "vec_id", ivf_assign("embedding", cents).alias("cluster")
+        )
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster")).cast("long"),
+        )
+        .filter(F.col("pick_rank") <= 20)
+        .collect())
+    )
+    assert got == naive and len(got) > 0
+    # the cap binds: some domain was larger than per_cluster
+    assert any(size > 20 for _, _, _, size in got)
+    assert all(rank <= 20 for _, _, rank, _ in got)
+
+
+def test_cluster_balanced_sample_windows_are_sharded(spark):
+    """The per-doc rank window must carry the shard in its partition
+    spec (no whole-cluster funnel); bases windows run over the tiny
+    grouped relation; the narrow assignment projection persists for
+    its two consumers."""
+    from ai_pdf_extraction_spark.operators.scrub import (
+        cluster_balanced_sample,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    out = cluster_balanced_sample(
+        emb, [[0.0, 1.0], [3.0, 1.0]], per_cluster=10, n_shards=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" in plan.split("Window")[1]
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2
