@@ -579,3 +579,82 @@ def test_apply_schema_never_raises_and_warns_exactly(spark, fields, doc):
         if r and n in doc and (doc[n] is None or doc[n] == "")
     )
     assert sorted(out["schema_warnings"]) == expected_warn
+
+
+# ---------------------------------------------------------------------------
+# round-7 shared kernels: BPE tokenizer + hashed-ngram LID
+# (the shared-kernel rule: the DuckDB oracle and the UDFs both import
+# these, so parity tests alone are tautological — fuzz the kernels
+# directly, and pin the kernel against its INDEPENDENT naive twin)
+# ---------------------------------------------------------------------------
+
+from ai_pdf_extraction_spark.kernels.bpe import (  # noqa: E402
+    BpeTokenizer,
+    encode_word,
+    pre_tokenize,
+    train_bpe,
+)
+
+_BPE_TOK = BpeTokenizer()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_bpe_tokenizer_lossless_bounded_and_matches_naive(text):
+    """Tokens must be a refinement of the pre-tokenization (lossless
+    concat, never fewer tokens than pre-tokens, never more than
+    characters), and the greedy lowest-rank loop must agree with the
+    independent one-pair-at-a-time naive twin on arbitrary unicode."""
+    from ai_pdf_extraction_spark.oracle.bpe_naive import naive_tokens
+
+    toks = _BPE_TOK.tokens(text)
+    pts = pre_tokenize(text)
+    assert "".join(toks) == "".join(pts)
+    assert _BPE_TOK.count(text) == len(toks)
+    assert len(pts) <= len(toks) <= sum(len(w) for w in pts)
+    assert toks == naive_tokens(text, _BPE_TOK.ranks)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdé9.", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=60),
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+def test_train_bpe_merges_always_reapply_losslessly(word_freqs, n_merges):
+    """Training on arbitrary tiny vocabularies never raises, honours
+    the merge budget, and the learned table re-tokenizes every trained
+    word back to itself (encode_word is total over the train set)."""
+    merges = train_bpe(word_freqs, n_merges)
+    assert len(merges) <= n_merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in word_freqs:
+        assert "".join(encode_word(w, ranks)) == w
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_lid_model_total_and_closed_over_langset(text):
+    """The committed hashed-ngram classifier must be total on
+    arbitrary unicode: predict always lands in langs ∪ {und}, scores
+    are one int per language, and empty/whitespace text is 'und'."""
+    from ai_pdf_extraction_spark.kernels.lid import UNKNOWN, LidModel
+
+    m = _LID_MODEL
+    p = m.predict(text)
+    assert p == UNKNOWN or p in m.langs
+    s = m.scores(text)
+    if s is None:
+        assert p == UNKNOWN
+    else:
+        assert len(s) == len(m.langs) and all(isinstance(x, int) for x in s)
+    if not text.strip():
+        assert p == UNKNOWN
+
+
+from ai_pdf_extraction_spark.kernels.lid import LidModel as _LidModel  # noqa: E402
+
+_LID_MODEL = _LidModel()
