@@ -1944,6 +1944,16 @@ def q81_cluster_balanced_sample(spark, sf_dir):
     )
 
 
+def q82_corpus_profile(spark, sf_dir):
+    """One-scan dataset-card profile: CUBE(lang, source) — per-cell,
+    both marginals, and the corpus total in a single partial-agg pass
+    (the naive form is 2^dims scans). gid is the shared Spark/DuckDB
+    grouping bitmask."""
+    from ai_pdf_extraction_spark.plans.profiling import corpus_profile
+
+    return corpus_profile(_t(spark, sf_dir, "documents"))
+
+
 def q37_url_canonicalize(spark, sf_dir):
     """URL canonicalization (crawl-dedup key normalization): messy
     urls deterministically synthesized from events rows — plus the
@@ -2602,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_curated_corpus_v5": q79_curated_corpus_v5,
         "q80_url_frontier_delta": q80_url_frontier_delta,
         "q81_cluster_balanced_sample": q81_cluster_balanced_sample,
+        "q82_corpus_profile": q82_corpus_profile,
     }
 
 
@@ -4213,6 +4224,12 @@ select g.canon_url, g.first_id, g.n_discovered,
 from grp g left join seen s using (canon_url)
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
+        "q82_corpus_profile": """
+select lang, source, grouping(lang, source)::bigint as gid,
+  count(*) as n_docs, sum(n_chars)::bigint as total_chars,
+  round(avg(n_chars), 2) as avg_chars
+from documents group by cube(lang, source)
+""",
         "q38_lsh_topk": """
 with bucketed as (
   select vec_id, embedding,

@@ -156,3 +156,39 @@ def profile_corpus(spark: SparkSession, input_path: str, max_docs: int = 64) -> 
         "lang_mix": lang_mix,
         "output_schema": EXTRACTION_TYPE.simpleString(),
     }
+
+
+def corpus_profile(
+    docs: DataFrame,
+    dims: tuple[str, ...] = ("lang", "source"),
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Dataset-card telemetry in ONE source scan: doc counts, char
+    volume, and mean doc length for EVERY combination of the profile
+    dimensions — per (lang, source) cell, per-lang and per-source
+    marginals, and the corpus total — via ``CUBE`` grouping sets.
+    ``gid`` is the grouping bitmask (first dim = MSB, the convention
+    Spark's ``grouping_id`` and DuckDB's ``grouping`` share; verified
+    cross-engine by the q82 contract) and distinguishes an aggregated
+    dimension from a genuinely-null dimension value.
+
+    The naive form runs one groupBy per marginal — 2^|dims| scans of a
+    100 TB corpus. CUBE expands each input row map-side into its
+    grouping-set combinations feeding ONE partial aggregation: a
+    single scan, one shuffle of (cells × combinations) partial rows,
+    and the reduced relation is dataset-card sized (|langs| ×
+    |sources| cells plus marginals).
+
+    The reference's analogue is the per-batch status/metrics rollup
+    (``routers/batches.py`` progress counters); this is that report at
+    corpus scale with marginals."""
+    return (
+        docs.cube(*dims)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(chars_col).cast("long")).alias("total_chars"),
+            F.round(F.avg(chars_col), 2).alias("avg_chars"),
+        )
+        .select(*dims, "gid", "n_docs", "total_chars", "avg_chars")
+    )

@@ -474,3 +474,23 @@ def test_url_frontier_seen_side_never_shuffled(spark):
     plan = _plan(e.q80_url_frontier_delta(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_profile_one_scan_and_consistent_marginals(spark):
+    """CUBE must profile in ONE source scan (the naive form is
+    2^dims scans), and every marginal must sum to the total row."""
+    import __spark_entry__ as e
+
+    df = e.q82_corpus_profile(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # grouping-set expansion, not repeated scans
+    rows = df.collect()
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1
+    by_lang = [r for r in rows if r["gid"] == 1]
+    by_src = [r for r in rows if r["gid"] == 2]
+    cells = [r for r in rows if r["gid"] == 0]
+    for part in (by_lang, by_src, cells):
+        assert sum(r["n_docs"] for r in part) == total[0]["n_docs"]
+        assert sum(r["total_chars"] for r in part) == total[0]["total_chars"]
