@@ -215,3 +215,85 @@ def test_frozen_universe_excludes_index_hot_shingles(spark):
     ).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert (100, 101) in pairs
+
+
+# ---------------------------------------------------------------------------
+# at-rest seen-url set (the frontier's persistent half)
+# ---------------------------------------------------------------------------
+
+
+def test_seen_set_roundtrip_append_and_crawl_loop(spark, tmp_path):
+    """Build → load (one row per url), overlap-safe append keeps the
+    invariant, and the full crawl loop converges: after appending the
+    frontier, re-probing the same batch finds nothing new."""
+    import os
+
+    from ai_pdf_extraction_spark.sources.seen_urls import (
+        append_seen_set,
+        frontier_from_seen_set,
+        load_seen_set,
+        write_seen_set,
+    )
+
+    d = str(tmp_path / "seen")
+    base = spark.createDataFrame(
+        [("http://a/1",), ("http://a/2",), ("http://a/2",)],
+        "canon_url string",
+    )
+    m = write_seen_set(base, d)
+    assert m["n_urls"] == 2  # build distincts
+    assert load_seen_set(spark, d).count() == 2
+
+    # overlap-safe append: only the genuinely new url lands
+    m = append_seen_set(
+        spark, d,
+        spark.createDataFrame([("http://a/2",), ("http://b/9",)],
+                              "canon_url string"),
+    )
+    assert m["n_urls"] == 3
+    got = {r["canon_url"] for r in load_seen_set(spark, d).collect()}
+    assert got == {"http://a/1", "http://a/2", "http://b/9"}
+    # invariant: batch union is already distinct (no dedup on read)
+    assert load_seen_set(spark, d).count() == 3
+
+    # crawl loop: probe, append to_crawl (assume_unseen), re-probe
+    batch = spark.createDataFrame(
+        [(1, "http://a/1#frag"), (2, "http://c/new"), (3, "http://c/new")],
+        "event_id long, url string",
+    )
+    fr = frontier_from_seen_set(spark, d, batch)
+    to_crawl = fr.filter("to_crawl")
+    assert {r["canon_url"] for r in to_crawl.collect()} == {"http://c/new"}
+    append_seen_set(spark, d, to_crawl, assume_unseen=True)
+    again = frontier_from_seen_set(spark, d, batch)
+    assert again.filter("to_crawl").count() == 0
+    assert again.filter("in_seen").count() == 2
+
+    # crash-orphan: a batch dir with no manifest entry is invisible
+    orphan = os.path.join(d, "b9_deadbeef")
+    spark.createDataFrame([("http://x/ghost",)], "canon_url string") \
+        .write.parquet(orphan)
+    assert load_seen_set(spark, d).count() == 3 + 1  # c/new appended
+
+
+def test_seen_set_version_mismatch_fails_loud(spark, tmp_path):
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ai_pdf_extraction_spark.sources.seen_urls import (
+        load_seen_set,
+        write_seen_set,
+    )
+
+    d = str(tmp_path / "seen2")
+    write_seen_set(
+        spark.createDataFrame([("u",)], "canon_url string"), d
+    )
+    p = os.path.join(d, "seen.json")
+    m = json.load(open(p))
+    m["version"] = 999
+    json.dump(m, open(p, "w"))
+    with _pytest.raises(ValueError, match="version"):
+        load_seen_set(spark, d)
