@@ -150,3 +150,85 @@ def hourly_counts_stream(pages_stream: DataFrame) -> DataFrame:
             "n_pages",
         )
     )
+
+
+def run_frontier_stream(
+    spark: SparkSession,
+    input_dir: str,
+    seen_dir: str,
+    frontier_out_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    id_col: str = "event_id",
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming crawl-frontier loop: continuously-arriving url
+    batches (parquet files of ``(id, url)`` discoveries) are probed
+    against the at-rest seen-set, the ``to_crawl`` frontier rows land
+    under ``frontier_out_dir/batch=<epoch>/``, and the same rows are
+    appended to the seen-set — so a url discovered in micro-batch N is
+    already "seen" for micro-batch N+1. ``Trigger.AvailableNow`` +
+    checkpoint, the module's drain-and-stop twin discipline.
+
+    The probe/append pair is a foreachBatch: the seen-set manifest
+    commit is an external transaction Spark's file-sink WAL cannot
+    cover, and the frontier decision for batch N+1 depends on batch
+    N's append — a plain streaming join against a static seen relation
+    would keep serving the PLAN-TIME snapshot. Replay safety: the
+    batch is a no-op when the probe finds nothing new, which covers
+    both crash windows — a crash BEFORE the append replays into the
+    same non-empty probe result and deterministically rewrites the
+    epoch dir; a crash AFTER the append replays into an empty probe,
+    and skipping empty batches is what keeps the already-written
+    frontier output from being overwritten with nothing (writing
+    ∅ unconditionally would lose the epoch's frontier on exactly that
+    window). At scale each micro-batch probe is the q80 broadcast
+    semi — the seen-set is scanned, never shuffled, per batch.
+    """
+    from pyspark.sql.types import LongType
+
+    from ai_pdf_extraction_spark.sources.seen_urls import (
+        append_seen_set,
+        frontier_from_seen_set,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField(url_col, StringType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def _probe_and_append(batch_df: DataFrame, epoch: int) -> None:
+        fr = frontier_from_seen_set(
+            spark, seen_dir, batch_df, url_col=url_col, id_col=id_col
+        )
+        to_crawl = fr.filter("to_crawl").persist()
+        try:
+            if to_crawl.count() == 0:
+                return  # replayed (or genuinely empty) batch: no-op
+            (
+                to_crawl.write.mode("overwrite")
+                .parquet(f"{frontier_out_dir}/batch={epoch}")
+            )
+            append_seen_set(spark, seen_dir, to_crawl, assume_unseen=True)
+        finally:
+            to_crawl.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    # awaitTermination(timeout) returns a bool and SWALLOWS a
+    # foreachBatch failure — surface it, or a crashed probe looks
+    # like a clean drain with an empty frontier
+    if q.exception() is not None:
+        raise q.exception()

@@ -699,3 +699,67 @@ def test_apply_schema_is_stream_safe(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == expected and len(got) == 40
+
+
+def test_streaming_frontier_loop(spark, tmp_path):
+    """Micro-batch N's appended urls are 'seen' for later arrivals: a
+    second drain of a file repeating batch-1 urls emits nothing new,
+    the seen-set converges, and a checkpoint restart is a no-op."""
+    import os
+
+    from ai_pdf_extraction_spark.sources.seen_urls import (
+        load_seen_set,
+        write_seen_set,
+    )
+    from ai_pdf_extraction_spark.streaming.ingest import run_frontier_stream
+
+    in_dir = str(tmp_path / "urls_in")
+    seen_dir = str(tmp_path / "seen")
+    out_dir = str(tmp_path / "frontier_out")
+    ckpt = str(tmp_path / "frontier_ckpt")
+    os.makedirs(in_dir)
+
+    write_seen_set(
+        spark.createDataFrame([("http://old.com/a",)], "canon_url string"),
+        seen_dir,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _url_file(name, rows):
+        # FLAT files: the file-stream source lists files, it does not
+        # descend into non-partition subdirectories
+        ids, urls = zip(*rows)
+        pq.write_table(
+            pa.table({"event_id": pa.array(ids, pa.int64()),
+                      "url": pa.array(urls, pa.string())}),
+            os.path.join(in_dir, name),
+        )
+
+    _url_file("batch1.parquet",
+              [(1, "http://old.com/a#f"), (2, "http://new.com/x"),
+               (3, "http://new.com/x?utm_source=s")])
+
+    run_frontier_stream(spark, in_dir, seen_dir, out_dir, ckpt,
+                        timeout_sec=120)
+    fr = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert {r["canon_url"] for r in fr.collect()} == {"http://new.com/x"}
+    assert {r["canon_url"] for r in load_seen_set(spark, seen_dir).collect()} \
+        == {"http://old.com/a", "http://new.com/x"}
+
+    # a later file repeating the now-seen url + one genuinely new one
+    _url_file("batch2.parquet",
+              [(4, "http://new.com/x"), (5, "http://fresh.com/y")])
+    run_frontier_stream(spark, in_dir, seen_dir, out_dir, ckpt,
+                        timeout_sec=120)
+    fr2 = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert {r["canon_url"] for r in fr2.collect()} == {
+        "http://new.com/x", "http://fresh.com/y"
+    }
+    n_seen = load_seen_set(spark, seen_dir).count()
+    assert n_seen == 3
+
+    # restart on the drained checkpoint: nothing replays, set stable
+    run_frontier_stream(spark, in_dir, seen_dir, out_dir, ckpt,
+                        timeout_sec=120)
+    assert load_seen_set(spark, seen_dir).count() == n_seen
