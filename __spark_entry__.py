@@ -1882,10 +1882,17 @@ _URL_CANON_FINAL_SQL = (
 # so distinct events collide on a canonical url — the %3 variants 1/2
 # canonicalize together (frag drop / trailing-slash trim) while
 # variant 0 keeps its ?x=2 query, giving within-batch duplicate
-# groups AND old∩new seen-set hits under the %4 split.
+# groups AND old∩new seen-set hits under the %4 split. Events with
+# id % 10 == 0 instead get a globally-UNIQUE /u/ path (keyed on the
+# full id): since the old side is dense in every modular key class it
+# covers the whole /p/ space, and without the unique slice the new
+# batch would be 100% in_seen — a to_crawl-vacuous contract (the q73
+# 0-rows-on-both-engines-proves-nothing lesson).
 _Q80_RAW_URL_SQL = (
-    "'HTTPS://Host' || (event_id % 7) || '.Example.COM:443/p//' || "
-    "(event_id % 211) || (case when event_id % 3 = 0 then "
+    "'HTTPS://Host' || (event_id % 7) || '.Example.COM:443' || "
+    "(case when event_id % 10 = 0 then '/u//' || event_id "
+    "else '/p//' || (event_id % 211) end) || "
+    "(case when event_id % 3 = 0 then "
     "'/?utm_source=a&x=2' when event_id % 3 = 1 then '/#frag' "
     "else '/' end)"
 )
@@ -1896,8 +1903,15 @@ def _q80_messy_url() -> F.Column:
     return F.concat(
         F.lit("HTTPS://Host"),
         (F.col("event_id") % 7).cast("string"),
-        F.lit(".Example.COM:443/p//"),
-        (F.col("event_id") % 211).cast("string"),
+        F.lit(".Example.COM:443"),
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.concat(F.lit("/u//"), F.col("event_id").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("/p//"), (F.col("event_id") % 211).cast("string")
+            )
+        ),
         F.when(F.col("event_id") % 3 == 0, "/?utm_source=a&x=2")
         .when(F.col("event_id") % 3 == 1, "/#frag")
         .otherwise("/"),
@@ -1926,6 +1940,43 @@ def q80_url_frontier_delta(spark, sf_dir):
     )
     new = pages.filter(F.col("event_id") % 4 == 0)
     return url_frontier_delta(new, seen)
+
+
+def q83_frontier_host_cap(spark, sf_dir):
+    """Per-host crawl politeness over the q80 frontier: each host's
+    to-crawl urls capped at 20 for the cycle, ranked in the
+    deterministic (shard, md5(url), url) order via the two-phase
+    sharded rank — the skewed-host hazard handled on the frontier
+    side (deferred urls resurface next cycle: never seen-appended)."""
+    from ai_pdf_extraction_spark.operators.urls import frontier_host_cap
+
+    return frontier_host_cap(
+        q80_url_frontier_delta(spark, sf_dir), per_host=20
+    )
+
+
+def _q80_frontier_ctes() -> str:
+    """The q80 oracle as reusable CTE text ending in ``fr(canon_url,
+    first_id, n_discovered, in_seen, to_crawl)`` — shared by the q80
+    contract and the q83 host-cap oracle."""
+    return f"""raw as (
+  select event_id, {_Q80_RAW_URL_SQL} as raw_url from events
+), {_URL_CANON_CHAIN_SQL},
+canon as (
+  select event_id, {_URL_CANON_FINAL_SQL} as canon_url from s5
+),
+seen as (select distinct canon_url from canon where event_id % 4 != 0),
+batch as (select event_id, canon_url from canon where event_id % 4 = 0),
+grp as (
+  select canon_url, min(event_id) as first_id, count(*) as n_discovered
+  from batch group by canon_url
+),
+fr as (
+  select g.canon_url, g.first_id, g.n_discovered,
+    (s.canon_url is not null) as in_seen,
+    (s.canon_url is null) as to_crawl
+  from grp g left join seen s using (canon_url)
+)"""
 
 
 def q81_cluster_balanced_sample(spark, sf_dir):
@@ -2613,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_url_frontier_delta": q80_url_frontier_delta,
         "q81_cluster_balanced_sample": q81_cluster_balanced_sample,
         "q82_corpus_profile": q82_corpus_profile,
+        "q83_frontier_host_cap": q83_frontier_host_cap,
     }
 
 
@@ -4206,22 +4258,26 @@ select event_id, raw_url,
 from s5
 """,
         "q80_url_frontier_delta": f"""
-with raw as (
-  select event_id, {_Q80_RAW_URL_SQL} as raw_url from events
-), {_URL_CANON_CHAIN_SQL},
-canon as (
-  select event_id, {_URL_CANON_FINAL_SQL} as canon_url from s5
+with {_q80_frontier_ctes()}
+select canon_url, first_id, n_discovered, in_seen, to_crawl from fr
+""",
+        "q83_frontier_host_cap": f"""
+with {_q80_frontier_ctes()},
+hosted as (
+  select canon_url, first_id,
+    regexp_extract(canon_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+      as host
+  from fr where to_crawl
 ),
-seen as (select distinct canon_url from canon where event_id % 4 != 0),
-batch as (select event_id, canon_url from canon where event_id % 4 = 0),
-grp as (
-  select canon_url, min(event_id) as first_id, count(*) as n_discovered
-  from batch group by canon_url
+ranked as (
+  select canon_url, host, first_id,
+    row_number() over (partition by host
+                       order by first_id % 64, md5(canon_url), canon_url)
+      as pick_rank
+  from hosted
 )
-select g.canon_url, g.first_id, g.n_discovered,
-  (s.canon_url is not null) as in_seen,
-  (s.canon_url is null) as to_crawl
-from grp g left join seen s using (canon_url)
+select canon_url, host, first_id, pick_rank::bigint as pick_rank
+from ranked where pick_rank <= 20
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q82_corpus_profile": """

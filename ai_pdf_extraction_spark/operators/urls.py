@@ -134,3 +134,75 @@ def url_frontier_delta(
         in_seen.alias("in_seen"),
         (~in_seen).alias("to_crawl"),
     )
+
+
+_HOSTCAP_CACHE: list[DataFrame] = []
+
+
+def frontier_host_cap(
+    frontier: DataFrame,
+    per_host: int,
+    url_col: str = "canon_url",
+    id_col: str = "first_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Crawl politeness: cap the to-crawl frontier at ``per_host`` urls
+    per host for this cycle (every crawler rate-limits per origin — a
+    batch that schedules 10^6 urls against one host is a DoS, and the
+    host's crawl-delay makes the tail worthless anyway; deferred urls
+    simply resurface in a later cycle's probe because they were never
+    appended to the seen-set).
+
+    Input is :func:`url_frontier_delta`'s output (the ``to_crawl``
+    flag and per-url discoverer id); output per kept url:
+    ``(canon_url, host, first_id, pick_rank)``.
+
+    Selection is the deterministic (shard, md5(url), url) order within
+    each host, ranked in the two-phase sharded form (the
+    ``cluster_balanced_sample`` shape) — a mega-host with half the
+    frontier never funnels through one task, which is exactly the
+    skewed-host hazard the north rule's salted aggregation targets,
+    on the frontier side. The narrow projection persists (rank leg +
+    bases leg)."""
+    from pyspark.sql import Window
+
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    d = _persist_latest(
+        _HOSTCAP_CACHE,
+        frontier.filter(F.col("to_crawl"))
+        .select(
+            F.col(url_col),
+            F.col(id_col),
+            F.regexp_extract(
+                url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1
+            ).alias("host"),
+            (F.col(id_col) % n_shards).alias("_shard"),
+            F.md5(url_col).alias("_h"),
+        ),
+    )
+    w_in = Window.partitionBy("host", "_shard").orderBy("_h", url_col)
+    within = d.withColumn("_rk_in", F.row_number().over(w_in))
+    # ≤ |hosts| * n_shards rows: the one permissible tiny window
+    w_base = (
+        Window.partitionBy("host")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        d.groupBy("host", "_shard")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "host",
+            "_shard",
+            F.coalesce(F.sum("_n").over(w_base), F.lit(0)).alias("_base"),
+        )
+    )
+    return (
+        within.join(F.broadcast(bases), ["host", "_shard"])
+        .withColumn(
+            "pick_rank", (F.col("_base") + F.col("_rk_in")).cast("long")
+        )
+        .filter(F.col("pick_rank") <= per_host)
+        .select(url_col, "host", id_col, "pick_rank")
+    )

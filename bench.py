@@ -71,6 +71,7 @@ HEADLINE = [
     "q79_curated_corpus_v5",  # capstone + LM-perplexity leg (7 families)
     "q80_url_frontier_delta",  # crawl-frontier seen-set probe
     "q81_cluster_balanced_sample",  # semantic domain capping
+    "q83_frontier_host_cap",  # per-host crawl politeness
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

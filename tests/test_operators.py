@@ -2377,3 +2377,44 @@ def test_url_frontier_delta(spark):
         k: (v["first_id"], v["n_discovered"], v["in_seen"])
         for k, v in out.items()
     }
+
+
+def test_frontier_host_cap_matches_naive_and_defers(spark):
+    """Two-phase sharded rank equals the naive per-host window; the
+    cap binds on the hot host; non-to_crawl rows never appear."""
+    from pyspark.sql import Window
+
+    from ai_pdf_extraction_spark.operators.urls import frontier_host_cap
+
+    fr = spark.createDataFrame(
+        [(f"http://big.com/{i}", i, 1, False, True) for i in range(30)]
+        + [(f"http://small.com/{i}", 100 + i, 1, False, True)
+           for i in range(3)]
+        + [("http://seen.com/x", 999, 2, True, False)],
+        "canon_url string, first_id long, n_discovered long, "
+        "in_seen boolean, to_crawl boolean",
+    )
+    got = sorted(
+        map(tuple, frontier_host_cap(fr, per_host=10, n_shards=8).collect())
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("first_id") % 8, F.md5("canon_url"), "canon_url"
+    )
+    naive = sorted(
+        map(tuple, fr.filter("to_crawl")
+        .withColumn(
+            "host",
+            F.regexp_extract(
+                "canon_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1
+            ),
+        )
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= 10)
+        .select("canon_url", "host", "first_id", "pick_rank")
+        .collect())
+    )
+    assert got == naive
+    hosts = [h for _, h, _, _ in got]
+    assert hosts.count("big.com") == 10  # cap binds
+    assert hosts.count("small.com") == 3  # under-cap host keeps all
+    assert "seen.com" not in hosts
