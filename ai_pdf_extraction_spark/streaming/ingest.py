@@ -232,3 +232,90 @@ def run_frontier_stream(
     # like a clean drain with an empty frontier
     if q.exception() is not None:
         raise q.exception()
+
+
+def run_dedup_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    accepted_out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming ingest-time dedup — the content twin of
+    :func:`run_frontier_stream`, and the reference's ingest-time
+    duplicate rejection (``routers/batches.py:381``: hash each upload
+    against the stored hashes, reject matches) run continuously:
+    continuously-arriving document files (parquet ``(doc_id, text)``)
+    are exact-delta-deduped against the at-rest fingerprint index,
+    ACCEPTED docs (not a duplicate of the index or of an earlier row
+    in their own batch) land under ``accepted_out_dir/batch=<epoch>/``
+    with their dedup verdict columns, and the batch is appended to the
+    index — so a doc ingested in micro-batch N rejects its duplicate
+    in micro-batch N+1.
+
+    Same replay discipline as the frontier stream: the batch no-ops
+    when nothing is accepted. A crash before the append replays into
+    the same accepted set (deterministic rewrite); a crash after it
+    replays into an all-``in_index`` probe — zero accepted — and
+    skipping preserves the epoch output the first attempt wrote. Only
+    ACCEPTED rows are appended: each duplicate group's canonical row
+    carries the fingerprint into the index, which is all membership
+    (the signal driving ``in_index``) needs — rejected rows would only
+    inflate group counts.
+
+    Per micro-batch the probe is one fp group-by over the batch plus
+    an equi-join against the aggregated index relation (one row per
+    distinct fingerprint — ≪ corpus); the old corpus is never
+    re-scanned (the ``dedup_index`` contract).
+    """
+    from pyspark.sql.types import LongType
+
+    from ai_pdf_extraction_spark.operators.dedup_index import (
+        append_dedup_index,
+        exact_delta_from_index,
+        load_dedup_index,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def _dedup_and_append(batch_df: DataFrame, epoch: int) -> None:
+        idx = load_dedup_index(spark, index_dir)
+        verdicts = exact_delta_from_index(idx, batch_df)
+        accepted = (
+            batch_df.join(
+                verdicts.filter(~F.col("is_dup") & ~F.col("in_index")),
+                "doc_id",
+            )
+            .persist()
+        )
+        try:
+            if accepted.count() == 0:
+                return  # replayed (or all-duplicate) batch: no-op
+            (
+                accepted.write.mode("overwrite")
+                .parquet(f"{accepted_out_dir}/batch={epoch}")
+            )
+            append_dedup_index(spark, index_dir, accepted)
+        finally:
+            accepted.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_dedup_and_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.exception() is not None:
+        raise q.exception()

@@ -763,3 +763,68 @@ def test_streaming_frontier_loop(spark, tmp_path):
     run_frontier_stream(spark, in_dir, seen_dir, out_dir, ckpt,
                         timeout_sec=120)
     assert load_seen_set(spark, seen_dir).count() == n_seen
+
+
+def test_streaming_dedup_ingest_loop(spark, tmp_path):
+    """Ingest-time dedup across micro-batches: batch N's accepted docs
+    reject their duplicates arriving in batch N+1; within-batch dups
+    keep only the canonical; checkpoint restart is a no-op."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_pdf_extraction_spark.operators.dedup_index import (
+        write_dedup_index,
+    )
+    from ai_pdf_extraction_spark.streaming.ingest import (
+        run_dedup_ingest_stream,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    idx_dir = str(tmp_path / "dedup_idx")
+    out_dir = str(tmp_path / "accepted_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    os.makedirs(in_dir)
+
+    write_dedup_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "the original corpus document")], "doc_id long, text string"
+        ),
+        idx_dir,
+    )
+
+    def _doc_file(name, rows):
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            os.path.join(in_dir, name),
+        )
+
+    _doc_file("b1.parquet", [
+        (10, "the original corpus document"),   # dup of the index
+        (11, "a brand new document"),            # accepted
+        (12, "a brand new document"),            # within-batch dup of 11
+    ])
+    run_dedup_ingest_stream(spark, in_dir, idx_dir, out_dir, ckpt,
+                            timeout_sec=120)
+    acc = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert {r["doc_id"] for r in acc.collect()} == {11}
+
+    # batch 2: a dup of batch 1's accepted doc + one genuinely new
+    _doc_file("b2.parquet", [
+        (20, "a brand new document"),
+        (21, "another unseen document"),
+    ])
+    run_dedup_ingest_stream(spark, in_dir, idx_dir, out_dir, ckpt,
+                            timeout_sec=120)
+    acc2 = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert {r["doc_id"] for r in acc2.collect()} == {11, 21}
+
+    # drained checkpoint restart: nothing replays
+    run_dedup_ingest_stream(spark, in_dir, idx_dir, out_dir, ckpt,
+                            timeout_sec=120)
+    assert spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .count() == 2
