@@ -1955,6 +1955,100 @@ def q83_frontier_host_cap(spark, sf_dir):
     )
 
 
+def _q84_links(spark, sf_dir):
+    """Deterministic page-level hyperlink relation synthesized from
+    ``events`` (the q80 discipline: both engines derive the identical
+    link set from modular arithmetic on event_id — no external data).
+    13 hosts; the 7x+3 map mixes the id classes so the host graph is
+    dense, weighted, and asymmetric."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("event_id") % 13).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://host"),
+            ((F.col("event_id") * 7 + 3) % 13).cast("string"),
+            F.lit(".example.com/q/"),
+            (F.col("event_id") % 211).cast("string"),
+        ).alias("dst_url"),
+    )
+
+
+def q84_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (3 damped iterations, integer micro-units):
+    the Common-Crawl-style host centrality a frontier scheduler and
+    mixture builder rank origins by. Integer arithmetic end-to-end —
+    rank sums are exact int64, so the result is bit-identical at any
+    parallelism and matches the DuckDB chained-CTE oracle exactly."""
+    from ai_pdf_extraction_spark.operators.graphs import (
+        host_edges,
+        pagerank,
+    )
+
+    return pagerank(host_edges(_q84_links(spark, sf_dir)), iterations=3)
+
+
+def q85_link_degree_stats(spark, sf_dir):
+    """Webgraph degree marginals per host (in/out distinct-host and
+    weight totals) — the dataset-card companion to q84, two
+    partial-agg groupBys recombined on the tiny per-host cells."""
+    from ai_pdf_extraction_spark.operators.graphs import (
+        host_edges,
+        link_degree_stats,
+    )
+
+    return link_degree_stats(host_edges(_q84_links(spark, sf_dir)))
+
+
+def _q84_graph_ctes() -> str:
+    """q84/q85 oracle prefix: the synthesized link relation collapsed
+    to the weighted host graph + out-weights (keep in lockstep with
+    ``_q84_links`` / ``operators.graphs.host_edges``)."""
+    return """links as (
+  select 'host' || (event_id % 13)::varchar || '.example.com' as src,
+         'host' || ((event_id * 7 + 3) % 13)::varchar || '.example.com'
+           as dst
+  from events
+),
+edges as (
+  select src, dst, count(*)::bigint as weight
+  from links where src <> dst group by src, dst
+)"""
+
+
+def _q84_pagerank_sql(iterations: int = 3) -> str:
+    """Chained-CTE integer PageRank, one (contribs, ranks) CTE pair
+    per iteration — the exact semantics of ``operators.graphs.
+    pagerank`` (DuckDB ``//`` == Spark ``div`` on the non-negative
+    int64s involved)."""
+    parts = [
+        _q84_graph_ctes(),
+        """outw as (select src, sum(weight) as wout from edges group by src),
+nodes as (select src as host from edges union select dst from edges),
+r0 as (select host, 1000000::bigint as r from nodes)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""c{i} as (
+  select e.dst as host,
+    sum((r.r * 85 * e.weight) // (100 * o.wout)) as c
+  from edges e join outw o using (src) join r{i - 1} r on r.host = e.src
+  group by e.dst
+),
+r{i} as (
+  select n.host, (150000 + coalesce(c.c, 0))::bigint as r
+  from nodes n left join c{i} c using (host)
+)""")
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f'\nselect host, r as "rank" from r{iterations}'
+    )
+
+
 def _q80_frontier_ctes() -> str:
     """The q80 oracle as reusable CTE text ending in ``fr(canon_url,
     first_id, n_discovered, in_seen, to_crawl)`` — shared by the q80
@@ -2665,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_cluster_balanced_sample": q81_cluster_balanced_sample,
         "q82_corpus_profile": q82_corpus_profile,
         "q83_frontier_host_cap": q83_frontier_host_cap,
+        "q84_host_pagerank": q84_host_pagerank,
+        "q85_link_degree_stats": q85_link_degree_stats,
     }
 
 
@@ -4278,6 +4374,26 @@ ranked as (
 )
 select canon_url, host, first_id, pick_rank::bigint as pick_rank
 from ranked where pick_rank <= 20
+""",
+        "q84_host_pagerank": _q84_pagerank_sql(3),
+        "q85_link_degree_stats": f"""
+with {_q84_graph_ctes()},
+outs as (
+  select src as host, count(*)::bigint as out_hosts,
+    sum(weight)::bigint as out_weight
+  from edges group by src
+),
+ins as (
+  select dst as host, count(*)::bigint as in_hosts,
+    sum(weight)::bigint as in_weight
+  from edges group by dst
+)
+select coalesce(o.host, i.host) as host,
+  coalesce(o.out_hosts, 0) as out_hosts,
+  coalesce(o.out_weight, 0) as out_weight,
+  coalesce(i.in_hosts, 0) as in_hosts,
+  coalesce(i.in_weight, 0) as in_weight
+from outs o full outer join ins i on o.host = i.host
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q82_corpus_profile": """
