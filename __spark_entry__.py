@@ -2004,6 +2004,48 @@ def q85_link_degree_stats(spark, sf_dir):
     return link_degree_stats(host_edges(_q84_links(spark, sf_dir)))
 
 
+def q86_robots_filter(spark, sf_dir):
+    """robots.txt admission control over the synthesized link corpus:
+    per-host robots bodies (only ``User-agent: *`` groups bind; the
+    BadBot group must be ignored) parsed to a prefix-rule relation,
+    then every distinct url decided by RFC 9309 longest-match (allow
+    wins ties) — one broadcast join + one partial-agg groupBy, no
+    window. Hosts ≡ 2 (mod 3) publish no robots: all-allowed."""
+    from ai_pdf_extraction_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+
+    links = _q84_links(spark, sf_dir)
+    urls = (
+        links.select(F.col("src_url").alias("url"))
+        .union(links.select("dst_url"))
+        .distinct()
+    )
+    robots = (
+        spark.range(13)
+        .filter((F.col("id") % 3) != 2)
+        .select(
+            F.concat(
+                F.lit("host"), F.col("id").cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            F.when(
+                F.col("id") % 3 == 0,
+                F.lit("User-agent: *\nDisallow: /p/\nAllow: /p/1"),
+            )
+            .otherwise(
+                F.lit(
+                    "User-agent: BadBot\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /q/"
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    return robots_filter(urls, parse_robots(robots))
+
+
 def _q84_graph_ctes() -> str:
     """q84/q85 oracle prefix: the synthesized link relation collapsed
     to the weighted host graph + out-weights (keep in lockstep with
@@ -2761,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_frontier_host_cap": q83_frontier_host_cap,
         "q84_host_pagerank": q84_host_pagerank,
         "q85_link_degree_stats": q85_link_degree_stats,
+        "q86_robots_filter": q86_robots_filter,
     }
 
 
@@ -4394,6 +4437,95 @@ select coalesce(o.host, i.host) as host,
   coalesce(i.in_hosts, 0) as in_hosts,
   coalesce(i.in_weight, 0) as in_weight
 from outs o full outer join ins i on o.host = i.host
+""",
+        # q86: robots parse (windows partition by host) + longest-match
+        # apply (conditional maxes) — keep in lockstep with
+        # operators/robots.py
+        "q86_robots_filter": """
+with lurls as (
+  select 'http://host' || (event_id % 13)::varchar || '.example.com/p/'
+           || event_id::varchar as url
+  from events
+  union
+  select 'http://host' || ((event_id * 7 + 3) % 13)::varchar
+           || '.example.com/q/' || (event_id % 211)::varchar
+  from events
+),
+robots as (
+  select 'host' || i::varchar || '.example.com' as host,
+    case when i % 3 = 0
+      then 'User-agent: *' || chr(10) || 'Disallow: /p/' || chr(10)
+           || 'Allow: /p/1'
+      else 'User-agent: BadBot' || chr(10) || 'Disallow: /' || chr(10)
+           || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /q/'
+    end as txt
+  from generate_series(0, 12) t(i) where i % 3 != 2
+),
+lines0 as (
+  select host, unnest(string_split(txt, chr(10))) as raw,
+    generate_subscripts(string_split(txt, chr(10)), 1) as pos
+  from robots
+),
+rlines as (
+  select host, pos, trim(regexp_replace(raw, '#.*$', '')) as l
+  from lines0
+),
+marked as (
+  select host, pos, l,
+    regexp_matches(l, '(?i)^user-agent\\s*:') as is_ua,
+    coalesce(lag(regexp_matches(l, '(?i)^user-agent\\s*:'))
+               over (partition by host order by pos), false) as prev_ua
+  from rlines
+),
+grouped as (
+  select host, pos, l, is_ua,
+    sum(case when is_ua and not prev_ua then 1 else 0 end)
+      over (partition by host order by pos
+            rows between unbounded preceding and current row) as grp
+  from marked
+),
+star as (
+  select distinct host, grp from grouped
+  where is_ua
+    and trim(regexp_extract(l, '(?i)^user-agent\\s*:(.*)$', 1)) = '*'
+),
+rrules as (
+  select g.host,
+    not regexp_matches(g.l, '(?i)^disallow') as is_allow,
+    trim(regexp_extract(g.l, '(?i)^(dis)?allow\\s*:(.*)$', 2)) as prefix
+  from grouped g join star s using (host, grp)
+  where regexp_matches(g.l, '(?i)^(dis)?allow\\s*:') and g.grp > 0
+),
+rules2 as (
+  select host, prefix, is_allow, length(prefix)::bigint as prefix_len
+  from rrules where prefix != ''
+),
+u as (
+  select url,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) as host,
+    case when regexp_replace(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') = '' then '/'
+      else regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '')
+    end as tgt
+  from (select distinct url from lurls)
+),
+j as (
+  select u.url, u.host, r.prefix, r.is_allow, r.prefix_len,
+    (r.prefix is not null
+     and substr(u.tgt, 1, r.prefix_len::int) = r.prefix) as hit
+  from u left join rules2 r using (host)
+),
+agg as (
+  select url, host,
+    coalesce(max(case when is_allow and hit then prefix_len end), -1)
+      ::bigint as robots_allow_len,
+    coalesce(max(case when not is_allow and hit then prefix_len end), -1)
+      ::bigint as robots_dis_len
+  from j group by url, host
+)
+select url, host, robots_allow_len, robots_dis_len,
+  (robots_allow_len >= robots_dis_len) as robots_allowed
+from agg
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q82_corpus_profile": """

@@ -1,0 +1,176 @@
+"""robots.txt politeness — parse + apply, the admission-control half
+of the crawl stack.
+
+The reference admits documents by content checks at upload time
+(``routers/batches.py``); a crawler must additionally honor each
+origin's published exclusion rules BEFORE fetching, the same
+decide-before-the-fetch shape as ``urls.url_frontier_delta``. This
+module implements the original REP prefix subset of RFC 9309:
+
+* only ``User-agent: *`` groups apply (consecutive ``User-agent``
+  lines form one group; rules before any group header are ignored);
+* ``Disallow:``/``Allow:`` values are literal path prefixes —
+  ``$``/``*`` wildcards are a documented downscope (they need a
+  regex-compile per rule; the prefix form covers the vast majority
+  of real files and keeps the apply step a pure equality compare);
+* an empty ``Disallow:`` value is "allow all" (no rule emitted);
+* decision per url: the LONGEST matching rule wins, allow wins ties
+  (RFC 9309 §2.2.2), no matching rule ⇒ allowed.
+
+Everything is exact string/integer work — no floats anywhere — so
+the Spark plan and the DuckDB oracle agree bit-for-bit.
+
+Scale shape: parsing windows partition by *host* (a robots file is a
+few KB — per-host line counts are tiny, and host cardinality gives
+the shuffle its parallelism). The apply step is a broadcast join of
+the frontier against the per-host rule table (rules for a frontier's
+hosts are politeness metadata, orders of magnitude smaller than the
+frontier) followed by ONE partial-agg groupBy computing two
+conditional maxes — the longest-match tie-break is algebra over
+``max(len) filter (allow)`` vs ``max(len) filter (disallow)``, so no
+per-url window and no second shuffle of the frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ai_pdf_extraction_spark.operators.graphs import host_of
+
+_UA_RE = r"(?i)^user-agent\s*:"
+_RULE_RE = r"(?i)^(dis)?allow\s*:"
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into the rule relation
+    ``(host, prefix, is_allow, prefix_len)`` for ``User-agent: *``
+    groups (semantics in the module docstring).
+
+    Pure Column work: split → posexplode → comment-strip → group
+    lines into UA blocks with a running sum over a per-host window
+    (a new group starts at a ``User-agent`` line whose predecessor
+    is not one — RFC 9309's consecutive-UA-lines-one-group rule),
+    then keep rules from groups containing the ``*`` agent."""
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "raw"
+            ),
+        )
+        # comments run from '#' to end-of-line (REP); trim both sides
+        .select(
+            "host",
+            "pos",
+            F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("l"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("l").rlike(_UA_RE)
+    marked = lines.select(
+        "host",
+        "pos",
+        "l",
+        is_ua.alias("is_ua"),
+        F.coalesce(F.lag(is_ua, 1).over(w), F.lit(False)).alias("prev_ua"),
+    )
+    grouped = marked.withColumn(
+        "grp",
+        F.sum(
+            F.when(F.col("is_ua") & ~F.col("prev_ua"), 1).otherwise(0)
+        ).over(w),
+    )
+    star_groups = (
+        grouped.filter(
+            F.col("is_ua")
+            & (
+                F.trim(F.regexp_extract("l", _UA_RE + r"(.*)$", 1)) == "*"
+            )
+        )
+        .select("host", "grp")
+        .distinct()
+    )
+    rules = grouped.filter(
+        F.col("l").rlike(_RULE_RE) & (F.col("grp") > 0)
+    ).select(
+        "host",
+        "grp",
+        (~F.col("l").rlike(r"(?i)^disallow")).alias("is_allow"),
+        F.trim(F.regexp_extract("l", _RULE_RE + r"(.*)$", 2)).alias(
+            "prefix"
+        ),
+    )
+    return (
+        rules.join(star_groups, ["host", "grp"], "leftsemi")
+        .filter(F.col("prefix") != "")
+        .select(
+            "host",
+            "prefix",
+            "is_allow",
+            F.length("prefix").cast("long").alias("prefix_len"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Admission-check a url relation against :func:`parse_robots`
+    rules. Output: the input's columns plus ``(host,
+    robots_allow_len, robots_dis_len, robots_allowed)`` — the two
+    lengths are the longest matching allow/disallow prefixes (−1 if
+    none) and ``robots_allowed = allow_len >= dis_len`` (longest
+    match wins, allow wins ties, no match ⇒ allowed: −1 ≥ −1).
+
+    The match target is everything after the authority (path+query,
+    ``/`` when empty); prefix matching is an exact ``substr``
+    compare — no LIKE, so rule text containing ``%``/``_`` needs no
+    escaping and the semantics are byte-literal in both engines.
+
+    Scale shape: one broadcast join (rules are tiny politeness
+    metadata; ``broadcast_rules=False`` falls back to a plain
+    AQE-skew-safe equi-join keyed by host) + one partial-agg groupBy
+    on the url — no window, the frontier is shuffled once.
+
+    ``urls`` must be row-distinct (one row per url — the
+    ``url_frontier_delta`` output is, by construction): the groupBy
+    that re-collapses the rule fan-out would also merge byte-identical
+    duplicate input rows."""
+    tgt = F.regexp_replace(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""
+    )
+    u = urls.withColumn("host", host_of(url_col)).withColumn(
+        "_tgt", F.when(tgt == "", "/").otherwise(tgt)
+    )
+    r = F.broadcast(rules) if broadcast_rules else rules
+    joined = u.join(r, "host", "left").withColumn(
+        "_hit",
+        F.col("prefix").isNotNull()
+        & (
+            F.substring(
+                "_tgt", F.lit(1), F.col("prefix_len").cast("int")
+            )
+            == F.col("prefix")
+        ),
+    )
+    neg = F.lit(-1).cast("long")
+    hitlen = F.when(F.col("_hit"), F.col("prefix_len"))
+    group_cols = [c for c in u.columns if c != "_tgt"]
+    agg = joined.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_allow"), hitlen)), neg
+        ).alias("robots_allow_len"),
+        F.coalesce(
+            F.max(F.when(~F.col("is_allow"), hitlen)), neg
+        ).alias("robots_dis_len"),
+    )
+    return agg.withColumn(
+        "robots_allowed",
+        F.col("robots_allow_len") >= F.col("robots_dis_len"),
+    )
