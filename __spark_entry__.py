@@ -2046,6 +2046,50 @@ def q86_robots_filter(spark, sf_dir):
     return robots_filter(urls, parse_robots(robots))
 
 
+def q87_url_prefilter(spark, sf_dir):
+    """Pre-fetch URL quality gate (C4/RefinedWeb first stage) over a
+    deliberately messy synthesized frontier: asset extensions,
+    digit-heavy session paths, over-long urls, and a registrable-
+    suffix domain blocklist (www. hosts must block via their parent
+    suffix). Every flag fires for some rows and every decision is
+    exact string/integer Column work inside the scan — no join, no
+    shuffle beyond the distinct."""
+    from ai_pdf_extraction_spark.operators.urls import url_prefilter
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(eid % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("host"),
+        (eid % 13).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            eid % 5 == 0,
+            F.concat(F.lit("/img/"), eid.cast("string"), F.lit(".jpg")),
+        )
+        .when(
+            eid % 5 == 1,
+            F.concat(
+                F.lit("/session/"), (eid * 987654321).cast("string")
+            ),
+        )
+        .when(
+            eid % 5 == 2,
+            F.concat(F.lit("/l/"), F.repeat(F.lit("x"), (eid % 90).cast("int"))),
+        )
+        .otherwise(
+            F.concat(F.lit("/article/x"), (eid % 50).cast("string"))
+        ),
+    )
+    urls = e.select(url.alias("url")).distinct()
+    return url_prefilter(
+        urls,
+        blocklist=["host3.example.com", "spam.test"],
+        max_len=60,
+    )
+
+
 def _q84_graph_ctes() -> str:
     """q84/q85 oracle prefix: the synthesized link relation collapsed
     to the weighted host graph + out-weights (keep in lockstep with
@@ -2804,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_host_pagerank": q84_host_pagerank,
         "q85_link_degree_stats": q85_link_degree_stats,
         "q86_robots_filter": q86_robots_filter,
+        "q87_url_prefilter": q87_url_prefilter,
     }
 
 
@@ -3797,6 +3842,8 @@ def oracle_sql() -> dict[str, str]:
     sf-independent: they derive from the fixed 600-doc fixture corpus,
     keyed on CORPUS_VERSION + KERNEL_VERSION.)"""
     quality_sql = f"with {_SCORED_CTE} select doc_id, quality from scored"
+    from ai_pdf_extraction_spark.operators.urls import _ASSET_EXT_RE
+
     lang_score = (
         lambda m: f"cast((length(padded) - length(replace(padded, '{m}', ''))) / {len(m)} as bigint)"
     )
@@ -4438,6 +4485,62 @@ select coalesce(o.host, i.host) as host,
   coalesce(i.in_weight, 0) as in_weight
 from outs o full outer join ins i on o.host = i.host
 """,
+        # q87: the asset-extension regex is injected verbatim from
+        # operators/urls._ASSET_EXT_RE (plain alternation — identical
+        # semantics in Java regex and RE2); regexp_replace needs the
+        # explicit 'g' flag in DuckDB (Spark replaces all by default)
+        "q87_url_prefilter": """
+with raw as (
+  select 'http://'
+    || case when event_id % 2 = 0 then 'www.' else '' end
+    || 'host' || (event_id % 13)::varchar || '.example.com'
+    || case
+         when event_id % 5 = 0
+           then '/img/' || event_id::varchar || '.jpg'
+         when event_id % 5 = 1
+           then '/session/' || (event_id * 987654321)::varchar
+         when event_id % 5 = 2
+           then '/l/' || repeat('x', (event_id % 90)::int)
+         else '/article/x' || (event_id % 50)::varchar
+       end as url
+  from events
+),
+u as (
+  select url,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) as host,
+    regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') as after
+  from (select distinct url from raw)
+),
+p as (
+  select url, host,
+    case when instr(after, '?') > 0
+      then substr(after, 1, instr(after, '?') - 1) else after end as path0
+  from u
+),
+f as (
+  select url, host,
+    case when path0 = '' then '/' else path0 end as path,
+    list_transform(
+      range(1, len(string_split(host, '.')) + 1),
+      i -> array_to_string(string_split(host, '.')[i:], '.')
+    ) as sufs
+  from p
+)
+select url, host,
+  regexp_matches(lower(path), '{asset_re}') as is_asset,
+  (2 * length(regexp_replace(path, '[^0-9]', '', 'g')) > length(path))
+    as digit_heavy,
+  (length(url) > 60) as too_long,
+  list_has_any(sufs, ['host3.example.com', 'spam.test'])
+    as blocked_domain,
+  not (regexp_matches(lower(path), '{asset_re}')
+       or (2 * length(regexp_replace(path, '[^0-9]', '', 'g'))
+           > length(path))
+       or (length(url) > 60)
+       or list_has_any(sufs, ['host3.example.com', 'spam.test']))
+    as keep
+from f
+""".replace("{asset_re}", _ASSET_EXT_RE),
         # q86: robots parse (windows partition by host) + longest-match
         # apply (conditional maxes) — keep in lockstep with
         # operators/robots.py

@@ -41,7 +41,7 @@ k rounds of lazy recomputation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: bump when the rank semantics (scale, damping form, dangling
@@ -49,11 +49,9 @@ from pyspark.sql import functions as F
 PAGERANK_VERSION = 1
 
 
-def host_of(col: Column | str) -> Column:
-    """Extract the host from a url (the ``frontier_host_cap`` regex —
-    keep in lockstep with its oracle CTE)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
+# canonical host extraction lives with the other url Column work;
+# re-exported here because the graph operators are its heaviest users
+from ai_pdf_extraction_spark.operators.urls import host_of  # noqa: E402,F401
 
 
 def host_edges(

@@ -16,6 +16,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def host_of(col: Column | str) -> Column:
+    """Extract the authority (host[:port]) from a url — the one
+    host regex, shared by ``frontier_host_cap``, ``graphs`` and
+    ``robots`` (keep in lockstep with the oracle CTEs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
+
+
 def canonicalize_url(col: Column | str = "url") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # 1. drop fragment
@@ -133,6 +141,93 @@ def url_frontier_delta(
         "n_discovered",
         in_seen.alias("in_seen"),
         (~in_seen).alias("to_crawl"),
+    )
+
+
+#: non-document asset extensions a text-extraction crawl skips before
+#: fetching (C4/RefinedWeb-style URL prefiltering); pdf is NOT here —
+#: it is a first-class document type in this pipeline
+_ASSET_EXT_RE = (
+    r"\.(jpg|jpeg|png|gif|webp|svg|ico|bmp|css|js|mjs|zip|gz|tgz|tar"
+    r"|rar|7z|exe|dmg|apk|mp3|wav|ogg|mp4|avi|mov|mkv|webm|woff|woff2"
+    r"|ttf|eot)$"
+)
+
+
+def url_prefilter(
+    urls: DataFrame,
+    url_col: str = "url",
+    blocklist: list[str] | None = None,
+    max_len: int = 2048,
+) -> DataFrame:
+    """Pre-fetch URL quality gate (the C4 / RefinedWeb recipe's first
+    stage, decided before any bytes move): flag urls a text-extraction
+    crawl should not fetch. Output: input columns plus ``(host,
+    is_asset, digit_heavy, too_long, blocked_domain, keep)``.
+
+    * ``is_asset`` — the path ends in a non-document extension
+      (images/styles/scripts/archives/media; see ``_ASSET_EXT_RE``).
+    * ``digit_heavy`` — digits make up more than half of the path
+      (session-id / tracking-id urls). Division-free: the ratio test
+      is the exact integer cross-multiplication ``2·digits > len``,
+      so both engines compare identically.
+    * ``too_long`` — ``length(url) > max_len``.
+    * ``blocked_domain`` — the host or any of its registrable-suffix
+      ancestors is in ``blocklist`` (entry ``example.com`` blocks
+      ``a.b.example.com``). The suffix set is generated per host
+      (≤ label-count entries) and probed against the blocklist as a
+      literal array — pure Column work, NO join, the list ships in
+      the plan like the IVF centroid literals. For blocklists too
+      large to inline (10^5+ entries), explode the same suffix array
+      and broadcast-semi-join it against a blocklist relation
+      instead; the literal form is the common politeness-list case.
+
+    Everything is exact string/integer work inside the scan — the
+    filter composes with ``url_frontier_delta`` upstream of the fetch
+    with zero extra shuffles. The suffix array is projected into a
+    bound column BEFORE the element-wise ``transform`` (Catalyst does
+    no CSE across HOF lambdas — an inlined split would re-split per
+    label)."""
+    u = F.col(url_col)
+    after = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    qpos = F.instr(after, "?")
+    path0 = F.when(
+        qpos > 0, F.substring(after, F.lit(1), qpos - 1)
+    ).otherwise(after)
+    path = F.when(path0 == "", "/").otherwise(path0)
+    with_parts = urls.withColumn("host", host_of(url_col)).withColumn(
+        "_path", path
+    ).withColumn("_labels", F.split("host", r"\."))
+    n = F.size("_labels")
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(
+            F.slice("_labels", i, n - i + F.lit(1)), "."
+        ),
+    )
+    if blocklist:
+        blocked = F.arrays_overlap(
+            sufs, F.array(*[F.lit(b) for b in sorted(set(blocklist))])
+        )
+    else:
+        blocked = F.lit(False)
+    digits = F.length(F.regexp_replace("_path", r"[^0-9]", ""))
+    flags = with_parts.select(
+        *urls.columns,
+        "host",
+        F.lower(F.col("_path")).rlike(_ASSET_EXT_RE).alias("is_asset"),
+        (digits * 2 > F.length("_path")).alias("digit_heavy"),
+        (F.length(u) > max_len).alias("too_long"),
+        blocked.alias("blocked_domain"),
+    )
+    return flags.withColumn(
+        "keep",
+        ~(
+            F.col("is_asset")
+            | F.col("digit_heavy")
+            | F.col("too_long")
+            | F.col("blocked_domain")
+        ),
     )
 
 

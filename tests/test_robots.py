@@ -181,3 +181,55 @@ def test_robots_filter_broadcasts_rules(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_url_prefilter_flags_and_suffix_blocklist(spark):
+    from ai_pdf_extraction_spark.operators.urls import url_prefilter
+
+    urls = spark.createDataFrame(
+        [
+            ("http://ok.com/article/x12",),          # keep
+            ("http://ok.com/img/pic.JPG",),          # asset (case-insensitive)
+            ("http://ok.com/jpg",),                  # NOT asset: no dot
+            ("http://ok.com/sess/1234567890123",),   # digit heavy
+            ("http://ok.com/a1b2/c3d4e5",),          # digits 5, path len 13: keep
+            ("http://a.b.spam.net/fine/path",),      # blocked via suffix
+            ("http://spam.net/x",),                  # blocked exact
+            ("http://notspam.net/x",),               # suffix must be label-aligned
+            ("http://ok.com/long/" + "x" * 200,),    # too long at max_len=100
+            ("http://ok.com/style.css?v=2",),        # asset: query stripped
+        ],
+        "url string",
+    )
+    got = {
+        r.url: (r.is_asset, r.digit_heavy, r.too_long, r.blocked_domain, r.keep)
+        for r in url_prefilter(
+            urls, blocklist=["spam.net"], max_len=100
+        ).collect()
+    }
+    assert got["http://ok.com/article/x12"] == (False, False, False, False, True)
+    assert got["http://ok.com/img/pic.JPG"][0] is True
+    assert got["http://ok.com/jpg"][0] is False
+    assert got["http://ok.com/sess/1234567890123"][1] is True
+    assert got["http://ok.com/a1b2/c3d4e5"] == (False, False, False, False, True)
+    assert got["http://a.b.spam.net/fine/path"][3] is True
+    assert got["http://spam.net/x"][3] is True
+    assert got["http://notspam.net/x"][3] is False
+    assert got["http://ok.com/long/" + "x" * 200][2] is True
+    assert got["http://ok.com/style.css?v=2"][0] is True
+    assert all(
+        k == (not (a or d or t or b)) for a, d, t, b, k in got.values()
+    )
+
+
+def test_url_prefilter_no_blocklist_and_no_join_in_plan(spark):
+    from ai_pdf_extraction_spark.operators.urls import url_prefilter
+
+    urls = spark.createDataFrame([("http://x.com/a",)], "url string")
+    out = url_prefilter(urls, blocklist=["b.com"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # blocklist ships as a plan literal
+    assert out.collect()[0].blocked_domain is False
+    assert (
+        url_prefilter(urls).collect()[0].blocked_domain is False
+    )  # blocklist omitted entirely
