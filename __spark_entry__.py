@@ -2090,6 +2090,118 @@ def q87_url_prefilter(spark, sf_dir):
     )
 
 
+# q88's persisted-frontier slot (the operators' _persist_latest
+# lifecycle: the next call evicts the previous plan)
+_Q88_FR_CACHE: list = []
+
+
+def q88_frontier_politeness(spark, sf_dir):
+    """The full politeness-gated frontier — the crawl-side capstone
+    (the curated-corpus discipline applied to scheduling): q80's
+    seen-set delta → pre-fetch URL quality gate (q87 family) →
+    robots.txt longest-match admission (q86 family) → per-host
+    politeness cap (q83 family). One composed plan: the prefilter is
+    pure Column work, robots is a broadcast join + partial agg, and
+    only the surviving urls reach the sharded host-cap rank."""
+    from ai_pdf_extraction_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+    from ai_pdf_extraction_spark.operators.urls import (
+        frontier_host_cap,
+        url_prefilter,
+    )
+
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    # the frontier fans out into four legs (prefilter flags, robots
+    # narrow + join-back, host-cap projection): persist it or every
+    # leg re-executes the q80 plan — whose synthesized canon
+    # expressions are codegen-heavy — once per reference
+    fr = _persist_latest(
+        _Q88_FR_CACHE, q80_url_frontier_delta(spark, sf_dir)
+    )
+    pf = url_prefilter(
+        fr,
+        url_col="canon_url",
+        blocklist=["host5.example.com"],
+        max_len=32,
+        # 3/5 instead of the 1/2 default: the q80 /u/<id> family is
+        # numeric by construction -- at 1/2 the gate would blank the
+        # whole frontier and the robots/cap legs would go vacuous
+        digit_limit=(3, 5),
+    )
+    robots = spark.range(7).select(
+        F.concat(
+            F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.lit("User-agent: *\nDisallow: /u/\nAllow: /u/2"),
+        )
+        .otherwise(
+            F.lit(
+                "User-agent: OtherBot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /p/9"
+            )
+        )
+        .alias("robots_txt"),
+    )
+    rb = robots_filter(pf, parse_robots(robots), url_col="canon_url")
+    decided = rb.withColumn(
+        "to_crawl",
+        F.col("to_crawl") & F.col("keep") & F.col("robots_allowed"),
+    )
+    return frontier_host_cap(decided, per_host=10)
+
+
+def _robots_parse_ctes() -> str:
+    """Oracle CTE chain from ``robots(host, txt)`` to ``rules2(host,
+    prefix, is_allow, prefix_len)`` — the DuckDB twin of
+    ``operators/robots.parse_robots`` (keep in lockstep). Shared by
+    the q86 and q88 oracles, which differ only in the robots bodies
+    they synthesize."""
+    return """lines0 as (
+  select host, unnest(string_split(txt, chr(10))) as raw,
+    generate_subscripts(string_split(txt, chr(10)), 1) as pos
+  from robots
+),
+rlines as (
+  select host, pos, trim(regexp_replace(raw, '#.*$', '')) as l
+  from lines0
+),
+marked as (
+  select host, pos, l,
+    regexp_matches(l, '(?i)^user-agent\\s*:') as is_ua,
+    coalesce(lag(regexp_matches(l, '(?i)^user-agent\\s*:'))
+               over (partition by host order by pos), false) as prev_ua
+  from rlines
+),
+grouped as (
+  select host, pos, l, is_ua,
+    sum(case when is_ua and not prev_ua then 1 else 0 end)
+      over (partition by host order by pos
+            rows between unbounded preceding and current row) as grp
+  from marked
+),
+star as (
+  select distinct host, grp from grouped
+  where is_ua
+    and trim(regexp_extract(l, '(?i)^user-agent\\s*:(.*)$', 1)) = '*'
+),
+rrules as (
+  select g.host,
+    not regexp_matches(g.l, '(?i)^disallow') as is_allow,
+    trim(regexp_extract(g.l, '(?i)^(dis)?allow\\s*:(.*)$', 2)) as prefix
+  from grouped g join star s using (host, grp)
+  where regexp_matches(g.l, '(?i)^(dis)?allow\\s*:') and g.grp > 0
+),
+rules2 as (
+  select host, prefix, is_allow, length(prefix)::bigint as prefix_len
+  from rrules where prefix != ''
+)"""
+
+
 def _q84_graph_ctes() -> str:
     """q84/q85 oracle prefix: the synthesized link relation collapsed
     to the weighted host graph + out-weights (keep in lockstep with
@@ -2849,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_link_degree_stats": q85_link_degree_stats,
         "q86_robots_filter": q86_robots_filter,
         "q87_url_prefilter": q87_url_prefilter,
+        "q88_frontier_politeness": q88_frontier_politeness,
     }
 
 
@@ -4541,10 +4654,89 @@ select url, host,
     as keep
 from f
 """.replace("{asset_re}", _ASSET_EXT_RE),
+        # q88: q80 frontier → prefilter → robots → host cap, one chain.
+        # The robots match target is path+QUERY (tgt), the prefilter's
+        # asset/digit tests use the query-stripped path — keep both in
+        # lockstep with url_prefilter/robots_filter.
+        "q88_frontier_politeness": f"""
+with {_q80_frontier_ctes()},
+pfu as (
+  select fr.*,
+    regexp_extract(canon_url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) as host,
+    regexp_replace(canon_url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') as after
+  from fr
+),
+pff as (
+  select *,
+    case when after = '' then '/' else after end as tgt,
+    case when instr(after, '?') > 0
+      then (case when substr(after, 1, instr(after, '?') - 1) = ''
+              then '/' else substr(after, 1, instr(after, '?') - 1) end)
+      else (case when after = '' then '/' else after end)
+    end as path,
+    list_transform(
+      range(1, len(string_split(host, '.')) + 1),
+      i -> array_to_string(string_split(host, '.')[i:], '.')
+    ) as sufs
+  from pfu
+),
+pf as (
+  select canon_url, first_id, to_crawl, host, tgt,
+    (regexp_matches(lower(path), '{{asset_re}}')
+     or (5 * length(regexp_replace(path, '[^0-9]', '', 'g'))
+         > 3 * length(path))
+     or (length(canon_url) > 32)
+     or list_has_any(sufs, ['host5.example.com'])) as filtered
+  from pff
+),
+robots as (
+  select 'host' || i::varchar || '.example.com' as host,
+    case when i % 2 = 0
+      then 'User-agent: *' || chr(10) || 'Disallow: /u/' || chr(10)
+           || 'Allow: /u/2'
+      else 'User-agent: OtherBot' || chr(10) || 'Disallow: /'
+           || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+           || 'Disallow: /p/9'
+    end as txt
+  from generate_series(0, 6) t(i)
+),
+{_robots_parse_ctes()},
+rj as (
+  select pf.canon_url, pf.first_id, pf.host, pf.to_crawl, pf.filtered,
+    r.is_allow, r.prefix_len,
+    (r.prefix is not null
+     and substr(pf.tgt, 1, r.prefix_len::int) = r.prefix) as hit
+  from pf left join rules2 r using (host)
+),
+rag as (
+  select canon_url, first_id, host, to_crawl, filtered,
+    coalesce(max(case when is_allow and hit then prefix_len end), -1)
+      as al,
+    coalesce(max(case when not is_allow and hit then prefix_len end), -1)
+      as dl
+  from rj
+  group by canon_url, first_id, host, to_crawl, filtered
+),
+decided as (
+  select canon_url, first_id, host from rag
+  where to_crawl and not filtered and al >= dl
+),
+ranked as (
+  select canon_url, host, first_id,
+    row_number() over (partition by host
+                       order by first_id % 64, md5(canon_url), canon_url)
+      as pick_rank
+  from decided
+)
+select canon_url, host, first_id, pick_rank::bigint as pick_rank
+from ranked where pick_rank <= 10
+""".replace("{asset_re}", _ASSET_EXT_RE),
         # q86: robots parse (windows partition by host) + longest-match
         # apply (conditional maxes) — keep in lockstep with
         # operators/robots.py
-        "q86_robots_filter": """
+        "q86_robots_filter": f"""
 with lurls as (
   select 'http://host' || (event_id % 13)::varchar || '.example.com/p/'
            || event_id::varchar as url
@@ -4564,45 +4756,7 @@ robots as (
     end as txt
   from generate_series(0, 12) t(i) where i % 3 != 2
 ),
-lines0 as (
-  select host, unnest(string_split(txt, chr(10))) as raw,
-    generate_subscripts(string_split(txt, chr(10)), 1) as pos
-  from robots
-),
-rlines as (
-  select host, pos, trim(regexp_replace(raw, '#.*$', '')) as l
-  from lines0
-),
-marked as (
-  select host, pos, l,
-    regexp_matches(l, '(?i)^user-agent\\s*:') as is_ua,
-    coalesce(lag(regexp_matches(l, '(?i)^user-agent\\s*:'))
-               over (partition by host order by pos), false) as prev_ua
-  from rlines
-),
-grouped as (
-  select host, pos, l, is_ua,
-    sum(case when is_ua and not prev_ua then 1 else 0 end)
-      over (partition by host order by pos
-            rows between unbounded preceding and current row) as grp
-  from marked
-),
-star as (
-  select distinct host, grp from grouped
-  where is_ua
-    and trim(regexp_extract(l, '(?i)^user-agent\\s*:(.*)$', 1)) = '*'
-),
-rrules as (
-  select g.host,
-    not regexp_matches(g.l, '(?i)^disallow') as is_allow,
-    trim(regexp_extract(g.l, '(?i)^(dis)?allow\\s*:(.*)$', 2)) as prefix
-  from grouped g join star s using (host, grp)
-  where regexp_matches(g.l, '(?i)^(dis)?allow\\s*:') and g.grp > 0
-),
-rules2 as (
-  select host, prefix, is_allow, length(prefix)::bigint as prefix_len
-  from rrules where prefix != ''
-),
+{_robots_parse_ctes()},
 u as (
   select url,
     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) as host,

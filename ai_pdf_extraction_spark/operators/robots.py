@@ -133,44 +133,55 @@ def robots_filter(
     compare — no LIKE, so rule text containing ``%``/``_`` needs no
     escaping and the semantics are byte-literal in both engines.
 
-    Scale shape: one broadcast join (rules are tiny politeness
-    metadata; ``broadcast_rules=False`` falls back to a plain
-    AQE-skew-safe equi-join keyed by host) + one partial-agg groupBy
-    on the url — no window, the frontier is shuffled once.
-
-    ``urls`` must be row-distinct (one row per url — the
-    ``url_frontier_delta`` output is, by construction): the groupBy
-    that re-collapses the rule fan-out would also merge byte-identical
-    duplicate input rows."""
+    Scale shape: the match leg runs over a NARROW (url, target, host)
+    projection — broadcast-join it with the rules (politeness metadata
+    is tiny; ``broadcast_rules=False`` falls back to a plain
+    AQE-skew-safe equi-join keyed by host), keep only rows whose
+    target actually starts with the rule prefix, and partial-agg the
+    two conditional maxes per url. The decision then joins back to
+    the input on the url key, so the input's own columns never enter
+    an aggregation: a groupBy-over-every-input-column variant would
+    splice the caller's full expression tree into each grouping key —
+    composed plans (q88) ballooned to MB-scale generated code that
+    way. Join-back also means duplicate input rows pass through
+    unmerged (each picks up the same decision)."""
     tgt = F.regexp_replace(
         F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""
     )
-    u = urls.withColumn("host", host_of(url_col)).withColumn(
-        "_tgt", F.when(tgt == "", "/").otherwise(tgt)
+    u = urls.withColumn("host", host_of(url_col))
+    narrow = u.select(
+        F.col(url_col).alias("_rb_url"),
+        F.when(tgt == "", "/").otherwise(tgt).alias("_tgt"),
+        "host",
     )
     r = F.broadcast(rules) if broadcast_rules else rules
-    joined = u.join(r, "host", "left").withColumn(
-        "_hit",
-        F.col("prefix").isNotNull()
-        & (
+    hits = (
+        narrow.join(r, "host")
+        .filter(
             F.substring(
                 "_tgt", F.lit(1), F.col("prefix_len").cast("int")
             )
             == F.col("prefix")
-        ),
+        )
+        .groupBy("_rb_url")
+        .agg(
+            F.max(
+                F.when(F.col("is_allow"), F.col("prefix_len"))
+            ).alias("_al"),
+            F.max(
+                F.when(~F.col("is_allow"), F.col("prefix_len"))
+            ).alias("_dl"),
+        )
     )
     neg = F.lit(-1).cast("long")
-    hitlen = F.when(F.col("_hit"), F.col("prefix_len"))
-    group_cols = [c for c in u.columns if c != "_tgt"]
-    agg = joined.groupBy(*group_cols).agg(
-        F.coalesce(
-            F.max(F.when(F.col("is_allow"), hitlen)), neg
-        ).alias("robots_allow_len"),
-        F.coalesce(
-            F.max(F.when(~F.col("is_allow"), hitlen)), neg
-        ).alias("robots_dis_len"),
-    )
-    return agg.withColumn(
-        "robots_allowed",
-        F.col("robots_allow_len") >= F.col("robots_dis_len"),
+    return (
+        u.join(hits, u[url_col] == hits["_rb_url"], "left")
+        .drop("_rb_url")
+        .withColumn("robots_allow_len", F.coalesce("_al", neg))
+        .withColumn("robots_dis_len", F.coalesce("_dl", neg))
+        .drop("_al", "_dl")
+        .withColumn(
+            "robots_allowed",
+            F.col("robots_allow_len") >= F.col("robots_dis_len"),
+        )
     )

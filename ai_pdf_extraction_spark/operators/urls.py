@@ -159,6 +159,7 @@ def url_prefilter(
     url_col: str = "url",
     blocklist: list[str] | None = None,
     max_len: int = 2048,
+    digit_limit: tuple[int, int] = (1, 2),
 ) -> DataFrame:
     """Pre-fetch URL quality gate (the C4 / RefinedWeb recipe's first
     stage, decided before any bytes move): flag urls a text-extraction
@@ -167,10 +168,11 @@ def url_prefilter(
 
     * ``is_asset`` — the path ends in a non-document extension
       (images/styles/scripts/archives/media; see ``_ASSET_EXT_RE``).
-    * ``digit_heavy`` — digits make up more than half of the path
-      (session-id / tracking-id urls). Division-free: the ratio test
-      is the exact integer cross-multiplication ``2·digits > len``,
-      so both engines compare identically.
+    * ``digit_heavy`` — digits exceed the ``digit_limit = (p, q)``
+      fraction of the path (default 1/2; session-id / tracking-id
+      urls). Division-free: the ratio test is the exact integer
+      cross-multiplication ``q·digits > p·len``, so both engines
+      compare identically at any threshold.
     * ``too_long`` — ``length(url) > max_len``.
     * ``blocked_domain`` — the host or any of its registrable-suffix
       ancestors is in ``blocklist`` (entry ``example.com`` blocks
@@ -211,12 +213,13 @@ def url_prefilter(
         )
     else:
         blocked = F.lit(False)
+    dp, dq = digit_limit
     digits = F.length(F.regexp_replace("_path", r"[^0-9]", ""))
     flags = with_parts.select(
         *urls.columns,
         "host",
         F.lower(F.col("_path")).rlike(_ASSET_EXT_RE).alias("is_asset"),
-        (digits * 2 > F.length("_path")).alias("digit_heavy"),
+        (digits * dq > F.length("_path") * dp).alias("digit_heavy"),
         (F.length(u) > max_len).alias("too_long"),
         blocked.alias("blocked_domain"),
     )
