@@ -17,15 +17,24 @@ Usage::
     spark-submit --master local[32] --py-files /tmp/engine.zip \
         jobs/frontier_job.py seed --urls <parquet with canon_url> \
         --seen <seen dir>
-    # per discovery batch: probe, cap, emit, append
+    # per discovery batch: probe, gate, cap, emit, append
     spark-submit ... jobs/frontier_job.py probe --new <parquet with \
         (event_id, url)> --seen <seen dir> --output <frontier dir> \
-        [--per-host 1000] [--no-append]
+        [--per-host 1000] [--no-append] [--no-prefilter] \
+        [--blocklist spam.net,ads.example] [--max-len 2048] \
+        [--digit-limit 1/2] [--robots <parquet (host, robots_txt)>]
 
-``probe`` writes the capped frontier (canon_url, host, first_id,
-pick_rank) under ``--output`` and, unless ``--no-append``, appends the
-SCHEDULED urls to the seen-set (atomic manifest rewrite — a killed job
-leaves the set unchanged and the re-run probe is idempotent).
+``probe`` runs the full politeness chain (the q88 composition): the
+seen-set delta, then the pre-fetch URL quality gate (``url_prefilter``
+— disable with ``--no-prefilter``), then robots.txt admission when
+``--robots`` is given, then the per-host cap. It writes the capped
+frontier (canon_url, host, first_id, pick_rank) under ``--output``
+and, unless ``--no-append``, appends the DECIDED urls to the seen-set
+(atomic manifest rewrite — a killed job leaves the set unchanged and
+the re-run probe is idempotent). Decided = scheduled ∪ prefiltered:
+a url-intrinsic rejection never changes verdict, so it is remembered
+for good; robots rejections are policy and cap deferrals are
+capacity, so both resurface at the next probe.
 
 Same contract as the other jobs: public package API only, submits
 unchanged to a real cluster.
@@ -51,9 +60,39 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--per-host", type=int, default=1000)
     p.add_argument("--no-append", action="store_true")
+    p.add_argument(
+        "--blocklist",
+        default=None,
+        help="comma-separated domain suffixes to reject pre-fetch",
+    )
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument(
+        "--digit-limit",
+        default="1/2",
+        help="digit-ratio threshold p/q for the URL quality gate",
+    )
+    p.add_argument(
+        "--no-prefilter",
+        action="store_true",
+        help="skip the URL quality gate entirely",
+    )
+    p.add_argument(
+        "--robots",
+        default=None,
+        help="parquet with (host, robots_txt) for admission checks",
+    )
     args = parser.parse_args()
 
-    from ai_pdf_extraction_spark.operators.urls import frontier_host_cap
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+    from ai_pdf_extraction_spark.operators.urls import (
+        frontier_host_cap,
+        url_prefilter,
+    )
     from ai_pdf_extraction_spark.session import build_session
     from ai_pdf_extraction_spark.sources.seen_urls import (
         append_seen_set,
@@ -66,20 +105,62 @@ def main() -> None:
         manifest = write_seen_set(spark.read.parquet(args.urls), args.seen)
         print(json.dumps({"n_urls": manifest["n_urls"]}))
     else:
+        # the frontier fans into the gate legs + the cap projection —
+        # persist once (the q88 lesson: an unpersisted fan-out re-runs
+        # the probe plan per leg)
         fr = frontier_from_seen_set(
             spark, args.seen, spark.read.parquet(args.new)
-        )
+        ).persist()
+        summary = {}
+        rejected = None
+        if not args.no_prefilter:
+            dp, dq = (int(x) for x in args.digit_limit.split("/"))
+            pf = url_prefilter(
+                fr,
+                url_col="canon_url",
+                blocklist=(
+                    args.blocklist.split(",") if args.blocklist else None
+                ),
+                max_len=args.max_len,
+                digit_limit=(dp, dq),
+            )
+            # url-intrinsic rejections never change verdict — they are
+            # appended as decided so later probes skip them for good
+            rejected = pf.filter(
+                F.col("to_crawl") & ~F.col("keep")
+            ).select("canon_url")
+            fr = pf.withColumn(
+                "to_crawl", F.col("to_crawl") & F.col("keep")
+            )
+        if args.robots:
+            rules = parse_robots(spark.read.parquet(args.robots))
+            rb = robots_filter(fr, rules, url_col="canon_url")
+            summary["robots_blocked"] = rb.filter(
+                F.col("to_crawl") & ~F.col("robots_allowed")
+            ).count()
+            # robots rejections are POLICY, not intrinsic: never
+            # appended, so a later robots change is picked up on the
+            # next probe (same resurface rule as cap-deferred urls)
+            fr = rb.withColumn(
+                "to_crawl", F.col("to_crawl") & F.col("robots_allowed")
+            )
         capped = frontier_host_cap(fr, per_host=args.per_host)
         capped.write.mode("overwrite").parquet(args.output)
         # counts read back the just-written parquet — recounting the
         # lazy plan would re-run the probe
         scheduled = spark.read.parquet(args.output)
-        summary = {"scheduled": scheduled.count()}
+        summary["scheduled"] = scheduled.count()
         if not args.no_append:
+            decided = scheduled.select("canon_url")
+            if rejected is not None:
+                summary["prefiltered"] = rejected.count()
+                decided = decided.union(rejected)
             manifest = append_seen_set(
-                spark, args.seen, scheduled, assume_unseen=True
+                spark, args.seen, decided, assume_unseen=True
             )
             summary["seen_n_urls"] = manifest["n_urls"]
+        elif rejected is not None:
+            summary["prefiltered"] = rejected.count()
         print(json.dumps(summary))
     spark.stop()
 
