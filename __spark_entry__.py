@@ -2090,6 +2090,18 @@ def q87_url_prefilter(spark, sf_dir):
     )
 
 
+def q89_distinctive_terms(spark, sf_dir):
+    """Top-5 distinctive terms per document by exact tf/df ranking
+    (monotone-equivalent to tf-idf, no libm log): one tokenization
+    pass → persisted (doc, term) tf relation → df as a groupBy over
+    tf → AQE join-back → per-doc top-k window."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        distinctive_terms,
+    )
+
+    return distinctive_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 # q88's persisted-frontier slot (the operators' _persist_latest
 # lifecycle: the next call evicts the previous plan)
 _Q88_FR_CACHE: list = []
@@ -2962,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_robots_filter": q86_robots_filter,
         "q87_url_prefilter": q87_url_prefilter,
         "q88_frontier_politeness": q88_frontier_politeness,
+        "q89_distinctive_terms": q89_distinctive_terms,
     }
 
 
@@ -4783,6 +4796,27 @@ agg as (
 select url, host, robots_allow_len, robots_dis_len,
   (robots_allow_len >= robots_dis_len) as robots_allowed
 from agg
+""",
+        "q89_distinctive_terms": """
+with tok as (
+  select doc_id,
+    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as term
+  from documents
+),
+tf as (
+  select doc_id, term, count(*)::bigint as tf
+  from tok where term != '' group by doc_id, term
+),
+df as (select term, count(*)::bigint as df from tf group by term),
+ranked as (
+  select tf.doc_id, tf.term, tf.tf, df.df,
+    row_number() over (partition by tf.doc_id
+                       order by (tf.tf::double / df.df) desc, tf.term)
+      as pick_rank
+  from tf join df using (term)
+)
+select doc_id, term, tf, df, pick_rank::bigint as pick_rank
+from ranked where pick_rank <= 5
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q82_corpus_profile": """

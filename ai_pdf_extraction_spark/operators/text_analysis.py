@@ -574,3 +574,62 @@ def with_text_analysis(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(col))
         .withColumn("fingerprint", fingerprint(col))
     )
+
+
+# distinctive_terms' persisted per-(doc, term) relation (the
+# dedup._persist_latest lifecycle)
+_TERM_CACHE: list = []
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document distinctive terms — the TF/DF keyword signature a
+    dataset card or topic clusterer wants per page (the tf-idf family
+    without the logarithm: ranking by ``tf/df`` orders identically to
+    ``tf·idf`` for any monotone idf, and the raw ratio is a single
+    IEEE division both engines round identically, where ``ln`` is
+    libm-dependent — the q76 determinism discipline).
+
+    Tokens are lowercase ``[a-z0-9]+`` runs (everything else
+    separates). Output, ``k`` rows per document::
+
+        (doc_id, term, tf, df, pick_rank)
+
+    ranked by ``tf/df`` descending (rarest-but-frequent first), term
+    ascending on ties — fully deterministic.
+
+    Scale shape: ONE corpus tokenization pass partial-aggs to the
+    (doc, term) tf relation, which persists and then serves both
+    legs — the df table is a groupBy over tf (document frequency
+    needs no count-distinct: tf already holds one row per (doc,
+    term)), and the join-back is a plain AQE equi-join on the term
+    key. The top-k window partitions by doc_id (corpus-cardinality
+    key, no funnel)."""
+    from pyspark.sql import Window
+
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = _persist_latest(
+        _TERM_CACHE,
+        tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= k)
+        .select(id_col, "term", "tf", "df", "pick_rank")
+    )

@@ -72,6 +72,8 @@ HEADLINE = [
     "q80_url_frontier_delta",  # crawl-frontier seen-set probe
     "q81_cluster_balanced_sample",  # semantic domain capping
     "q83_frontier_host_cap",  # per-host crawl politeness
+    "q84_host_pagerank",  # integer host-graph PageRank (3 iterations)
+    "q88_frontier_politeness",  # frontier capstone: delta→gate→robots→cap
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

@@ -138,3 +138,63 @@ def test_pagerank_edges_shuffled_once_per_plan(spark):
     out = pagerank(df, iterations=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_distinctive_terms_matches_python_twin(spark):
+    """tf/df ranking with deterministic tie-break equals a dict-based
+    twin (which ranks by the same IEEE double ratio)."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        distinctive_terms,
+    )
+
+    docs = [
+        (1, "apple banana apple cherry date"),
+        (2, "banana cherry cherry cherry fig"),
+        (3, "apple fig fig grape grape grape"),
+        (4, "date! DATE, daTe; unique-token"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        map(tuple, distinctive_terms(df, k=3).collect())
+    )
+
+    import re
+    from collections import Counter
+
+    tf = {
+        d: Counter(t for t in re.split(r"[^a-z0-9]+", s.lower()) if t)
+        for d, s in docs
+    }
+    dfreq = Counter(t for c in tf.values() for t in c)
+    expect = []
+    for d, c in tf.items():
+        ranked = sorted(
+            c.items(), key=lambda kv: (-(kv[1] / dfreq[kv[0]]), kv[0])
+        )[:3]
+        expect += [
+            (d, t, n, dfreq[t], i + 1) for i, (t, n) in enumerate(ranked)
+        ]
+    assert got == sorted(expect)
+    # doc 4: 'date' tf=3 but df=2; 'unique'/'token' are df=1 singletons
+    d4 = [r for r in got if r[0] == 4]
+    assert {r[1] for r in d4} == {"date", "token", "unique"}
+
+
+def test_distinctive_terms_single_tokenization_pass(spark):
+    """The df leg must read the persisted tf relation, not re-explode
+    the corpus: exactly one Generate (explode) in the plan and an
+    InMemoryTableScan feeding both legs."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        distinctive_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = distinctive_terms(df, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both the tf leg and the df leg read the persisted tf relation
+    # (plan PRINTS repeat the cached child per InMemoryTableScan, so
+    # count scans, not Generate nodes)
+    assert plan.count("InMemoryTableScan") >= 2
