@@ -2179,7 +2179,11 @@ def _robots_parse_ctes() -> str:
   from robots
 ),
 rlines as (
-  select host, pos, trim(regexp_replace(raw, '#.*$', '')) as l
+  -- strip spaces/tabs/CR both sides (operators/robots._strip): CRLF
+  -- bodies must parse identically to LF
+  select host, pos,
+    regexp_replace(regexp_replace(raw, '#.*$', ''),
+                   '^[ \t\r]+|[ \t\r]+$', '', 'g') as l
   from lines0
 ),
 marked as (

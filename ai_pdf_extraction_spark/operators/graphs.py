@@ -48,6 +48,12 @@ from pyspark.sql import functions as F
 #: convention, truncation rule) change — consumers pin against it
 PAGERANK_VERSION = 1
 
+# the returned final-ranks persist slot (dedup._persist_latest
+# lifecycle): without it every pagerank call would leak one cached
+# host-cardinality relation for the session's lifetime (bench and the
+# contract runner call it repeatedly)
+_PAGERANK_CACHE: list = []
+
 
 # canonical host extraction lives with the other url Column work;
 # re-exported here because the graph operators are its heaviest users
@@ -178,7 +184,12 @@ def pagerank(
         ranks = new_ranks
     ew.unpersist()
     nodes.unpersist()
-    return ranks
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    # hand the (already-materialized) final frontier to the eviction
+    # slot: persist() on a persisted plan is a no-op, and the next
+    # pagerank call unpersists this one
+    return _persist_latest(_PAGERANK_CACHE, ranks)
 
 
 def link_degree_stats(edges: DataFrame) -> DataFrame:

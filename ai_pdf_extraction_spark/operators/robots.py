@@ -36,10 +36,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ai_pdf_extraction_spark.operators.graphs import host_of
+from ai_pdf_extraction_spark.operators.urls import host_of, strip_authority
 
 _UA_RE = r"(?i)^user-agent\s*:"
 _RULE_RE = r"(?i)^(dis)?allow\s*:"
+
+
+def _strip(c) -> F.Column:
+    """Strip spaces, tabs AND carriage returns — real robots.txt files
+    are routinely CRLF, and ``F.trim`` is space-only: a surviving
+    ``\r`` would fail the ``== '*'`` star check and make every rule
+    prefix end in ``\r`` (never prefix-matching anything), silently
+    ignoring the whole file."""
+    return F.regexp_replace(c, r"^[ \t\r]+|[ \t\r]+$", "")
 
 
 def parse_robots(
@@ -50,28 +59,48 @@ def parse_robots(
     groups (semantics in the module docstring).
 
     Pure Column work: split → posexplode → comment-strip → group
-    lines into UA blocks with a running sum over a per-host window
-    (a new group starts at a ``User-agent`` line whose predecessor
-    is not one — RFC 9309's consecutive-UA-lines-one-group rule),
-    then keep rules from groups containing the ``*`` agent."""
+    lines into UA blocks with a running sum over a per-(host, body)
+    window (a new group starts at a ``User-agent`` line whose
+    predecessor is not one — RFC 9309's consecutive-UA-lines-one-group
+    rule), then keep rules from groups containing the ``*`` agent.
+
+    Lines strip spaces/tabs/CR on both sides (CRLF bodies parse
+    identically to LF). A host appearing in SEVERAL input rows (e.g.
+    re-fetched robots appended to the relation) contributes the UNION
+    of each body's star-group rules: grouping windows partition by
+    (host, body) — a host-only partition would interleave the two
+    bodies' equal line numbers nondeterministically."""
+    # any distinct per-row label works: the body id only keeps line
+    # numbering separated per document and never reaches the output,
+    # so the union of rules is deterministic. It MUST be projected in
+    # its own step BEFORE the explode — inlined next to posexplode it
+    # would be evaluated per exploded LINE, giving every line its own
+    # "body" (Catalyst keeps the boundary: it never collapses projects
+    # across a nondeterministic expression).
+    bodies = robots.select(
+        F.col(host_col).alias("host"),
+        F.monotonically_increasing_id().alias("body"),
+        F.col(text_col).alias("_txt"),
+    )
     lines = (
-        robots.select(
-            F.col(host_col).alias("host"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias(
-                "pos", "raw"
-            ),
+        bodies.select(
+            "host",
+            "body",
+            F.posexplode(F.split("_txt", "\n")).alias("pos", "raw"),
         )
-        # comments run from '#' to end-of-line (REP); trim both sides
+        # comments run from '#' to end-of-line (REP)
         .select(
             "host",
+            "body",
             "pos",
-            F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("l"),
+            _strip(F.regexp_replace("raw", r"#.*$", "")).alias("l"),
         )
     )
-    w = Window.partitionBy("host").orderBy("pos")
+    w = Window.partitionBy("host", "body").orderBy("pos")
     is_ua = F.col("l").rlike(_UA_RE)
     marked = lines.select(
         "host",
+        "body",
         "pos",
         "l",
         is_ua.alias("is_ua"),
@@ -87,24 +116,25 @@ def parse_robots(
         grouped.filter(
             F.col("is_ua")
             & (
-                F.trim(F.regexp_extract("l", _UA_RE + r"(.*)$", 1)) == "*"
+                _strip(F.regexp_extract("l", _UA_RE + r"(.*)$", 1)) == "*"
             )
         )
-        .select("host", "grp")
+        .select("host", "body", "grp")
         .distinct()
     )
     rules = grouped.filter(
         F.col("l").rlike(_RULE_RE) & (F.col("grp") > 0)
     ).select(
         "host",
+        "body",
         "grp",
         (~F.col("l").rlike(r"(?i)^disallow")).alias("is_allow"),
-        F.trim(F.regexp_extract("l", _RULE_RE + r"(.*)$", 2)).alias(
+        _strip(F.regexp_extract("l", _RULE_RE + r"(.*)$", 2)).alias(
             "prefix"
         ),
     )
     return (
-        rules.join(star_groups, ["host", "grp"], "leftsemi")
+        rules.join(star_groups, ["host", "body", "grp"], "leftsemi")
         .filter(F.col("prefix") != "")
         .select(
             "host",
@@ -112,6 +142,7 @@ def parse_robots(
             "is_allow",
             F.length("prefix").cast("long").alias("prefix_len"),
         )
+        .distinct()
     )
 
 
@@ -145,9 +176,7 @@ def robots_filter(
     composed plans (q88) ballooned to MB-scale generated code that
     way. Join-back also means duplicate input rows pass through
     unmerged (each picks up the same decision)."""
-    tgt = F.regexp_replace(
-        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""
-    )
+    tgt = strip_authority(url_col)
     u = urls.withColumn("host", host_of(url_col))
     narrow = u.select(
         F.col(url_col).alias("_rb_url"),

@@ -16,12 +16,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: scheme://authority — THE url-structure regex pair (extract form in
+#: :func:`host_of`, strip form in :func:`strip_authority`); every
+#: operator shares these two helpers, keep in lockstep with the
+#: oracle CTEs
+_AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*"
+
+
 def host_of(col: Column | str) -> Column:
-    """Extract the authority (host[:port]) from a url — the one
-    host regex, shared by ``frontier_host_cap``, ``graphs`` and
-    ``robots`` (keep in lockstep with the oracle CTEs)."""
+    """Extract the authority (host[:port]) from a url — shared by
+    ``frontier_host_cap``, ``url_prefilter``, ``graphs`` and
+    ``robots``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
+    return F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1
+    )
+
+
+def strip_authority(col: Column | str) -> Column:
+    """Everything after scheme://authority (path + query; empty string
+    when the url is just the authority)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _AUTHORITY_RE, "")
 
 
 def canonicalize_url(col: Column | str = "url") -> Column:
@@ -191,7 +207,7 @@ def url_prefilter(
     no CSE across HOF lambdas — an inlined split would re-split per
     label)."""
     u = F.col(url_col)
-    after = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    after = strip_authority(u)
     qpos = F.instr(after, "?")
     path0 = F.when(
         qpos > 0, F.substring(after, F.lit(1), qpos - 1)
@@ -216,7 +232,10 @@ def url_prefilter(
     dp, dq = digit_limit
     digits = F.length(F.regexp_replace("_path", r"[^0-9]", ""))
     flags = with_parts.select(
-        *urls.columns,
+        # an input that already carries a host column (a re-gated
+        # url_prefilter/robots_filter output) must not yield TWO host
+        # columns — the recomputed one wins
+        *[c for c in urls.columns if c != "host"],
         "host",
         F.lower(F.col("_path")).rlike(_ASSET_EXT_RE).alias("is_asset"),
         (digits * dq > F.length("_path") * dp).alias("digit_heavy"),
@@ -272,9 +291,7 @@ def frontier_host_cap(
         .select(
             F.col(url_col),
             F.col(id_col),
-            F.regexp_extract(
-                url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1
-            ).alias("host"),
+            host_of(url_col).alias("host"),
             (F.col(id_col) % n_shards).alias("_shard"),
             F.md5(url_col).alias("_h"),
         ),

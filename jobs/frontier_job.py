@@ -31,10 +31,12 @@ seen-set delta, then the pre-fetch URL quality gate (``url_prefilter``
 frontier (canon_url, host, first_id, pick_rank) under ``--output``
 and, unless ``--no-append``, appends the DECIDED urls to the seen-set
 (atomic manifest rewrite — a killed job leaves the set unchanged and
-the re-run probe is idempotent). Decided = scheduled ∪ prefiltered:
-a url-intrinsic rejection never changes verdict, so it is remembered
-for good; robots rejections are policy and cap deferrals are
-capacity, so both resurface at the next probe.
+the re-run probe is idempotent). Decided = scheduled ∪ asset-flagged:
+only url-INTRINSIC rejections are remembered for good (an asset url
+never stops being an asset). Blocklist/length/digit-ratio rejections
+are run-level CLI policy, and robots rejections are host policy —
+both resurface at the next probe so a config or robots change is
+picked up; cap deferrals resurface as capacity.
 
 Same contract as the other jobs: public package API only, submits
 unchanged to a real cluster.
@@ -112,39 +114,74 @@ def main() -> None:
             spark, args.seen, spark.read.parquet(args.new)
         ).persist()
         summary = {}
-        rejected = None
-        if not args.no_prefilter:
+        gated = fr
+        has_prefilter = not args.no_prefilter
+        if has_prefilter:
             dp, dq = (int(x) for x in args.digit_limit.split("/"))
-            pf = url_prefilter(
-                fr,
+            blocklist = (
+                [s.strip() for s in args.blocklist.split(",") if s.strip()]
+                if args.blocklist
+                else None
+            )
+            gated = url_prefilter(
+                gated,
                 url_col="canon_url",
-                blocklist=(
-                    args.blocklist.split(",") if args.blocklist else None
-                ),
+                blocklist=blocklist,
                 max_len=args.max_len,
                 digit_limit=(dp, dq),
             )
-            # url-intrinsic rejections never change verdict — they are
-            # appended as decided so later probes skip them for good
-            rejected = pf.filter(
-                F.col("to_crawl") & ~F.col("keep")
-            ).select("canon_url")
-            fr = pf.withColumn(
-                "to_crawl", F.col("to_crawl") & F.col("keep")
-            )
         if args.robots:
             rules = parse_robots(spark.read.parquet(args.robots))
-            rb = robots_filter(fr, rules, url_col="canon_url")
-            summary["robots_blocked"] = rb.filter(
-                F.col("to_crawl") & ~F.col("robots_allowed")
-            ).count()
-            # robots rejections are POLICY, not intrinsic: never
-            # appended, so a later robots change is picked up on the
-            # next probe (same resurface rule as cap-deferred urls)
-            fr = rb.withColumn(
-                "to_crawl", F.col("to_crawl") & F.col("robots_allowed")
+            gated = robots_filter(gated, rules, url_col="canon_url")
+        if gated is not fr:
+            # the gated relation feeds the counts agg, the intrinsic-
+            # rejection append leg, AND the cap — persist it too or
+            # each action re-runs the gate joins
+            gated = gated.persist()
+        to_crawl = F.col("to_crawl")
+        if has_prefilter:
+            to_crawl = to_crawl & F.col("keep")
+        if args.robots:
+            to_crawl = to_crawl & F.col("robots_allowed")
+        # one aggregation for every summary count — an action per key
+        # would re-execute a gate leg each
+        count_cols = []
+        if has_prefilter:
+            count_cols.append(
+                F.sum(
+                    (F.col("to_crawl") & ~F.col("keep")).cast("long")
+                ).alias("prefiltered")
             )
-        capped = frontier_host_cap(fr, per_host=args.per_host)
+            count_cols.append(
+                F.sum(
+                    (F.col("to_crawl") & F.col("is_asset")).cast("long")
+                ).alias("assets")
+            )
+        if args.robots:
+            rb_gate = F.col("to_crawl") & ~F.col("robots_allowed")
+            if has_prefilter:
+                rb_gate = (
+                    F.col("to_crawl")
+                    & F.col("keep")
+                    & ~F.col("robots_allowed")
+                )
+            count_cols.append(
+                F.sum(rb_gate.cast("long")).alias("robots_blocked")
+            )
+        if count_cols:
+            summary.update(
+                {
+                    k: int(v)
+                    for k, v in gated.agg(*count_cols)
+                    .collect()[0]
+                    .asDict()
+                    .items()
+                }
+            )
+        capped = frontier_host_cap(
+            gated.withColumn("to_crawl", to_crawl),
+            per_host=args.per_host,
+        )
         capped.write.mode("overwrite").parquet(args.output)
         # counts read back the just-written parquet — recounting the
         # lazy plan would re-run the probe
@@ -152,15 +189,21 @@ def main() -> None:
         summary["scheduled"] = scheduled.count()
         if not args.no_append:
             decided = scheduled.select("canon_url")
-            if rejected is not None:
-                summary["prefiltered"] = rejected.count()
-                decided = decided.union(rejected)
+            if has_prefilter:
+                # ONLY url-intrinsic rejections are remembered for
+                # good (an asset url never stops being an asset).
+                # Blocklist/length/digit rejections are run-level CLI
+                # policy — like robots verdicts, they must resurface
+                # so a config change is picked up at the next probe.
+                decided = decided.union(
+                    gated.filter(
+                        F.col("to_crawl") & F.col("is_asset")
+                    ).select("canon_url")
+                )
             manifest = append_seen_set(
                 spark, args.seen, decided, assume_unseen=True
             )
             summary["seen_n_urls"] = manifest["n_urls"]
-        elif rejected is not None:
-            summary["prefiltered"] = rejected.count()
         print(json.dumps(summary))
     spark.stop()
 

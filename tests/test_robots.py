@@ -233,3 +233,51 @@ def test_url_prefilter_no_blocklist_and_no_join_in_plan(spark):
     assert (
         url_prefilter(urls).collect()[0].blocked_domain is False
     )  # blocklist omitted entirely
+
+
+def test_parse_robots_crlf_and_tabs(spark):
+    """CRLF bodies and tab-padded directives parse identically to
+    clean LF — F.trim is space-only, so the dedicated strip matters
+    (a surviving CR made every prefix unmatchable)."""
+    from ai_pdf_extraction_spark.operators.robots import parse_robots
+
+    crlf = "User-agent: *\r\nDisallow:\t/private/\r\nAllow: /private/pub\r\n"
+    got = sorted(
+        map(tuple, parse_robots(_rules_df(spark, {"a.com": crlf})).collect())
+    )
+    assert got == [
+        ("a.com", "/private/", False, 9),
+        ("a.com", "/private/pub", True, 12),
+    ]
+
+
+def test_parse_robots_duplicate_host_rows_union_deterministically(spark):
+    """A host with several robots bodies (re-fetches appended to the
+    relation) contributes the UNION of each body's star rules — line
+    numbering never interleaves across bodies."""
+    from ai_pdf_extraction_spark.operators.robots import parse_robots
+
+    rows = [
+        ("a.com", "User-agent: *\nDisallow: /a"),
+        # second body: the UA header is NOT on line 0, so interleaved
+        # host-only grouping would mis-attribute /b
+        ("a.com", "# refetched\nUser-agent: *\nDisallow: /b"),
+        ("a.com", "User-agent: Bad\nDisallow: /never"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    for trial in range(3):
+        got = sorted(r.prefix for r in parse_robots(df).collect())
+        assert got == ["/a", "/b"], f"trial {trial}"
+
+
+def test_url_prefilter_regated_output_keeps_single_host_column(spark):
+    """Re-gating a url_prefilter output with tighter flags must not
+    produce a duplicate host column."""
+    from ai_pdf_extraction_spark.operators.urls import url_prefilter
+
+    urls = spark.createDataFrame([("http://a.com/x",)], "url string")
+    once = url_prefilter(urls, max_len=100)
+    twice = url_prefilter(once.select("url", "host"), max_len=5)
+    assert twice.columns.count("host") == 1
+    row = twice.collect()[0]
+    assert row.too_long is True  # the tighter gate decided
