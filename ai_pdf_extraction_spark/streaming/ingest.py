@@ -161,6 +161,8 @@ def run_frontier_stream(
     url_col: str = "url",
     id_col: str = "event_id",
     timeout_sec: int = 300,
+    gate=None,
+    per_host: int | None = None,
 ) -> None:
     """Streaming crawl-frontier loop: continuously-arriving url
     batches (parquet files of ``(id, url)`` discoveries) are probed
@@ -169,6 +171,20 @@ def run_frontier_stream(
     appended to the seen-set — so a url discovered in micro-batch N is
     already "seen" for micro-batch N+1. ``Trigger.AvailableNow`` +
     checkpoint, the module's drain-and-stop twin discipline.
+
+    ``gate`` is the streaming seam for the politeness chain
+    (``jobs/frontier_job.py`` composes the same operators in batch):
+    a callable mapping the per-batch frontier to a gated frontier
+    whose ``to_crawl`` column reflects the admission decision — e.g.
+    ``lambda fr: robots_filter(url_prefilter(fr, url_col="canon_url",
+    ...), rules, url_col="canon_url")`` composed with a ``to_crawl``
+    rewrite. Only SCHEDULED urls are appended to the seen-set, so
+    every gated-out url resurfaces at its next discovery — policy
+    (robots/blocklist) changes are picked up automatically.
+    ``per_host`` additionally caps each host's scheduled urls per
+    micro-batch (``frontier_host_cap``); deferred urls likewise
+    resurface. With a cap the epoch output schema is the capped one:
+    ``(canon_url, host, first_id, pick_rank)``.
 
     The probe/append pair is a foreachBatch: the seen-set manifest
     commit is an external transaction Spark's file-sink WAL cannot
@@ -208,7 +224,16 @@ def run_frontier_stream(
         fr = frontier_from_seen_set(
             spark, seen_dir, batch_df, url_col=url_col, id_col=id_col
         )
-        to_crawl = fr.filter("to_crawl").persist()
+        if gate is not None:
+            fr = gate(fr)
+        to_crawl = fr.filter("to_crawl")
+        if per_host is not None:
+            from ai_pdf_extraction_spark.operators.urls import (
+                frontier_host_cap,
+            )
+
+            to_crawl = frontier_host_cap(to_crawl, per_host=per_host)
+        to_crawl = to_crawl.persist()
         try:
             if to_crawl.count() == 0:
                 return  # replayed (or genuinely empty) batch: no-op

@@ -828,3 +828,70 @@ def test_streaming_dedup_ingest_loop(spark, tmp_path):
                             timeout_sec=120)
     assert spark.read.option("basePath", out_dir).parquet(out_dir) \
         .count() == 2
+
+
+def test_streaming_frontier_loop_gated_and_capped(spark, tmp_path):
+    """The politeness seam in the stream: a robots gate blocks
+    /private/ urls WITHOUT appending them (policy resurfaces on
+    rediscovery), and per_host caps each micro-batch's schedule
+    (deferred urls resurface too)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+    from ai_pdf_extraction_spark.sources.seen_urls import (
+        load_seen_set,
+        write_seen_set,
+    )
+    from ai_pdf_extraction_spark.streaming.ingest import run_frontier_stream
+
+    in_dir = str(tmp_path / "urls_in")
+    seen_dir = str(tmp_path / "seen")
+    out_dir = str(tmp_path / "frontier_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    write_seen_set(
+        spark.createDataFrame([("http://old.com/a",)], "canon_url string"),
+        seen_dir,
+    )
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h.com", "User-agent: *\nDisallow: /private/")],
+            "host string, robots_txt string",
+        )
+    ).persist()
+    rules.count()
+
+    def gate(fr):
+        rb = robots_filter(fr, rules, url_col="canon_url")
+        return rb.withColumn(
+            "to_crawl", F.col("to_crawl") & F.col("robots_allowed")
+        )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, f"http://h.com/page/{i}") for i in range(5)] + [
+        (9, "http://h.com/private/doc")
+    ]
+    ids, urls = zip(*rows)
+    pq.write_table(
+        pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "url": pa.array(urls, pa.string())}),
+        os.path.join(in_dir, "b1.parquet"),
+    )
+    run_frontier_stream(spark, in_dir, seen_dir, out_dir, ckpt,
+                        timeout_sec=120, gate=gate, per_host=3)
+    fr = spark.read.option("basePath", out_dir).parquet(out_dir)
+    got = {r["canon_url"] for r in fr.collect()}
+    assert len(got) == 3 and all("/page/" in u for u in got)
+    assert all(r["pick_rank"] <= 3 for r in fr.collect())
+    seen = {r["canon_url"] for r in load_seen_set(spark, seen_dir).collect()}
+    # only the SCHEDULED urls were appended: the robots-blocked url and
+    # the two cap-deferred pages resurface on rediscovery
+    assert seen == {"http://old.com/a"} | got
+    rules.unpersist()
