@@ -2102,6 +2102,83 @@ def q89_distinctive_terms(spark, sf_dir):
     return distinctive_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+# q90's persisted parsed-canon slot (feeds the semi-probe build side
+# AND the flag join)
+_Q90_CANON_CACHE: list = []
+
+
+def q90_sitemap_discovery(spark, sf_dir):
+    """Sitemap-driven url discovery — the discovery half of the crawl
+    stack composed with the seen-set probe: per-host sitemap XML
+    (synthesized deterministically, with entity-encoded queries and
+    padded <loc> whitespace) is parsed, canonicalized, and flagged
+    against the already-crawled set via the q80 broadcast semi — the
+    seen side is scanned, never shuffled."""
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+    from ai_pdf_extraction_spark.operators.urls import (
+        canonicalize_url,
+        parse_sitemaps,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    entry = F.concat(
+        F.lit("<url><loc> https://Host"),
+        (eid % 7).cast("string"),
+        F.lit(".example.com/s/"),
+        (eid % 509).cast("string"),
+        F.when(eid % 4 == 0, F.lit("?x=1&amp;utm_source=z")).otherwise(
+            F.lit("")
+        ),
+        F.lit(" </loc></url>"),
+    )
+    xml = (
+        e.select((eid % 7).cast("string").alias("hid"), entry.alias("entry"))
+        .groupBy("hid")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    sitemaps = xml.select(
+        F.concat(F.lit("host"), F.col("hid"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        "sitemap_xml",
+    )
+    canon = _persist_latest(
+        _Q90_CANON_CACHE,
+        parse_sitemaps(sitemaps)
+        .select("host", canonicalize_url("url").alias("canon_url"))
+        .distinct(),
+    )
+    seen = (
+        e.filter(eid % 3 != 0)
+        .select(
+            F.concat(
+                F.lit("https://host"),
+                (eid % 7).cast("string"),
+                F.lit(".example.com/s/"),
+                (eid % 509).cast("string"),
+            ).alias("canon_url")
+        )
+        .distinct()
+    )
+    hits = seen.join(
+        F.broadcast(canon.select("canon_url")), "canon_url", "leftsemi"
+    ).withColumn("_seen", F.lit(True))
+    in_seen = F.coalesce("_seen", F.lit(False))
+    return canon.join(hits, "canon_url", "left").select(
+        "host",
+        "canon_url",
+        in_seen.alias("in_seen"),
+        (~in_seen).alias("to_crawl"),
+    )
+
+
 # q88's persisted-frontier slot (the operators' _persist_latest
 # lifecycle: the next call evicts the previous plan)
 _Q88_FR_CACHE: list = []
@@ -2979,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_url_prefilter": q87_url_prefilter,
         "q88_frontier_politeness": q88_frontier_politeness,
         "q89_distinctive_terms": q89_distinctive_terms,
+        "q90_sitemap_discovery": q90_sitemap_discovery,
     }
 
 
@@ -4821,6 +4899,58 @@ ranked as (
 )
 select doc_id, term, tf, df, pick_rank::bigint as pick_rank
 from ranked where pick_rank <= 5
+""",
+        # q90: sitemap parse (regexp_extract_all + entity decode) →
+        # canon chain (distinct raw urls, joined back) → seen probe
+        "q90_sitemap_discovery": f"""
+with ent as (
+  select (event_id % 7) as hid,
+    '<url><loc> https://Host' || (event_id % 7)::varchar
+      || '.example.com/s/' || (event_id % 509)::varchar
+      || case when event_id % 4 = 0
+           then '?x=1&amp;utm_source=z' else '' end
+      || ' </loc></url>' as entry
+  from events
+),
+xml as (
+  select hid,
+    '<urlset>' || string_agg(entry, '' order by entry) || '</urlset>'
+      as sitemap_xml
+  from ent group by hid
+),
+sm as (
+  select 'host' || hid::varchar || '.example.com' as host, sitemap_xml
+  from xml
+),
+locs as (
+  select host,
+    unnest(regexp_extract_all(sitemap_xml, '<loc>\\s*(.*?)\\s*</loc>', 1))
+      as loc_url
+  from sm
+),
+dec as (
+  select host,
+    replace(replace(replace(replace(replace(loc_url,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)),
+      '&amp;', '&') as dec_url
+  from locs
+),
+raw as (select distinct 0::bigint as event_id, dec_url as raw_url from dec),
+{_URL_CANON_CHAIN_SQL},
+cmap as (select raw_url, {_URL_CANON_FINAL_SQL} as canon_url from s5),
+canon as (
+  select distinct d.host, c.canon_url
+  from dec d join cmap c on d.dec_url = c.raw_url
+),
+seen as (
+  select distinct 'https://host' || (event_id % 7)::varchar
+    || '.example.com/s/' || (event_id % 509)::varchar as canon_url
+  from events where event_id % 3 != 0
+)
+select c.host, c.canon_url,
+  (s.canon_url is not null) as in_seen,
+  (s.canon_url is null) as to_crawl
+from canon c left join seen s using (canon_url)
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q82_corpus_profile": """

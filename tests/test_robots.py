@@ -281,3 +281,41 @@ def test_url_prefilter_regated_output_keeps_single_host_column(spark):
     assert twice.columns.count("host") == 1
     row = twice.collect()[0]
     assert row.too_long is True  # the tighter gate decided
+
+
+def test_parse_sitemaps_entities_whitespace_and_index_files(spark):
+    from ai_pdf_extraction_spark.operators.urls import parse_sitemaps
+
+    xml = (
+        "<urlset>"
+        "<url><loc>  http://a.com/x?a=1&amp;b=2  </loc></url>"
+        "<url><loc>http://a.com/&lt;odd&gt;/&apos;q&quot;</loc></url>"
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://b.com/sitemap-2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", xml), ("b.com", idx)], "host string, sitemap_xml string"
+    )
+    got = sorted(map(tuple, parse_sitemaps(df).collect()))
+    assert got == [
+        ("a.com", "http://a.com/<odd>/'q\""),
+        ("a.com", "http://a.com/x?a=1&b=2"),
+        # index files surface their child-sitemap locs; caller routes
+        ("b.com", "http://b.com/sitemap-2.xml"),
+    ]
+
+
+def test_parse_sitemaps_double_encoded_decodes_once(spark):
+    """&amp;lt; must decode to the literal text '&lt;' (amp last),
+    never twice to '<'."""
+    from ai_pdf_extraction_spark.operators.urls import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [("a.com", "<loc>http://a.com/&amp;lt;x</loc>")],
+        "host string, sitemap_xml string",
+    )
+    assert parse_sitemaps(df).collect()[0].url == "http://a.com/&lt;x"
