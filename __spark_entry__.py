@@ -1926,16 +1926,18 @@ def q80_url_frontier_delta(spark, sf_dir):
     duplicate rejection (routers/batches.py:381), decided BEFORE the
     fetch. The seen-set is never shuffled (broadcast semi-probe)."""
     from ai_pdf_extraction_spark.operators.urls import (
-        canonicalize_url,
         url_frontier_delta,
+        with_canonical_url,
     )
 
     e = _t(spark, sf_dir, "events")
     pages = e.select("event_id", _q80_messy_url().alias("url"))
     # index-build job: one distinct over the historical partition
+    # (staged canonicalizer: this leg used to dominate the composed
+    # frontier plans' codegen)
     seen = (
-        pages.filter(F.col("event_id") % 4 != 0)
-        .select(canonicalize_url("url").alias("canon_url"))
+        with_canonical_url(pages.filter(F.col("event_id") % 4 != 0), "url")
+        .select("canon_url")
         .distinct()
     )
     new = pages.filter(F.col("event_id") % 4 == 0)
@@ -2116,8 +2118,8 @@ def q90_sitemap_discovery(spark, sf_dir):
     seen side is scanned, never shuffled."""
     from ai_pdf_extraction_spark.operators.dedup import _persist_latest
     from ai_pdf_extraction_spark.operators.urls import (
-        canonicalize_url,
         parse_sitemaps,
+        with_canonical_url,
     )
 
     e = _t(spark, sf_dir, "events")
@@ -2151,8 +2153,8 @@ def q90_sitemap_discovery(spark, sf_dir):
     )
     canon = _persist_latest(
         _Q90_CANON_CACHE,
-        parse_sitemaps(sitemaps)
-        .select("host", canonicalize_url("url").alias("canon_url"))
+        with_canonical_url(parse_sitemaps(sitemaps), "url")
+        .select("host", "canon_url")
         .distinct(),
     )
     seen = (
@@ -2395,8 +2397,6 @@ def q37_url_canonicalize(spark, sf_dir):
     urls deterministically synthesized from events rows — plus the
     adversarial literal shapes above every 23rd row — canonicalized
     with the same regex pipeline in both engines."""
-    from ai_pdf_extraction_spark.operators.urls import canonicalize_url
-
     e = _t(spark, sf_dir, "events")
     messy = F.concat(
         F.lit("HTTPS://Src"),
@@ -2410,11 +2410,16 @@ def q37_url_canonicalize(spark, sf_dir):
     m = F.col("event_id") % 23
     for idx, u in enumerate(_URL_SAMPLES):
         messy = F.when(m == idx, F.lit(u)).otherwise(messy)
-    return e.select(
-        "event_id",
-        messy.alias("raw_url"),
-        canonicalize_url(messy).alias("canonical_url"),
-    )
+    # the STAGED canonicalizer (linear plan; byte-identical to the
+    # Column form): q37 is the contract that pins both forms against
+    # the one DuckDB chain
+    from ai_pdf_extraction_spark.operators.urls import with_canonical_url
+
+    return with_canonical_url(
+        e.select("event_id", messy.alias("raw_url")),
+        "raw_url",
+        out="canonical_url",
+    ).select("event_id", "raw_url", "canonical_url")
 
 
 def q64_embedding_near_dup_lsh(spark, sf_dir):

@@ -129,8 +129,10 @@ def url_frontier_delta(
     """
     from ai_pdf_extraction_spark.operators.dedup import _persist_latest
 
-    batch = new_urls.select(
-        F.col(id_col), canonicalize_url(url_col).alias("canon_url")
+    # staged canonicalizer: linear expression tree (the Column form is
+    # textually exponential — see with_canonical_url), byte-identical
+    batch = with_canonical_url(new_urls, url_col).select(
+        F.col(id_col), "canon_url"
     )
     # the collapsed batch feeds BOTH the semi-join build side and the
     # final left join — persist or the batch scan + agg run twice
@@ -365,3 +367,107 @@ def parse_sitemaps(
     for ent, ch in _XML_ENTITIES:
         dec = F.replace(dec, F.lit(ent), F.lit(ch))
     return out.select("host", dec.alias("url"))
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out: str = "canon_url"
+) -> DataFrame:
+    """Staged-projection twin of :func:`canonicalize_url` — byte-
+    identical output (the q37 contract pins both forms against the
+    same DuckDB chain), linear plan size.
+
+    Why it exists: the Column form's steps each reference their
+    predecessor several times, so its expression TREE is textually
+    exponential in the step count (~75+ inlined copies of the base
+    expression; one call optimizes to ~20k plan characters, measured).
+    Harmless for a lone projection, but every composed frontier plan
+    (q80/q88/q90 and the jobs) re-embeds and recompiles it per stage.
+    Here each step binds to an intermediate column in its own
+    projection; Catalyst's CollapseProject keeps multi-use non-cheap
+    intermediates bound instead of inlining them, so the optimized
+    tree stays linear (~1.2k characters, 17× smaller). Intermediates
+    are dropped before returning; all input columns pass through."""
+    c = "_cu_"
+    d = df.withColumn(c + "u1", F.regexp_replace(url_col, r"#.*$", ""))
+    d = d.withColumn(c + "q", F.instr(c + "u1", "?"))
+    d = d.withColumn(
+        c + "p",
+        F.when(
+            F.col(c + "q") > 0,
+            F.substring(c + "u1", F.lit(1), F.col(c + "q") - 1),
+        ).otherwise(F.col(c + "u1")),
+    )
+    d = d.withColumn(
+        c + "qs",
+        F.when(
+            F.col(c + "q") > 0,
+            F.substring(c + "u1", F.col(c + "q"), F.length(c + "u1")),
+        ).otherwise(F.lit("")),
+    )
+    d = d.withColumn(
+        c + "qs",
+        F.regexp_replace(
+            c + "qs", r"(?i)[?&](?:utm_[a-z]+|fbclid|gclid)=[^&#]*", ""
+        ),
+    )
+    d = d.withColumn(c + "qs", F.regexp_replace(c + "qs", r"^&", "?"))
+    d = d.withColumn(c + "qs", F.regexp_replace(c + "qs", r"[?&]$", ""))
+    d = d.withColumn(c + "u2", F.concat(c + "p", c + "qs"))
+    d = d.withColumn(
+        c + "h",
+        F.lower(
+            F.regexp_extract(
+                c + "u2", r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1
+            )
+        ),
+    )
+    d = d.withColumn(
+        c + "t",
+        F.regexp_replace(c + "u2", r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""),
+    )
+    d = d.withColumn(
+        c + "u3",
+        F.when(F.col(c + "h") == "", F.col(c + "u2")).otherwise(
+            F.concat(c + "h", c + "t")
+        ),
+    )
+    d = d.withColumn(
+        c + "u4",
+        F.regexp_replace(
+            c + "u3", r"^(https://[^/:?]+):443([/?]|$)", r"$1$2"
+        ),
+    )
+    d = d.withColumn(
+        c + "u4",
+        F.regexp_replace(
+            c + "u4", r"^(http://[^/:?]+):80([/?]|$)", r"$1$2"
+        ),
+    )
+    d = d.withColumn(c + "q2", F.instr(c + "u4", "?"))
+    d = d.withColumn(
+        c + "pp",
+        F.when(
+            F.col(c + "q2") > 0,
+            F.substring(c + "u4", F.lit(1), F.col(c + "q2") - 1),
+        ).otherwise(F.col(c + "u4")),
+    )
+    d = d.withColumn(
+        c + "qq",
+        F.when(
+            F.col(c + "q2") > 0,
+            F.substring(c + "u4", F.col(c + "q2"), F.length(c + "u4")),
+        ).otherwise(F.lit("")),
+    )
+    d = d.withColumn(
+        c + "u5",
+        F.concat(
+            F.regexp_replace(c + "pp", r"([^:/])//+", r"$1/"), F.col(c + "qq")
+        ),
+    )
+    d = d.withColumn(
+        out,
+        F.regexp_replace(
+            c + "u5", r"(://[^/?]+/[^?]*[^/?])/($|\?)", r"$1$2"
+        ),
+    )
+    return d.drop(*[f for f in d.columns if f.startswith(c)])

@@ -319,3 +319,42 @@ def test_parse_sitemaps_double_encoded_decodes_once(spark):
         "host string, sitemap_xml string",
     )
     assert parse_sitemaps(df).collect()[0].url == "http://a.com/&lt;x"
+
+
+def test_with_canonical_url_matches_column_form_and_is_linear(spark):
+    """The staged canonicalizer must be byte-identical to the Column
+    form on the adversarial shapes AND keep the optimized plan linear
+    (the Column form's self-referencing steps are textually
+    exponential — the reason the staged twin exists)."""
+    from ai_pdf_extraction_spark.operators.urls import (
+        canonicalize_url,
+        with_canonical_url,
+    )
+
+    raws = [
+        "HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&q=1#frag",
+        "http://Host.org:80//a//b/",
+        "not a url at all",
+        "https://example.com/foo&bar",
+        "https://a.com//p//q?u=http://x.com//y",
+        "http://a/b&gclid=x/rest",
+        "http://a/b&c?utm_a=1&keep=2",
+        "https://h.com/",
+        "",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    col_form = [
+        r.c for r in df.select(
+            "url", canonicalize_url("url").alias("c")
+        ).orderBy("url").collect()
+    ]
+    staged = with_canonical_url(df, "url", out="c")
+    staged_vals = [r.c for r in staged.orderBy("url").collect()]
+    assert staged_vals == col_form
+    assert staged.columns == ["url", "c"]  # intermediates dropped
+    lin = len(staged._jdf.queryExecution().optimizedPlan().toString())
+    exp = len(
+        df.select(canonicalize_url("url").alias("c"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert lin * 5 < exp  # measured ~17x; assert a conservative 5x
