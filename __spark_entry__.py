@@ -1961,21 +1961,26 @@ def _q84_links(spark, sf_dir):
     """Deterministic page-level hyperlink relation synthesized from
     ``events`` (the q80 discipline: both engines derive the identical
     link set from modular arithmetic on event_id — no external data).
-    13 hosts; the 7x+3 map mixes the id classes so the host graph is
-    dense, weighted, and asymmetric."""
+    13 hosts. Half the links follow the 7x+3 permutation (a pure
+    permutation alone would make PageRank EXACTLY uniform — every
+    host one in/out edge, fixed point = scale — so ranks would carry
+    no signal); the other half concentrate on hosts 0-2, skewing
+    in-degree so the rank vector genuinely differentiates."""
     e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    dst_hid = F.when(eid % 2 == 0, (eid * 7 + 3) % 13).otherwise(eid % 3)
     return e.select(
         F.concat(
             F.lit("http://host"),
-            (F.col("event_id") % 13).cast("string"),
+            (eid % 13).cast("string"),
             F.lit(".example.com/p/"),
-            F.col("event_id").cast("string"),
+            eid.cast("string"),
         ).alias("src_url"),
         F.concat(
             F.lit("http://host"),
-            ((F.col("event_id") * 7 + 3) % 13).cast("string"),
+            dst_hid.cast("string"),
             F.lit(".example.com/q/"),
-            (F.col("event_id") % 211).cast("string"),
+            (eid % 211).cast("string"),
         ).alias("dst_url"),
     )
 
@@ -2102,6 +2107,26 @@ def q89_distinctive_terms(spark, sf_dir):
     )
 
     return distinctive_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q91_priority_frontier(spark, sf_dir):
+    """Centrality-prioritized crawl budgeting: the q80 frontier's
+    to-crawl urls scheduled by q84 host PageRank under a 150-fetch
+    budget — best-linked hosts first, never-ranked hosts last (rank
+    0), total order (host_rank desc, md5, url) so the selected set is
+    deterministic. The global top-budget compiles to
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    from ai_pdf_extraction_spark.operators.graphs import (
+        host_edges,
+        pagerank,
+    )
+    from ai_pdf_extraction_spark.operators.urls import (
+        frontier_priority_budget,
+    )
+
+    fr = q80_url_frontier_delta(spark, sf_dir)
+    ranks = pagerank(host_edges(_q84_links(spark, sf_dir)), iterations=3)
+    return frontier_priority_budget(fr, ranks, budget=150)
 
 
 # q90's persisted parsed-canon slot (feeds the semi-probe build side
@@ -2303,7 +2328,9 @@ def _q84_graph_ctes() -> str:
     ``_q84_links`` / ``operators.graphs.host_edges``)."""
     return """links as (
   select 'host' || (event_id % 13)::varchar || '.example.com' as src,
-         'host' || ((event_id * 7 + 3) % 13)::varchar || '.example.com'
+         'host' || (case when event_id % 2 = 0
+                      then (event_id * 7 + 3) % 13
+                      else event_id % 3 end)::varchar || '.example.com'
            as dst
   from events
 ),
@@ -2313,11 +2340,12 @@ edges as (
 )"""
 
 
-def _q84_pagerank_sql(iterations: int = 3) -> str:
+def _q84_pagerank_ctes(iterations: int = 3) -> str:
     """Chained-CTE integer PageRank, one (contribs, ranks) CTE pair
-    per iteration — the exact semantics of ``operators.graphs.
-    pagerank`` (DuckDB ``//`` == Spark ``div`` on the non-negative
-    int64s involved)."""
+    per iteration, ending in ``r{iterations}(host, r)`` — the exact
+    semantics of ``operators.graphs.pagerank`` (DuckDB ``//`` ==
+    Spark ``div`` on the non-negative int64s involved). Shared by the
+    q84 contract and the q91 priority-frontier oracle."""
     parts = [
         _q84_graph_ctes(),
         """outw as (select src, sum(weight) as wout from edges group by src),
@@ -2335,9 +2363,13 @@ r{i} as (
   select n.host, (150000 + coalesce(c.c, 0))::bigint as r
   from nodes n left join c{i} c using (host)
 )""")
+    return ",\n".join(parts)
+
+
+def _q84_pagerank_sql(iterations: int = 3) -> str:
     return (
         "with "
-        + ",\n".join(parts)
+        + _q84_pagerank_ctes(iterations)
         + f'\nselect host, r as "rank" from r{iterations}'
     )
 
@@ -3062,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_frontier_politeness": q88_frontier_politeness,
         "q89_distinctive_terms": q89_distinctive_terms,
         "q90_sitemap_discovery": q90_sitemap_discovery,
+        "q91_priority_frontier": q91_priority_frontier,
     }
 
 
@@ -4956,6 +4989,25 @@ select c.host, c.canon_url,
   (s.canon_url is not null) as in_seen,
   (s.canon_url is null) as to_crawl
 from canon c left join seen s using (canon_url)
+""",
+        # q91: q80 frontier ⋈ q84 ranks, global top-budget in the
+        # exact total order (set compare — the driver sorts rows)
+        "q91_priority_frontier": f"""
+with {_q80_frontier_ctes()},
+{_q84_pagerank_ctes(3)},
+f as (
+  select canon_url,
+    regexp_extract(canon_url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) as host
+  from fr where to_crawl
+),
+j as (
+  select f.canon_url, f.host, coalesce(r.r, 0)::bigint as host_rank
+  from f left join r3 r on r.host = f.host
+)
+select canon_url, host, host_rank from j
+order by host_rank desc, md5(canon_url), canon_url
+limit 150
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q82_corpus_profile": """

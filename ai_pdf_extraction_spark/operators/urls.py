@@ -471,3 +471,56 @@ def with_canonical_url(
         ),
     )
     return d.drop(*[f for f in d.columns if f.startswith(c)])
+
+
+def frontier_priority_budget(
+    frontier: DataFrame,
+    host_ranks: DataFrame,
+    budget: int,
+    url_col: str = "canon_url",
+    rank_col: str = "rank",
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Centrality-prioritized crawl budgeting: given a cycle budget of
+    ``budget`` fetches, schedule the frontier's ``to_crawl`` urls from
+    the best-ranked hosts first (the OPIC/PageRank-ordered scheduling
+    family — a crawler with finite capacity spends it on well-linked
+    origins). ``host_ranks`` is a ``(host, rank)`` relation, e.g.
+    :func:`graphs.pagerank` output; hosts absent from it rank 0
+    (never-seen origins crawl last, after every known host).
+
+    Output: ``(canon_url, host, host_rank)`` — the budget-many urls
+    first in the total order (host_rank desc, md5(url), url). The
+    order is total and exact-integer/byte-wise, so the selected SET is
+    deterministic and both engines agree (no row_number column: a
+    global sequence number would force a single-partition window; the
+    set plus carried host_rank is the schedule).
+
+    Scale shape: the rank join broadcasts (one row per RANKED host —
+    politeness metadata scale; ``broadcast_ranks=False`` for
+    webgraph-complete rank tables, AQE handles the equi-join), and the
+    global top-``budget`` compiles to TakeOrderedAndProject — each
+    partition keeps its local top-``budget`` and the driver merges
+    heaps, no global sort, no funnel (plan-asserted in tests)."""
+    f = frontier.filter(F.col("to_crawl")).withColumn(
+        "host", host_of(url_col)
+    )
+    r = host_ranks.select(
+        F.col("host"), F.col(rank_col).cast("long").alias("host_rank")
+    )
+    if broadcast_ranks:
+        r = F.broadcast(r)
+    return (
+        f.join(r, "host", "left")
+        .select(
+            url_col,
+            "host",
+            F.coalesce("host_rank", F.lit(0).cast("long")).alias(
+                "host_rank"
+            ),
+        )
+        .orderBy(
+            F.col("host_rank").desc(), F.md5(url_col), F.col(url_col)
+        )
+        .limit(budget)
+    )

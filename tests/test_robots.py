@@ -358,3 +358,33 @@ def test_with_canonical_url_matches_column_form_and_is_linear(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert lin * 5 < exp  # measured ~17x; assert a conservative 5x
+
+
+def test_frontier_priority_budget_order_fallback_and_plan(spark):
+    from ai_pdf_extraction_spark.operators.urls import (
+        frontier_priority_budget,
+    )
+
+    fr = spark.createDataFrame(
+        [(f"http://big.com/{i}", True) for i in range(6)]
+        + [(f"http://tiny.com/{i}", True) for i in range(6)]
+        + [(f"http://unranked.com/{i}", True) for i in range(2)]
+        + [("http://big.com/seen", False)],
+        "canon_url string, to_crawl boolean",
+    )
+    ranks = spark.createDataFrame(
+        [("big.com", 900), ("tiny.com", 100)], "host string, rank long"
+    )
+    out = frontier_priority_budget(fr, ranks, budget=9)
+    rows = out.collect()
+    assert len(rows) == 9
+    hosts = [r.host for r in rows]
+    # all 6 big.com urls first, then 3 of tiny.com; unranked (rank 0)
+    # never makes the budget; non-to_crawl rows never appear
+    assert hosts.count("big.com") == 6 and hosts.count("tiny.com") == 3
+    assert all(r.host_rank in (900, 100) for r in rows)
+    # determinism: same set at different parallelism
+    again = frontier_priority_budget(fr.repartition(7), ranks, budget=9)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
