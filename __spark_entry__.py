@@ -2129,6 +2129,50 @@ def q91_priority_frontier(spark, sf_dir):
     return frontier_priority_budget(fr, ranks, budget=150)
 
 
+def q92_crawl_delay_caps(spark, sf_dir):
+    """Crawl-delay-scaled politeness: per-host ``Crawl-delay``
+    directives (the Bing/Yandex convention; max wins when several
+    apply, junk values ignored) become per-cycle caps —
+    ``min(max_cap, cycle div delay)`` — overriding the scalar default
+    in the sharded host-cap rank. Even hosts publish real delays
+    (2,4,6,8s → caps 25,15,10,7 in a 60s cycle at max 25); odd hosts
+    publish an unparseable value and keep the default 15."""
+    from ai_pdf_extraction_spark.operators.robots import (
+        host_caps_from_delays,
+        parse_crawl_delays,
+    )
+    from ai_pdf_extraction_spark.operators.urls import frontier_host_cap
+
+    robots = spark.range(7).select(
+        F.concat(
+            F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (F.col("id") + 2).cast("string"),
+                F.lit("\nDisallow: /u/9"),
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "User-agent: BadBot\nCrawl-delay: 1\n\n"
+                "User-agent: *\nCrawl-delay: fast"
+            )
+        )
+        .alias("robots_txt"),
+    )
+    caps = host_caps_from_delays(
+        parse_crawl_delays(robots), cycle_seconds=60, max_cap=25
+    )
+    return frontier_host_cap(
+        q80_url_frontier_delta(spark, sf_dir),
+        per_host=15,
+        per_host_caps=caps,
+    )
+
+
 # q90's persisted parsed-canon slot (feeds the semi-probe build side
 # AND the flag join)
 _Q90_CANON_CACHE: list = []
@@ -2271,12 +2315,12 @@ def q88_frontier_politeness(spark, sf_dir):
     return frontier_host_cap(decided, per_host=10)
 
 
-def _robots_parse_ctes() -> str:
-    """Oracle CTE chain from ``robots(host, txt)`` to ``rules2(host,
-    prefix, is_allow, prefix_len)`` — the DuckDB twin of
-    ``operators/robots.parse_robots`` (keep in lockstep). Shared by
-    the q86 and q88 oracles, which differ only in the robots bodies
-    they synthesize."""
+def _robots_group_ctes() -> str:
+    """Oracle CTE front half from ``robots(host, txt)`` to ``grouped``
+    lines + ``star`` groups — the DuckDB twin of
+    ``operators/robots._star_grouped_lines`` (keep in lockstep).
+    Shared by the parse-rules tail (q86/q88) and the crawl-delay tail
+    (q92)."""
     return """lines0 as (
   select host, unnest(string_split(txt, chr(10))) as raw,
     generate_subscripts(string_split(txt, chr(10)), 1) as pos
@@ -2307,17 +2351,30 @@ grouped as (
 star as (
   select distinct host, grp from grouped
   where is_ua
-    and trim(regexp_extract(l, '(?i)^user-agent\\s*:(.*)$', 1)) = '*'
-),
+    and regexp_replace(regexp_extract(l, '(?i)^user-agent\\s*:(.*)$', 1),
+                       '^[ \t\r]+|[ \t\r]+$', '', 'g') = '*'
+)"""
+
+
+def _robots_parse_ctes() -> str:
+    """Group front half + the Allow/Disallow rule tail ending in
+    ``rules2(host, prefix, is_allow, prefix_len)`` — the DuckDB twin
+    of ``operators/robots.parse_robots`` (q86/q88). The oracle
+    synthesizes ONE body per host, where grouping by host alone is
+    equivalent to the operator's (host, body) grouping; the final
+    distinct mirrors parse_robots' multi-body rule union."""
+    return _robots_group_ctes() + """,
 rrules as (
   select g.host,
     not regexp_matches(g.l, '(?i)^disallow') as is_allow,
-    trim(regexp_extract(g.l, '(?i)^(dis)?allow\\s*:(.*)$', 2)) as prefix
+    regexp_replace(regexp_extract(g.l, '(?i)^(dis)?allow\\s*:(.*)$', 2),
+                   '^[ \t\r]+|[ \t\r]+$', '', 'g') as prefix
   from grouped g join star s using (host, grp)
   where regexp_matches(g.l, '(?i)^(dis)?allow\\s*:') and g.grp > 0
 ),
 rules2 as (
-  select host, prefix, is_allow, length(prefix)::bigint as prefix_len
+  select distinct host, prefix, is_allow,
+    length(prefix)::bigint as prefix_len
   from rrules where prefix != ''
 )"""
 
@@ -3095,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_distinctive_terms": q89_distinctive_terms,
         "q90_sitemap_discovery": q90_sitemap_discovery,
         "q91_priority_frontier": q91_priority_frontier,
+        "q92_crawl_delay_caps": q92_crawl_delay_caps,
     }
 
 
@@ -5008,6 +5066,56 @@ j as (
 select canon_url, host, host_rank from j
 order by host_rank desc, md5(canon_url), canon_url
 limit 150
+""",
+        # q92: group front half + crawl-delay tail; caps override the
+        # scalar 15 via coalesce
+        "q92_crawl_delay_caps": f"""
+with {_q80_frontier_ctes()},
+robots as (
+  select 'host' || i::varchar || '.example.com' as host,
+    case when i % 2 = 0
+      then 'User-agent: *' || chr(10) || 'Crawl-delay: '
+           || (i + 2)::varchar || chr(10) || 'Disallow: /u/9'
+      else 'User-agent: BadBot' || chr(10) || 'Crawl-delay: 1'
+           || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+           || 'Crawl-delay: fast'
+    end as txt
+  from generate_series(0, 6) t(i)
+),
+{_robots_group_ctes()},
+dvals as (
+  select g.host,
+    regexp_replace(
+      regexp_extract(g.l, '(?i)^crawl-delay\\s*:(.*)$', 1),
+      '^[ \t\r]+|[ \t\r]+$', '', 'g') as v
+  from grouped g join star s using (host, grp)
+  where regexp_matches(g.l, '(?i)^crawl-delay\\s*:') and g.grp > 0
+),
+delays as (
+  select host, max(v::bigint) as crawl_delay
+  from dvals where regexp_matches(v, '^[0-9]+$') group by host
+),
+caps as (
+  select host,
+    least(25, 60 // crawl_delay)::bigint as cap
+  from delays
+),
+hosted as (
+  select canon_url, first_id,
+    regexp_extract(canon_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+      as host
+  from fr where to_crawl
+),
+ranked as (
+  select canon_url, host, first_id,
+    row_number() over (partition by host
+                       order by first_id % 64, md5(canon_url), canon_url)
+      as pick_rank
+  from hosted
+)
+select r.canon_url, r.host, r.first_id, r.pick_rank::bigint as pick_rank
+from ranked r left join caps c using (host)
+where r.pick_rank <= coalesce(c.cap, 15)
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q82_corpus_profile": """

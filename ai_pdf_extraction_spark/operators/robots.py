@@ -51,25 +51,14 @@ def _strip(c) -> F.Column:
     return F.regexp_replace(c, r"^[ \t\r]+|[ \t\r]+$", "")
 
 
-def parse_robots(
-    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
-) -> DataFrame:
-    """Parse per-host robots.txt bodies into the rule relation
-    ``(host, prefix, is_allow, prefix_len)`` for ``User-agent: *``
-    groups (semantics in the module docstring).
-
-    Pure Column work: split → posexplode → comment-strip → group
-    lines into UA blocks with a running sum over a per-(host, body)
-    window (a new group starts at a ``User-agent`` line whose
-    predecessor is not one — RFC 9309's consecutive-UA-lines-one-group
-    rule), then keep rules from groups containing the ``*`` agent.
-
-    Lines strip spaces/tabs/CR on both sides (CRLF bodies parse
-    identically to LF). A host appearing in SEVERAL input rows (e.g.
-    re-fetched robots appended to the relation) contributes the UNION
-    of each body's star-group rules: grouping windows partition by
-    (host, body) — a host-only partition would interleave the two
-    bodies' equal line numbers nondeterministically."""
+def _star_grouped_lines(
+    robots: DataFrame, host_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared parse front half: robots bodies → ``grouped`` lines
+    ``(host, body, pos, l, is_ua, grp)`` + the ``(host, body, grp)``
+    set of groups containing the ``*`` agent. Used by
+    :func:`parse_robots` (Allow/Disallow) and
+    :func:`parse_crawl_delays` (Crawl-delay)."""
     # any distinct per-row label works: the body id only keeps line
     # numbering separated per document and never reaches the output,
     # so the union of rules is deterministic. It MUST be projected in
@@ -122,6 +111,29 @@ def parse_robots(
         .select("host", "body", "grp")
         .distinct()
     )
+    return grouped, star_groups
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into the rule relation
+    ``(host, prefix, is_allow, prefix_len)`` for ``User-agent: *``
+    groups (semantics in the module docstring).
+
+    Pure Column work: split → posexplode → comment-strip → group
+    lines into UA blocks with a running sum over a per-(host, body)
+    window (a new group starts at a ``User-agent`` line whose
+    predecessor is not one — RFC 9309's consecutive-UA-lines-one-group
+    rule), then keep rules from groups containing the ``*`` agent.
+
+    Lines strip spaces/tabs/CR on both sides (CRLF bodies parse
+    identically to LF). A host appearing in SEVERAL input rows (e.g.
+    re-fetched robots appended to the relation) contributes the UNION
+    of each body's star-group rules: grouping windows partition by
+    (host, body) — a host-only partition would interleave the two
+    bodies' equal line numbers nondeterministically."""
+    grouped, star_groups = _star_grouped_lines(robots, host_col, text_col)
     rules = grouped.filter(
         F.col("l").rlike(_RULE_RE) & (F.col("grp") > 0)
     ).select(
@@ -213,4 +225,59 @@ def robots_filter(
             "robots_allowed",
             F.col("robots_allow_len") >= F.col("robots_dis_len"),
         )
+    )
+
+
+_DELAY_RE = r"(?i)^crawl-delay\s*:"
+
+
+def parse_crawl_delays(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse per-host ``Crawl-delay`` directives from ``User-agent:
+    *`` groups: ``(host, crawl_delay)`` in whole seconds. Not in RFC
+    9309 but honored by major non-Google crawlers (Bing/Yandex); a
+    polite bulk crawler treats it as the host's request-spacing floor.
+
+    Conventions (shared with the oracle): only integer-second values
+    parse (``^[0-9]+$`` after stripping — fractional or junk values
+    are ignored rather than guessed); when several values apply (two
+    ``*`` groups, or several bodies for one host) the MAXIMUM wins —
+    the longest wait is the conservative politeness reading. Hosts
+    with no parseable directive are absent (caller falls back to its
+    default spacing)."""
+    grouped, star_groups = _star_grouped_lines(robots, host_col, text_col)
+    vals = (
+        grouped.filter(F.col("l").rlike(_DELAY_RE) & (F.col("grp") > 0))
+        .join(star_groups, ["host", "body", "grp"], "leftsemi")
+        .select(
+            "host",
+            _strip(F.regexp_extract("l", _DELAY_RE + r"(.*)$", 1)).alias(
+                "v"
+            ),
+        )
+        .filter(F.col("v").rlike(r"^[0-9]+$"))
+    )
+    return vals.groupBy("host").agg(
+        F.max(F.col("v").cast("long")).alias("crawl_delay")
+    )
+
+
+def host_caps_from_delays(
+    delays: DataFrame,
+    cycle_seconds: int,
+    max_cap: int,
+) -> DataFrame:
+    """Convert per-host crawl delays into per-cycle politeness caps:
+    ``cap = min(max_cap, cycle_seconds div crawl_delay)`` (integer
+    floor — a 7s delay in a 60s cycle allows 8 fetches, never 9;
+    a delay longer than the cycle still allows the div's floor, which
+    can be 0: the host waits the cycle out). Output ``(host, cap)``
+    feeds ``frontier_host_cap(per_host_caps=...)``."""
+    return delays.select(
+        "host",
+        F.least(
+            F.lit(max_cap).cast("long"),
+            F.expr(f"{cycle_seconds}L div crawl_delay"),
+        ).alias("cap"),
     )

@@ -264,6 +264,7 @@ def frontier_host_cap(
     url_col: str = "canon_url",
     id_col: str = "first_id",
     n_shards: int = 64,
+    per_host_caps: DataFrame | None = None,
 ) -> DataFrame:
     """Crawl politeness: cap the to-crawl frontier at ``per_host`` urls
     per host for this cycle (every crawler rate-limits per origin — a
@@ -275,6 +276,10 @@ def frontier_host_cap(
     Input is :func:`url_frontier_delta`'s output (the ``to_crawl``
     flag and per-url discoverer id); output per kept url:
     ``(canon_url, host, first_id, pick_rank)``.
+
+    ``per_host_caps`` optionally overrides the scalar cap per host
+    (``(host, cap)``, e.g. :func:`robots.host_caps_from_delays` from
+    Crawl-delay directives); hosts absent from it keep ``per_host``.
 
     Selection is the deterministic (shard, md5(url), url) order within
     each host, ranked in the two-phase sharded form (the
@@ -315,13 +320,22 @@ def frontier_host_cap(
             F.coalesce(F.sum("_n").over(w_base), F.lit(0)).alias("_base"),
         )
     )
-    return (
-        within.join(F.broadcast(bases), ["host", "_shard"])
-        .withColumn(
-            "pick_rank", (F.col("_base") + F.col("_rk_in")).cast("long")
+    ranked = within.join(F.broadcast(bases), ["host", "_shard"]).withColumn(
+        "pick_rank", (F.col("_base") + F.col("_rk_in")).cast("long")
+    )
+    if per_host_caps is not None:
+        # per-host override (e.g. robots Crawl-delay via
+        # host_caps_from_delays): broadcast (host, cap) — hosts absent
+        # from it keep the scalar default
+        ranked = ranked.join(
+            F.broadcast(per_host_caps.select("host", "cap")), "host", "left"
+        ).withColumn(
+            "_cap", F.coalesce("cap", F.lit(per_host).cast("long"))
         )
-        .filter(F.col("pick_rank") <= per_host)
-        .select(url_col, "host", id_col, "pick_rank")
+    else:
+        ranked = ranked.withColumn("_cap", F.lit(per_host).cast("long"))
+    return ranked.filter(F.col("pick_rank") <= F.col("_cap")).select(
+        url_col, "host", id_col, "pick_rank"
     )
 
 

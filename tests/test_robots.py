@@ -388,3 +388,50 @@ def test_frontier_priority_budget_order_fallback_and_plan(spark):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_parse_crawl_delays_max_wins_and_junk_ignored(spark):
+    from ai_pdf_extraction_spark.operators.robots import (
+        host_caps_from_delays,
+        parse_crawl_delays,
+    )
+
+    rows = [
+        # two star groups: the max (7) wins over 3
+        ("a.com", "User-agent: *\nCrawl-delay: 3\n\n"
+                  "User-agent: *\nCrawl-delay: 7"),
+        # non-star group ignored entirely
+        ("b.com", "User-agent: Bad\nCrawl-delay: 1"),
+        # junk / fractional values ignored (integer seconds only)
+        ("c.com", "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: soon"),
+        ("d.com", "User-agent: *\ncrawl-delay:\t10\r"),  # CRLF + tab
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r.host: r.crawl_delay for r in parse_crawl_delays(df).collect()}
+    assert got == {"a.com": 7, "d.com": 10}
+    caps = {
+        r.host: r.cap
+        for r in host_caps_from_delays(
+            parse_crawl_delays(df), cycle_seconds=60, max_cap=25
+        ).collect()
+    }
+    assert caps == {"a.com": 8, "d.com": 6}  # 60 div 7 = 8 (floor)
+
+
+def test_frontier_host_cap_per_host_overrides(spark):
+    from ai_pdf_extraction_spark.operators.urls import frontier_host_cap
+
+    fr = spark.createDataFrame(
+        [(f"http://tight.com/{i}", i, True) for i in range(10)]
+        + [(f"http://loose.com/{i}", 100 + i, True) for i in range(10)]
+        + [(f"http://defaulted.com/{i}", 200 + i, True) for i in range(10)],
+        "canon_url string, first_id long, to_crawl boolean",
+    )
+    caps = spark.createDataFrame(
+        [("tight.com", 2), ("loose.com", 30)], "host string, cap long"
+    )
+    got = frontier_host_cap(fr, per_host=5, per_host_caps=caps).collect()
+    counts = {}
+    for r in got:
+        counts[r.host] = counts.get(r.host, 0) + 1
+    assert counts == {"tight.com": 2, "loose.com": 10, "defaulted.com": 5}
