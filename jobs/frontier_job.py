@@ -22,7 +22,8 @@ Usage::
         (event_id, url)> --seen <seen dir> --output <frontier dir> \
         [--per-host 1000] [--no-append] [--no-prefilter] \
         [--blocklist spam.net,ads.example] [--max-len 2048] \
-        [--digit-limit 1/2] [--robots <parquet (host, robots_txt)>]
+        [--digit-limit 1/2] [--robots <parquet (host, robots_txt)>] \
+        [--cycle-seconds 60]
 
 ``probe`` runs the full politeness chain (the q88 composition): the
 seen-set delta, then the pre-fetch URL quality gate (``url_prefilter``
@@ -83,11 +84,20 @@ def main() -> None:
         default=None,
         help="parquet with (host, robots_txt) for admission checks",
     )
+    p.add_argument(
+        "--cycle-seconds",
+        type=int,
+        default=0,
+        help="with --robots: scale each host's cap by its Crawl-delay "
+        "(cap = min(per-host, cycle div delay); 0 disables)",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import functions as F
 
     from ai_pdf_extraction_spark.operators.robots import (
+        host_caps_from_delays,
+        parse_crawl_delays,
         parse_robots,
         robots_filter,
     )
@@ -130,9 +140,20 @@ def main() -> None:
                 max_len=args.max_len,
                 digit_limit=(dp, dq),
             )
+        caps = None
         if args.robots:
-            rules = parse_robots(spark.read.parquet(args.robots))
-            gated = robots_filter(gated, rules, url_col="canon_url")
+            robots_df = spark.read.parquet(args.robots)
+            gated = robots_filter(
+                gated, parse_robots(robots_df), url_col="canon_url"
+            )
+            if args.cycle_seconds > 0:
+                # the SAME robots bodies carry the Crawl-delay floors:
+                # scale each host's per-cycle cap by its delay
+                caps = host_caps_from_delays(
+                    parse_crawl_delays(robots_df),
+                    cycle_seconds=args.cycle_seconds,
+                    max_cap=args.per_host,
+                )
         if gated is not fr:
             # the gated relation feeds the counts agg, the intrinsic-
             # rejection append leg, AND the cap — persist it too or
@@ -181,6 +202,7 @@ def main() -> None:
         capped = frontier_host_cap(
             gated.withColumn("to_crawl", to_crawl),
             per_host=args.per_host,
+            per_host_caps=caps,
         )
         capped.write.mode("overwrite").parquet(args.output)
         # counts read back the just-written parquet — recounting the
