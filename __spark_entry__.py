@@ -2173,6 +2173,73 @@ def q92_crawl_delay_caps(spark, sf_dir):
     )
 
 
+def q93_sitemap_recrawl(spark, sf_dir):
+    """Freshness-aware recrawl frontier: block-scoped sitemap entries
+    (each <loc> paired with ITS sibling <lastmod>; pretty-printed
+    blocks exercise the (?s) flag) decided against the crawl history
+    — never-crawled urls and lastmod-newer-than-crawl urls need a
+    fetch; ISO text dates compare lexicographically, no timestamp
+    parsing. The history is scanned against the broadcast batch,
+    never shuffled."""
+    from ai_pdf_extraction_spark.operators.urls import (
+        parse_sitemap_entries,
+        sitemap_recrawl_delta,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    lastmod = F.concat(
+        F.lit("2026-01-"),
+        F.lpad(((eid % 28) + 1).cast("string"), 2, "0"),
+    )
+    entry = F.concat(
+        F.lit("<url>\n  <loc>https://Host"),
+        (eid % 7).cast("string"),
+        F.lit(".example.com/s/"),
+        (eid % 509).cast("string"),
+        F.lit("</loc>\n  "),
+        # keyed by the URL class (not the event): K%4==0 pages never
+        # advertise lastmod, so max() keeps them null and the
+        # no-evidence leg of needs_fetch is exercised
+        F.when(
+            (eid % 509) % 4 != 0,
+            F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("\n</url>"),
+    )
+    xml = (
+        e.select((eid % 7).cast("string").alias("hid"), entry.alias("entry"))
+        .groupBy("hid")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    sitemaps = xml.select(
+        F.concat(F.lit("host"), F.col("hid"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        "sitemap_xml",
+    )
+    crawled = (
+        e.filter(eid % 3 == 0)
+        .select(
+            F.concat(
+                F.lit("https://host"),
+                (eid % 7).cast("string"),
+                F.lit(".example.com/s/"),
+                (eid % 509).cast("string"),
+            ).alias("canon_url"),
+            F.lit("2026-01-15").alias("crawled_at"),
+        )
+        .distinct()
+    )
+    return sitemap_recrawl_delta(parse_sitemap_entries(sitemaps), crawled)
+
+
 # q90's persisted parsed-canon slot (feeds the semi-probe build side
 # AND the flag join)
 _Q90_CANON_CACHE: list = []
@@ -3153,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_sitemap_discovery": q90_sitemap_discovery,
         "q91_priority_frontier": q91_priority_frontier,
         "q92_crawl_delay_caps": q92_crawl_delay_caps,
+        "q93_sitemap_recrawl": q93_sitemap_recrawl,
     }
 
 
@@ -5116,6 +5184,69 @@ ranked as (
 select r.canon_url, r.host, r.first_id, r.pick_rank::bigint as pick_rank
 from ranked r left join caps c using (host)
 where r.pick_rank <= coalesce(c.cap, 15)
+""",
+        # q93: block-scoped sitemap entries (loc paired with ITS
+        # lastmod) → canon → crawl-history probe; ISO text dates
+        "q93_sitemap_recrawl": f"""
+with ent0 as (
+  select (event_id % 7) as hid,
+    '<url>' || chr(10) || '  <loc>https://Host'
+      || (event_id % 7)::varchar || '.example.com/s/'
+      || (event_id % 509)::varchar || '</loc>' || chr(10) || '  '
+      || case when (event_id % 509) % 4 != 0
+           then '<lastmod>2026-01-'
+                || lpad(((event_id % 28) + 1)::varchar, 2, '0')
+                || '</lastmod>'
+           else '' end
+      || chr(10) || '</url>' as entry
+  from events
+),
+xml as (
+  select hid,
+    '<urlset>' || string_agg(entry, '' order by entry) || '</urlset>'
+      as sitemap_xml
+  from ent0 group by hid
+),
+sm as (
+  select 'host' || hid::varchar || '.example.com' as host, sitemap_xml
+  from xml
+),
+blocks as (
+  select host,
+    unnest(regexp_extract_all(sitemap_xml, '(?s)<url>(.*?)</url>', 1))
+      as b
+  from sm
+),
+parsed as (
+  select host,
+    replace(replace(replace(replace(replace(
+      regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)),
+      '&amp;', '&') as raw_url,
+    nullif(regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
+           '') as lastmod
+  from blocks
+  where regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) != ''
+),
+raw as (select distinct 0::bigint as event_id, raw_url from parsed),
+{_URL_CANON_CHAIN_SQL},
+cmap as (select raw_url, {_URL_CANON_FINAL_SQL} as canon_url from s5),
+canon as (
+  select p.host, c.canon_url, max(p.lastmod) as lastmod
+  from parsed p join cmap c using (raw_url)
+  group by p.host, c.canon_url
+),
+crawled as (
+  select distinct 'https://host' || (event_id % 7)::varchar
+      || '.example.com/s/' || (event_id % 509)::varchar as canon_url,
+    '2026-01-15' as crawled_at
+  from events where event_id % 3 = 0
+)
+select c.host, c.canon_url, c.lastmod, h.crawled_at,
+  (h.crawled_at is null
+   or (c.lastmod is not null and c.lastmod > h.crawled_at))
+    as needs_fetch
+from canon c left join crawled h using (canon_url)
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
         "q82_corpus_profile": """

@@ -377,10 +377,116 @@ def parse_sitemaps(
     out = sitemaps.select(
         F.col(host_col).alias("host"), F.explode(locs).alias("url")
     )
-    dec = F.col("url")
+    return out.select("host", _xml_decode("url").alias("url"))
+
+
+def _xml_decode(col: Column | str) -> Column:
+    """Decode the five predefined XML entities (``&amp;`` last)."""
+    dec = F.col(col) if isinstance(col, str) else col
     for ent, ch in _XML_ENTITIES:
         dec = F.replace(dec, F.lit(ent), F.lit(ch))
-    return out.select("host", dec.alias("url"))
+    return dec
+
+
+def parse_sitemap_entries(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Block-scoped sitemap parse: one ``(host, url, lastmod)`` row
+    per ``<url>`` element, pairing each ``<loc>`` with ITS OWN
+    sibling ``<lastmod>`` (the flat :func:`parse_sitemaps` cannot —
+    it has no block boundary to associate them across). ``lastmod``
+    is the raw W3C date/datetime TEXT (null when absent): sitemap
+    dates are ISO-8601, so lexicographic comparison orders them
+    correctly without timestamp parsing — the cross-engine-exact
+    comparison :func:`sitemap_recrawl_delta` relies on.
+
+    ``(?s)`` makes ``.`` span newlines (real sitemaps pretty-print
+    inside ``<url>`` blocks) — the flag exists in both Java regex and
+    RE2, keep the oracle in lockstep. Blocks without a ``<loc>``
+    are dropped. Pure Column work, zero shuffle."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1
+    )
+    b = sitemaps.select(
+        F.col(host_col).alias("host"), F.explode(blocks).alias("_b")
+    )
+    loc = F.regexp_extract("_b", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        "_b", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    return (
+        b.select(
+            "host",
+            _xml_decode(loc).alias("url"),
+            F.nullif(lastmod, F.lit("")).alias("lastmod"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
+# sitemap_recrawl_delta's collapsed-entry persist slot
+_RECRAWL_CACHE: list[DataFrame] = []
+
+
+def sitemap_recrawl_delta(
+    entries: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    crawled_url_col: str = "canon_url",
+    crawled_at_col: str = "crawled_at",
+    broadcast_entries: bool = True,
+) -> DataFrame:
+    """Freshness-aware frontier: decide which sitemap-advertised urls
+    need (re)fetching given the crawl history — the RECRAWL dimension
+    the seen-set alone cannot express (seen = never again; a sitemap
+    ``lastmod`` newer than the stored crawl time re-opens the url).
+
+    ``entries`` is :func:`parse_sitemap_entries` output; ``crawled``
+    is the at-rest history ``(canon_url, crawled_at)`` with ISO-8601
+    text dates (one row per url). Output, one row per distinct
+    canonical advertised url::
+
+        (host, canon_url, lastmod, crawled_at, needs_fetch)
+
+    ``needs_fetch`` = never crawled, OR ``lastmod`` present and
+    lexicographically greater than ``crawled_at`` (ISO text compare —
+    exact in both engines, no timestamp parsing). Urls advertised
+    several times collapse to their MAX lastmod (partial agg).
+
+    Scale shape (the q80 discipline with a carried VALUE): the
+    advertised batch canonicalizes and collapses map-side, then the
+    10^12-row crawl history is scanned against the BROADCAST batch
+    keys via an inner hash join — only the hits (≤ |batch|, carrying
+    ``crawled_at``) come back to the left join; the history is never
+    shuffled. ``broadcast_entries=False`` falls back to a plain
+    AQE equi-join for oversized batches."""
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    canon = with_canonical_url(entries, url_col).groupBy(
+        "host", "canon_url"
+    ).agg(F.max("lastmod").alias("lastmod"))
+    canon = _persist_latest(_RECRAWL_CACHE, canon)
+    hist = crawled.select(
+        F.col(crawled_url_col).alias("canon_url"),
+        F.col(crawled_at_col).alias("crawled_at"),
+    )
+    if broadcast_entries:
+        hits = hist.join(
+            F.broadcast(canon.select("canon_url")), "canon_url"
+        )
+    else:
+        hits = hist
+    out = canon.join(hits, "canon_url", "left")
+    needs = F.col("crawled_at").isNull() | (
+        F.col("lastmod").isNotNull()
+        & (F.col("lastmod") > F.col("crawled_at"))
+    )
+    return out.select(
+        "host", "canon_url", "lastmod", "crawled_at",
+        needs.alias("needs_fetch"),
+    )
 
 
 def with_canonical_url(

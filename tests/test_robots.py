@@ -435,3 +435,62 @@ def test_frontier_host_cap_per_host_overrides(spark):
     for r in got:
         counts[r.host] = counts.get(r.host, 0) + 1
     assert counts == {"tight.com": 2, "loose.com": 10, "defaulted.com": 5}
+
+
+def test_parse_sitemap_entries_pairs_loc_with_its_lastmod(spark):
+    from ai_pdf_extraction_spark.operators.urls import parse_sitemap_entries
+
+    xml = (
+        "<urlset>\n"
+        "  <url>\n    <loc> http://a.com/x </loc>\n"
+        "    <lastmod>2026-02-01</lastmod>\n  </url>\n"
+        "  <url><loc>http://a.com/y?a=1&amp;b=2</loc></url>\n"
+        "  <url><lastmod>2026-03-01</lastmod></url>\n"  # no loc: dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", xml)], "host string, sitemap_xml string"
+    )
+    got = sorted(map(tuple, parse_sitemap_entries(df).collect()))
+    assert got == [
+        ("a.com", "http://a.com/x", "2026-02-01"),
+        ("a.com", "http://a.com/y?a=1&b=2", None),
+    ]
+
+
+def test_sitemap_recrawl_delta_decisions(spark):
+    from ai_pdf_extraction_spark.operators.urls import sitemap_recrawl_delta
+
+    entries = spark.createDataFrame(
+        [
+            ("h.com", "http://h.com/new", "2026-01-10"),      # never crawled
+            ("h.com", "http://h.com/stale", "2026-01-20"),    # newer than crawl
+            ("h.com", "http://h.com/fresh", "2026-01-10"),    # older: skip
+            ("h.com", "http://h.com/fresh", "2026-01-12"),    # dup: max still old
+            ("h.com", "http://h.com/nodate", None),           # crawled, no evidence
+            ("h.com", "http://h.com/dup#frag", "2026-01-20"), # canon collapses
+            ("h.com", "http://h.com/dup", "2026-01-02"),
+        ],
+        "host string, url string, lastmod string",
+    )
+    crawled = spark.createDataFrame(
+        [
+            ("http://h.com/stale", "2026-01-15"),
+            ("http://h.com/fresh", "2026-01-15"),
+            ("http://h.com/nodate", "2026-01-15"),
+            ("http://h.com/dup", "2026-01-15"),
+        ],
+        "canon_url string, crawled_at string",
+    )
+    got = {
+        r.canon_url: (r.lastmod, r.crawled_at, r.needs_fetch)
+        for r in sitemap_recrawl_delta(entries, crawled).collect()
+    }
+    assert got == {
+        "http://h.com/new": ("2026-01-10", None, True),
+        "http://h.com/stale": ("2026-01-20", "2026-01-15", True),
+        "http://h.com/fresh": ("2026-01-12", "2026-01-15", False),
+        "http://h.com/nodate": (None, "2026-01-15", False),
+        # fragment variant canonicalizes onto /dup; max lastmod 01-20
+        "http://h.com/dup": ("2026-01-20", "2026-01-15", True),
+    }
