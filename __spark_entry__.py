@@ -5001,7 +5001,9 @@ with lurls as (
            || event_id::varchar as url
   from events
   union
-  select 'http://host' || ((event_id * 7 + 3) % 13)::varchar
+  select 'http://host' || (case when event_id % 2 = 0
+             then (event_id * 7 + 3) % 13
+             else event_id % 3 end)::varchar
            || '.example.com/q/' || (event_id % 211)::varchar
   from events
 ),
@@ -5093,11 +5095,13 @@ locs as (
   from sm
 ),
 dec as (
-  select host,
-    replace(replace(replace(replace(replace(loc_url,
-      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)),
-      '&amp;', '&') as dec_url
-  from locs
+  select host, dec_url from (
+    select host,
+      replace(replace(replace(replace(replace(loc_url,
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)),
+        '&amp;', '&') as dec_url
+    from locs
+  ) where dec_url != ''
 ),
 raw as (select distinct 0::bigint as event_id, dec_url as raw_url from dec),
 {_URL_CANON_CHAIN_SQL},
@@ -5160,12 +5164,16 @@ dvals as (
   where regexp_matches(g.l, '(?i)^crawl-delay\\s*:') and g.grp > 0
 ),
 delays as (
-  select host, max(v::bigint) as crawl_delay
-  from dvals where regexp_matches(v, '^[0-9]+$') group by host
+  select host, max(try_cast(v as bigint)) as crawl_delay
+  from dvals
+  where regexp_matches(v, '^[0-9]+$')
+    and try_cast(v as bigint) is not null
+  group by host
 ),
 caps as (
   select host,
-    least(25, 60 // crawl_delay)::bigint as cap
+    least(25, case when crawl_delay > 0 then 60 // crawl_delay
+                   else 25 end)::bigint as cap
   from delays
 ),
 hosted as (

@@ -114,8 +114,25 @@ def _star_grouped_lines(
     return grouped, star_groups
 
 
-def parse_robots(
+def prepare_robots_lines(
     robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> tuple[DataFrame, DataFrame]:
+    """Compute the shared grouped-lines front half ONCE and persist
+    it, for callers running several tail parsers over the same bodies
+    (``jobs/frontier_job.py`` feeds both :func:`parse_robots` and
+    :func:`parse_crawl_delays`) — without this each tail re-scans the
+    robots relation and re-executes the split → posexplode → window
+    grouping. Pass the result as ``prepared=``; the caller owns the
+    persist (unpersist ``result[0]`` when done, or let the job end)."""
+    grouped, star_groups = _star_grouped_lines(robots, host_col, text_col)
+    return grouped.persist(), star_groups
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Parse per-host robots.txt bodies into the rule relation
     ``(host, prefix, is_allow, prefix_len)`` for ``User-agent: *``
@@ -133,7 +150,9 @@ def parse_robots(
     of each body's star-group rules: grouping windows partition by
     (host, body) — a host-only partition would interleave the two
     bodies' equal line numbers nondeterministically."""
-    grouped, star_groups = _star_grouped_lines(robots, host_col, text_col)
+    grouped, star_groups = prepared or _star_grouped_lines(
+        robots, host_col, text_col
+    )
     rules = grouped.filter(
         F.col("l").rlike(_RULE_RE) & (F.col("grp") > 0)
     ).select(
@@ -232,7 +251,10 @@ _DELAY_RE = r"(?i)^crawl-delay\s*:"
 
 
 def parse_crawl_delays(
-    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Parse per-host ``Crawl-delay`` directives from ``User-agent:
     *`` groups: ``(host, crawl_delay)`` in whole seconds. Not in RFC
@@ -241,12 +263,16 @@ def parse_crawl_delays(
 
     Conventions (shared with the oracle): only integer-second values
     parse (``^[0-9]+$`` after stripping — fractional or junk values
-    are ignored rather than guessed); when several values apply (two
-    ``*`` groups, or several bodies for one host) the MAXIMUM wins —
-    the longest wait is the conservative politeness reading. Hosts
-    with no parseable directive are absent (caller falls back to its
-    default spacing)."""
-    grouped, star_groups = _star_grouped_lines(robots, host_col, text_col)
+    are ignored rather than guessed, and ``try_cast`` drops digit
+    strings that overflow int64 into the same ignored class instead
+    of crashing the job under ANSI mode); when several values apply
+    (two ``*`` groups, or several bodies for one host) the MAXIMUM
+    wins — the longest wait is the conservative politeness reading.
+    Hosts with no parseable directive are absent (caller falls back
+    to its default spacing)."""
+    grouped, star_groups = prepared or _star_grouped_lines(
+        robots, host_col, text_col
+    )
     vals = (
         grouped.filter(F.col("l").rlike(_DELAY_RE) & (F.col("grp") > 0))
         .join(star_groups, ["host", "body", "grp"], "leftsemi")
@@ -257,10 +283,13 @@ def parse_crawl_delays(
             ),
         )
         .filter(F.col("v").rlike(r"^[0-9]+$"))
+        # try_cast: the regex admits arbitrarily long digit runs; an
+        # int64-overflowing value is junk like any other (null, then
+        # dropped), not an ANSI crash
+        .select("host", F.col("v").try_cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
-    return vals.groupBy("host").agg(
-        F.max(F.col("v").cast("long")).alias("crawl_delay")
-    )
+    return vals.groupBy("host").agg(F.max("v").alias("crawl_delay"))
 
 
 def host_caps_from_delays(
@@ -272,12 +301,18 @@ def host_caps_from_delays(
     ``cap = min(max_cap, cycle_seconds div crawl_delay)`` (integer
     floor — a 7s delay in a 60s cycle allows 8 fetches, never 9;
     a delay longer than the cycle still allows the div's floor, which
-    can be 0: the host waits the cycle out). Output ``(host, cap)``
-    feeds ``frontier_host_cap(per_host_caps=...)``."""
+    can be 0: the host waits the cycle out). ``Crawl-delay: 0`` is a
+    real-world "no delay" directive, not junk — it maps to the
+    ``max_cap`` ceiling rather than an ANSI DIVIDE_BY_ZERO crash.
+    Output ``(host, cap)`` feeds
+    ``frontier_host_cap(per_host_caps=...)``."""
     return delays.select(
         "host",
         F.least(
             F.lit(max_cap).cast("long"),
-            F.expr(f"{cycle_seconds}L div crawl_delay"),
+            F.when(
+                F.col("crawl_delay") > 0,
+                F.expr(f"{cycle_seconds}L div crawl_delay"),
+            ).otherwise(F.lit(max_cap).cast("long")),
         ).alias("cap"),
     )

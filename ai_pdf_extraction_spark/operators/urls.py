@@ -377,7 +377,11 @@ def parse_sitemaps(
     out = sitemaps.select(
         F.col(host_col).alias("host"), F.explode(locs).alias("url")
     )
-    return out.select("host", _xml_decode("url").alias("url"))
+    # empty/whitespace-only <loc> (truncated feeds) would otherwise
+    # emit ('host', '') rows — same filter as parse_sitemap_entries
+    return out.select("host", _xml_decode("url").alias("url")).filter(
+        F.col("url") != ""
+    )
 
 
 def _xml_decode(col: Column | str) -> Column:
@@ -473,8 +477,12 @@ def sitemap_recrawl_delta(
         F.col(crawled_at_col).alias("crawled_at"),
     )
     if broadcast_entries:
+        # distinct: a url advertised by SEVERAL hosts' sitemaps has
+        # one canon row per host — broadcasting the key twice would
+        # duplicate the hit and fan the left join out to 2x2 rows
         hits = hist.join(
-            F.broadcast(canon.select("canon_url")), "canon_url"
+            F.broadcast(canon.select("canon_url").distinct()),
+            "canon_url",
         )
     else:
         hits = hist
@@ -625,8 +633,13 @@ def frontier_priority_budget(
     f = frontier.filter(F.col("to_crawl")).withColumn(
         "host", host_of(url_col)
     )
+    # keep the rank's OWN type: graphs.pagerank emits int64
+    # micro-units, but any numeric (host, rank) relation is valid —
+    # a long cast would truncate normalized double ranks to 0 and
+    # silently destroy the prioritization
+    rank_type = host_ranks.schema[rank_col].dataType
     r = host_ranks.select(
-        F.col("host"), F.col(rank_col).cast("long").alias("host_rank")
+        F.col("host"), F.col(rank_col).alias("host_rank")
     )
     if broadcast_ranks:
         r = F.broadcast(r)
@@ -635,7 +648,7 @@ def frontier_priority_budget(
         .select(
             url_col,
             "host",
-            F.coalesce("host_rank", F.lit(0).cast("long")).alias(
+            F.coalesce("host_rank", F.lit(0).cast(rank_type)).alias(
                 "host_rank"
             ),
         )

@@ -190,17 +190,24 @@ def run_frontier_stream(
     commit is an external transaction Spark's file-sink WAL cannot
     cover, and the frontier decision for batch N+1 depends on batch
     N's append — a plain streaming join against a static seen relation
-    would keep serving the PLAN-TIME snapshot. Replay safety: the
-    batch is a no-op when the probe finds nothing new, which covers
-    both crash windows — a crash BEFORE the append replays into the
-    same non-empty probe result and deterministically rewrites the
-    epoch dir; a crash AFTER the append replays into an empty probe,
-    and skipping empty batches is what keeps the already-written
-    frontier output from being overwritten with nothing (writing
-    ∅ unconditionally would lose the epoch's frontier on exactly that
-    window). At scale each micro-batch probe is the q80 broadcast
+    would keep serving the PLAN-TIME snapshot. Replay safety, keyed
+    off the epoch output's own ``_SUCCESS`` commit marker (the seen
+    manifest's local-FS discipline): if the epoch dir already
+    committed, the replay re-runs ONLY the seen-append, idempotently
+    (``assume_unseen=False`` anti-joins away urls the crashed run
+    already appended). "Empty probe ⇒ no-op" alone cannot cover the
+    crash-after-append window once a ``per_host`` cap is in play
+    (gate-rejected urls are filtered out of ``to_crawl``, but
+    cap-DEFERRED urls are scheduled-later work): cap-deferred urls make the replay probe NON-empty, and
+    recomputing would overwrite the epoch's scheduled set with only
+    the deferred urls — permanently losing the originals (they are
+    already in the seen-set, so they never resurface). A crash BEFORE
+    the write (no marker) replays into the same deterministic probe
+    and rewrites the epoch dir; a genuinely empty probe stays a
+    no-op. At scale each micro-batch probe is the q80 broadcast
     semi — the seen-set is scanned, never shuffled, per batch.
     """
+    import os
     from pyspark.sql.types import LongType
 
     from ai_pdf_extraction_spark.sources.seen_urls import (
@@ -221,6 +228,18 @@ def run_frontier_stream(
     )
 
     def _probe_and_append(batch_df: DataFrame, epoch: int) -> None:
+        out_path = f"{frontier_out_dir}/batch={epoch}"
+        if os.path.exists(os.path.join(out_path, "_SUCCESS")):
+            # replayed epoch whose frontier output already committed:
+            # finish (or re-run, idempotently) only the append — see
+            # the replay-safety note in the docstring
+            append_seen_set(
+                spark,
+                seen_dir,
+                spark.read.parquet(out_path),
+                assume_unseen=False,
+            )
+            return
         fr = frontier_from_seen_set(
             spark, seen_dir, batch_df, url_col=url_col, id_col=id_col
         )

@@ -99,6 +99,7 @@ def main() -> None:
         host_caps_from_delays,
         parse_crawl_delays,
         parse_robots,
+        prepare_robots_lines,
         robots_filter,
     )
     from ai_pdf_extraction_spark.operators.urls import (
@@ -143,14 +144,24 @@ def main() -> None:
         caps = None
         if args.robots:
             robots_df = spark.read.parquet(args.robots)
+            # both tails (rules + Crawl-delay) share one persisted
+            # grouped-lines front half — otherwise each re-scans the
+            # robots relation and re-runs the posexplode/window parse
+            prepared = (
+                prepare_robots_lines(robots_df)
+                if args.cycle_seconds > 0
+                else None
+            )
             gated = robots_filter(
-                gated, parse_robots(robots_df), url_col="canon_url"
+                gated,
+                parse_robots(robots_df, prepared=prepared),
+                url_col="canon_url",
             )
             if args.cycle_seconds > 0:
                 # the SAME robots bodies carry the Crawl-delay floors:
                 # scale each host's per-cycle cap by its delay
                 caps = host_caps_from_delays(
-                    parse_crawl_delays(robots_df),
+                    parse_crawl_delays(robots_df, prepared=prepared),
                     cycle_seconds=args.cycle_seconds,
                     max_cap=args.per_host,
                 )

@@ -895,3 +895,82 @@ def test_streaming_frontier_loop_gated_and_capped(spark, tmp_path):
     # the two cap-deferred pages resurface on rediscovery
     assert seen == {"http://old.com/a"} | got
     rules.unpersist()
+
+
+def test_streaming_frontier_capped_replay_preserves_epoch(spark, tmp_path):
+    """Crash-after-append replay with a per_host cap: the replayed
+    probe is NOT empty (cap-deferred urls resurface), so the old
+    "empty probe => no-op" rule alone would overwrite the committed
+    epoch output with only the deferred urls — permanently losing the
+    scheduled ones. The _SUCCESS-marker branch must re-run only the
+    seen-append (idempotently) and leave the epoch output intact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_pdf_extraction_spark.sources.seen_urls import (
+        load_seen_set,
+        write_seen_set,
+    )
+    from ai_pdf_extraction_spark.streaming.ingest import run_frontier_stream
+
+    in_dir = str(tmp_path / "urls_in")
+    seen_dir = str(tmp_path / "seen")
+    out_dir = str(tmp_path / "frontier_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    write_seen_set(
+        spark.createDataFrame([("http://old.com/a",)], "canon_url string"),
+        seen_dir,
+    )
+    rows = [(i, f"http://h.com/page/{i}") for i in range(4)]
+    ids, urls = zip(*rows)
+    pq.write_table(
+        pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "url": pa.array(urls, pa.string())}),
+        os.path.join(in_dir, "b1.parquet"),
+    )
+    run_frontier_stream(spark, in_dir, seen_dir, out_dir, ckpt,
+                        timeout_sec=120, per_host=2)
+    fr1 = spark.read.option("basePath", out_dir).parquet(out_dir)
+    scheduled = {r["canon_url"] for r in fr1.collect()}
+    assert len(scheduled) == 2
+    n_seen = load_seen_set(spark, seen_dir).count()
+    assert n_seen == 3  # old + the 2 scheduled
+
+    # simulate a crash AFTER foreachBatch (output written, seen-set
+    # appended) but BEFORE the checkpoint commit: drop the newest
+    # commit marker so the restart replays the epoch with its data
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # hadoop checksum twin blocks the rewrite
+        os.remove(crc)
+
+    run_frontier_stream(spark, in_dir, seen_dir, out_dir, ckpt,
+                        timeout_sec=120, per_host=2)
+    fr2 = spark.read.option("basePath", out_dir).parquet(out_dir)
+    # the epoch output still holds the ORIGINALLY scheduled urls,
+    # and the seen-set neither lost nor duplicated anything
+    assert {r["canon_url"] for r in fr2.collect()} == scheduled
+    assert load_seen_set(spark, seen_dir).count() == n_seen
+
+    # the cap-deferred urls are still crawlable: rediscovering them
+    # schedules the remaining two in a later epoch
+    pq.write_table(
+        pa.table({"event_id": pa.array([10, 11], pa.int64()),
+                  "url": pa.array([u for _, u in rows
+                                   if u not in scheduled], pa.string())}),
+        os.path.join(in_dir, "b2.parquet"),
+    )
+    run_frontier_stream(spark, in_dir, seen_dir, out_dir, ckpt,
+                        timeout_sec=120, per_host=2)
+    fr3 = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert {r["canon_url"] for r in fr3.collect()} == {
+        u for _, u in rows
+    }
+    assert load_seen_set(spark, seen_dir).count() == 5

@@ -405,17 +405,24 @@ def test_parse_crawl_delays_max_wins_and_junk_ignored(spark):
         # junk / fractional values ignored (integer seconds only)
         ("c.com", "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: soon"),
         ("d.com", "User-agent: *\ncrawl-delay:\t10\r"),  # CRLF + tab
+        # 0 = explicit "no delay": parses, caps at max_cap (never an
+        # ANSI DIVIDE_BY_ZERO)
+        ("e.com", "User-agent: *\nCrawl-delay: 0"),
+        # int64-overflowing digit run is junk, not an ANSI crash
+        ("f.com", "User-agent: *\nCrawl-delay: 99999999999999999999"),
+        ("g.com", "User-agent: *\nCrawl-delay: -5"),  # negative: junk
     ]
     df = spark.createDataFrame(rows, "host string, robots_txt string")
     got = {r.host: r.crawl_delay for r in parse_crawl_delays(df).collect()}
-    assert got == {"a.com": 7, "d.com": 10}
+    assert got == {"a.com": 7, "d.com": 10, "e.com": 0}
     caps = {
         r.host: r.cap
         for r in host_caps_from_delays(
             parse_crawl_delays(df), cycle_seconds=60, max_cap=25
         ).collect()
     }
-    assert caps == {"a.com": 8, "d.com": 6}  # 60 div 7 = 8 (floor)
+    # 60 div 7 = 8 (floor); delay 0 -> the max_cap ceiling
+    assert caps == {"a.com": 8, "d.com": 6, "e.com": 25}
 
 
 def test_frontier_host_cap_per_host_overrides(spark):
@@ -494,3 +501,78 @@ def test_sitemap_recrawl_delta_decisions(spark):
         # fragment variant canonicalizes onto /dup; max lastmod 01-20
         "http://h.com/dup": ("2026-01-20", "2026-01-15", True),
     }
+
+
+def test_sitemap_recrawl_delta_cross_host_url_no_fanout(spark):
+    """A url advertised by TWO hosts' sitemaps (mirrored feeds) must
+    yield exactly one row per (host, canon_url) — the broadcast key
+    projection dedups before the history join, so broadcast and plain
+    modes agree (2 rows, not a 2x2 join fan-out)."""
+    from ai_pdf_extraction_spark.operators.urls import sitemap_recrawl_delta
+
+    entries = spark.createDataFrame(
+        [
+            ("h1.com", "http://x.com/p", "2026-01-20"),
+            ("h2.com", "http://x.com/p", "2026-01-10"),
+        ],
+        "host string, url string, lastmod string",
+    )
+    crawled = spark.createDataFrame(
+        [("http://x.com/p", "2026-01-15")],
+        "canon_url string, crawled_at string",
+    )
+    for bcast in (True, False):
+        got = sorted(
+            map(
+                tuple,
+                sitemap_recrawl_delta(
+                    entries, crawled, broadcast_entries=bcast
+                ).collect(),
+            )
+        )
+        assert got == [
+            ("h1.com", "http://x.com/p", "2026-01-20", "2026-01-15", True),
+            ("h2.com", "http://x.com/p", "2026-01-10", "2026-01-15", False),
+        ], f"broadcast_entries={bcast}"
+
+
+def test_frontier_priority_budget_keeps_fractional_ranks(spark):
+    """Normalized double PageRank values must keep their type — a
+    long cast would truncate every fractional rank to 0 and silently
+    destroy the prioritization."""
+    from ai_pdf_extraction_spark.operators.urls import (
+        frontier_priority_budget,
+    )
+
+    fr = spark.createDataFrame(
+        [(f"http://big.com/{i}", True) for i in range(3)]
+        + [(f"http://small.com/{i}", True) for i in range(3)],
+        "canon_url string, to_crawl boolean",
+    )
+    ranks = spark.createDataFrame(
+        [("big.com", 0.38), ("small.com", 0.02)],
+        "host string, rank double",
+    )
+    got = frontier_priority_budget(fr, ranks, budget=4)
+    assert dict(got.dtypes)["host_rank"] == "double"
+    rows = got.collect()
+    hosts = [r.host for r in rows]
+    # all three big.com urls outrank every small.com url
+    assert hosts.count("big.com") == 3 and hosts.count("small.com") == 1
+    assert {r.host_rank for r in rows} == {0.38, 0.02}
+
+
+def test_parse_sitemaps_drops_empty_loc(spark):
+    from ai_pdf_extraction_spark.operators.urls import parse_sitemaps
+
+    xml = (
+        "<urlset><url><loc></loc></url>"
+        "<url><loc>   </loc></url>"
+        "<url><loc>http://a.com/x</loc></url></urlset>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", xml)], "host string, sitemap_xml string"
+    )
+    assert [tuple(r) for r in parse_sitemaps(df).collect()] == [
+        ("a.com", "http://a.com/x")
+    ]
