@@ -1058,10 +1058,13 @@ def q52_lang_detect_wide(spark, sf_dir):
     )
 
 
-def _q52_oracle_sql() -> str:
-    """DuckDB twin of q52, REBUILT from the operator's own constants
-    (markers, script ranges, share threshold, snippet list) so the two
-    sides cannot silently desync."""
+def _lang_detect_sql_parts(text_col: str) -> tuple[str, str]:
+    """(score_cols, decide_case) — the wide-detector SQL rebuilt from
+    the operator's own constants, parameterized on the scored text
+    column. ``score_cols`` references a ``padded`` column (caller
+    builds ``' ' || lower({text_col}) || ' '``); ``decide_case``
+    references the ``s_*`` columns and ``{text_col}`` itself (script
+    ranges). Shared by the q52 and q97 oracles."""
     from ai_pdf_extraction_spark.operators.text_analysis import (
         EXTRA_MARKERS,
         LANG_MARKERS,
@@ -1084,11 +1087,69 @@ def _q52_oracle_sql() -> str:
         marker_case += f"       when s_{lang} = {best} then '{lang}'\n"
     marker_case += "       else 'und' end"
     script_whens = "\n".join(
-        f"    when (length(sample_text) - length(regexp_replace(sample_text,"
+        f"    when (length({text_col}) - length(regexp_replace({text_col},"
         f" '{rng}', '', 'g'))) * {SCRIPT_SHARE_DENOM}"
-        f" >= greatest(length(sample_text), 1) then '{lang}'"
+        f" >= greatest(length({text_col}), 1) then '{lang}'"
         for lang, rng in SCRIPT_RANGES.items()
     )
+    decide_case = f"case\n{script_whens}\n    else {marker_case}\n  end"
+    return score_cols, decide_case
+
+
+def _q97_oracle_sql() -> str:
+    """DuckDB twin of q97: the q52 wide detector applied per blank-
+    line paragraph, aggregated to the per-doc language mix with the
+    exact (count desc, lang asc) tie rule."""
+    score_cols, decide_case = _lang_detect_sql_parts("para")
+    return f"""
+with base as (
+  select doc_id,
+    text || case when doc_id % 4 = 0
+               then chr(10) || chr(10) || '{_Q97_DE}'
+             when doc_id % 4 = 1
+               then chr(10) || chr(10) || '{_Q97_FR}'
+             else '' end as text
+  from documents
+),
+paras as (
+  select doc_id, para from (
+    select doc_id,
+      unnest(regexp_split_to_array(text, '\\n{{2,}}')) as para
+    from base
+  ) where regexp_replace(para, '^\\s+|\\s+$', '', 'g') != ''
+),
+scored as (
+  select doc_id, para,
+    {score_cols}
+  from (select doc_id, para,
+               ' ' || lower(para) || ' ' as padded from paras)
+),
+langed as (
+  select doc_id, {decide_case} as plang from scored
+),
+cnt as (
+  select doc_id, plang, count(*)::bigint as n
+  from langed group by doc_id, plang
+),
+ranked as (
+  select doc_id, plang, n,
+    row_number() over (partition by doc_id
+                       order by n desc, plang) as rn,
+    sum(n) over (partition by doc_id) as tot
+  from cnt
+)
+select doc_id, tot::bigint as n_paras, plang as dominant_lang,
+  n as n_dominant, (tot - n)::bigint as n_foreign,
+  (tot - n) > 0 as is_mixed
+from ranked where rn = 1
+"""
+
+
+def _q52_oracle_sql() -> str:
+    """DuckDB twin of q52, REBUILT from the operator's own constants
+    (markers, script ranges, share threshold, snippet list) so the two
+    sides cannot silently desync."""
+    score_cols, decide_case = _lang_detect_sql_parts("sample_text")
     snippet_case = "case (doc_id % " + str(len(_LANG_SAMPLES) + 1) + ")\n"
     for idx, (_lang, snippet) in enumerate(_LANG_SAMPLES):
         snippet_case += f"      when {idx} then '{snippet}'\n"
@@ -1105,10 +1166,7 @@ scored as (
                ' ' || lower(sample_text) || ' ' as padded from base)
 )
 select doc_id,
-  case
-{script_whens}
-    else {marker_case}
-  end as lang_detected
+  {decide_case} as lang_detected
 from scored
 """
 
@@ -3126,6 +3184,153 @@ def q38_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries_df, k=5)
 
 
+def q94_boilerplate_lines(spark, sf_dir):
+    """Per-site template-line removal (the CCNet line-dedup family):
+    documents are augmented with deterministic site chrome — a nav
+    header on every doc, a COPYRIGHT footer on 2/3 of docs (both
+    cross the min_docs=5 threshold within a 25-doc source), and a
+    rare PROMO line keyed by doc_id%97 that stays under it — then
+    lines appearing in ≥5 distinct docs of the same source are
+    stripped and the doc reassembled in order. One exploded pass
+    feeds both the (source, line) frequency partial-agg and the
+    flag join-back; no window."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        boilerplate_line_removal,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAV "),
+            F.col("source"),
+            F.lit(" HOME | ABOUT\nPROMO "),
+            (did % 97).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.when(
+                did % 3 != 0,
+                F.concat(F.lit("\nCOPYRIGHT "), F.col("source")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return boilerplate_line_removal(aug, min_docs=5)
+
+
+def q95_capture_delta(spark, sf_dir):
+    """Revisit collapse over a synthesized capture log: urls keyed by
+    event_id%997 accrue ~10 captures each (ids ≡0 mod 11 get a unique
+    url — the first-capture leg), content digests cycle over 3
+    versions, and each url keeps its LATEST capture plus whether the
+    content changed vs the capture before it (ts desc, id desc total
+    order). One hash shuffle on the url key; rank-2 semantics via the
+    key-partitioned window."""
+    from ai_pdf_extraction_spark.operators.urls import capture_delta
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    k = F.when(eid % 11 == 0, eid + 100000).otherwise(eid % 997)
+    caps = e.select(
+        "event_id",
+        "ts",
+        F.concat(
+            F.lit("http://h"),
+            (k % 13).cast("string"),
+            F.lit(".example.com/p/"),
+            k.cast("string"),
+        ).alias("canon_url"),
+        F.md5(
+            F.concat(
+                F.lit("c"),
+                (eid % 3).cast("string"),
+                F.lit("-"),
+                k.cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return capture_delta(caps)
+
+
+def q96_host_quality_filter(spark, sf_dir):
+    """Host-reputation gate: per-source mean document quality in
+    scaled int64 (sum of quality×10⁴ floor-divided by doc count —
+    bit-identical at any parallelism), hosts below 0.67 drop all
+    their docs. Partial-agg at host cardinality + broadcast
+    join-back; the corpus is never shuffled."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        host_quality_filter,
+    )
+
+    return host_quality_filter(
+        _t(spark, sf_dir, "documents"), min_host_quality_scaled=6700
+    )
+
+
+# q97 foreign-paragraph literals: marker-rich, apostrophe-free (SQL
+# literal safety), detected de/fr by the shared wide detector
+_Q97_DE = "der hund und die katze und das haus und der garten sind alt"
+_Q97_FR = "le chat et la maison et les arbres et le jardin et la mer"
+
+
+def q97_paragraph_lang_mix(spark, sf_dir):
+    """Mixed-language page detection: docs ≡0/≡1 (mod 4) gain a
+    German/French second paragraph, the rest stay single-language;
+    each blank-line paragraph is scored by the q52 wide detector and
+    the doc aggregates to (dominant lang, foreign-paragraph count,
+    mixed flag) — exact integer argmax, ties to the smaller lang, no
+    window (min over (-count, lang) structs)."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        paragraph_lang_mix,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 == 0, F.lit("\n\n" + _Q97_DE))
+            .when(did % 4 == 1, F.lit("\n\n" + _Q97_FR))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return paragraph_lang_mix(aug)
+
+
+def q98_normalize_text(spark, sf_dir):
+    """Webtext normalization: docs cycle through five corruption
+    classes (combining-acute café, zero-width joiners, a BEL control,
+    CRLF line endings, untouched) and the cleaner must fix exactly
+    the injected damage — NFC via an Arrow UDF cross-checked against
+    DuckDB's INDEPENDENT nfc_normalize, the rest pure Column regex."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    aug = d.select(
+        "doc_id",
+        F.when(
+            m == 0, F.concat(F.lit("Café: "), F.col("text"))
+        )
+        .when(m == 1, F.concat(F.lit("A​B﻿ "), F.col("text")))
+        .when(m == 2, F.concat(F.lit("\x07bell \x1f"), F.col("text")))
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("line one  \r\nline two\r"), F.lit("\n"),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_text(aug)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3221,6 +3426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_priority_frontier": q91_priority_frontier,
         "q92_crawl_delay_caps": q92_crawl_delay_caps,
         "q93_sitemap_recrawl": q93_sitemap_recrawl,
+        "q94_boilerplate_lines": q94_boilerplate_lines,
+        "q95_capture_delta": q95_capture_delta,
+        "q96_host_quality_filter": q96_host_quality_filter,
+        "q97_paragraph_lang_mix": q97_paragraph_lang_mix,
+        "q98_normalize_text": q98_normalize_text,
     }
 
 
@@ -5257,6 +5467,132 @@ select c.host, c.canon_url, c.lastmod, h.crawled_at,
 from canon c left join crawled h using (canon_url)
 """,
         "q81_cluster_balanced_sample": _q81_oracle_sql(),
+        # q94: per-site boilerplate line removal — line identity is
+        # the [ \t\r]-stripped form; blank lines never boilerplate;
+        # reassembly ordered by original position
+        "q94_boilerplate_lines": """
+with aug as (
+  select doc_id, source,
+    'NAV ' || source || ' HOME | ABOUT' || chr(10)
+      || 'PROMO ' || (doc_id % 97)::varchar || chr(10) || text
+      || case when doc_id % 3 != 0
+           then chr(10) || 'COPYRIGHT ' || source else '' end as text
+  from documents
+),
+lines as (
+  select doc_id, source,
+    generate_subscripts(l, 1) as pos, unnest(l) as line
+  from (select doc_id, source, string_split(text, chr(10)) as l from aug)
+),
+t as (
+  select doc_id, source, pos, line,
+    regexp_replace(line, '^[ \t\r]+|[ \t\r]+$', '', 'g') as lt
+  from lines
+),
+freq as (
+  select source, lt, count(distinct doc_id) as line_docs
+  from t where lt != '' group by source, lt
+),
+fl as (
+  select t.doc_id, t.source, t.pos, t.line,
+    coalesce(f.line_docs >= 5, false) as bp
+  from t left join freq f on t.source = f.source and t.lt = f.lt
+)
+select doc_id, source,
+  coalesce(string_agg(case when not bp then line end, chr(10)
+                      order by pos), '') as clean_text,
+  count(*)::bigint as n_lines,
+  sum(bp::int)::bigint as n_removed
+from fl group by doc_id, source
+""",
+        # q95: revisit collapse — latest capture per url + changed-
+        # vs-previous digest; (ts desc, id desc) total order
+        "q95_capture_delta": """
+with caps as (
+  select event_id, ts,
+    'http://h' || (k % 13)::varchar || '.example.com/p/' || k::varchar
+      as canon_url,
+    md5('c' || (event_id % 3)::varchar || '-' || k::varchar) as digest
+  from (
+    select event_id, ts,
+      case when event_id % 11 = 0 then event_id + 100000
+           else event_id % 997 end as k
+    from events
+  )
+),
+w as (
+  select canon_url, ts, event_id, digest,
+    row_number() over (partition by canon_url
+                       order by ts desc, event_id desc) as rn,
+    lead(digest) over (partition by canon_url
+                       order by ts desc, event_id desc) as prev_digest,
+    count(*) over (partition by canon_url) as n_captures
+  from caps
+)
+select canon_url, n_captures::bigint as n_captures, ts as latest_ts,
+  event_id as latest_id, digest, prev_digest,
+  (prev_digest is null or digest != prev_digest) as changed
+from w where rn = 1
+""",
+        # q96: host-reputation gate — scaled-int mean quality per
+        # source (exact at any parallelism), threshold 0.67
+        "q96_host_quality_filter": f"""
+with {_SCORED_CTE},
+qs as (
+  select s.doc_id, d.source, s.quality,
+    cast(round(s.quality * 10000) as bigint) as qsc
+  from scored s join documents d using (doc_id)
+),
+host as (
+  select source, (sum(qsc) // count(1))::bigint as host_q_scaled
+  from qs group by source
+)
+select q.doc_id, q.source, q.quality, h.host_q_scaled,
+  h.host_q_scaled >= 6700 as keep
+from qs q join host h using (source)
+""",
+        # q97: blank-line paragraph explode → per-paragraph wide
+        # detector (shared SQL parts with q52) → exact argmax per doc
+        "q97_paragraph_lang_mix": _q97_oracle_sql(),
+        # q98: DuckDB's nfc_normalize is an INDEPENDENT Unicode NFC
+        # implementation — a genuine cross-check of the Arrow UDF;
+        # regex steps mirror the operator byte for byte
+        "q98_normalize_text": r"""
+with aug as (
+  select doc_id,
+    case (doc_id % 5)
+      when 0 then 'Cafe' || chr(769) || ': ' || text
+      when 1 then 'A' || chr(8203) || 'B' || chr(65279) || ' ' || text
+      when 2 then chr(7) || 'bell ' || chr(31) || text
+      when 3 then 'line one  ' || chr(13) || chr(10) || 'line two'
+               || chr(13) || chr(10) || text
+      else text end as text
+  from documents
+),
+cleaned as (
+  select doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(nfc_normalize(text),
+                  '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                '\r\n', chr(10), 'g'),
+              '\r', chr(10), 'g'),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '[ \t]+\n', chr(10), 'g'),
+        '[ \t]+\z', '', 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g') as clean_text
+  from aug
+)
+select doc_id, clean_text,
+  length(text)::bigint as n_chars_raw,
+  length(clean_text)::bigint as n_chars_clean,
+  (clean_text != text) as changed
+from cleaned
+""",
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,
   count(*) as n_docs, sum(n_chars)::bigint as total_chars,

@@ -633,3 +633,244 @@ def distinctive_terms(
         .filter(F.col("pick_rank") <= k)
         .select(id_col, "term", "tf", "df", "pick_rank")
     )
+
+
+_BP_LINE_CACHE: list = []
+
+
+def boilerplate_line_removal(
+    docs: DataFrame,
+    min_docs: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-site boilerplate LINE removal — the CCNet/template-strip
+    family: a line whose stripped form appears in ``min_docs`` or more
+    DISTINCT documents of the same ``group_col`` (host/site) is a
+    template artifact (nav bar, cookie banner, copyright footer) and
+    is removed from every document; the k-gram ``span_dedup`` (q67)
+    cannot express this because template lines are SHORT and repeat
+    within a site, not across arbitrary documents. Reference analogue:
+    the HTML kernel strips per-PAGE boilerplate by DOM structure
+    (``kernels/html_extract.py``); this operator strips per-SITE
+    boilerplate no single page reveals.
+
+    Line identity is the ``[ \\t\\r]``-stripped text (CRLF corpora
+    behave like LF; indentation shifts don't split a template line);
+    blank lines are never boilerplate (they'd trivially hit every
+    document). The document is reassembled in original line order.
+
+    Output: ``(id, group, clean_text, n_lines, n_removed)``.
+
+    Scale shape: one posexplode pass persists and feeds BOTH legs —
+    the line-frequency relation is a partial-agg groupBy on
+    (group, line) with an exact distinct-doc count, and the flag
+    join-back is a plain AQE equi-join on the same key (high-
+    frequency template lines are exactly the keys AQE's skew split
+    handles). Reassembly partial-aggs collect_list per document —
+    corpus-cardinality key, no funnel, no window. The sorted array is
+    projected in its OWN step before the element-wise lambda (the
+    HOF no-CSE rule)."""
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    stripped = F.regexp_replace("line", r"^[ \t\r]+|[ \t\r]+$", "")
+    lines = _persist_latest(
+        _BP_LINE_CACHE,
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "line"
+            ),
+        ).withColumn("lt", stripped),
+    )
+    freq = (
+        lines.filter(F.col("lt") != "")
+        .groupBy(group_col, "lt")
+        .agg(F.countDistinct(id_col).alias("line_docs"))
+    )
+    flagged = lines.join(freq, [group_col, "lt"], "left").withColumn(
+        "bp",
+        F.coalesce(F.col("line_docs") >= min_docs, F.lit(False)),
+    )
+    agg = flagged.groupBy(id_col, group_col).agg(
+        F.collect_list(
+            F.when(~F.col("bp"), F.struct("pos", "line"))
+        ).alias("_kept"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("bp").cast("long")).alias("n_removed"),
+    )
+    agg = agg.withColumn("_sorted", F.array_sort("_kept"))
+    return agg.select(
+        id_col,
+        group_col,
+        F.concat_ws(
+            "\n", F.transform("_sorted", lambda s: s["line"])
+        ).alias("clean_text"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+_HOST_Q_CACHE: list = []
+
+
+def host_quality_filter(
+    docs: DataFrame,
+    min_host_quality_scaled: int = 5500,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Host-reputation gate — the RefinedWeb/FineWeb site-level
+    filtering stage: a host whose MEAN document quality falls below
+    the threshold drops ALL its documents (spam farms produce
+    uniformly low-quality pages; per-document filters leak their
+    best-of-bad outliers). Mean is computed in scaled int64 —
+    ``quality`` (round 4, the q18 column) × 10⁴ summed exactly, then
+    integer-floor-divided by the doc count — so the gate decision is
+    bit-identical at any parallelism and across engines (a double
+    ``avg`` would depend on summation order). Threshold is the scaled
+    form too (5500 = mean quality 0.55).
+
+    Output per document: ``(id, group, quality, host_q_scaled,
+    keep)``.
+
+    Scale shape: the quality projection is pure Column work inside
+    the scan; the per-host relation is a partial-agg groupBy at HOST
+    cardinality and joins back broadcast — the corpus is scanned
+    once more but never shuffled."""
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+
+    scored = _persist_latest(
+        _HOST_Q_CACHE,
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            quality_score(text_col).alias("quality"),
+        ).withColumn(
+            "_qs", F.round(F.col("quality") * 10000).cast("long")
+        ),
+    )
+    host = scored.groupBy(group_col).agg(
+        F.expr("sum(_qs) div count(1)").alias("host_q_scaled")
+    )
+    return (
+        scored.join(F.broadcast(host), group_col)
+        .withColumn(
+            "keep",
+            F.col("host_q_scaled") >= F.lit(min_host_quality_scaled),
+        )
+        .select(id_col, group_col, "quality", "host_q_scaled", "keep")
+    )
+
+
+def paragraph_lang_mix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level language segmentation — the mixed-language
+    detector a monolingual training corpus needs: a page whose
+    paragraphs disagree on language (boilerplate in the site
+    language wrapping quoted foreign text, machine-mixed spam) gets
+    flagged instead of trusting a single whole-document call.
+    Paragraphs split on blank lines (``\\n{2,}``); whitespace-only
+    paragraphs are dropped; each is scored by the same deterministic
+    wide detector as q52 (:func:`lang_detect` — script charsets, then
+    stopword-marker argmax). Per document::
+
+        (id, n_paras, dominant_lang, n_dominant, n_foreign, is_mixed)
+
+    ``dominant_lang`` = most frequent paragraph language, ties to the
+    lexicographically smallest (exact: min over (-count, lang)
+    structs — no float, no window). Scale shape: explode → two
+    partial-agg groupBys on corpus-cardinality keys; the detector is
+    one Column projection per paragraph row, whole-stage codegen."""
+    paras = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\n{2,}")).alias("para"),
+    ).filter(F.regexp_replace("para", r"^\s+|\s+$", "") != "")
+    langed = paras.select(
+        F.col(id_col), lang_detect("para").alias("plang")
+    )
+    cnt = langed.groupBy(id_col, "plang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = cnt.groupBy(id_col).agg(
+        F.sum("n").alias("n_paras"),
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("plang"))
+        ).alias("_dom"),
+    )
+    return agg.select(
+        id_col,
+        "n_paras",
+        F.col("_dom.plang").alias("dominant_lang"),
+        (-F.col("_dom.neg")).alias("n_dominant"),
+        (F.col("n_paras") + F.col("_dom.neg")).alias("n_foreign"),
+        ((F.col("n_paras") + F.col("_dom.neg")) > 0).alias("is_mixed"),
+    )
+
+
+# kept in lockstep with the q98 oracle; \x{...} is valid in BOTH Java
+# regex and RE2, and \z (true end-of-text) avoids Java's $-before-
+# final-newline divergence from RE2
+ZERO_WIDTH_RE = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+C0_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Webtext normalization pass — the cleaning every extracted-text
+    corpus runs before dedup/tokenization (mojibake-adjacent combining
+    sequences, invisible chars, editor droppings): Unicode NFC, strip
+    zero-width chars (ZWSP/ZWNJ/ZWJ/BOM), CRLF/CR → LF, strip C0
+    controls (keeping ``\\n``/``\\t``; ``\\r`` already converted),
+    strip trailing spaces/tabs per line and at end-of-text, collapse
+    3+ newlines to a blank line. Output::
+
+        (id, clean_text, n_chars_raw, n_chars_clean, changed)
+
+    NFC is the one step with no Spark builtin — an Arrow-batched
+    pandas UDF over ``unicodedata.normalize`` (justified: composing
+    combining sequences is table-driven, not regex-expressible); the
+    DuckDB oracle uses ``nfc_normalize`` — an INDEPENDENT Unicode
+    implementation, so the contract genuinely cross-checks the
+    normalization rather than sharing a kernel. Everything after NFC
+    is pure Column regex work; ``\\z`` (not ``$``) for end-of-text —
+    Java's ``$`` matches before a final newline, RE2's does not."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None
+            if t is None
+            else unicodedata.normalize("NFC", t)
+        )
+
+    d = docs.select(
+        F.col(id_col), F.col(text_col).alias("_raw")
+    ).withColumn("_t", _nfc(F.col("_raw")))
+    c = F.regexp_replace("_t", ZERO_WIDTH_RE, "")
+    c = F.regexp_replace(c, r"\r\n", "\n")
+    c = F.regexp_replace(c, r"\r", "\n")
+    c = F.regexp_replace(c, C0_CONTROL_RE, "")
+    c = F.regexp_replace(c, r"[ \t]+\n", "\n")
+    c = F.regexp_replace(c, r"[ \t]+\z", "")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    out = d.withColumn("clean_text", c)  # bind ONCE: lengths + compare
+    return out.select(
+        id_col,
+        "clean_text",
+        F.length("_raw").cast("long").alias("n_chars_raw"),
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        (F.col("clean_text") != F.col("_raw")).alias("changed"),
+    )

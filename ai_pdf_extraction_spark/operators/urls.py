@@ -657,3 +657,63 @@ def frontier_priority_budget(
         )
         .limit(budget)
     )
+
+
+def capture_delta(
+    captures: DataFrame,
+    url_col: str = "canon_url",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Revisit collapse over a capture log — the Common-Crawl
+    convention: a crawler fetches the same url across cycles; the
+    corpus keeps ONE row per url (its latest capture) plus the
+    change evidence a recrawl scheduler wants. For each url::
+
+        (canon_url, n_captures, latest_ts, latest_id, digest,
+         prev_digest, changed)
+
+    ``prev_digest`` is the content digest of the capture immediately
+    BEFORE the latest one (null for first-ever captures); ``changed``
+    = first capture OR digest differs from it — the signal that
+    separates genuinely-updated pages from byte-identical revisits
+    (feed it to :func:`sitemap_recrawl_delta`-style freshness
+    policies, or drop unchanged revisits before extraction). Order is
+    total: (ts desc, id desc) — capture logs can carry duplicate
+    timestamps.
+
+    Scale shape: ONE hash shuffle on the url key; both window
+    functions and the per-url count ride the same partitioning (url
+    is corpus-cardinality — no funnel, and a two-phase max(struct)
+    could find the latest capture without a sort but not the
+    SECOND-latest; the key-partitioned window is the honest plan for
+    rank-2 semantics)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    ranked = captures.select(
+        F.col(url_col),
+        F.col(ts_col).alias("latest_ts"),
+        F.col(id_col).alias("latest_id"),
+        F.col(digest_col).alias("digest"),
+        F.row_number().over(w).alias("_rn"),
+        F.lead(digest_col).over(w).alias("prev_digest"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(url_col))
+        .alias("n_captures"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        url_col,
+        "n_captures",
+        "latest_ts",
+        "latest_id",
+        "digest",
+        "prev_digest",
+        (
+            F.col("prev_digest").isNull()
+            | (F.col("digest") != F.col("prev_digest"))
+        ).alias("changed"),
+    )

@@ -74,6 +74,11 @@ HEADLINE = [
     "q83_frontier_host_cap",  # per-host crawl politeness
     "q84_host_pagerank",  # integer host-graph PageRank (3 iterations)
     "q88_frontier_politeness",  # frontier capstone: delta→gate→robots→cap
+    "q94_boilerplate_lines",  # per-site template line removal
+    "q95_capture_delta",  # revisit collapse + changed-content flag
+    "q96_host_quality_filter",  # host-reputation quality gate
+    "q97_paragraph_lang_mix",  # mixed-language page detection
+    "q98_normalize_text",  # NFC + invisible-char webtext cleaning
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

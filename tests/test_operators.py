@@ -2418,3 +2418,173 @@ def test_frontier_host_cap_matches_naive_and_defers(spark):
     assert hosts.count("big.com") == 10  # cap binds
     assert hosts.count("small.com") == 3  # under-cap host keeps all
     assert "seen.com" not in hosts
+
+
+def test_boilerplate_line_removal(spark):
+    """Template lines (>= min_docs distinct docs per site) vanish;
+    rare lines and blank lines survive; reassembly keeps original
+    order; the same line on ANOTHER site is untouched."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        boilerplate_line_removal,
+    )
+
+    docs = [
+        # site A: NAV in all 3 docs (bp at min_docs=3); doc-specific
+        # bodies survive, as do blank lines
+        (1, "A", "NAV A\n\nbody one\nNAV A"),   # repeated within doc:
+                                                 # still ONE distinct doc
+        (2, "A", "  NAV A \nbody two"),          # indented form strips
+        (3, "A", "NAV A\nbody three"),
+        # site B has the same line but only 1 doc: kept
+        (4, "B", "NAV A\nbody four"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in boilerplate_line_removal(df, min_docs=3).collect()
+    }
+    assert got == {
+        1: ("\nbody one", 4, 2),
+        2: ("body two", 2, 1),
+        3: ("body three", 2, 1),
+        4: ("NAV A\nbody four", 2, 0),
+    }
+
+
+def test_boilerplate_line_removal_all_removed_empty_string(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        boilerplate_line_removal,
+    )
+
+    docs = [(i, "A", "FOOTER") for i in range(5)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    )
+    got = boilerplate_line_removal(df, min_docs=5).collect()
+    assert all(
+        r.clean_text == "" and r.n_removed == 1 for r in got
+    ) and len(got) == 5
+
+
+def test_host_quality_filter_scaled_mean_gate(spark):
+    """The gate decides per HOST: every doc of a below-threshold
+    source drops, even its best one; decision is the scaled integer
+    mean (floor division)."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        host_quality_filter,
+    )
+
+    good = (
+        "the quick brown fox and the lazy dog of the northern woods "
+        "went to the river and the meadow to rest and to feed"
+    )
+    docs = [
+        (1, "hi", good),
+        (2, "hi", good + " " + good),
+        (3, "lo", "zzz qqq"),
+        (4, "lo", good),  # best-of-bad outlier: still dropped
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    )
+    got = {r.doc_id: r for r in host_quality_filter(df, 6000).collect()}
+    assert got[1].keep and got[2].keep
+    assert not got[3].keep and not got[4].keep
+    hq = {r.source: r.host_q_scaled for r in got.values()}
+    assert hq["hi"] >= 6000 > hq["lo"]
+    # the lo mean is the floor of (sum of scaled qualities) / 2
+    q3 = int(round(got[3].quality * 10000))
+    q4 = int(round(got[4].quality * 10000))
+    assert hq["lo"] == (q3 + q4) // 2
+
+
+def test_capture_delta_latest_prev_and_change_flags(spark):
+    import datetime
+
+    from ai_pdf_extraction_spark.operators.urls import capture_delta
+
+    t = lambda s: datetime.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # url X: 3 captures, content changed between last two
+        (1, t(1), "http://x", "d1"),
+        (2, t(2), "http://x", "d2"),
+        (3, t(3), "http://x", "d3"),
+        # url Y: revisit with identical content
+        (4, t(1), "http://y", "same"),
+        (5, t(2), "http://y", "same"),
+        # url Z: single capture
+        (6, t(1), "http://z", "d0"),
+        # url W: duplicate ts — id breaks the tie
+        (7, t(5), "http://w", "older"),
+        (8, t(5), "http://w", "newer"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, canon_url string, digest string"
+    )
+    got = {r.canon_url: r for r in capture_delta(df).collect()}
+    assert (got["http://x"].n_captures, got["http://x"].digest,
+            got["http://x"].prev_digest, got["http://x"].changed) == (
+        3, "d3", "d2", True)
+    assert (got["http://y"].digest, got["http://y"].prev_digest,
+            got["http://y"].changed) == ("same", "same", False)
+    assert (got["http://z"].n_captures, got["http://z"].prev_digest,
+            got["http://z"].changed) == (1, None, True)
+    assert (got["http://w"].latest_id, got["http://w"].digest,
+            got["http://w"].prev_digest) == (8, "newer", "older")
+
+
+def test_paragraph_lang_mix_dominant_tie_and_blank_paras(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        paragraph_lang_mix,
+    )
+
+    en = "the cat and the dog went to the house of the king"
+    de = "der hund und die katze und das haus und der garten sind alt"
+    docs = [
+        # two en paragraphs + one de: dominant en, mixed
+        (1, f"{en}\n\n{de}\n\n{en}"),
+        # 1-1 tie: lexicographically smaller lang (de) wins
+        (2, f"{en}\n\n{de}"),
+        # blank/whitespace paragraphs don't count
+        (3, f"{en}\n\n   \n\n{en}"),
+        # single paragraph: not mixed
+        (4, de),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_lang_mix(df).collect()}
+    assert (got[1].dominant_lang, got[1].n_paras, got[1].n_dominant,
+            got[1].n_foreign, got[1].is_mixed) == ("en", 3, 2, 1, True)
+    assert (got[2].dominant_lang, got[2].is_mixed) == ("de", True)
+    assert (got[3].dominant_lang, got[3].n_paras, got[3].is_mixed) == (
+        "en", 2, False)
+    assert (got[4].dominant_lang, got[4].n_foreign) == ("de", 0)
+
+
+def test_normalize_text_steps(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    docs = [
+        (1, "Café"),                      # NFC composes to Café
+        (2, "A​B‌‍﻿C"),     # zero-width stripped
+        (3, "a\x07b\x1fc\td"),                  # controls out, tab kept
+        (4, "x  \r\ny\rz"),                      # CRLF/CR -> LF, trail ws
+        (5, "a\n\n\n\n\nb"),                     # 5 newlines -> 2
+        (6, "already clean"),
+        (7, "tail spaces   "),                   # end-of-text trim (\z)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert got[1].clean_text == "Café" and got[1].n_chars_clean == 4
+    assert got[2].clean_text == "ABC"
+    assert got[3].clean_text == "abc\td" and got[3].changed
+    assert got[4].clean_text == "x\ny\nz"
+    assert got[5].clean_text == "a\n\nb"
+    assert got[6].clean_text == "already clean" and not got[6].changed
+    assert got[7].clean_text == "tail spaces"
+    assert all(
+        r.n_chars_clean == len(r.clean_text) for r in got.values()
+    )
