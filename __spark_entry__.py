@@ -2522,14 +2522,19 @@ edges as (
 )"""
 
 
-def _q84_pagerank_ctes(iterations: int = 3) -> str:
+def _q84_pagerank_ctes(
+    iterations: int = 3, graph_ctes: str | None = None
+) -> str:
     """Chained-CTE integer PageRank, one (contribs, ranks) CTE pair
     per iteration, ending in ``r{iterations}(host, r)`` — the exact
     semantics of ``operators.graphs.pagerank`` (DuckDB ``//`` ==
     Spark ``div`` on the non-negative int64s involved). Shared by the
-    q84 contract and the q91 priority-frontier oracle."""
+    q84 contract and the q91 priority-frontier oracle;
+    ``graph_ctes`` (any chain ending in ``edges(src, dst, weight)``)
+    lets q103 feed the EXTRACTED host graph through the same rank
+    algebra."""
     parts = [
-        _q84_graph_ctes(),
+        graph_ctes if graph_ctes is not None else _q84_graph_ctes(),
         """outw as (select src, sum(weight) as wout from edges group by src),
 nodes as (select src as host from edges union select dst from edges),
 r0 as (select host, 1000000::bigint as r from nodes)""",
@@ -3331,6 +3336,253 @@ def q98_normalize_text(spark, sf_dir):
     return normalize_text(aug)
 
 
+def _q99_pages(spark, sf_dir):
+    """Deterministic HTML corpus for the outlink/metadata family —
+    every href class the resolver handles, synthesized from doc_id in
+    both engines (keep in lockstep with ``_Q99_PAGES_SQL``): an
+    absolute cross-host link (entity-encoded ``&amp;`` + a tracking
+    param the canonicalizer must strip), a protocol-relative CDN
+    link with nested-tag/whitespace anchor markup, a root-relative or
+    fragment link (doc_id%4), a relative or ``mailto:`` link
+    (doc_id%5), a ``javascript:`` link on doc_id%6==0, and an
+    href-less ``<a name=…>`` that must not match at all."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = F.concat(
+        F.lit("http://www.site"),
+        (did % 13).cast("string"),
+        F.lit(".example.co.uk/dir/"),
+        did.cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="http://site'),
+        ((did * 7 + 3) % 13).cast("string"),
+        F.lit(".example.com/abs/"),
+        (did % 211).cast("string"),
+        F.lit('?utm_source=f&amp;ref=1">Read '),
+        (did % 5).cast("string"),
+        F.lit('</a><a href="//cdn'),
+        (did % 3).cast("string"),
+        F.lit('.example.net/lib">  CDN <b>asset</b> </a>'),
+        F.when(did % 4 == 0, F.lit('<a href="#top">skip</a>')).otherwise(
+            F.concat(
+                F.lit('<a href="/cat/'),
+                (did % 97).cast("string"),
+                F.lit('">Category</a>'),
+            )
+        ),
+        F.when(
+            did % 5 == 0, F.lit('<a href="mailto:x@example.com">mail</a>')
+        ).otherwise(
+            F.concat(
+                F.lit('<a href="item'),
+                (did % 11).cast("string"),
+                F.lit('.html">Item</a>'),
+            )
+        ),
+        F.when(
+            did % 6 == 0, F.lit('<a href="javascript:void(0)">js</a>')
+        ).otherwise(F.lit("")),
+        F.lit('<a name="x">no href</a></body></html>'),
+    )
+    return d.select("doc_id", src.alias("url"), html.alias("html"))
+
+
+def q99_outlink_extraction(spark, sf_dir):
+    """HTML outlink extraction — the extraction→webgraph bridge the
+    reference's anchor-density pass never emits (it only measures
+    link-text ratio, extractors/html_extractor.py). One (src, dst,
+    anchor) row per double-quoted href: entity-decoded, resolved
+    against the page url (absolute / protocol-relative /
+    root-relative / directory-relative; fragment-only and
+    javascript:/mailto: dropped), canonicalized via the staged
+    projection, anchor markup reduced to clean display text. Pure
+    Column regex inside the scan — zero shuffle at any corpus size."""
+    from ai_pdf_extraction_spark.operators.links import extract_outlinks
+
+    return extract_outlinks(_q99_pages(spark, sf_dir))
+
+
+# q100's persisted-edges slot: anchor_stats fans the extraction plan
+# out into two aggregation legs — unpersisted, each leg would splice
+# and re-run the full outlink expression tree (the q88 lesson)
+_Q100_EDGES_CACHE: list = []
+
+
+def q100_anchor_stats(spark, sf_dir):
+    """Inbound anchor-text aggregation per link target: total inbound
+    links, distinct linking pages, and the most frequent anchor text
+    (ties lexicographically smaller — exact integer argmax via
+    min(struct(-n, anchor)), no window). The abs-link leg fans 500
+    docs onto 211 targets and its 'Read k' anchors tie within a
+    target, exercising the tie rule at sf0.01."""
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+    from ai_pdf_extraction_spark.operators.links import anchor_stats
+
+    edges = _persist_latest(
+        _Q100_EDGES_CACHE, q99_outlink_extraction(spark, sf_dir)
+    )
+    return anchor_stats(edges)
+
+
+def q101_registered_domains(spark, sf_dir):
+    """Public-suffix-aware site grouping: hosts synthesized across
+    five shapes — www./blog. subdomains of a ``.co.uk`` domain (ONE
+    registered domain), an uppercase ``.COM:8080`` (lowercase + port
+    strip), ``user<m>.github.io`` (PSL private section: every
+    subdomain its own registrant), a deep 4-label ``.com`` that joins
+    shape 2's domain, and the bare suffix ``co.uk`` passing through
+    whole. Rollup: distinct hosts + docs per registered domain — the
+    grouping key the host-reputation and crawl-budget stages must use
+    instead of raw host."""
+    from ai_pdf_extraction_spark.operators.urls import registered_domain
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = (did % 7).cast("string")
+    host = (
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("www.example"), k, F.lit(".co.uk")),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(F.lit("blog.example"), k, F.lit(".co.uk")),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(F.lit("Example"), k, F.lit(".COM:8080")),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(
+                F.lit("user"), (did % 23).cast("string"), F.lit(".github.io")
+            ),
+        )
+        .otherwise(
+            F.when(did % 10 == 4, F.lit("co.uk")).otherwise(
+                F.concat(F.lit("deep.a.example"), k, F.lit(".com"))
+            )
+        )
+    )
+    hosts = d.select("doc_id", host.alias("host"))
+    return (
+        hosts.select(
+            registered_domain("host").alias("registered_domain"), "host"
+        )
+        .groupBy("registered_domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q102_page_metadata(spark, sf_dir):
+    """Head-metadata extraction + the cross-domain canonical-hijack
+    guard: titles with entities, optional meta description / og:title,
+    and a rel=canonical that is root-relative (accepted), absolute
+    same-registered-domain on a DIFFERENT subdomain (accepted — the
+    AMP shape), absolute cross-domain (REJECTED), or absent.
+    ``effective_url`` is the canonicalized winner — the key the
+    dedup/frontier stages join on."""
+    from ai_pdf_extraction_spark.operators.links import extract_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hid = (did % 13).cast("string")
+    src = F.concat(
+        F.lit("http://www.site"),
+        hid,
+        F.lit(".example.co.uk/p/"),
+        did.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<head><title> Doc &amp; "),
+        did.cast("string"),
+        F.lit(" </title>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="Desc &quot;'),
+                (did % 7).cast("string"),
+                F.lit('&quot;">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="OG '),
+                (did % 5).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 3 == 0) & (did % 6 == 0),
+            F.concat(
+                F.lit('<link rel="canonical" href="http://amp.site'),
+                hid,
+                F.lit(".example.co.uk/canon/"),
+                (did % 211).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="/canon/'),
+                (did % 211).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="http://mirror'),
+                (did % 5).cast("string"),
+                F.lit(".example.org/c/"),
+                did.cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body>"),
+    )
+    pages = d.select("doc_id", src.alias("url"), html.alias("html"))
+    return extract_metadata(pages).select(
+        "doc_id",
+        "title",
+        "meta_desc",
+        "og_title",
+        "canonical_href",
+        "canonical_accepted",
+        "effective_url",
+    )
+
+
+def q103_extracted_pagerank(spark, sf_dir):
+    """The extraction→webgraph capstone: outlinks extracted from raw
+    HTML (q99) collapse to the weighted host graph and feed the
+    integer PageRank — raw pages in, centrality out, one pipeline.
+    The host graph is genuinely non-uniform: 13 crawl hosts link out,
+    13 .com targets and 3 CDN hosts only receive, so in-mass (and
+    rank) separates the three classes. ``truncate_input_lineage``
+    cuts the extraction subtree out of the iterative jobs' plans —
+    without it every pagerank job re-ANALYZES the whole regex/canon
+    tree (~5× slower, measured at sf0.1)."""
+    from ai_pdf_extraction_spark.operators.graphs import (
+        host_edges,
+        pagerank,
+    )
+
+    return pagerank(
+        host_edges(q99_outlink_extraction(spark, sf_dir)),
+        iterations=3,
+        truncate_input_lineage=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3431,6 +3683,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_host_quality_filter": q96_host_quality_filter,
         "q97_paragraph_lang_mix": q97_paragraph_lang_mix,
         "q98_normalize_text": q98_normalize_text,
+        "q99_outlink_extraction": q99_outlink_extraction,
+        "q100_anchor_stats": q100_anchor_stats,
+        "q101_registered_domains": q101_registered_domains,
+        "q102_page_metadata": q102_page_metadata,
+        "q103_extracted_pagerank": q103_extracted_pagerank,
     }
 
 
@@ -4406,6 +4663,220 @@ where s.doc_id not in (select doc_id from near_losers)
   and s.doc_id not in (select doc_id from chits)
 {extra_where}  and s.quality >= 0.5
 """
+
+
+def _dec5_sql(expr: str) -> str:
+    """The five-entity XML decode as SQL text (``&amp;`` LAST — keep
+    in lockstep with ``operators.urls._xml_decode`` / the q90
+    oracle)."""
+    return (
+        f"replace(replace(replace(replace(replace({expr}, "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&apos;', chr(39)), '&amp;', '&')"
+    )
+
+
+def _resolve_href_sql(base: str, href: str) -> str:
+    """DuckDB twin of ``operators.links.resolve_href`` (same four
+    legs, same drop rules, NULL for non-navigational)."""
+    origin = (
+        f"regexp_extract({base}, "
+        "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)"
+    )
+    scheme = f"regexp_extract({base}, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)"
+    base_noq = f"regexp_replace({base}, '[?#].*$', '', 'g')"
+    basedir = (
+        f"(case when regexp_matches({base_noq}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*/') "
+        f"then regexp_extract({base_noq}, '^(.*/)', 1) "
+        f"else {origin} || '/' end)"
+    )
+    return f"""case
+      when {href} = '' or {href} like '#%'
+           or regexp_matches({href}, '^(javascript|mailto|tel|data):')
+        then null
+      when regexp_matches({href}, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+        then {href}
+      when {href} like '//%' then {scheme} || ':' || {href}
+      when {href} like '/%' then {origin} || {href}
+      else {basedir} || {href}
+    end"""
+
+
+def _regdomain_sql(host_expr: str) -> str:
+    """DuckDB twin of ``operators.urls.registered_domain``, rebuilt
+    from the operator's own :data:`MULTI_SUFFIXES` tuple so the two
+    sides cannot silently desync. ``host_expr`` must be a bare column
+    reference (it is spliced several times)."""
+    from ai_pdf_extraction_spark.operators.urls import MULTI_SUFFIXES
+
+    sufs = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    h = f"regexp_replace(lower({host_expr}), ':[0-9]+$', '')"
+    lbl = f"string_split({h}, '.')"
+    n = f"len({lbl})"
+    last2 = f"array_to_string({lbl}[{n} - 1 : {n}], '.')"
+    last3 = f"array_to_string({lbl}[{n} - 2 : {n}], '.')"
+    return (
+        f"(case when {n} <= 2 then {h} "
+        f"when {last2} in ({sufs}) then {last3} "
+        f"else {last2} end)"
+    )
+
+
+_Q99_PAGES_SQL = """select doc_id,
+  'http://www.site' || (doc_id % 13)::varchar
+    || '.example.co.uk/dir/' || doc_id::varchar || '.html' as url,
+  '<html><body><a href="http://site' || ((doc_id * 7 + 3) % 13)::varchar
+    || '.example.com/abs/' || (doc_id % 211)::varchar
+    || '?utm_source=f&amp;ref=1">Read ' || (doc_id % 5)::varchar
+    || '</a><a href="//cdn' || (doc_id % 3)::varchar
+    || '.example.net/lib">  CDN <b>asset</b> </a>'
+    || case when doc_id % 4 = 0 then '<a href="#top">skip</a>'
+         else '<a href="/cat/' || (doc_id % 97)::varchar
+              || '">Category</a>' end
+    || case when doc_id % 5 = 0
+         then '<a href="mailto:x@example.com">mail</a>'
+         else '<a href="item' || (doc_id % 11)::varchar
+              || '.html">Item</a>' end
+    || case when doc_id % 6 = 0
+         then '<a href="javascript:void(0)">js</a>' else '' end
+    || '<a name="x">no href</a></body></html>' as html
+from documents"""
+
+
+def _q99_outlink_ctes() -> str:
+    """The q99 oracle as reusable CTE text ending in
+    ``olinks(src_url, dst_url, anchor)`` — shared by the q99/q100
+    contracts and q103's extracted host graph. Anchor cleanup order
+    matches ``links._clean_anchor``: strip tags FIRST, then decode,
+    then collapse whitespace, then (space-only) trim."""
+    from ai_pdf_extraction_spark.operators.links import ANCHOR_RE
+
+    anchor_clean = (
+        "trim(regexp_replace("
+        + _dec5_sql("regexp_replace(text0, '<[^>]*>', '', 'g')")
+        + r", '\s+', ' ', 'g'))"
+    )
+    return f"""pages as ({_Q99_PAGES_SQL}),
+m as (select url as src_url,
+        regexp_extract_all(html, '{ANCHOR_RE}', 1) as hrefs,
+        regexp_extract_all(html, '{ANCHOR_RE}', 2) as texts
+      from pages),
+zz as (select src_url, unnest(hrefs) as href0, unnest(texts) as text0
+       from m),
+decd as (select src_url, {_dec5_sql('href0')} as href,
+        {anchor_clean} as anchor from zz),
+res as (select src_url, anchor,
+        {_resolve_href_sql('src_url', 'href')} as resolved from decd),
+keep as (select * from res where resolved is not null),
+raw as (select distinct 0::bigint as event_id, resolved as raw_url
+        from keep),
+{_URL_CANON_CHAIN_SQL},
+cmap as (select raw_url, {_URL_CANON_FINAL_SQL} as canon_url from s5),
+olinks as (select k.src_url, c.canon_url as dst_url, k.anchor
+           from keep k join cmap c on k.resolved = c.raw_url)"""
+
+
+_HOST_EXTRACT_SQL = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1"
+
+
+def _q102_oracle_sql() -> str:
+    """DuckDB twin of q102: head-metadata regexes shared with
+    ``operators.links``, the canonical href resolved and gated on
+    registered-domain equality, the winner canonicalized through the
+    shared chain."""
+    from ai_pdf_extraction_spark.operators.links import (
+        CANONICAL_RE,
+        META_DESC_RE,
+        OG_TITLE_RE,
+        TITLE_RE,
+    )
+
+    title_clean = (
+        "trim(regexp_replace("
+        + _dec5_sql(
+            f"regexp_replace(regexp_extract(html, '{TITLE_RE}', 1), "
+            "'<[^>]*>', '', 'g')"
+        )
+        + r", '\s+', ' ', 'g'))"
+    )
+    host_canon = f"regexp_extract(canon_abs, {_HOST_EXTRACT_SQL})"
+    host_page = f"regexp_extract(url, {_HOST_EXTRACT_SQL})"
+    return f"""
+with pages as (
+  select doc_id,
+    'http://www.site' || (doc_id % 13)::varchar
+      || '.example.co.uk/p/' || doc_id::varchar as url,
+    '<head><title> Doc &amp; ' || doc_id::varchar || ' </title>'
+    || case when doc_id % 2 = 0
+         then '<meta name="description" content="Desc &quot;'
+              || (doc_id % 7)::varchar || '&quot;">' else '' end
+    || case when doc_id % 4 = 0
+         then '<meta property="og:title" content="OG '
+              || (doc_id % 5)::varchar || '">' else '' end
+    || case when doc_id % 6 = 0
+         then '<link rel="canonical" href="http://amp.site'
+              || (doc_id % 13)::varchar || '.example.co.uk/canon/'
+              || (doc_id % 211)::varchar || '">'
+       when doc_id % 3 = 0
+         then '<link rel="canonical" href="/canon/'
+              || (doc_id % 211)::varchar || '">'
+       when doc_id % 3 = 1
+         then '<link rel="canonical" href="http://mirror'
+              || (doc_id % 5)::varchar || '.example.org/c/'
+              || doc_id::varchar || '">'
+       else '' end
+    || '</head><body><p>x</p></body>' as html
+  from documents
+),
+ext as (
+  select doc_id, url,
+    {title_clean} as title,
+    nullif({_dec5_sql(f"regexp_extract(html, '{META_DESC_RE}', 1)")},
+           '') as meta_desc,
+    nullif({_dec5_sql(f"regexp_extract(html, '{OG_TITLE_RE}', 1)")},
+           '') as og_title,
+    nullif({_dec5_sql(f"regexp_extract(html, '{CANONICAL_RE}', 1)")},
+           '') as canonical_href
+  from pages
+),
+resv as (select *,
+         {_resolve_href_sql("url", "canonical_href")} as canon_abs
+         from ext),
+acc as (select *,
+    (canon_abs is not null
+     and {_regdomain_sql(host_canon)} = {_regdomain_sql(host_page)})
+      as canonical_accepted
+  from resv),
+eff as (select *,
+        case when canonical_accepted then canon_abs else url end as eraw
+        from acc),
+raw as (select distinct 0::bigint as event_id, eraw as raw_url from eff),
+{_URL_CANON_CHAIN_SQL},
+cmap as (select raw_url, {_URL_CANON_FINAL_SQL} as canon_url from s5)
+select e.doc_id, e.title, e.meta_desc, e.og_title, e.canonical_href,
+  e.canonical_accepted, c.canon_url as effective_url
+from eff e join cmap c on e.eraw = c.raw_url
+"""
+
+
+def _q103_oracle_sql() -> str:
+    """q99's extracted olinks collapsed to the host graph, fed through
+    the SAME chained-CTE integer-PageRank algebra as q84."""
+    graph = (
+        _q99_outlink_ctes()
+        + f""",
+hl as (select regexp_extract(src_url, {_HOST_EXTRACT_SQL}) as src,
+              regexp_extract(dst_url, {_HOST_EXTRACT_SQL}) as dst
+       from olinks),
+edges as (select src, dst, count(*)::bigint as weight from hl
+          where src <> dst group by src, dst)"""
+    )
+    return (
+        "with "
+        + _q84_pagerank_ctes(3, graph_ctes=graph)
+        + '\nselect host, r as "rank" from r3'
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5593,6 +6064,49 @@ select doc_id, clean_text,
   (clean_text != text) as changed
 from cleaned
 """,
+        "q99_outlink_extraction": f"""
+with {_q99_outlink_ctes()}
+select src_url, dst_url, anchor from olinks
+""",
+        "q100_anchor_stats": f"""
+with {_q99_outlink_ctes()},
+pa as (select dst_url, anchor, count(*)::bigint as n
+       from olinks group by dst_url, anchor),
+ranked as (select dst_url, anchor, n,
+    row_number() over (partition by dst_url
+                       order by n desc, anchor) as rn,
+    sum(n) over (partition by dst_url) as tot from pa),
+srcs as (select dst_url, count(distinct src_url)::bigint as n_srcs
+         from olinks group by dst_url)
+select r.dst_url, r.tot::bigint as n_links, s.n_srcs,
+  r.anchor as top_anchor, r.n as top_anchor_links
+from ranked r join srcs s using (dst_url) where r.rn = 1
+""",
+        "q101_registered_domains": f"""
+with hosts as (
+  select doc_id,
+    case
+      when doc_id % 5 = 0
+        then 'www.example' || (doc_id % 7)::varchar || '.co.uk'
+      when doc_id % 5 = 1
+        then 'blog.example' || (doc_id % 7)::varchar || '.co.uk'
+      when doc_id % 5 = 2
+        then 'Example' || (doc_id % 7)::varchar || '.COM:8080'
+      when doc_id % 5 = 3
+        then 'user' || (doc_id % 23)::varchar || '.github.io'
+      when doc_id % 10 = 4 then 'co.uk'
+      else 'deep.a.example' || (doc_id % 7)::varchar || '.com'
+    end as host
+  from documents
+),
+rd as (select host, {_regdomain_sql("host")} as registered_domain
+       from hosts)
+select registered_domain, count(distinct host)::bigint as n_hosts,
+  count(*)::bigint as n_docs
+from rd group by registered_domain
+""",
+        "q102_page_metadata": _q102_oracle_sql(),
+        "q103_extracted_pagerank": _q103_oracle_sql(),
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,
   count(*) as n_docs, sum(n_chars)::bigint as total_chars,

@@ -94,6 +94,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "weight",
+    truncate_input_lineage: bool = False,
 ) -> DataFrame:
     """Integer-arithmetic damped PageRank over a weighted edge list.
 
@@ -133,6 +134,20 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("weight"),
     )
+    if truncate_input_lineage:
+        # Iterative consumers pay driver-side ANALYSIS of the input's
+        # full logical plan on EVERY job — persist() caches data but
+        # not plan size, so an edge relation derived from an expensive
+        # extraction tree (q103: regex outlink extraction + staged
+        # canonicalization) re-plans that whole subtree ~8× (measured:
+        # 16 s → 3 s at sf0.1 with the cut). localCheckpoint eagerly
+        # materializes the (host-cardinality, post-combine) relation
+        # and replaces the lineage with a plain scan. Trade-off at
+        # cluster scale: localCheckpoint partitions live on executors
+        # (a lost executor fails the job instead of recomputing) —
+        # acceptable for a small collapsed relation; callers needing
+        # fault-tolerant truncation should write/re-read a parquet.
+        e = e.localCheckpoint()
     outw = e.groupBy("src").agg(F.sum("weight").alias("wout"))
     # the ONE shuffle of the huge relation: edges ⋈ per-src out-weight,
     # persisted for reuse across all iterations

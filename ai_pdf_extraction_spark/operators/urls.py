@@ -40,6 +40,65 @@ def strip_authority(col: Column | str) -> Column:
     return F.regexp_replace(c, _AUTHORITY_RE, "")
 
 
+#: multi-label public suffixes (embedded deterministic subset of the
+#: Mozilla Public Suffix List — the full list is fetched data, which
+#: this sandbox cannot ship; callers with the real PSL pass their own
+#: tuple). Includes two PRIVATE-section entries (github.io,
+#: blogspot.com): per PSL semantics each subdomain there is an
+#: independent registrant, exactly the grouping a crawl-budget or
+#: host-reputation stage must respect.
+MULTI_SUFFIXES = (
+    "ac.uk",
+    "co.uk",
+    "gov.uk",
+    "org.uk",
+    "com.au",
+    "net.au",
+    "org.au",
+    "co.jp",
+    "ne.jp",
+    "or.jp",
+    "com.br",
+    "com.cn",
+    "com.mx",
+    "co.in",
+    "co.kr",
+    "com.tr",
+    "co.za",
+    "com.ar",
+    "github.io",
+    "blogspot.com",
+)
+
+
+def registered_domain(
+    col: Column | str,
+    multi_suffixes: tuple[str, ...] = MULTI_SUFFIXES,
+) -> Column:
+    """Registered domain (eTLD+1) of a host — the grouping key for
+    per-site stages that must not be fooled by subdomains
+    (``blog.example.co.uk`` and ``www.example.co.uk`` are ONE site;
+    ``a.github.io`` and ``b.github.io`` are TWO). Public-suffix logic
+    over the embedded :data:`MULTI_SUFFIXES` subset: lowercase, strip
+    a trailing ``:port``, then take the last TWO labels unless they
+    form a listed multi-label suffix, in which case take three.
+    Hosts with too few labels (a bare suffix, a single label, an IP
+    kept verbatim) pass through whole. Pure Column work (split +
+    slice on ≤a-handful of labels), zero shuffle; the DuckDB twin
+    shares the suffix tuple via the q101 oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.regexp_replace(F.lower(c), r":[0-9]+$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
+    return (
+        F.when(n <= 2, h)
+        .when(last2.isin(*multi_suffixes), last3)
+        .otherwise(last2)
+    )
+
+
 def canonicalize_url(col: Column | str = "url") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # 1. drop fragment

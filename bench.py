@@ -79,6 +79,8 @@ HEADLINE = [
     "q96_host_quality_filter",  # host-reputation quality gate
     "q97_paragraph_lang_mix",  # mixed-language page detection
     "q98_normalize_text",  # NFC + invisible-char webtext cleaning
+    "q99_outlink_extraction",  # HTML → resolved+canonical outlinks
+    "q103_extracted_pagerank",  # raw pages → host graph → PageRank
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))

@@ -2588,3 +2588,130 @@ def test_normalize_text_steps(spark):
     assert all(
         r.n_chars_clean == len(r.clean_text) for r in got.values()
     )
+
+
+def test_extract_outlinks_resolution_and_anchor_cleanup(spark):
+    from ai_pdf_extraction_spark.operators.links import extract_outlinks
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://www.Ex.co.uk:80/dir/page.html?q=1",
+                '<a href="http://other.example.com/a?utm_source=x&amp;a=1">'
+                "Abs Link</a>"
+                '<a href="//cdn.ex.co.uk/pr">proto</a>'
+                '<a class="nav" href="/root/x"> Root\n <i>Link</i> </a>'
+                '<a href="rel/y.html">rel</a>'
+                '<a href="#frag">skip</a><a href="mailto:a@b.c">skip</a>'
+                '<a href="javascript:void(0)">skip</a><a name="x">nohref</a>',
+            ),
+            # path-less base: relative resolves against origin + '/'
+            ("http://bare.example.com", '<a href="q">rq</a>'),
+        ],
+        ["url", "html"],
+    )
+    edges = extract_outlinks(pages)
+    got = {r.dst_url: r.anchor for r in edges.collect()}
+    assert got == {
+        # tracking param stripped, &amp; decoded before the resolve
+        "http://other.example.com/a?a=1": "Abs Link",
+        # protocol-relative takes the page scheme; host lowercased
+        "http://cdn.ex.co.uk/pr": "proto",
+        # root-relative onto the origin; nested tag + whitespace
+        # collapse in the anchor; default :80 dropped by canon
+        "http://www.ex.co.uk/root/x": "Root Link",
+        # directory-relative (query stripped from the base first)
+        "http://www.ex.co.uk/dir/rel/y.html": "rel",
+        "http://bare.example.com/q": "rq",
+    }
+    # zero shuffle: the whole extraction is narrow work in the scan
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_anchor_stats_tie_rule_and_src_fanin(spark):
+    from ai_pdf_extraction_spark.operators.links import anchor_stats
+
+    edges = spark.createDataFrame(
+        [
+            ("s1", "d1", "beta"),
+            ("s1", "d1", "alpha"),  # tie 1-1 → 'alpha' wins (lex)
+            ("s2", "d2", "x"),
+            ("s2", "d2", "x"),  # same src twice: n_srcs stays 1
+            ("s3", "d2", "y"),
+        ],
+        ["src_url", "dst_url", "anchor"],
+    )
+    got = {r.dst_url: r for r in anchor_stats(edges).collect()}
+    assert (got["d1"].n_links, got["d1"].n_srcs, got["d1"].top_anchor,
+            got["d1"].top_anchor_links) == (2, 1, "alpha", 1)
+    assert (got["d2"].n_links, got["d2"].n_srcs, got["d2"].top_anchor,
+            got["d2"].top_anchor_links) == (3, 2, "x", 2)
+
+
+def test_registered_domain_psl_cases(spark):
+    from ai_pdf_extraction_spark.operators.urls import registered_domain
+
+    rows = [
+        ("WWW.Example.CO.UK:8080", "example.co.uk"),
+        ("a.b.example.com", "example.com"),
+        ("x.GitHub.io", "x.github.io"),  # PSL private section
+        ("sub.blog.blogspot.com", "blog.blogspot.com"),
+        ("co.uk", "co.uk"),  # bare multi-label suffix passes whole
+        ("localhost", "localhost"),  # single label passes whole
+        ("example.co.jp", "example.co.jp"),  # exactly eTLD+1 already
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], ["h"])
+    got = dict(
+        df.select("h", registered_domain("h").alias("rd")).collect()
+    )
+    for host, want in rows:
+        assert got[host] == want, host
+
+
+def test_extract_metadata_canonical_guard(spark):
+    from ai_pdf_extraction_spark.operators.links import extract_metadata
+
+    pages = spark.createDataFrame(
+        [
+            # root-relative canonical: accepted, resolved onto origin
+            (
+                "http://www.site.example.co.uk/p/1",
+                '<head><title> T &amp; <b>1</b> </title>'
+                '<meta name="description" content="D &quot;x&quot;">'
+                '<link rel="canonical" href="/canon/1"></head>',
+            ),
+            # same registered domain, different subdomain (AMP shape)
+            (
+                "http://www.site.example.co.uk/p/2",
+                '<head><title>T2</title><link rel="canonical" '
+                'href="http://amp.example.co.uk/c/2"></head>',
+            ),
+            # cross-domain canonical: REJECTED, page url kept
+            (
+                "http://good.example.com/p/3",
+                '<head><title>T3</title><link rel="canonical" '
+                'href="http://evil.example.org/steal"></head>',
+            ),
+            # no canonical at all
+            ("http://good.example.com/p/4", "<head><title>T4</title></head>"),
+        ],
+        ["url", "html"],
+    )
+    got = {r.url: r for r in extract_metadata(pages).collect()}
+    r1 = got["http://www.site.example.co.uk/p/1"]
+    assert r1.title == 'T & 1'
+    assert r1.meta_desc == 'D "x"'
+    assert r1.og_title is None
+    assert r1.canonical_accepted is True
+    assert r1.effective_url == "http://www.site.example.co.uk/canon/1"
+    r2 = got["http://www.site.example.co.uk/p/2"]
+    assert r2.canonical_accepted is True
+    assert r2.effective_url == "http://amp.example.co.uk/c/2"
+    r3 = got["http://good.example.com/p/3"]
+    assert r3.canonical_accepted is False
+    assert r3.effective_url == "http://good.example.com/p/3"
+    r4 = got["http://good.example.com/p/4"]
+    assert r4.canonical_href is None
+    assert r4.canonical_accepted is False
+    assert r4.effective_url == "http://good.example.com/p/4"
