@@ -3583,6 +3583,163 @@ def q103_extracted_pagerank(spark, sf_dir):
     )
 
 
+def q104_domain_budget(spark, sf_dir):
+    """Per-REGISTERED-DOMAIN crawl budget — the subdomain-spam
+    counter: a spam site fanning its frontier across 41 subdomains of
+    3 domains evades any per-host cap, but the eTLD+1 politeness key
+    holds the whole site to one budget. Host shapes: 40% of urls on
+    s<k>.spam{0-2}.example.com (capped hard), plus .co.uk / private
+    github.io / .org families mostly under cap. Same two-phase
+    sharded rank as q83 — the mega-site never funnels through one
+    task."""
+    from ai_pdf_extraction_spark.operators.urls import (
+        frontier_host_cap,
+        host_of,
+        registered_domain,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    dom = (
+        F.when(
+            eid % 5 < 2,
+            F.concat(
+                F.lit("spam"), (eid % 3).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+        .when(
+            eid % 5 == 2,
+            F.concat(
+                F.lit("good"), (eid % 17).cast("string"), F.lit(".co.uk")
+            ),
+        )
+        .when(
+            eid % 5 == 3,
+            F.concat(
+                F.lit("u"), (eid % 29).cast("string"), F.lit(".github.io")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("example"), (eid % 13).cast("string"), F.lit(".org")
+            )
+        )
+    )
+    fr = e.select(
+        F.concat(
+            F.lit("http://s"),
+            (eid % 41).cast("string"),
+            F.lit("."),
+            dom,
+            F.lit("/p/"),
+            eid.cast("string"),
+        ).alias("canon_url"),
+        eid.alias("first_id"),
+        F.lit(True).alias("to_crawl"),
+    )
+    return frontier_host_cap(
+        fr,
+        per_host=25,
+        politeness_key=registered_domain(host_of("canon_url")),
+    )
+
+
+def q105_charset_sniff(spark, sf_dir):
+    """Encoding detection over five injected classes: utf-8 BOM +
+    matching declaration (no mismatch — the -sig normalization),
+    utf-16le BOM under a utf-8 declaration (the mismatch bug), a bare
+    ISO-8859-1 declaration, undeclared non-ASCII content (utf-8
+    heuristic), undeclared pure-ASCII (us-ascii)."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        sniff_charset,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    pages = d.select(
+        "doc_id",
+        F.when(m == 0, F.lit("EFBBBF78"))
+        .when(m == 1, F.lit("FFFE7800"))
+        .otherwise(F.lit("78"))
+        .alias("raw_hex"),
+        F.concat(
+            F.when(
+                (m == 0) | (m == 1),
+                F.lit('<head><meta charset="UTF-8"></head>'),
+            )
+            .when(
+                m == 2,
+                F.lit('<head><meta charset="ISO-8859-1"></head>'),
+            )
+            .otherwise(F.lit("<head></head>")),
+            F.when(m == 3, F.lit("<body>café</body>")).otherwise(
+                F.lit("<body>plain ascii</body>")
+            ),
+        ).alias("html"),
+    )
+    return sniff_charset(pages).select(
+        "doc_id",
+        "bom_charset",
+        "declared_charset",
+        "detected_charset",
+        "declared_mismatch",
+    )
+
+
+def q106_canonical_collapse(spark, sf_dir):
+    """Canonical-url dedup collapse — the url-level twin of content
+    dedup: pages whose (guarded) rel=canonical resolves to the same
+    effective url are ONE document downstream. Coarse /c/<id%7> keys
+    make same-host pages genuinely collide (~76 pairs at 500 docs);
+    the cross-domain leg stays un-collapsed (rejected canonical keeps
+    the page url, which is unique). One partial-agg groupBy on the
+    effective key."""
+    from ai_pdf_extraction_spark.operators.links import extract_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = F.concat(
+        F.lit("http://www.site"),
+        (did % 13).cast("string"),
+        F.lit(".example.co.uk/p/"),
+        did.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<head><title>D</title>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="/c/'),
+                (did % 7).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="http://mirror.example.org/c/'),
+                did.cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    pages = d.select("doc_id", src.alias("url"), html.alias("html"))
+    return (
+        extract_metadata(pages)
+        .groupBy("effective_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.col("canonical_accepted").cast("int"))
+            .cast("long")
+            .alias("n_canonical"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3688,6 +3845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_registered_domains": q101_registered_domains,
         "q102_page_metadata": q102_page_metadata,
         "q103_extracted_pagerank": q103_extracted_pagerank,
+        "q104_domain_budget": q104_domain_budget,
+        "q105_charset_sniff": q105_charset_sniff,
+        "q106_canonical_collapse": q106_canonical_collapse,
     }
 
 
@@ -4877,6 +5037,102 @@ edges as (select src, dst, count(*)::bigint as weight from hl
         + _q84_pagerank_ctes(3, graph_ctes=graph)
         + '\nselect host, r as "rank" from r3'
     )
+
+
+def _q105_oracle_sql() -> str:
+    """DuckDB twin of q105 — BOM ladder / shared meta regex /
+    content heuristic / -sig-normalized mismatch flag."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        CHARSET_META_RE,
+    )
+
+    return f"""
+with pages as (
+  select doc_id,
+    case when doc_id % 5 = 0 then 'EFBBBF78'
+         when doc_id % 5 = 1 then 'FFFE7800' else '78' end as raw_hex,
+    (case when doc_id % 5 in (0, 1)
+            then '<head><meta charset="UTF-8"></head>'
+          when doc_id % 5 = 2
+            then '<head><meta charset="ISO-8859-1"></head>'
+          else '<head></head>' end)
+    || (case when doc_id % 5 = 3 then '<body>café</body>'
+             else '<body>plain ascii</body>' end) as html
+  from documents
+),
+s as (
+  select doc_id,
+    case when upper(raw_hex) like 'EFBBBF%' then 'utf-8-sig'
+         when upper(raw_hex) like 'FFFE%' then 'utf-16le'
+         when upper(raw_hex) like 'FEFF%' then 'utf-16be' end
+      as bom_charset,
+    nullif(lower(regexp_extract(html, '{CHARSET_META_RE}', 1)), '')
+      as declared_charset,
+    case when regexp_matches(html, '[^\\x00-\\x7F]') then 'utf-8'
+         else 'us-ascii' end as heur
+  from pages
+)
+select doc_id, bom_charset, declared_charset,
+  coalesce(bom_charset, declared_charset, heur) as detected_charset,
+  (bom_charset is not null and declared_charset is not null
+   and replace(bom_charset, '-sig', '') != declared_charset)
+    as declared_mismatch
+from s
+"""
+
+
+def _q106_oracle_sql() -> str:
+    """DuckDB twin of q106 — the q102 canonical-guard chain over
+    coarse /c/<id%7> keys, collapsed by effective url."""
+    from ai_pdf_extraction_spark.operators.links import CANONICAL_RE
+
+    host_canon = f"regexp_extract(canon_abs, {_HOST_EXTRACT_SQL})"
+    host_page = f"regexp_extract(url, {_HOST_EXTRACT_SQL})"
+    return f"""
+with pages as (
+  select doc_id,
+    'http://www.site' || (doc_id % 13)::varchar
+      || '.example.co.uk/p/' || doc_id::varchar as url,
+    '<head><title>D</title>'
+    || case when doc_id % 3 = 0
+         then '<link rel="canonical" href="/c/'
+              || (doc_id % 7)::varchar || '">'
+       when doc_id % 3 = 1
+         then '<link rel="canonical" href="http://mirror.example.org/c/'
+              || doc_id::varchar || '">'
+       else '' end
+    || '</head>' as html
+  from documents
+),
+ext as (
+  select doc_id, url,
+    nullif({_dec5_sql(f"regexp_extract(html, '{CANONICAL_RE}', 1)")},
+           '') as canonical_href
+  from pages
+),
+resv as (select *,
+         {_resolve_href_sql("url", "canonical_href")} as canon_abs
+         from ext),
+acc as (select *,
+    (canon_abs is not null
+     and {_regdomain_sql(host_canon)} = {_regdomain_sql(host_page)})
+      as canonical_accepted
+  from resv),
+eff as (select *,
+        case when canonical_accepted then canon_abs else url end as eraw
+        from acc),
+raw as (select distinct 0::bigint as event_id, eraw as raw_url from eff),
+{_URL_CANON_CHAIN_SQL},
+cmap as (select raw_url, {_URL_CANON_FINAL_SQL} as canon_url from s5),
+j as (select e.doc_id, e.canonical_accepted,
+             c.canon_url as effective_url
+      from eff e join cmap c on e.eraw = c.raw_url)
+select effective_url, count(*)::bigint as n_pages,
+  min(doc_id) as first_doc,
+  sum(case when canonical_accepted then 1 else 0 end)::bigint
+    as n_canonical
+from j group by effective_url
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6107,6 +6363,39 @@ from rd group by registered_domain
 """,
         "q102_page_metadata": _q102_oracle_sql(),
         "q103_extracted_pagerank": _q103_oracle_sql(),
+        "q104_domain_budget": f"""
+with fr as (
+  select
+    'http://s' || (event_id % 41)::varchar || '.' ||
+    case when event_id % 5 < 2
+           then 'spam' || (event_id % 3)::varchar || '.example.com'
+         when event_id % 5 = 2
+           then 'good' || (event_id % 17)::varchar || '.co.uk'
+         when event_id % 5 = 3
+           then 'u' || (event_id % 29)::varchar || '.github.io'
+         else 'example' || (event_id % 13)::varchar || '.org' end
+    || '/p/' || event_id::varchar as canon_url,
+    event_id as first_id
+  from events
+),
+hosted as (
+  select canon_url, first_id,
+    {_regdomain_sql(f"regexp_extract(canon_url, {_HOST_EXTRACT_SQL})")}
+      as host
+  from fr
+),
+ranked as (
+  select canon_url, host, first_id,
+    row_number() over (partition by host
+                       order by first_id % 64, md5(canon_url), canon_url)
+      as pick_rank
+  from hosted
+)
+select canon_url, host, first_id, pick_rank
+from ranked where pick_rank <= 25
+""",
+        "q105_charset_sniff": _q105_oracle_sql(),
+        "q106_canonical_collapse": _q106_oracle_sql(),
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,
   count(*) as n_docs, sum(n_chars)::bigint as total_chars,

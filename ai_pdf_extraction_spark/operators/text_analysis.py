@@ -874,3 +874,72 @@ def normalize_text(
         F.length("clean_text").cast("long").alias("n_chars_clean"),
         (F.col("clean_text") != F.col("_raw")).alias("changed"),
     )
+
+
+#: <meta charset="..."> — the HTML5 declaration form (documented
+#: subset, like the links-module attribute-order rule; the legacy
+#: http-equiv/content form is out of scope)
+CHARSET_META_RE = r'<meta\s+charset="([^"]*)"'
+
+
+def sniff_charset(
+    pages: DataFrame,
+    hex_col: str = "raw_hex",
+    html_col: str = "html",
+) -> DataFrame:
+    """Encoding detection for fetched pages — the decide-before-decode
+    step every webtext ingest needs (the reference decodes via
+    charset-normalizer inside its PDF/HTML readers; a Spark pipeline
+    wants the decision as a COLUMN so mis-declared pages are routed,
+    counted and auditable instead of silently mojibake'd).
+
+    Inputs: ``hex_col`` — uppercase/lowercase hex of the raw response
+    bytes (``F.hex(binary_col)`` in production; only the BOM prefix is
+    inspected so a truncated prefix column works at scale), and
+    ``html_col`` — the provisionally-decoded markup for the
+    declaration scan.
+
+    Decision ladder (each later rung only when the earlier is null):
+    BOM (EF BB BF → utf-8-sig, FF FE → utf-16le, FE FF → utf-16be) →
+    ``<meta charset>`` declaration (lowercased) → content heuristic
+    (any non-ASCII char → utf-8, else us-ascii).
+    ``declared_mismatch`` flags a BOM contradicting the declaration —
+    the classic copy-paste-template bug (utf-16 bytes under a
+    ``charset=utf-8`` meta); the -sig suffix is normalized off before
+    the compare so a utf-8 BOM + utf-8 declaration is NOT a mismatch.
+    Pure Column work inside the scan, zero shuffle."""
+    hx = F.upper(F.col(hex_col))
+    bom = (
+        F.when(hx.startswith("EFBBBF"), F.lit("utf-8-sig"))
+        .when(hx.startswith("FFFE"), F.lit("utf-16le"))
+        .when(hx.startswith("FEFF"), F.lit("utf-16be"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    declared = F.nullif(
+        F.lower(F.regexp_extract(F.col(html_col), CHARSET_META_RE, 1)),
+        F.lit(""),
+    )
+    heur = F.when(
+        F.col(html_col).rlike(r"[^\x00-\x7F]"), F.lit("utf-8")
+    ).otherwise(F.lit("us-ascii"))
+    d = pages.select(
+        "*",
+        bom.alias("bom_charset"),
+        declared.alias("declared_charset"),
+    )
+    return d.select(
+        "*",
+        F.coalesce("bom_charset", "declared_charset", heur).alias(
+            "detected_charset"
+        ),
+        (
+            F.col("bom_charset").isNotNull()
+            & F.col("declared_charset").isNotNull()
+            & (
+                F.replace(
+                    F.col("bom_charset"), F.lit("-sig"), F.lit("")
+                )
+                != F.col("declared_charset")
+            )
+        ).alias("declared_mismatch"),
+    )

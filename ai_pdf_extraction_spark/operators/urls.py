@@ -324,6 +324,7 @@ def frontier_host_cap(
     id_col: str = "first_id",
     n_shards: int = 64,
     per_host_caps: DataFrame | None = None,
+    politeness_key: Column | None = None,
 ) -> DataFrame:
     """Crawl politeness: cap the to-crawl frontier at ``per_host`` urls
     per host for this cycle (every crawler rate-limits per origin — a
@@ -339,6 +340,13 @@ def frontier_host_cap(
     ``per_host_caps`` optionally overrides the scalar cap per host
     (``(host, cap)``, e.g. :func:`robots.host_caps_from_delays` from
     Crawl-delay directives); hosts absent from it keep ``per_host``.
+
+    ``politeness_key`` swaps the grouping expression (it still lands
+    in the output's ``host`` column): pass
+    ``registered_domain(host_of(url_col))`` to cap per SITE instead of
+    per host — the subdomain-spam counter (a spammer with 10^3
+    ``*.spam.example`` subdomains evades any per-host cap; the
+    registered-domain cap holds the whole site to one budget).
 
     Selection is the deterministic (shard, md5(url), url) order within
     each host, ranked in the two-phase sharded form (the
@@ -357,7 +365,11 @@ def frontier_host_cap(
         .select(
             F.col(url_col),
             F.col(id_col),
-            host_of(url_col).alias("host"),
+            (
+                politeness_key
+                if politeness_key is not None
+                else host_of(url_col)
+            ).alias("host"),
             (F.col(id_col) % n_shards).alias("_shard"),
             F.md5(url_col).alias("_h"),
         ),

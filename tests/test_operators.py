@@ -2715,3 +2715,66 @@ def test_extract_metadata_canonical_guard(spark):
     assert r4.canonical_href is None
     assert r4.canonical_accepted is False
     assert r4.effective_url == "http://good.example.com/p/4"
+
+
+def test_frontier_host_cap_registered_domain_key(spark):
+    from ai_pdf_extraction_spark.operators.urls import (
+        frontier_host_cap,
+        host_of,
+        registered_domain,
+    )
+
+    rows = [
+        # 6 urls spread over 3 subdomains of ONE registered domain —
+        # a per-host cap of 2 would pass all 6; the rd key caps at 2
+        (i, f"http://s{i % 3}.spam.example.com/p/{i}") for i in range(6)
+    ] + [(10, "http://other.example.org/p/10")]
+    fr = spark.createDataFrame(
+        [(u, i, True) for i, u in rows],
+        ["canon_url", "first_id", "to_crawl"],
+    )
+    out = frontier_host_cap(
+        fr,
+        per_host=2,
+        politeness_key=registered_domain(host_of("canon_url")),
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.host, []).append(r)
+    # all 6 spam urls share ONE registered domain (subdomain labels
+    # s0/s1/s2 and spam are both below the eTLD+1)
+    assert len(by_key["example.com"]) == 2
+    assert len(by_key["example.org"]) == 1
+    assert set(by_key) == {"example.com", "example.org"}
+
+
+def test_sniff_charset_ladder_and_mismatch(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        sniff_charset,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            # utf-8 BOM + matching declaration: -sig normalization
+            # means NOT a mismatch
+            (1, "efbbbf4142", '<meta charset="utf-8"><p>x</p>'),
+            # utf-16le BOM under a utf-8 declaration: the bug
+            (2, "FFFE4100", '<meta charset="utf-8"><p>x</p>'),
+            # no BOM: declaration wins, lowercased
+            (3, "4142", '<meta charset="ISO-8859-1"><p>x</p>'),
+            # nothing declared: content heuristic
+            (4, "43", "<p>café</p>"),
+            (5, "44", "<p>plain</p>"),
+        ],
+        ["doc_id", "raw_hex", "html"],
+    )
+    got = {r.doc_id: r for r in sniff_charset(pages).collect()}
+    assert (got[1].bom_charset, got[1].detected_charset,
+            got[1].declared_mismatch) == ("utf-8-sig", "utf-8-sig", False)
+    assert (got[2].bom_charset, got[2].declared_charset,
+            got[2].declared_mismatch) == ("utf-16le", "utf-8", True)
+    assert (got[3].bom_charset, got[3].detected_charset) == (
+        None, "iso-8859-1")
+    assert got[4].detected_charset == "utf-8"
+    assert (got[5].detected_charset, got[5].declared_mismatch) == (
+        "us-ascii", False)
