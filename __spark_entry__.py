@@ -3740,6 +3740,42 @@ def q106_canonical_collapse(spark, sf_dir):
     )
 
 
+def q107_discovery_frontier(spark, sf_dir):
+    """The crawl loop CLOSED from extraction: raw pages → outlinks
+    (with the discoverer's doc_id carried through — provenance ON the
+    link row, no 10^12-page join-back) → frontier delta against the
+    seen-set. The seen-set holds the /cat/ pages already crawled by
+    EVEN docs, so extracted /cat/ links split in_seen by discoverer
+    parity while abs/cdn/item discoveries are all new — every decision
+    leg non-vacuous. Relies on (and contract-pins) canonicalization
+    idempotency: extract_outlinks emits canonical urls and
+    url_frontier_delta canonicalizes again."""
+    from ai_pdf_extraction_spark.operators.links import extract_outlinks
+    from ai_pdf_extraction_spark.operators.urls import url_frontier_delta
+
+    links = extract_outlinks(
+        _q99_pages(spark, sf_dir), passthrough=("doc_id",)
+    )
+    new = links.select("doc_id", "dst_url")
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seen = (
+        d.filter(did % 2 == 0)
+        .select(
+            F.concat(
+                F.lit("http://www.site"),
+                (did % 13).cast("string"),
+                F.lit(".example.co.uk/cat/"),
+                (did % 97).cast("string"),
+            ).alias("canon_url")
+        )
+        .distinct()
+    )
+    return url_frontier_delta(
+        new, seen, url_col="dst_url", id_col="doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3848,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_domain_budget": q104_domain_budget,
         "q105_charset_sniff": q105_charset_sniff,
         "q106_canonical_collapse": q106_canonical_collapse,
+        "q107_discovery_frontier": q107_discovery_frontier,
     }
 
 
@@ -6396,6 +6433,29 @@ from ranked where pick_rank <= 25
 """,
         "q105_charset_sniff": _q105_oracle_sql(),
         "q106_canonical_collapse": _q106_oracle_sql(),
+        "q107_discovery_frontier": f"""
+with {_q99_outlink_ctes()},
+newl as (
+  select (regexp_extract(src_url, '/dir/([0-9]+)\\.html', 1))::bigint
+           as doc_id,
+         dst_url
+  from olinks
+),
+grp as (
+  select dst_url as canon_url, min(doc_id) as first_id,
+         count(*) as n_discovered
+  from newl group by dst_url
+),
+seen as (
+  select distinct 'http://www.site' || (doc_id % 13)::varchar
+    || '.example.co.uk/cat/' || (doc_id % 97)::varchar as canon_url
+  from documents where doc_id % 2 = 0
+)
+select g.canon_url, g.first_id, g.n_discovered,
+  (s.canon_url is not null) as in_seen,
+  (s.canon_url is null) as to_crawl
+from grp g left join seen s using (canon_url)
+""",
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,
   count(*) as n_docs, sum(n_chars)::bigint as total_chars,

@@ -95,6 +95,7 @@ def extract_outlinks(
     pages: DataFrame,
     url_col: str = "url",
     html_col: str = "html",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Page-level hyperlink extraction: one ``(src_url, dst_url,
     anchor)`` row per ``<a href="…">`` in the raw HTML, hrefs
@@ -113,8 +114,15 @@ def extract_outlinks(
     expressions would re-run both regex passes per element.
     Canonicalization uses the staged-projection df-level form
     (:func:`~ai_pdf_extraction_spark.operators.urls.with_canonical_url`)
-    to keep the optimized plan linear."""
+    to keep the optimized plan linear.
+
+    ``passthrough`` carries provenance columns (doc_id, fetch epoch…)
+    from ``pages`` onto every emitted link row — at 10^12 pages the
+    discovery loop needs the discoverer id ON the link, not a
+    join-back against the page relation."""
+    pt = list(passthrough)
     raw = pages.select(
+        *pt,
         F.col(url_col).alias("src_url"),
         F.regexp_extract_all(
             F.col(html_col), F.lit(ANCHOR_RE), 1
@@ -124,20 +132,23 @@ def extract_outlinks(
         ).alias("_texts"),
     )
     z = raw.select(
+        *pt,
         "src_url",
         F.explode(F.arrays_zip("_hrefs", "_texts")).alias("_a"),
     ).select(
+        *pt,
         "src_url",
         _xml_decode(F.col("_a._hrefs")).alias("_href"),
         _clean_anchor(F.col("_a._texts")).alias("anchor"),
     )
     resolved = z.select(
+        *pt,
         "src_url",
         resolve_href("src_url", "_href").alias("_resolved"),
         "anchor",
     ).filter(F.col("_resolved").isNotNull())
     return with_canonical_url(resolved, "_resolved", out="dst_url").select(
-        "src_url", "dst_url", "anchor"
+        *pt, "src_url", "dst_url", "anchor"
     )
 
 

@@ -20,6 +20,8 @@ Usage::
     # per discovery batch: probe, gate, cap, emit, append
     spark-submit ... jobs/frontier_job.py probe --new <parquet with \
         (event_id, url)> --seen <seen dir> --output <frontier dir> \
+        # or: --pages <parquet with (doc_id, url, html)> to discover \
+        # via extracted outlinks (the q107 crawl-loop closure) \
         [--per-host 1000] [--no-append] [--no-prefilter] \
         [--blocklist spam.net,ads.example] [--max-len 2048] \
         [--digit-limit 1/2] [--robots <parquet (host, robots_txt)>] \
@@ -58,7 +60,14 @@ def main() -> None:
     s.add_argument("--seen", required=True)
 
     p = sub.add_parser("probe", help="probe a discovery batch")
-    p.add_argument("--new", required=True, help="parquet with (event_id, url)")
+    p.add_argument(
+        "--new", help="parquet with (event_id, url) discovered urls"
+    )
+    p.add_argument(
+        "--pages",
+        help="parquet with (doc_id, url, html) fetched pages: discover "
+        "urls by EXTRACTING outlinks (q107 shape) instead of --new",
+    )
     p.add_argument("--seen", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--per-host", type=int, default=1000)
@@ -92,6 +101,8 @@ def main() -> None:
         "(cap = min(per-host, cycle div delay); 0 disables)",
     )
     args = parser.parse_args()
+    if args.cmd == "probe" and bool(args.new) == bool(args.pages):
+        parser.error("probe needs exactly one of --new / --pages")
 
     from pyspark.sql import functions as F
 
@@ -121,9 +132,23 @@ def main() -> None:
         # the frontier fans into the gate legs + the cap projection —
         # persist once (the q88 lesson: an unpersisted fan-out re-runs
         # the probe plan per leg)
-        fr = frontier_from_seen_set(
-            spark, args.seen, spark.read.parquet(args.new)
-        ).persist()
+        if args.pages:
+            # the crawl tick closed from extraction: fetched pages in,
+            # outlink discoveries probed against the seen-set — the
+            # discoverer doc_id rides the link row (no page join-back)
+            from ai_pdf_extraction_spark.operators.links import (
+                extract_outlinks,
+            )
+
+            batch = extract_outlinks(
+                spark.read.parquet(args.pages), passthrough=("doc_id",)
+            ).select(
+                F.col("doc_id").alias("event_id"),
+                F.col("dst_url").alias("url"),
+            )
+        else:
+            batch = spark.read.parquet(args.new)
+        fr = frontier_from_seen_set(spark, args.seen, batch).persist()
         summary = {}
         gated = fr
         has_prefilter = not args.no_prefilter

@@ -2778,3 +2778,21 @@ def test_sniff_charset_ladder_and_mismatch(spark):
     assert got[4].detected_charset == "utf-8"
     assert (got[5].detected_charset, got[5].declared_mismatch) == (
         "us-ascii", False)
+
+
+def test_extract_outlinks_passthrough_provenance(spark):
+    from ai_pdf_extraction_spark.operators.links import extract_outlinks
+
+    pages = spark.createDataFrame(
+        [(7, "e1", "http://a.example.com/p",
+          '<a href="/x">one</a><a href="/y">two</a>')],
+        ["doc_id", "epoch", "url", "html"],
+    )
+    out = extract_outlinks(
+        pages, passthrough=("doc_id", "epoch")
+    ).collect()
+    assert len(out) == 2
+    assert all((r.doc_id, r.epoch) == (7, "e1") for r in out)
+    assert {r.dst_url for r in out} == {
+        "http://a.example.com/x", "http://a.example.com/y"
+    }
