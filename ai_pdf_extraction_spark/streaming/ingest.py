@@ -163,6 +163,8 @@ def run_frontier_stream(
     timeout_sec: int = 300,
     gate=None,
     per_host: int | None = None,
+    discover=None,
+    input_schema: "StructType | None" = None,
 ) -> None:
     """Streaming crawl-frontier loop: continuously-arriving url
     batches (parquet files of ``(id, url)`` discoveries) are probed
@@ -185,6 +187,16 @@ def run_frontier_stream(
     micro-batch (``frontier_host_cap``); deferred urls likewise
     resurface. With a cap the epoch output schema is the capped one:
     ``(canon_url, host, first_id, pick_rank)``.
+
+    ``discover`` closes the loop from EXTRACTION (the q107 /
+    ``frontier_job --pages`` shape, streaming): a callable mapping
+    each raw micro-batch to its ``(id_col, url_col)`` discoveries —
+    e.g. fetched-page files streamed in and
+    ``extract_outlinks(batch, passthrough=("doc_id",))`` emitting the
+    outlink candidates. Pass ``input_schema`` alongside (the file
+    stream needs the explicit page schema). It runs inside the
+    foreachBatch AFTER the replay-marker check, so a committed
+    epoch's replay never re-extracts.
 
     The probe/append pair is a foreachBatch: the seen-set manifest
     commit is an external transaction Spark's file-sink WAL cannot
@@ -215,11 +227,15 @@ def run_frontier_stream(
         frontier_from_seen_set,
     )
 
-    schema = StructType(
-        [
-            StructField(id_col, LongType(), True),
-            StructField(url_col, StringType(), True),
-        ]
+    schema = (
+        input_schema
+        if input_schema is not None
+        else StructType(
+            [
+                StructField(id_col, LongType(), True),
+                StructField(url_col, StringType(), True),
+            ]
+        )
     )
     stream = (
         spark.readStream.schema(schema)
@@ -240,6 +256,8 @@ def run_frontier_stream(
                 assume_unseen=False,
             )
             return
+        if discover is not None:
+            batch_df = discover(batch_df)
         fr = frontier_from_seen_set(
             spark, seen_dir, batch_df, url_col=url_col, id_col=id_col
         )

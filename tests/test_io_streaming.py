@@ -974,3 +974,89 @@ def test_streaming_frontier_capped_replay_preserves_epoch(spark, tmp_path):
         u for _, u in rows
     }
     assert load_seen_set(spark, seen_dir).count() == 5
+
+
+def test_streaming_frontier_discover_from_pages(spark, tmp_path):
+    """The discover seam closes the loop from extraction, streaming:
+    page files arrive, outlinks are extracted per micro-batch, and a
+    later page re-linking an already-scheduled url discovers nothing
+    new while a fresh link is scheduled."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ai_pdf_extraction_spark.operators.links import extract_outlinks
+    from ai_pdf_extraction_spark.sources.seen_urls import (
+        load_seen_set,
+        write_seen_set,
+    )
+    from ai_pdf_extraction_spark.streaming.ingest import run_frontier_stream
+
+    in_dir = str(tmp_path / "pages_in")
+    seen_dir = str(tmp_path / "seen")
+    out_dir = str(tmp_path / "frontier_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    write_seen_set(
+        spark.createDataFrame([("http://h.com/seen",)], "canon_url string"),
+        seen_dir,
+    )
+
+    def _page_file(name, rows):
+        ids, urls, htmls = zip(*rows)
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.string()),
+            }),
+            os.path.join(in_dir, name),
+        )
+
+    schema = StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("url", StringType(), True),
+        StructField("html", StringType(), True),
+    ])
+
+    def discover(batch):
+        return extract_outlinks(batch, passthrough=("doc_id",)).select(
+            F.col("doc_id").alias("event_id"),
+            F.col("dst_url").alias("url"),
+        )
+
+    _page_file("p1.parquet", [
+        (1, "http://h.com/p1",
+         '<a href="/a">A</a><a href="/seen">old</a><a href="#x">skip</a>'),
+        (2, "http://h.com/p2", '<a href="http://ext.com/b?utm_source=z">B</a>'),
+    ])
+    run_frontier_stream(
+        spark, in_dir, seen_dir, out_dir, ckpt,
+        timeout_sec=120, discover=discover, input_schema=schema,
+    )
+    fr = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert {r["canon_url"] for r in fr.collect()} == {
+        "http://h.com/a", "http://ext.com/b"
+    }
+
+    # a later page re-links /a (now seen) and adds /c
+    _page_file("p2.parquet", [
+        (3, "http://h.com/p3", '<a href="/a">again</a><a href="/c">C</a>'),
+    ])
+    run_frontier_stream(
+        spark, in_dir, seen_dir, out_dir, ckpt,
+        timeout_sec=120, discover=discover, input_schema=schema,
+    )
+    fr2 = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert {r["canon_url"] for r in fr2.collect()} == {
+        "http://h.com/a", "http://ext.com/b", "http://h.com/c"
+    }
+    assert load_seen_set(spark, seen_dir).count() == 4
