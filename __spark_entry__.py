@@ -3776,6 +3776,92 @@ def q107_discovery_frontier(spark, sf_dir):
     )
 
 
+def q108_robots_sitemaps(spark, sf_dir):
+    """``Sitemap:`` directive discovery across hostile placements:
+    before any group, INSIDE a foreign BadBot group (binds anyway —
+    the group-independence rule), case variants (``sitemap:`` /
+    ``SITEMAP:``), a trailing comment, a cross-host CDN sitemap, a
+    relative-url junk line (dropped — the spec requires full urls)
+    and a duplicate advertisement (collapsed). Hosts ≡ 3 (mod 4)
+    publish no directive and must be absent."""
+    from ai_pdf_extraction_spark.operators.robots import (
+        parse_sitemap_urls,
+    )
+
+    hid = F.col("id")
+    k = hid.cast("string")
+    robots = spark.range(19).select(
+        F.concat(F.lit("host"), k, F.lit(".example.org")).alias("host"),
+        F.when(
+            hid % 4 == 0,
+            F.concat(
+                F.lit("Sitemap: https://host"), k,
+                F.lit(".example.org/sitemap.xml\n"),
+                F.lit("Sitemap: https://host"), k,
+                F.lit(".example.org/s2.xml # primary\n"),
+                F.lit("User-agent: *\nDisallow: /p/"),
+            ),
+        )
+        .when(
+            hid % 4 == 1,
+            F.concat(
+                F.lit("User-agent: BadBot\nDisallow: /\n"),
+                F.lit("Sitemap: https://host"), k,
+                F.lit(".example.org/inside.xml"),
+            ),
+        )
+        .when(
+            hid % 4 == 2,
+            F.concat(
+                F.lit("sitemap:https://host"), k,
+                F.lit(".example.org/a.xml\n"),
+                F.lit("SITEMAP:  https://cdn.example.net/shared.xml  \n"),
+                F.lit("Sitemap: /relative-junk\n"),
+                F.lit("Sitemap: https://host"), k,
+                F.lit(".example.org/a.xml"),
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /"))
+        .alias("robots_txt"),
+    )
+    return parse_sitemap_urls(robots)
+
+
+def q109_wet_roundtrip(spark, sf_dir):
+    """WET export → re-read round trip over the REAL document texts
+    (multi-line, multi-lingual — the hostile payload set): the corpus
+    is framed as ``conversion`` records by the zero-Python Column
+    writer, lands as per-partition WET shards, and is read back
+    through the shared WARC framing iterator. The contract compares
+    (url, md5(text), byte length) of what came OUT of the shards
+    against DuckDB computing the same directly from the generator —
+    any framing bug (char-vs-byte length, separator drift, payload
+    corruption) breaks the hash."""
+    import hashlib as _hl
+    import os as _os
+
+    from ai_pdf_extraction_spark.sources.wet import export_wet, read_wet
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    df = d.select(
+        F.concat(
+            F.lit("http://w"), (did % 13).cast("string"),
+            F.lit(".example.com/doc/"), did.cast("string"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+        F.col("text").alias("extracted_text"),
+    )
+    out = f"/tmp/spark_graft_wet_{_hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+    export_wet(df, out)
+    back = read_wet(spark, out)
+    return back.select(
+        "url",
+        F.md5("text").alias("text_md5"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3885,6 +3971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_charset_sniff": q105_charset_sniff,
         "q106_canonical_collapse": q106_canonical_collapse,
         "q107_discovery_frontier": q107_discovery_frontier,
+        "q108_robots_sitemaps": q108_robots_sitemaps,
+        "q109_wet_roundtrip": q109_wet_roundtrip,
     }
 
 
@@ -6455,6 +6543,57 @@ select g.canon_url, g.first_id, g.n_discovered,
   (s.canon_url is not null) as in_seen,
   (s.canon_url is null) as to_crawl
 from grp g left join seen s using (canon_url)
+""",
+        "q108_robots_sitemaps": r"""
+with r as (
+  select id, 'host' || id::varchar || '.example.org' as host,
+    case when id % 4 = 0 then
+        'Sitemap: https://host' || id::varchar
+        || '.example.org/sitemap.xml' || chr(10)
+        || 'Sitemap: https://host' || id::varchar
+        || '.example.org/s2.xml # primary' || chr(10)
+        || 'User-agent: *' || chr(10) || 'Disallow: /p/'
+      when id % 4 = 1 then
+        'User-agent: BadBot' || chr(10) || 'Disallow: /' || chr(10)
+        || 'Sitemap: https://host' || id::varchar
+        || '.example.org/inside.xml'
+      when id % 4 = 2 then
+        'sitemap:https://host' || id::varchar
+        || '.example.org/a.xml' || chr(10)
+        || 'SITEMAP:  https://cdn.example.net/shared.xml  ' || chr(10)
+        || 'Sitemap: /relative-junk' || chr(10)
+        || 'Sitemap: https://host' || id::varchar
+        || '.example.org/a.xml'
+      else 'User-agent: *' || chr(10) || 'Disallow: /' end
+      as robots_txt
+  from range(19) t(id)
+),
+l as (
+  select host,
+    regexp_replace(regexp_replace(
+      unnest(string_split(robots_txt, chr(10))), '#.*$', '', 'g'),
+      '^[ \t\r]+|[ \t\r]+$', '', 'g') as l
+  from r
+),
+sm as (
+  select host,
+    regexp_replace(regexp_extract(l, '(?i)^sitemap\s*:\s*(.*)$', 1),
+                   '^[ \t\r]+|[ \t\r]+$', '', 'g') as sitemap_url
+  from l where regexp_matches(l, '(?i)^sitemap\s*:')
+)
+select distinct host, sitemap_url from sm
+where regexp_matches(sitemap_url, '^https?://')
+""",
+        # q109: the oracle computes (url, md5, BYTE length) straight
+        # from the generator — the Spark side must reproduce it from
+        # bytes that round-tripped through WET shards on disk.
+        # DuckDB strlen() is bytes (length() is chars).
+        "q109_wet_roundtrip": """
+select 'http://w' || (doc_id % 13)::varchar || '.example.com/doc/'
+         || doc_id::varchar as url,
+  md5(text) as text_md5,
+  strlen(text)::bigint as n_bytes
+from documents
 """,
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,

@@ -316,3 +316,47 @@ def host_caps_from_delays(
             ).otherwise(F.lit(max_cap).cast("long")),
         ).alias("cap"),
     )
+
+
+_SITEMAP_RE = r"(?i)^sitemap\s*:"
+
+
+def parse_sitemap_urls(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    prepared: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """``Sitemap:`` directive extraction — the third robots.txt
+    feature (rules: :func:`parse_robots`, Crawl-delay:
+    :func:`parse_crawl_delays`) and the bridge from admission control
+    into sitemap discovery (``urls.parse_sitemaps`` /
+    ``parse_sitemap_entries`` consume what this finds).
+
+    Semantics per sitemaps.org/RFC 9309: a ``Sitemap:`` line is
+    GROUP-INDEPENDENT — it binds to the whole file wherever it
+    appears, even inside a foreign ``User-agent`` group, so unlike
+    the other two parsers this one reads ALL lines and ignores the
+    group machinery entirely. Case-insensitive key, comments
+    stripped, values must be absolute http(s) urls (the spec requires
+    full urls; relative junk is dropped), and the output is distinct
+    per ``(host, sitemap_url)`` so a refetched body advertising the
+    same sitemap collapses. Cross-host sitemap urls are legitimate
+    (CDN-hosted sitemaps) and pass through untouched.
+
+    Shares the persisted grouped-lines front half via ``prepared=``
+    (the ``frontier_job`` pattern: one split/posexplode pass feeds
+    rules + delays + sitemaps). Output cardinality is tiny
+    (directives per host), aggregated map-side."""
+    grouped, _ = prepared or _star_grouped_lines(
+        robots, host_col, text_col
+    )
+    sm = grouped.filter(F.col("l").rlike(_SITEMAP_RE)).select(
+        "host",
+        _strip(
+            F.regexp_extract("l", _SITEMAP_RE + r"\s*(.*)$", 1)
+        ).alias("sitemap_url"),
+    )
+    return sm.filter(
+        F.col("sitemap_url").rlike(r"^https?://")
+    ).distinct()

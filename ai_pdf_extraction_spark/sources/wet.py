@@ -1,0 +1,155 @@
+"""WET export/import — extracted-text `conversion` records.
+
+Common Crawl ships three artifact tiers per crawl: WARC (raw fetch),
+WAT (metadata) and WET (extracted plain text as ``WARC-Type:
+conversion`` records). This module closes the pipeline's output side:
+WARC in (``sources/warc.py``), extraction in the middle, WET out —
+the reference exports extractions as CSV/JSON envelopes
+(`routers/export.py`); a web-scale corpus wants the ecosystem format.
+
+The WRITE path is zero-Python and fully distributed: each record is
+framed as a string **Column** (headers + payload + terminator) and the
+DataFrame is written with ``spark.write.text`` using
+``lineSep='\\r\\n'`` — the writer's record separator completes the
+WARC-mandated double CRLF after each payload, every partition becomes
+one valid WET shard, and compression is a writer option. No
+``foreachPartition``, no driver collect, at any corpus size.
+
+The READ path reuses the WARC record iterator
+(:func:`~ai_pdf_extraction_spark.sources.warc.iter_warc_records` —
+WET shares the framing) over ``binaryFile`` rows: per-shard parse,
+shard-sized files (the Common Crawl layout) keep tasks bounded.
+
+Documented subset: ``compression='gzip'`` produces whole-file gzip
+members (readable by every gzip WET consumer) rather than Common
+Crawl's member-per-record layout; the reader accepts both.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: WARC-Date format (spec: UTC, second precision)
+_WARC_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def wet_record(
+    url_col: Column | str,
+    ts_col: Column | str,
+    text_col: Column | str,
+) -> Column:
+    """One framed ``conversion`` record as a string Column.
+    ``Content-Length`` is the UTF-8 BYTE length of the payload
+    (``octet_length``, not ``length`` — multibyte text would corrupt
+    the framing for every later record in the shard). The record ends
+    with ONE ``\\r\\n``; the text writer's ``lineSep='\\r\\n'``
+    supplies the second, completing the spec's double-CRLF
+    terminator."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    t = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    x = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        u,
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(t, _WARC_DATE_FMT),
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(x).cast("string"),
+        F.lit("\r\n\r\n"),
+        x,
+        F.lit("\r\n"),
+    )
+
+
+def export_wet(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "extracted_text",
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``(url, ts, text)`` rows as WET shards under ``path`` —
+    one shard per partition, each a standalone valid WET file."""
+    writer = (
+        df.select(wet_record(url_col, ts_col, text_col).alias("value"))
+        .write.mode(mode)
+        .option("lineSep", "\r\n")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def wet_bytes_to_rows(raw: bytes) -> list[dict]:
+    """One WET shard's bytes → ``(url, warc_ts, text)`` dicts
+    (``conversion`` records only; gzip or plain). Damaged shards stop
+    cleanly at the malformed record — records already parsed survive
+    (the ST3 isolation rule shared with the WARC reader)."""
+    from ai_pdf_extraction_spark.sources.warc import (
+        _parse_warc_ts,
+        iter_warc_records,
+    )
+
+    if raw[:2] == b"\x1f\x8b":
+        stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    else:
+        stream = io.BytesIO(raw)
+    rows = []
+    try:
+        for headers, block in iter_warc_records(stream):
+            if headers.get("warc-type") != "conversion":
+                continue
+            url = headers.get("warc-target-uri")
+            if not url:
+                continue
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": _parse_warc_ts(
+                        headers.get("warc-date", "")
+                    ),
+                    "text": block.decode("utf-8", errors="replace"),
+                }
+            )
+    except (OSError, EOFError):
+        pass
+    return rows
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET reader: ``binaryFile`` rows (one task per
+    shard — Common Crawl shards are task-sized by construction) →
+    ``(url, warc_ts, text)`` via an Arrow-batched ``mapInPandas``
+    over :func:`wet_bytes_to_rows`."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("url", StringType(), True),
+            StructField("warc_ts", TimestampType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(path)
+
+    def _parse(batches):
+        for pdf in batches:
+            for raw in pdf["content"]:
+                rows = wet_bytes_to_rows(bytes(raw))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.select("content").mapInPandas(_parse, schema)

@@ -1060,3 +1060,29 @@ def test_streaming_frontier_discover_from_pages(spark, tmp_path):
         "http://h.com/a", "http://ext.com/b", "http://h.com/c"
     }
     assert load_seen_set(spark, seen_dir).count() == 4
+
+
+def test_wet_export_roundtrip_plain_and_gzip(spark, tmp_path):
+    """WET shards written by the zero-Python Column writer parse back
+    byte-identically through the shared WARC framing reader —
+    multi-line, non-ASCII and empty payloads included."""
+    import datetime
+
+    from ai_pdf_extraction_spark.sources.wet import export_wet, read_wet
+
+    ts = datetime.datetime(2026, 3, 4, 5, 6, 7, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("http://a.com/1", ts, "line one\nline two"),
+        ("http://a.com/2", ts, "café — naïve\r\nCRLF inside"),
+        ("http://a.com/3", ts, ""),
+        ("http://a.com/4", ts, "WARC/1.0\r\nlooks like a header"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, extracted_text string")
+    for comp, sub in ((None, "plain"), ("gzip", "gz")):
+        out = str(tmp_path / sub)
+        export_wet(df, out, compression=comp)
+        back = {r.url: r for r in read_wet(spark, out).collect()}
+        assert len(back) == 4
+        for url, want_ts, want_text in rows:
+            assert back[url].text == want_text, (comp, url)
+            assert back[url].warc_ts == want_ts.replace(tzinfo=None)

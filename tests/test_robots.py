@@ -576,3 +576,34 @@ def test_parse_sitemaps_drops_empty_loc(spark):
     assert [tuple(r) for r in parse_sitemaps(df).collect()] == [
         ("a.com", "http://a.com/x")
     ]
+
+
+def test_parse_sitemap_urls_group_independent_and_junk(spark):
+    from ai_pdf_extraction_spark.operators.robots import (
+        parse_sitemap_urls,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            # inside a foreign group: binds anyway; CRLF body; comment
+            ("a.com",
+             "User-agent: BadBot\r\nDisallow: /\r\n"
+             "Sitemap: https://a.com/sm.xml # main\r\n"),
+            # case variants + relative junk + duplicate + cross-host
+            ("b.com",
+             "sitemap:https://b.com/x.xml\n"
+             "SITEMAP:  https://cdn.net/shared.xml  \n"
+             "Sitemap: /relative\n"
+             "Sitemap: https://b.com/x.xml"),
+            # no directive
+            ("c.com", "User-agent: *\nDisallow: /"),
+        ],
+        ["host", "robots_txt"],
+    )
+    got = {(r.host, r.sitemap_url)
+           for r in parse_sitemap_urls(robots).collect()}
+    assert got == {
+        ("a.com", "https://a.com/sm.xml"),
+        ("b.com", "https://b.com/x.xml"),
+        ("b.com", "https://cdn.net/shared.xml"),
+    }
