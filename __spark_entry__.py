@@ -1116,7 +1116,7 @@ paras as (
     select doc_id,
       unnest(regexp_split_to_array(text, '\\n{{2,}}')) as para
     from base
-  ) where regexp_replace(para, '^\\s+|\\s+$', '', 'g') != ''
+  ) where regexp_replace(para, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g') != ''
 ),
 scored as (
   select doc_id, para,
@@ -3852,7 +3852,13 @@ def q109_wet_roundtrip(spark, sf_dir):
         F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
         F.col("text").alias("extracted_text"),
     )
-    out = f"/tmp/spark_graft_wet_{_hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+    # pid-keyed: two processes contracting the same sf_dir must not
+    # share a shard dir (one's overwrite racing the other's lazy read)
+    out = (
+        "/tmp/spark_graft_wet_"
+        f"{_hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+        f"_{_os.getpid()}"
+    )
     export_wet(df, out)
     back = read_wet(spark, out)
     return back.select(
@@ -4978,7 +4984,7 @@ def _resolve_href_sql(base: str, href: str) -> str:
     )
     return f"""case
       when {href} = '' or {href} like '#%'
-           or regexp_matches({href}, '^(javascript|mailto|tel|data):')
+           or regexp_matches({href}, '(?i)^(javascript|mailto|tel|data):')
         then null
       when regexp_matches({href}, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
         then {href}
@@ -5001,8 +5007,10 @@ def _regdomain_sql(host_expr: str) -> str:
     n = f"len({lbl})"
     last2 = f"array_to_string({lbl}[{n} - 1 : {n}], '.')"
     last3 = f"array_to_string({lbl}[{n} - 2 : {n}], '.')"
+    ipv4 = f"regexp_matches({h}, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')"
     return (
-        f"(case when {n} <= 2 then {h} "
+        f"(case when {ipv4} then {h} "
+        f"when {n} <= 2 then {h} "
         f"when {last2} in ({sufs}) then {last3} "
         f"else {last2} end)"
     )
@@ -6582,7 +6590,7 @@ sm as (
   from l where regexp_matches(l, '(?i)^sitemap\s*:')
 )
 select distinct host, sitemap_url from sm
-where regexp_matches(sitemap_url, '^https?://')
+where regexp_matches(sitemap_url, '(?i)^https?://')
 """,
         # q109: the oracle computes (url, md5, BYTE length) straight
         # from the generator — the Spark side must reproduce it from

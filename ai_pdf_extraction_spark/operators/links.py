@@ -41,7 +41,7 @@ ANCHOR_RE = r'(?s)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 ABS_URL_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
 
 #: non-navigational schemes dropped before resolution
-SKIP_SCHEME_RE = r"^(javascript|mailto|tel|data):"
+SKIP_SCHEME_RE = r"(?i)^(javascript|mailto|tel|data):"
 
 
 def _clean_anchor(col: Column) -> Column:

@@ -357,6 +357,7 @@ def parse_sitemap_urls(
             F.regexp_extract("l", _SITEMAP_RE + r"\s*(.*)$", 1)
         ).alias("sitemap_url"),
     )
+    # URI schemes are case-insensitive (RFC 3986) — HTTPS:// is valid
     return sm.filter(
-        F.col("sitemap_url").rlike(r"^https?://")
+        F.col("sitemap_url").rlike(r"(?i)^https?://")
     ).distinct()

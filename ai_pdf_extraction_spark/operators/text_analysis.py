@@ -791,7 +791,11 @@ def paragraph_lang_mix(
     paras = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\n{2,}")).alias("para"),
-    ).filter(F.regexp_replace("para", r"^\s+|\s+$", "") != "")
+    # explicit class, not \s: Java's \s includes \x0B (vertical tab)
+    # while DuckDB's RE2 \s does not — a \x0B-only paragraph would
+    # diverge from the oracle (review r7); [ \t\r\n\f] is identical
+    # in both engines
+    ).filter(F.regexp_replace("para", r"^[ \t\r\n\f]+|[ \t\r\n\f]+$", "") != "")
     langed = paras.select(
         F.col(id_col), lang_detect("para").alias("plang")
     )

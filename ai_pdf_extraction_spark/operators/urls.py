@@ -93,7 +93,11 @@ def registered_domain(
     last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
     last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
     return (
-        F.when(n <= 2, h)
+        # an IPv4 literal has no registrant hierarchy — truncating it
+        # to the last two octets would pool unrelated servers into one
+        # budget/reputation group (review r7)
+        F.when(h.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"), h)
+        .when(n <= 2, h)
         .when(last2.isin(*multi_suffixes), last3)
         .otherwise(last2)
     )

@@ -56,7 +56,13 @@ def wet_record(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
         u,
         F.lit("\r\nWARC-Date: "),
-        F.date_format(t, _WARC_DATE_FMT),
+        # date_format renders in the SESSION timezone while the spec's
+        # 'Z' suffix promises UTC — shift the wall time so the
+        # rendered string is UTC on ANY session tz (identity when the
+        # session is already UTC, as this repo's build_session pins)
+        F.date_format(
+            F.to_utc_timestamp(t, F.current_timezone()), _WARC_DATE_FMT
+        ),
         F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
         F.octet_length(x).cast("string"),
         F.lit("\r\n\r\n"),
@@ -73,11 +79,45 @@ def export_wet(
     text_col: str = "extracted_text",
     compression: str | None = None,
     mode: str = "overwrite",
+    on_null: str = "error",
 ) -> None:
     """Write ``(url, ts, text)`` rows as WET shards under ``path`` —
-    one shard per partition, each a standalone valid WET file."""
+    one shard per partition, each a standalone valid WET file.
+
+    A NULL url/ts/text cannot be framed: ``concat`` would null the
+    whole record and the text writer would emit a bare separator —
+    the document silently VANISHES from the corpus. ``on_null``:
+    ``'error'`` (default) fails the export loudly via ``raise_error``
+    inside the projection (no extra action, still one pass);
+    ``'drop'`` filters such rows for callers exporting alongside
+    parse failures (filter ``parse_ok`` upstream to keep the count
+    auditable)."""
+    if on_null not in ("error", "drop"):
+        raise ValueError("export_wet: on_null must be 'error' or 'drop'")
+    rec = wet_record(url_col, ts_col, text_col)
+    has_null = (
+        F.col(url_col).isNull()
+        | F.col(ts_col).isNull()
+        | F.col(text_col).isNull()
+    )
+    if on_null == "drop":
+        df = df.filter(~has_null)
+    else:
+        rec = F.when(
+            has_null,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "export_wet: NULL url/ts/text cannot be framed "
+                        "(url="
+                    ),
+                    F.coalesce(F.col(url_col), F.lit("<null>")),
+                    F.lit("); filter parse failures or pass on_null='drop'"),
+                )
+            ),
+        ).otherwise(rec)
     writer = (
-        df.select(wet_record(url_col, ts_col, text_col).alias("value"))
+        df.select(rec.alias("value"))
         .write.mode(mode)
         .option("lineSep", "\r\n")
     )

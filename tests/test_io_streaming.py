@@ -1086,3 +1086,81 @@ def test_wet_export_roundtrip_plain_and_gzip(spark, tmp_path):
         for url, want_ts, want_text in rows:
             assert back[url].text == want_text, (comp, url)
             assert back[url].warc_ts == want_ts.replace(tzinfo=None)
+
+
+def test_warc_to_wet_end_to_end(spark, tmp_path):
+    """The full I/O arc: WARC fixture in → extraction → WET shards out
+    → re-read; every parse-ok page's extracted text survives
+    byte-identically and carries its WARC timestamp."""
+    import datetime
+
+    from ai_pdf_extraction_spark.corpus.generate import generate_pages
+    from ai_pdf_extraction_spark.plans.pipeline import extraction_plan
+    from ai_pdf_extraction_spark.sources.warc import read_warc, write_warc
+    from ai_pdf_extraction_spark.sources.wet import export_wet, read_wet
+
+    pages = generate_pages(30, seed=99)
+    rows = [
+        {"url": r["url"],
+         "warc_ts": r["warc_ts"].replace(tzinfo=datetime.timezone.utc),
+         "html": r["html"]}
+        for r in pages if r["html"]
+    ]
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc(str(wdir / "a.warc.gz"), rows, compress=True)
+
+    plan = extraction_plan(
+        read_warc(spark, str(wdir)), run_id="w2w", min_parallelism=2
+    )
+    ok = plan.filter("parse_ok").select(
+        "url", "warc_ts", "extracted_text"
+    ).persist()
+    want = {
+        (r.url, r.warc_ts, r.extracted_text) for r in ok.collect()
+    }
+    assert want  # extraction produced something to export
+
+    out = str(tmp_path / "wet")
+    export_wet(ok, out, compression="gzip")
+    got = {
+        (r.url, r.warc_ts, r.text) for r in read_wet(spark, out).collect()
+    }
+    ok.unpersist()
+    assert got == want
+
+
+def test_export_wet_null_guard_and_session_tz(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from ai_pdf_extraction_spark.sources.wet import export_wet, read_wet
+
+    ts = datetime.datetime(2026, 6, 1, 12, 0, 0,
+                           tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [("http://a.com/1", ts, "ok"), ("http://a.com/2", ts, None)],
+        "url string, warc_ts timestamp, extracted_text string",
+    )
+    # default: a NULL payload fails LOUDLY instead of vanishing
+    with pytest.raises(Exception, match="cannot be framed"):
+        export_wet(df, str(tmp_path / "boom"))
+    # opt-in drop keeps the frameable rows
+    export_wet(df, str(tmp_path / "drop"), on_null="drop")
+    back = read_wet(spark, str(tmp_path / "drop")).collect()
+    assert [(r.url, r.text) for r in back] == [("http://a.com/1", "ok")]
+
+    # WARC-Date must be UTC regardless of the session timezone
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        export_wet(df.filter("extracted_text is not null"),
+                   str(tmp_path / "tz"))
+        raw = b"".join(
+            p.read_bytes()
+            for p in (tmp_path / "tz").glob("part-*")
+        )
+        assert b"WARC-Date: 2026-06-01T12:00:00Z" in raw
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

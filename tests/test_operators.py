@@ -2796,3 +2796,33 @@ def test_extract_outlinks_passthrough_provenance(spark):
     assert {r.dst_url for r in out} == {
         "http://a.example.com/x", "http://a.example.com/y"
     }
+
+
+def test_resolve_href_uppercase_skip_schemes(spark):
+    from ai_pdf_extraction_spark.operators.links import extract_outlinks
+
+    pages = spark.createDataFrame(
+        [("http://h.com/p",
+          '<a href="Mailto:a@b.c">m</a><a href="JAVASCRIPT:x()">j</a>'
+          '<a href="DATA:image/png;base64,AAAA">d</a>'
+          '<a href="Tel:+1555">t</a><a href="/ok">keep</a>')],
+        ["url", "html"],
+    )
+    got = [r.dst_url for r in extract_outlinks(pages).collect()]
+    # RFC 3986: schemes are case-insensitive — none of the
+    # non-navigational ones may leak through as relative paths
+    assert got == ["http://h.com/ok"]
+
+
+def test_registered_domain_ipv4_passthrough(spark):
+    from ai_pdf_extraction_spark.operators.urls import registered_domain
+
+    df = spark.createDataFrame(
+        [("192.168.0.1",), ("10.0.0.2:8080",), ("256.1.2.3",)], ["h"]
+    )
+    got = dict(df.select("h", registered_domain("h").alias("rd")).collect())
+    assert got["192.168.0.1"] == "192.168.0.1"
+    assert got["10.0.0.2:8080"] == "10.0.0.2"  # port still stripped
+    # not a valid IPv4 octet run? the simple literal check keeps any
+    # dotted-quad shape whole — fine for a grouping key
+    assert got["256.1.2.3"] == "256.1.2.3"

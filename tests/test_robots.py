@@ -607,3 +607,18 @@ def test_parse_sitemap_urls_group_independent_and_junk(spark):
         ("b.com", "https://b.com/x.xml"),
         ("b.com", "https://cdn.net/shared.xml"),
     }
+
+
+def test_parse_sitemap_urls_uppercase_scheme(spark):
+    from ai_pdf_extraction_spark.operators.robots import (
+        parse_sitemap_urls,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "Sitemap: HTTPS://A.COM/SM.XML")],
+        ["host", "robots_txt"],
+    )
+    got = parse_sitemap_urls(robots).collect()
+    assert [(r.host, r.sitemap_url) for r in got] == [
+        ("a.com", "HTTPS://A.COM/SM.XML")
+    ]
