@@ -71,6 +71,15 @@ def main() -> None:
     p.add_argument("--seen", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--per-host", type=int, default=1000)
+    p.add_argument(
+        "--budget-key",
+        choices=("host", "domain"),
+        default="host",
+        help="politeness grouping: per host, or per registered domain "
+        "(eTLD+1 — the subdomain-spam counter; q104 shape). With "
+        "'domain', --robots Crawl-delay caps keyed by host do not "
+        "apply (different key space).",
+    )
     p.add_argument("--no-append", action="store_true")
     p.add_argument(
         "--blocklist",
@@ -235,10 +244,27 @@ def main() -> None:
                     .items()
                 }
             )
+        politeness_key = None
+        if args.budget_key == "domain":
+            from ai_pdf_extraction_spark.operators.urls import (
+                host_of,
+                registered_domain,
+            )
+
+            politeness_key = registered_domain(host_of("canon_url"))
+            if caps is not None:
+                # Crawl-delay caps are (host, cap) rows — silently
+                # joining them against eTLD+1 keys would never match;
+                # fail loudly rather than ship a no-op politeness floor
+                parser.error(
+                    "--budget-key domain cannot combine with "
+                    "--cycle-seconds host caps"
+                )
         capped = frontier_host_cap(
             gated.withColumn("to_crawl", to_crawl),
             per_host=args.per_host,
             per_host_caps=caps,
+            politeness_key=politeness_key,
         )
         capped.write.mode("overwrite").parquet(args.output)
         # counts read back the just-written parquet — recounting the
