@@ -3868,6 +3868,54 @@ def q109_wet_roundtrip(spark, sf_dir):
     )
 
 
+def q110_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning over augmented docs: a cookie-notice
+    line (terminal punct + enough words but marker-dropped), a short
+    line, a kept plain sentence, a kept quote-terminated sentence, a
+    no-punctuation line, then the real corpus lines (mixed verdicts).
+    Docs ≡ 0 (mod 7) are replaced by all-dropped junk — the
+    ``kept=false`` / ``clean_text=''`` leg."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        c4_line_clean,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    junk = (
+        "Enable javascript now\n"
+        "Read our cookie policy here today ok.\n"
+        "short one.\n"
+        "no terminal punctuation in this line at all"
+    )
+    head = (
+        "This page uses a cookie banner everywhere.\n"
+        "Tiny line.\n"
+        "This line is long enough and ends properly.\n"
+        'She replied with a firm "final answer."\n'
+        "this long line has no terminal punctuation at all\n"
+    )
+    # the corpus lines themselves never pass C4 (word-salad without
+    # terminal punctuation — verified: 0 corpus lines keep at sf0.01),
+    # so the head contributes exactly 2 keepers and a third arrives
+    # only for doc_id % 3 == 0: the min_lines=3 verdict flips on that
+    # boundary, making BOTH kept legs non-vacuous (the q73 lesson)
+    third = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit("Closing sentence number "),
+            (did % 11).cast("string"),
+            F.lit(" finishes the document properly.\n"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = d.select(
+        "doc_id",
+        F.when(did % 7 == 0, F.lit(junk))
+        .otherwise(F.concat(F.lit(head), third, F.col("text")))
+        .alias("text"),
+    )
+    return c4_line_clean(aug)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3979,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_discovery_frontier": q107_discovery_frontier,
         "q108_robots_sitemaps": q108_robots_sitemaps,
         "q109_wet_roundtrip": q109_wet_roundtrip,
+        "q110_c4_line_clean": q110_c4_line_clean,
     }
 
 
@@ -6602,6 +6651,52 @@ select 'http://w' || (doc_id % 13)::varchar || '.example.com/doc/'
   md5(text) as text_md5,
   strlen(text)::bigint as n_bytes
 from documents
+""",
+        "q110_c4_line_clean": r"""
+with aug as (
+  select doc_id,
+    case when doc_id % 7 = 0 then
+      'Enable javascript now' || chr(10)
+      || 'Read our cookie policy here today ok.' || chr(10)
+      || 'short one.' || chr(10)
+      || 'no terminal punctuation in this line at all'
+    else
+      'This page uses a cookie banner everywhere.' || chr(10)
+      || 'Tiny line.' || chr(10)
+      || 'This line is long enough and ends properly.' || chr(10)
+      || 'She replied with a firm "final answer."' || chr(10)
+      || 'this long line has no terminal punctuation at all' || chr(10)
+      || case when doc_id % 3 = 0 then
+           'Closing sentence number ' || (doc_id % 11)::varchar
+           || ' finishes the document properly.' || chr(10)
+         else '' end
+      || text
+    end as text
+  from documents
+),
+l as (
+  select doc_id,
+    generate_subscripts(string_split(text, chr(10)), 1) as pos,
+    unnest(string_split(text, chr(10))) as l
+  from aug
+),
+k as (
+  select doc_id, pos, l,
+    (regexp_matches(l, '[.!?]"?$')
+     and len(regexp_extract_all(l, '[^ \t]+')) >= 5
+     and not contains(lower(l), 'lorem ipsum')
+     and not contains(lower(l), 'javascript')
+     and not contains(lower(l), 'cookie')
+     and not contains(lower(l), '{')) as keep
+  from l
+)
+select doc_id,
+  coalesce(string_agg(case when keep then l end, chr(10) order by pos),
+           '') as clean_text,
+  count(*)::bigint as n_lines_raw,
+  sum(keep::int)::bigint as n_lines_kept,
+  (sum(keep::int) >= 3) as kept
+from k group by doc_id
 """,
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,

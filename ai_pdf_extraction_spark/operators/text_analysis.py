@@ -947,3 +947,77 @@ def sniff_charset(
             )
         ).alias("declared_mismatch"),
     )
+
+
+#: C4's line-keep rules (Raffel et al. 2020 §2.2, re-expressed): a
+#: retained line ends in terminal punctuation (optionally a closing
+#: double quote), carries at least `min_words` words, and contains
+#: none of the boilerplate markers. Shared with the q110 oracle.
+C4_TERMINAL_RE = r'[.!?]"?$'
+C4_DROP_MARKERS = ("lorem ipsum", "javascript", "cookie", "{")
+
+
+def c4_line_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning — the most-cited webtext cleanup
+    recipe: drop lines that do not end in terminal punctuation, have
+    fewer than ``min_words`` words, or carry boilerplate markers
+    (cookie/javascript notices, ``lorem ipsum``, code braces); a doc
+    survives only if ≥ ``min_lines`` lines remain.
+
+    Output per input doc: ``(doc_id, clean_text, n_lines_raw,
+    n_lines_kept, kept)`` — ``clean_text`` is the kept lines in
+    original order ('' when none survive), ``kept`` the document
+    verdict. Word count is the number of non-space runs
+    (``regexp_extract_all`` — identical in both engines; a split
+    would miscount leading-space lines).
+
+    Scale shape: ONE shuffle. The posexplode feeds a single per-doc
+    partial agg whose ``collect_list`` collects ``struct(pos, line)``
+    ONLY for kept lines (``when`` yields NULL for dropped ones and
+    collect_list skips NULLs) alongside the raw/kept counts — no
+    join-back against the document relation. The sorted array is
+    projected in its own step before the element-wise lambda (the
+    HOF no-CSE rule)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "l"),
+    )
+    low = F.lower(F.col("l"))
+    keep = F.col("l").rlike(C4_TERMINAL_RE) & (
+        F.size(F.regexp_extract_all(F.col("l"), F.lit(r"[^ \t]+"), 0))
+        >= min_words
+    )
+    for marker in C4_DROP_MARKERS:
+        keep = keep & ~low.contains(marker)
+    agg = (
+        lines.select(
+            id_col,
+            "pos",
+            "l",
+            keep.alias("_keep"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines_raw"),
+            F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
+            F.collect_list(
+                F.when(F.col("_keep"), F.struct("pos", "l"))
+            ).alias("_arr"),
+        )
+    )
+    sorted_arr = agg.withColumn("_sorted", F.array_sort("_arr"))
+    return sorted_arr.select(
+        id_col,
+        F.concat_ws(
+            "\n", F.transform("_sorted", lambda x: x["l"])
+        ).alias("clean_text"),
+        F.col("n_lines_raw").cast("long").alias("n_lines_raw"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        (F.col("n_lines_kept") >= min_lines).alias("kept"),
+    )

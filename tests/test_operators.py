@@ -2826,3 +2826,32 @@ def test_registered_domain_ipv4_passthrough(spark):
     # not a valid IPv4 octet run? the simple literal check keeps any
     # dotted-quad shape whole — fine for a grouping key
     assert got["256.1.2.3"] == "256.1.2.3"
+
+
+def test_c4_line_clean_rules_order_and_doc_verdict(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        c4_line_clean,
+    )
+
+    text = (
+        "A good first sentence stays right here.\n"
+        "Enable JavaScript to continue please now.\n"  # marker (ci)
+        "  leading spaces but still a fine sentence.\n"  # 7 words
+        "too few.\n"
+        'He agreed with a loud "absolutely not."\n'  # quote terminal
+        "A good last sentence stays here too."
+    )
+    df = spark.createDataFrame(
+        [(1, text), (2, "junk\nmore junk\nstill junk")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in c4_line_clean(df).collect()}
+    r1 = got[1]
+    assert r1.clean_text == (
+        "A good first sentence stays right here.\n"
+        "  leading spaces but still a fine sentence.\n"
+        'He agreed with a loud "absolutely not."\n'
+        "A good last sentence stays here too."
+    )
+    assert (r1.n_lines_raw, r1.n_lines_kept, r1.kept) == (6, 4, True)
+    r2 = got[2]
+    assert (r2.clean_text, r2.n_lines_kept, r2.kept) == ("", 0, False)
