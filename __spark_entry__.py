@@ -2461,8 +2461,8 @@ rlines as (
 ),
 marked as (
   select host, pos, l,
-    regexp_matches(l, '(?i)^user-agent\\s*:') as is_ua,
-    coalesce(lag(regexp_matches(l, '(?i)^user-agent\\s*:'))
+    regexp_matches(l, '(?i)^user-agent[ \t]*:') as is_ua,
+    coalesce(lag(regexp_matches(l, '(?i)^user-agent[ \t]*:'))
                over (partition by host order by pos), false) as prev_ua
   from rlines
 ),
@@ -2476,7 +2476,7 @@ grouped as (
 star as (
   select distinct host, grp from grouped
   where is_ua
-    and regexp_replace(regexp_extract(l, '(?i)^user-agent\\s*:(.*)$', 1),
+    and regexp_replace(regexp_extract(l, '(?i)^user-agent[ \t]*:(.*)$', 1),
                        '^[ \t\r]+|[ \t\r]+$', '', 'g') = '*'
 )"""
 
@@ -2492,10 +2492,10 @@ def _robots_parse_ctes() -> str:
 rrules as (
   select g.host,
     not regexp_matches(g.l, '(?i)^disallow') as is_allow,
-    regexp_replace(regexp_extract(g.l, '(?i)^(dis)?allow\\s*:(.*)$', 2),
+    regexp_replace(regexp_extract(g.l, '(?i)^(dis)?allow[ \t]*:(.*)$', 2),
                    '^[ \t\r]+|[ \t\r]+$', '', 'g') as prefix
   from grouped g join star s using (host, grp)
-  where regexp_matches(g.l, '(?i)^(dis)?allow\\s*:') and g.grp > 0
+  where regexp_matches(g.l, '(?i)^(dis)?allow[ \t]*:') and g.grp > 0
 ),
 rules2 as (
   select distinct host, prefix, is_allow,
@@ -3853,12 +3853,22 @@ def q109_wet_roundtrip(spark, sf_dir):
         F.col("text").alias("extracted_text"),
     )
     # pid-keyed: two processes contracting the same sf_dir must not
-    # share a shard dir (one's overwrite racing the other's lazy read)
-    out = (
-        "/tmp/spark_graft_wet_"
-        f"{_hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
-        f"_{_os.getpid()}"
-    )
+    # share a shard dir (one's overwrite racing the other's lazy read).
+    # Stale siblings from DEAD pids are pruned so repeated runs do not
+    # accumulate shard dirs in /tmp; live pids are left alone.
+    import glob as _glob
+    import shutil as _shutil
+
+    key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    for stale in _glob.glob(f"/tmp/spark_graft_wet_{key}_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+            _os.kill(pid, 0)  # raises if the owner is gone
+        except (ValueError, ProcessLookupError):
+            _shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # someone else's live process
+    out = f"/tmp/spark_graft_wet_{key}_{_os.getpid()}"
     export_wet(df, out)
     back = read_wet(spark, out)
     return back.select(
@@ -5018,7 +5028,14 @@ def _dec5_sql(expr: str) -> str:
 
 def _resolve_href_sql(base: str, href: str) -> str:
     """DuckDB twin of ``operators.links.resolve_href`` (same four
-    legs, same drop rules, NULL for non-navigational)."""
+    legs, same drop rules, NULL for non-navigational) — drop/absolute
+    regexes SPLICED from the operator's own constants so adding a
+    scheme updates both engines."""
+    from ai_pdf_extraction_spark.operators.links import (
+        ABS_URL_RE,
+        SKIP_SCHEME_RE,
+    )
+
     origin = (
         f"regexp_extract({base}, "
         "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)"
@@ -5033,9 +5050,9 @@ def _resolve_href_sql(base: str, href: str) -> str:
     )
     return f"""case
       when {href} = '' or {href} like '#%'
-           or regexp_matches({href}, '(?i)^(javascript|mailto|tel|data):')
+           or regexp_matches({href}, '{SKIP_SCHEME_RE}')
         then null
-      when regexp_matches({href}, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+      when regexp_matches({href}, '{ABS_URL_RE}')
         then {href}
       when {href} like '//%' then {scheme} || ':' || {href}
       when {href} like '/%' then {origin} || {href}
@@ -5219,6 +5236,68 @@ edges as (select src, dst, count(*)::bigint as weight from hl
         + _q84_pagerank_ctes(3, graph_ctes=graph)
         + '\nselect host, r as "rank" from r3'
     )
+
+
+
+def _q110_oracle_sql() -> str:
+    """DuckDB twin of q110, REBUILT from the operator's own constants
+    (terminal regex, drop markers, thresholds) — the _regdomain_sql
+    discipline: editing C4_DROP_MARKERS cannot silently leave the
+    oracle on old rules."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        C4_DROP_MARKERS,
+        C4_MIN_LINES,
+        C4_MIN_WORDS,
+        C4_TERMINAL_RE,
+    )
+
+    marker_preds = "\n     ".join(
+        f"and not contains(lower(l), '{m.replace(chr(39), chr(39) * 2)}')"
+        for m in C4_DROP_MARKERS
+    )
+    return f"""
+with aug as (
+  select doc_id,
+    case when doc_id % 7 = 0 then
+      'Enable javascript now' || chr(10)
+      || 'Read our cookie policy here today ok.' || chr(10)
+      || 'short one.' || chr(10)
+      || 'no terminal punctuation in this line at all'
+    else
+      'This page uses a cookie banner everywhere.' || chr(10)
+      || 'Tiny line.' || chr(10)
+      || 'This line is long enough and ends properly.' || chr(10)
+      || 'She replied with a firm "final answer."' || chr(10)
+      || 'this long line has no terminal punctuation at all' || chr(10)
+      || case when doc_id % 3 = 0 then
+           'Closing sentence number ' || (doc_id % 11)::varchar
+           || ' finishes the document properly.' || chr(10)
+         else '' end
+      || text
+    end as text
+  from documents
+),
+l as (
+  select doc_id,
+    generate_subscripts(string_split(text, chr(10)), 1) as pos,
+    unnest(string_split(text, chr(10))) as l
+  from aug
+),
+k as (
+  select doc_id, pos, l,
+    (regexp_matches(l, '{C4_TERMINAL_RE}')
+     and len(regexp_extract_all(l, '[^ \t]+')) >= {C4_MIN_WORDS}
+     {marker_preds}) as keep
+  from l
+)
+select doc_id,
+  coalesce(string_agg(case when keep then l end, chr(10) order by pos),
+           '') as clean_text,
+  count(*)::bigint as n_lines_raw,
+  sum(keep::int)::bigint as n_lines_kept,
+  (sum(keep::int) >= {C4_MIN_LINES}) as kept
+from k group by doc_id
+"""
 
 
 def _q105_oracle_sql() -> str:
@@ -6277,10 +6356,10 @@ robots as (
 dvals as (
   select g.host,
     regexp_replace(
-      regexp_extract(g.l, '(?i)^crawl-delay\\s*:(.*)$', 1),
+      regexp_extract(g.l, '(?i)^crawl-delay[ \t]*:(.*)$', 1),
       '^[ \t\r]+|[ \t\r]+$', '', 'g') as v
   from grouped g join star s using (host, grp)
-  where regexp_matches(g.l, '(?i)^crawl-delay\\s*:') and g.grp > 0
+  where regexp_matches(g.l, '(?i)^crawl-delay[ \t]*:') and g.grp > 0
 ),
 delays as (
   select host, max(try_cast(v as bigint)) as crawl_delay
@@ -6634,9 +6713,9 @@ l as (
 ),
 sm as (
   select host,
-    regexp_replace(regexp_extract(l, '(?i)^sitemap\s*:\s*(.*)$', 1),
+    regexp_replace(regexp_extract(l, '(?i)^sitemap[ \t]*:[ \t]*(.*)$', 1),
                    '^[ \t\r]+|[ \t\r]+$', '', 'g') as sitemap_url
-  from l where regexp_matches(l, '(?i)^sitemap\s*:')
+  from l where regexp_matches(l, '(?i)^sitemap[ \t]*:')
 )
 select distinct host, sitemap_url from sm
 where regexp_matches(sitemap_url, '(?i)^https?://')
@@ -6652,52 +6731,7 @@ select 'http://w' || (doc_id % 13)::varchar || '.example.com/doc/'
   strlen(text)::bigint as n_bytes
 from documents
 """,
-        "q110_c4_line_clean": r"""
-with aug as (
-  select doc_id,
-    case when doc_id % 7 = 0 then
-      'Enable javascript now' || chr(10)
-      || 'Read our cookie policy here today ok.' || chr(10)
-      || 'short one.' || chr(10)
-      || 'no terminal punctuation in this line at all'
-    else
-      'This page uses a cookie banner everywhere.' || chr(10)
-      || 'Tiny line.' || chr(10)
-      || 'This line is long enough and ends properly.' || chr(10)
-      || 'She replied with a firm "final answer."' || chr(10)
-      || 'this long line has no terminal punctuation at all' || chr(10)
-      || case when doc_id % 3 = 0 then
-           'Closing sentence number ' || (doc_id % 11)::varchar
-           || ' finishes the document properly.' || chr(10)
-         else '' end
-      || text
-    end as text
-  from documents
-),
-l as (
-  select doc_id,
-    generate_subscripts(string_split(text, chr(10)), 1) as pos,
-    unnest(string_split(text, chr(10))) as l
-  from aug
-),
-k as (
-  select doc_id, pos, l,
-    (regexp_matches(l, '[.!?]"?$')
-     and len(regexp_extract_all(l, '[^ \t]+')) >= 5
-     and not contains(lower(l), 'lorem ipsum')
-     and not contains(lower(l), 'javascript')
-     and not contains(lower(l), 'cookie')
-     and not contains(lower(l), '{')) as keep
-  from l
-)
-select doc_id,
-  coalesce(string_agg(case when keep then l end, chr(10) order by pos),
-           '') as clean_text,
-  count(*)::bigint as n_lines_raw,
-  sum(keep::int)::bigint as n_lines_kept,
-  (sum(keep::int) >= 3) as kept
-from k group by doc_id
-""",
+        "q110_c4_line_clean": _q110_oracle_sql(),
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,
   count(*) as n_docs, sum(n_chars)::bigint as total_chars,

@@ -38,8 +38,11 @@ from pyspark.sql import functions as F
 
 from ai_pdf_extraction_spark.operators.urls import host_of, strip_authority
 
-_UA_RE = r"(?i)^user-agent\s*:"
-_RULE_RE = r"(?i)^(dis)?allow\s*:"
+# [ \t]* not \s*: Java regex \s includes \x0B (vertical tab) while
+# RE2's does not, so identical-LOOKING oracle text would diverge on a
+# \x0B byte mid-line (the q97 divergence class)
+_UA_RE = r"(?i)^user-agent[ \t]*:"
+_RULE_RE = r"(?i)^(dis)?allow[ \t]*:"
 
 
 def _strip(c) -> F.Column:
@@ -247,7 +250,7 @@ def robots_filter(
     )
 
 
-_DELAY_RE = r"(?i)^crawl-delay\s*:"
+_DELAY_RE = r"(?i)^crawl-delay[ \t]*:"
 
 
 def parse_crawl_delays(
@@ -318,7 +321,7 @@ def host_caps_from_delays(
     )
 
 
-_SITEMAP_RE = r"(?i)^sitemap\s*:"
+_SITEMAP_RE = r"(?i)^sitemap[ \t]*:"
 
 
 def parse_sitemap_urls(
@@ -354,7 +357,7 @@ def parse_sitemap_urls(
     sm = grouped.filter(F.col("l").rlike(_SITEMAP_RE)).select(
         "host",
         _strip(
-            F.regexp_extract("l", _SITEMAP_RE + r"\s*(.*)$", 1)
+            F.regexp_extract("l", _SITEMAP_RE + r"[ \t]*(.*)$", 1)
         ).alias("sitemap_url"),
     )
     # URI schemes are case-insensitive (RFC 3986) — HTTPS:// is valid

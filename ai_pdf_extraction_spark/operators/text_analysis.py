@@ -953,16 +953,22 @@ def sniff_charset(
 #: retained line ends in terminal punctuation (optionally a closing
 #: double quote), carries at least `min_words` words, and contains
 #: none of the boilerplate markers. Shared with the q110 oracle.
-C4_TERMINAL_RE = r'[.!?]"?$'
+#: \z not $ — Java's non-multiline $ also matches before a FINAL line
+#: terminator (\r, \u2028…) while RE2's does not; a line ending
+#: "sentence.\r" would keep in Spark and drop in the oracle. Both
+#: engines support \z with identical end-of-text meaning (q98 lesson).
+C4_TERMINAL_RE = r'[.!?]"?\z'
 C4_DROP_MARKERS = ("lorem ipsum", "javascript", "cookie", "{")
+C4_MIN_WORDS = 5
+C4_MIN_LINES = 3
 
 
 def c4_line_clean(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_words: int = 5,
-    min_lines: int = 3,
+    min_words: int = C4_MIN_WORDS,
+    min_lines: int = C4_MIN_LINES,
 ) -> DataFrame:
     """C4-style line-level cleaning — the most-cited webtext cleanup
     recipe: drop lines that do not end in terminal punctuation, have

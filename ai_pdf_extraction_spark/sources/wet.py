@@ -33,10 +33,6 @@ import io
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: WARC-Date format (spec: UTC, second precision)
-_WARC_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
-
-
 def wet_record(
     url_col: Column | str,
     ts_col: Column | str,
@@ -52,17 +48,31 @@ def wet_record(
     u = F.col(url_col) if isinstance(url_col, str) else url_col
     t = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     x = F.col(text_col) if isinstance(text_col, str) else text_col
+    # render the instant in UTC with PURE integer arithmetic on epoch
+    # seconds: every tz-aware rendering path (date_format in session
+    # tz, to_utc_timestamp round trips) resolves the zone offset at
+    # wall-time level and goes an hour wrong inside DST gaps/overlaps
+    # (review r7). cast-to-long is the tz-free instant; DATE math and
+    # lpad'd H/M/S never consult a zone.
+    secs = t.cast("long")
+    days = F.floor(secs / 86400).cast("int")
+    tod = F.pmod(secs, F.lit(86400))
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    utc_date = F.date_format(
+        F.date_add(F.to_date(F.lit("1970-01-01")), days), "yyyy-MM-dd"
+    )
     return F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
         u,
         F.lit("\r\nWARC-Date: "),
-        # date_format renders in the SESSION timezone while the spec's
-        # 'Z' suffix promises UTC — shift the wall time so the
-        # rendered string is UTC on ANY session tz (identity when the
-        # session is already UTC, as this repo's build_session pins)
-        F.date_format(
-            F.to_utc_timestamp(t, F.current_timezone()), _WARC_DATE_FMT
-        ),
+        utc_date,
+        F.lit("T"),
+        two(F.floor(tod / 3600)),
+        F.lit(":"),
+        two(F.pmod(F.floor(tod / 60), F.lit(60))),
+        F.lit(":"),
+        two(F.pmod(tod, F.lit(60))),
+        F.lit("Z"),
         F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
         F.octet_length(x).cast("string"),
         F.lit("\r\n\r\n"),

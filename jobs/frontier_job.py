@@ -112,6 +112,20 @@ def main() -> None:
     args = parser.parse_args()
     if args.cmd == "probe" and bool(args.new) == bool(args.pages):
         parser.error("probe needs exactly one of --new / --pages")
+    if (
+        args.cmd == "probe"
+        and args.budget_key == "domain"
+        and args.robots
+        and args.cycle_seconds > 0
+    ):
+        # pure-CLI incompatibility: fail BEFORE building a session and
+        # running the probe/gate chain (Crawl-delay caps are (host,
+        # cap) rows; joined against eTLD+1 keys they would be a silent
+        # no-op politeness floor)
+        parser.error(
+            "--budget-key domain cannot combine with --cycle-seconds "
+            "host caps"
+        )
 
     from pyspark.sql import functions as F
 
@@ -252,14 +266,6 @@ def main() -> None:
             )
 
             politeness_key = registered_domain(host_of("canon_url"))
-            if caps is not None:
-                # Crawl-delay caps are (host, cap) rows — silently
-                # joining them against eTLD+1 keys would never match;
-                # fail loudly rather than ship a no-op politeness floor
-                parser.error(
-                    "--budget-key domain cannot combine with "
-                    "--cycle-seconds host caps"
-                )
         capped = frontier_host_cap(
             gated.withColumn("to_crawl", to_crawl),
             per_host=args.per_host,
