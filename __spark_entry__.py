@@ -5114,7 +5114,7 @@ def _q99_outlink_ctes() -> str:
     anchor_clean = (
         "trim(regexp_replace("
         + _dec5_sql("regexp_replace(text0, '<[^>]*>', '', 'g')")
-        + r", '\s+', ' ', 'g'))"
+        + r", '[ \t\r\n\f]+', ' ', 'g'))"
     )
     return f"""pages as ({_Q99_PAGES_SQL}),
 m as (select url as src_url,
@@ -5157,7 +5157,7 @@ def _q102_oracle_sql() -> str:
             f"regexp_replace(regexp_extract(html, '{TITLE_RE}', 1), "
             "'<[^>]*>', '', 'g')"
         )
-        + r", '\s+', ' ', 'g'))"
+        + r", '[ \t\r\n\f]+', ' ', 'g'))"
     )
     host_canon = f"regexp_extract(canon_abs, {_HOST_EXTRACT_SQL})"
     host_page = f"regexp_extract(url, {_HOST_EXTRACT_SQL})"

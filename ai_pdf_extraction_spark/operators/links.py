@@ -30,12 +30,16 @@ from ai_pdf_extraction_spark.operators.urls import (
     with_canonical_url,
 )
 
+#: NOTE every pattern below uses [ \t\r\n\f] where prose says
+#: 'whitespace': Java \s includes \x0B, RE2's does not — with the
+#: regexes SPLICED into the oracles, the explicit class keeps the
+#: two engines byte-equivalent in meaning (q97 divergence class)
 #: one match per ``<a ... href="...">text</a>`` — group 1 the href,
 #: group 2 the raw inner markup. ``[^>]*`` keeps the match inside the
 #: opening tag; ``(?s)`` + lazy ``(.*?)`` lets anchor text span lines
 #: and nested inline tags. Valid and equivalent in Java regex (Spark)
 #: and RE2 (DuckDB) — keep the oracle in lockstep.
-ANCHOR_RE = r'(?s)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+ANCHOR_RE = r'(?s)<a[ \t\r\n\f][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 
 #: absolute-url test (scheme followed by ``://``)
 ABS_URL_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
@@ -53,7 +57,7 @@ def _clean_anchor(col: Column) -> Column:
     trim hazard doesn't apply)."""
     c = F.regexp_replace(col, r"<[^>]*>", "")
     c = _xml_decode(c)
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[ \t\r\n\f]+", " ")
     return F.trim(c)
 
 
@@ -194,10 +198,10 @@ def anchor_stats(edges: DataFrame) -> DataFrame:
 #: title / meta / canonical extraction regexes (attribute order fixed
 #: to the common serialization — documented subset, like the
 #: double-quoted-href rule)
-TITLE_RE = r"(?s)<title>\s*(.*?)\s*</title>"
-META_DESC_RE = r'<meta\s+name="description"\s+content="([^"]*)"'
-OG_TITLE_RE = r'<meta\s+property="og:title"\s+content="([^"]*)"'
-CANONICAL_RE = r'<link\s+rel="canonical"\s+href="([^"]*)"'
+TITLE_RE = r"(?s)<title>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</title>"
+META_DESC_RE = r'<meta[ \t\r\n\f]+name="description"[ \t\r\n\f]+content="([^"]*)"'
+OG_TITLE_RE = r'<meta[ \t\r\n\f]+property="og:title"[ \t\r\n\f]+content="([^"]*)"'
+CANONICAL_RE = r'<link[ \t\r\n\f]+rel="canonical"[ \t\r\n\f]+href="([^"]*)"'
 
 
 def extract_metadata(

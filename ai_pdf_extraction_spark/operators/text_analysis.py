@@ -883,7 +883,7 @@ def normalize_text(
 #: <meta charset="..."> — the HTML5 declaration form (documented
 #: subset, like the links-module attribute-order rule; the legacy
 #: http-equiv/content form is out of scope)
-CHARSET_META_RE = r'<meta\s+charset="([^"]*)"'
+CHARSET_META_RE = r'<meta[ \t\r\n\f]+charset="([^"]*)"'
 
 
 def sniff_charset(
