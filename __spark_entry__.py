@@ -6288,7 +6288,7 @@ sm as (
 ),
 locs as (
   select host,
-    unnest(regexp_extract_all(sitemap_xml, '<loc>\\s*(.*?)\\s*</loc>', 1))
+    unnest(regexp_extract_all(sitemap_xml, '<loc>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</loc>', 1))
       as loc_url
   from sm
 ),
@@ -6426,13 +6426,13 @@ blocks as (
 parsed as (
   select host,
     replace(replace(replace(replace(replace(
-      regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1),
+      regexp_extract(b, '(?s)<loc>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</loc>', 1),
       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)),
       '&amp;', '&') as raw_url,
-    nullif(regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
+    nullif(regexp_extract(b, '(?s)<lastmod>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</lastmod>', 1),
            '') as lastmod
   from blocks
-  where regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) != ''
+  where regexp_extract(b, '(?s)<loc>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</loc>', 1) != ''
 ),
 raw as (select distinct 0::bigint as event_id, raw_url from parsed),
 {_URL_CANON_CHAIN_SQL},

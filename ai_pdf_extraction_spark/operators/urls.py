@@ -447,7 +447,7 @@ def parse_sitemaps(
     literal replaces): a 10^8-host sitemap refresh is one
     embarrassingly-parallel pass, no shuffle at all."""
     locs = F.regexp_extract_all(
-        F.col(xml_col), F.lit(r"<loc>\s*(.*?)\s*</loc>"), 1
+        F.col(xml_col), F.lit(r"<loc>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</loc>"), 1
     )
     out = sitemaps.select(
         F.col(host_col).alias("host"), F.explode(locs).alias("url")
@@ -491,9 +491,9 @@ def parse_sitemap_entries(
     b = sitemaps.select(
         F.col(host_col).alias("host"), F.explode(blocks).alias("_b")
     )
-    loc = F.regexp_extract("_b", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    loc = F.regexp_extract("_b", r"(?s)<loc>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</loc>", 1)
     lastmod = F.regexp_extract(
-        "_b", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+        "_b", r"(?s)<lastmod>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</lastmod>", 1
     )
     return (
         b.select(
