@@ -63,3 +63,83 @@ def test_scrub_output_identical_both_engines(spark):
             [s, EMAIL_RE, IP_RE, PHONE_RE],
         ).fetchone()[0]
         assert spark_out[i] == duck_t, (i, ADVERSARIAL[i])
+
+
+# --- the \x0B / trailing-\r divergence class (round-7 sweep) --------
+# Java \s includes \x0B, RE2's does not; Java's non-multiline $ also
+# matches before a final line terminator, RE2's does not. Every shared
+# constant was moved onto explicit [ \t\r\n\f] classes and \z anchors;
+# these pins run the HOSTILE bytes through both engines so a future
+# edit that reintroduces \s or $ fails here, not in production.
+
+_R7_HOSTILE = [
+    "line ends with vtab.\x0b",
+    "line ends with cr.\r",
+    "Sitemap\x0b: https://a.com/x.xml",
+    "User-agent\x0b: *",
+    "clean sentence stays here ok.",
+    "<a\x0bhref=\"/x\">v</a><a href=\"/y\">k</a>",
+    "<loc>\x0bhttps://h.com/a</loc>",
+]
+
+
+def _both_engine_counts(spark, pattern, texts):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "i long, s string"
+    )
+    sc = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", F.regexp_count("s", F.lit(pattern)).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    dc = {
+        i: con.execute(
+            "select len(regexp_extract_all(?, ?))", [s, pattern]
+        ).fetchone()[0]
+        for i, s in enumerate(texts)
+    }
+    return sc, dc
+
+
+def test_r7_explicit_class_regexes_match_identically(spark):
+    from ai_pdf_extraction_spark.operators.links import (
+        ANCHOR_RE,
+        SKIP_SCHEME_RE,
+    )
+    from ai_pdf_extraction_spark.operators.robots import (
+        _DELAY_RE,
+        _RULE_RE,
+        _SITEMAP_RE,
+        _UA_RE,
+    )
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        C4_TERMINAL_RE,
+        CHARSET_META_RE,
+    )
+
+    for pattern in (
+        ANCHOR_RE,
+        SKIP_SCHEME_RE,
+        _UA_RE,
+        _RULE_RE,
+        _DELAY_RE,
+        _SITEMAP_RE,
+        C4_TERMINAL_RE,
+        CHARSET_META_RE,
+        r"<loc>[ \t\r\n\f]*(.*?)[ \t\r\n\f]*</loc>",
+    ):
+        sc, dc = _both_engine_counts(spark, pattern, _R7_HOSTILE)
+        assert sc == dc, pattern
+
+
+def test_r7_divergent_spellings_would_fail_here(spark):
+    """Control: the OLD spellings really do diverge on these bytes —
+    proving the pin has teeth."""
+    sc, dc = _both_engine_counts(
+        spark, r"(?i)^sitemap\s*:", _R7_HOSTILE
+    )
+    assert sc != dc  # Java matches the \x0B variant, RE2 does not
+    sc, dc = _both_engine_counts(spark, r"[.!?]\"?$", _R7_HOSTILE)
+    assert sc != dc  # Java's $ matches before the trailing \r
