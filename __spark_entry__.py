@@ -3827,6 +3827,30 @@ def q108_robots_sitemaps(spark, sf_dir):
     return parse_sitemap_urls(robots)
 
 
+def _scratch_shard_dir(tag: str, sf_dir: str) -> str:
+    """Pid-keyed /tmp shard dir for the export round-trip queries:
+    two processes contracting the same sf_dir must not share a dir
+    (one's overwrite racing the other's lazy read), and stale
+    siblings from DEAD pids are pruned so repeated runs do not
+    accumulate in /tmp (live pids are left alone)."""
+    import glob as _glob
+    import hashlib as _hl
+    import os as _os
+    import shutil as _shutil
+
+    key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_{tag}_{key}"
+    for stale in _glob.glob(base + "_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+            _os.kill(pid, 0)  # raises if the owner is gone
+        except (ValueError, ProcessLookupError):
+            _shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # someone else's live process
+    return f"{base}_{_os.getpid()}"
+
+
 def q109_wet_roundtrip(spark, sf_dir):
     """WET export → re-read round trip over the REAL document texts
     (multi-line, multi-lingual — the hostile payload set): the corpus
@@ -3837,9 +3861,6 @@ def q109_wet_roundtrip(spark, sf_dir):
     against DuckDB computing the same directly from the generator —
     any framing bug (char-vs-byte length, separator drift, payload
     corruption) breaks the hash."""
-    import hashlib as _hl
-    import os as _os
-
     from ai_pdf_extraction_spark.sources.wet import export_wet, read_wet
 
     d = _t(spark, sf_dir, "documents")
@@ -3852,23 +3873,7 @@ def q109_wet_roundtrip(spark, sf_dir):
         F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
         F.col("text").alias("extracted_text"),
     )
-    # pid-keyed: two processes contracting the same sf_dir must not
-    # share a shard dir (one's overwrite racing the other's lazy read).
-    # Stale siblings from DEAD pids are pruned so repeated runs do not
-    # accumulate shard dirs in /tmp; live pids are left alone.
-    import glob as _glob
-    import shutil as _shutil
-
-    key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    for stale in _glob.glob(f"/tmp/spark_graft_wet_{key}_*"):
-        try:
-            pid = int(stale.rsplit("_", 1)[1])
-            _os.kill(pid, 0)  # raises if the owner is gone
-        except (ValueError, ProcessLookupError):
-            _shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            pass  # someone else's live process
-    out = f"/tmp/spark_graft_wet_{key}_{_os.getpid()}"
+    out = _scratch_shard_dir("wet", sf_dir)
     export_wet(df, out)
     back = read_wet(spark, out)
     return back.select(
@@ -3924,6 +3929,63 @@ def q110_c4_line_clean(spark, sf_dir):
         .alias("text"),
     )
     return c4_line_clean(aug)
+
+
+def q111_wat_roundtrip(spark, sf_dir):
+    """WAT tier round trip — the middle Common Crawl artifact: the
+    q99 corpus gains a ``<title>`` head, per-page metadata (title) and
+    the outlink fan-out are summarized into a json ``metadata`` record
+    per page, exported as WAT shards, read back and re-parsed. The
+    contract compares the PARSED fields against DuckDB computing them
+    directly — framing, json encoding and the type filter all sit on
+    the verified path."""
+    from ai_pdf_extraction_spark.operators.links import (
+        extract_metadata,
+        extract_outlinks,
+    )
+    from ai_pdf_extraction_spark.sources.wet import export_wat, read_wat
+
+    pages = _q99_pages(spark, sf_dir)
+    did = F.col("doc_id")
+    p2 = pages.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("<head><title> Page "),
+            (did % 50).cast("string"),
+            F.lit(" </title></head>"),
+            F.col("html"),
+        ).alias("html"),
+    )
+    md = extract_metadata(p2).select("url", "title")
+    cnt = (
+        extract_outlinks(p2)
+        .groupBy("src_url")
+        .agg(F.count(F.lit(1)).alias("n_outlinks"))
+    )
+    wat = (
+        md.join(cnt, md.url == cnt.src_url, "left")
+        .select(
+            md.url.alias("url"),
+            F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+            F.to_json(
+                F.struct(
+                    "title",
+                    F.coalesce("n_outlinks", F.lit(0)).alias("n_outlinks"),
+                )
+            ).alias("wat_json"),
+        )
+    )
+    out = _scratch_shard_dir("wat", sf_dir)
+    export_wat(wat, out)
+    back = read_wat(spark, out)
+    return back.select(
+        "url",
+        F.get_json_object("wat_json", "$.title").alias("title"),
+        F.get_json_object("wat_json", "$.n_outlinks")
+        .cast("long")
+        .alias("n_outlinks"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4038,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_robots_sitemaps": q108_robots_sitemaps,
         "q109_wet_roundtrip": q109_wet_roundtrip,
         "q110_c4_line_clean": q110_c4_line_clean,
+        "q111_wat_roundtrip": q111_wat_roundtrip,
     }
 
 
@@ -5237,6 +5300,38 @@ edges as (select src, dst, count(*)::bigint as weight from hl
         + '\nselect host, r as "rank" from r3'
     )
 
+
+
+def _q111_oracle_sql() -> str:
+    """DuckDB twin of q111: title and outlink fan-out computed
+    DIRECTLY from the generator — the Spark side must reproduce them
+    from fields that round-tripped through WAT shards + json."""
+    from ai_pdf_extraction_spark.operators.links import TITLE_RE
+
+    title_clean = (
+        "trim(regexp_replace("
+        + _dec5_sql(
+            f"regexp_replace(regexp_extract(html2, '{TITLE_RE}', 1), "
+            "'<[^>]*>', '', 'g')"
+        )
+        + r", '[ \t\r\n\f]+', ' ', 'g'))"
+    )
+    return f"""
+with {_q99_outlink_ctes()},
+p2 as (
+  select url,
+    '<head><title> Page ' || (doc_id % 50)::varchar
+      || ' </title></head>' || html as html2
+  from pages
+),
+cnt as (
+  select src_url, count(*)::bigint as n_outlinks
+  from olinks group by src_url
+),
+t as (select url, {title_clean} as title from p2)
+select t.url, t.title, coalesce(c.n_outlinks, 0)::bigint as n_outlinks
+from t left join cnt c on t.url = c.src_url
+"""
 
 
 def _q110_oracle_sql() -> str:
@@ -6732,6 +6827,7 @@ select 'http://w' || (doc_id % 13)::varchar || '.example.com/doc/'
 from documents
 """,
         "q110_c4_line_clean": _q110_oracle_sql(),
+        "q111_wat_roundtrip": _q111_oracle_sql(),
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,
   count(*) as n_docs, sum(n_chars)::bigint as total_chars,

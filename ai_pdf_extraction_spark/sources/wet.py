@@ -33,12 +33,16 @@ import io
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-def wet_record(
+def warc_record(
     url_col: Column | str,
     ts_col: Column | str,
     text_col: Column | str,
+    warc_type: str = "conversion",
+    content_type: str = "text/plain",
 ) -> Column:
-    """One framed ``conversion`` record as a string Column.
+    """One framed WARC record as a string Column — the shared
+    framing core for the WET (``conversion``/text) and WAT
+    (``metadata``/json) tiers.
     ``Content-Length`` is the UTF-8 BYTE length of the payload
     (``octet_length``, not ``length`` — multibyte text would corrupt
     the framing for every later record in the shard). The record ends
@@ -62,7 +66,7 @@ def wet_record(
         F.date_add(F.to_date(F.lit("1970-01-01")), days), "yyyy-MM-dd"
     )
     return F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.lit(f"WARC/1.0\r\nWARC-Type: {warc_type}\r\nWARC-Target-URI: "),
         u,
         F.lit("\r\nWARC-Date: "),
         utc_date,
@@ -73,7 +77,7 @@ def wet_record(
         F.lit(":"),
         two(F.pmod(tod, F.lit(60))),
         F.lit("Z"),
-        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.lit(f"\r\nContent-Type: {content_type}\r\nContent-Length: "),
         F.octet_length(x).cast("string"),
         F.lit("\r\n\r\n"),
         x,
@@ -81,15 +85,21 @@ def wet_record(
     )
 
 
-def export_wet(
+#: WET-tier alias (the original public name)
+wet_record = warc_record
+
+
+def _export_records(
     df: DataFrame,
     path: str,
-    url_col: str = "url",
-    ts_col: str = "warc_ts",
-    text_col: str = "extracted_text",
-    compression: str | None = None,
-    mode: str = "overwrite",
-    on_null: str = "error",
+    url_col: str,
+    ts_col: str,
+    text_col: str,
+    warc_type: str,
+    content_type: str,
+    compression: str | None,
+    mode: str,
+    on_null: str,
 ) -> None:
     """Write ``(url, ts, text)`` rows as WET shards under ``path`` —
     one shard per partition, each a standalone valid WET file.
@@ -104,7 +114,7 @@ def export_wet(
     auditable)."""
     if on_null not in ("error", "drop"):
         raise ValueError("export_wet: on_null must be 'error' or 'drop'")
-    rec = wet_record(url_col, ts_col, text_col)
+    rec = warc_record(url_col, ts_col, text_col, warc_type, content_type)
     has_null = (
         F.col(url_col).isNull()
         | F.col(ts_col).isNull()
@@ -136,7 +146,48 @@ def export_wet(
     writer.text(path)
 
 
-def wet_bytes_to_rows(raw: bytes) -> list[dict]:
+def export_wet(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "extracted_text",
+    compression: str | None = None,
+    mode: str = "overwrite",
+    on_null: str = "error",
+) -> None:
+    """WET tier: extracted plain text as ``conversion`` records."""
+    _export_records(
+        df, path, url_col, ts_col, text_col,
+        "conversion", "text/plain", compression, mode, on_null,
+    )
+
+
+def export_wat(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    json_col: str = "wat_json",
+    compression: str | None = None,
+    mode: str = "overwrite",
+    on_null: str = "error",
+) -> None:
+    """WAT tier: per-page metadata (title/canonical/outlink summary…)
+    as json-payload ``metadata`` records — the middle Common Crawl
+    artifact, completing the WARC→WAT→WET triple. The caller builds
+    the json column (``F.to_json(F.struct(...))`` — struct field
+    order makes it deterministic); framing, distribution and the
+    NULL guard are the shared WET machinery."""
+    _export_records(
+        df, path, url_col, ts_col, json_col,
+        "metadata", "application/json", compression, mode, on_null,
+    )
+
+
+def wet_bytes_to_rows(
+    raw: bytes, warc_type: str = "conversion"
+) -> list[dict]:
     """One WET shard's bytes → ``(url, warc_ts, text)`` dicts
     (``conversion`` records only; gzip or plain). Damaged shards stop
     cleanly at the malformed record — records already parsed survive
@@ -153,7 +204,7 @@ def wet_bytes_to_rows(raw: bytes) -> list[dict]:
     rows = []
     try:
         for headers, block in iter_warc_records(stream):
-            if headers.get("warc-type") != "conversion":
+            if headers.get("warc-type") != warc_type:
                 continue
             url = headers.get("warc-target-uri")
             if not url:
@@ -172,11 +223,27 @@ def wet_bytes_to_rows(raw: bytes) -> list[dict]:
     return rows
 
 
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WAT reader: ``metadata`` records →
+    ``(url, warc_ts, wat_json)`` (same shard-per-task shape as
+    :func:`read_wet`)."""
+    return (
+        _read_records(spark, path, "metadata")
+        .withColumnRenamed("text", "wat_json")
+    )
+
+
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WET reader: ``binaryFile`` rows (one task per
     shard — Common Crawl shards are task-sized by construction) →
     ``(url, warc_ts, text)`` via an Arrow-batched ``mapInPandas``
     over :func:`wet_bytes_to_rows`."""
+    return _read_records(spark, path, "conversion")
+
+
+def _read_records(
+    spark: SparkSession, path: str, warc_type: str
+) -> DataFrame:
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -198,7 +265,7 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     def _parse(batches):
         for pdf in batches:
             for raw in pdf["content"]:
-                rows = wet_bytes_to_rows(bytes(raw))
+                rows = wet_bytes_to_rows(bytes(raw), warc_type)
                 if rows:
                     yield pd.DataFrame(rows)
 

@@ -1164,3 +1164,41 @@ def test_export_wet_null_guard_and_session_tz(spark, tmp_path):
         assert b"WARC-Date: 2026-06-01T12:00:00Z" in raw
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_wat_export_roundtrip(spark, tmp_path):
+    """WAT (metadata/json) records share the WET framing core and
+    round-trip; a WET reader pointed at the WAT dir sees nothing
+    (type filter) and vice versa."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ai_pdf_extraction_spark.sources.wet import (
+        export_wat,
+        read_wat,
+        read_wet,
+    )
+
+    ts = datetime.datetime(2026, 2, 3, 4, 5, 6,
+                           tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [(f"http://a.com/{i}", ts, f"Title {i}", i) for i in range(5)],
+        "url string, warc_ts timestamp, title string, n_outlinks long",
+    ).select(
+        "url", "warc_ts",
+        F.to_json(F.struct("title", "n_outlinks")).alias("wat_json"),
+    )
+    out = str(tmp_path / "wat")
+    export_wat(df, out)
+    back = read_wat(spark, out)
+    parsed = back.select(
+        "url",
+        F.get_json_object("wat_json", "$.title").alias("title"),
+        F.get_json_object("wat_json", "$.n_outlinks").cast("long")
+        .alias("n_outlinks"),
+    ).collect()
+    assert {(r.url, r.title, r.n_outlinks) for r in parsed} == {
+        (f"http://a.com/{i}", f"Title {i}", i) for i in range(5)
+    }
+    assert read_wet(spark, out).count() == 0  # type filter holds
