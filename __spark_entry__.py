@@ -3426,22 +3426,26 @@ def q100_anchor_stats(spark, sf_dir):
     return anchor_stats(edges)
 
 
-def q101_registered_domains(spark, sf_dir):
-    """Public-suffix-aware site grouping: hosts synthesized across
-    five shapes — www./blog. subdomains of a ``.co.uk`` domain (ONE
-    registered domain), an uppercase ``.COM:8080`` (lowercase + port
-    strip), ``user<m>.github.io`` (PSL private section: every
-    subdomain its own registrant), a deep 4-label ``.com`` that joins
-    shape 2's domain, and the bare suffix ``co.uk`` passing through
-    whole. Rollup: distinct hosts + docs per registered domain — the
-    grouping key the host-reputation and crawl-budget stages must use
-    instead of raw host."""
-    from ai_pdf_extraction_spark.operators.urls import registered_domain
+_Q101_HOST_SQL = """case
+      when doc_id % 5 = 0
+        then 'www.example' || (doc_id % 7)::varchar || '.co.uk'
+      when doc_id % 5 = 1
+        then 'blog.example' || (doc_id % 7)::varchar || '.co.uk'
+      when doc_id % 5 = 2
+        then 'Example' || (doc_id % 7)::varchar || '.COM:8080'
+      when doc_id % 5 = 3
+        then 'user' || (doc_id % 23)::varchar || '.github.io'
+      when doc_id % 10 = 4 then 'co.uk'
+      else 'deep.a.example' || (doc_id % 7)::varchar || '.com'
+    end"""
 
-    d = _t(spark, sf_dir, "documents")
+
+def _q101_host_col() -> F.Column:
+    """Spark twin of ``_Q101_HOST_SQL`` (keep in lockstep) — the
+    five-shape host generator shared by q101 and q112."""
     did = F.col("doc_id")
     k = (did % 7).cast("string")
-    host = (
+    return (
         F.when(
             did % 5 == 0,
             F.concat(F.lit("www.example"), k, F.lit(".co.uk")),
@@ -3466,7 +3470,22 @@ def q101_registered_domains(spark, sf_dir):
             )
         )
     )
-    hosts = d.select("doc_id", host.alias("host"))
+
+
+def q101_registered_domains(spark, sf_dir):
+    """Public-suffix-aware site grouping: hosts synthesized across
+    five shapes — www./blog. subdomains of a ``.co.uk`` domain (ONE
+    registered domain), an uppercase ``.COM:8080`` (lowercase + port
+    strip), ``user<m>.github.io`` (PSL private section: every
+    subdomain its own registrant), a deep 4-label ``.com`` that joins
+    shape 2's domain, and the bare suffix ``co.uk`` passing through
+    whole. Rollup: distinct hosts + docs per registered domain — the
+    grouping key the host-reputation and crawl-budget stages must use
+    instead of raw host."""
+    from ai_pdf_extraction_spark.operators.urls import registered_domain
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select("doc_id", _q101_host_col().alias("host"))
     return (
         hosts.select(
             registered_domain("host").alias("registered_domain"), "host"
@@ -3988,6 +4007,33 @@ def q111_wat_roundtrip(spark, sf_dir):
     )
 
 
+def q112_domain_quality_filter(spark, sf_dir):
+    """The host-reputation gate re-keyed on REGISTERED DOMAIN — the
+    q104 politeness lesson applied to the reputation stage: a spam
+    site cannot hide a bad subdomain behind a good one (www. and
+    blog. of one .co.uk domain pool into ONE mean, github.io
+    subdomains stay separate registrants). Pure composition:
+    ``registered_domain(host)`` becomes the gate's group column;
+    threshold 6700 splits the 38 sites near their median (both keep
+    legs non-vacuous at sf0.01). Same scale shape as q96: site
+    relation partial-aggs at eTLD+1 cardinality and broadcasts
+    back."""
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        host_quality_filter,
+    )
+    from ai_pdf_extraction_spark.operators.urls import registered_domain
+
+    d = _t(spark, sf_dir, "documents")
+    docs2 = d.select(
+        "doc_id",
+        "text",
+        registered_domain(_q101_host_col()).alias("site"),
+    )
+    return host_quality_filter(
+        docs2, min_host_quality_scaled=6700, group_col="site"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4101,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_wet_roundtrip": q109_wet_roundtrip,
         "q110_c4_line_clean": q110_c4_line_clean,
         "q111_wat_roundtrip": q111_wat_roundtrip,
+        "q112_domain_quality_filter": q112_domain_quality_filter,
     }
 
 
@@ -6696,20 +6743,7 @@ from ranked r join srcs s using (dst_url) where r.rn = 1
 """,
         "q101_registered_domains": f"""
 with hosts as (
-  select doc_id,
-    case
-      when doc_id % 5 = 0
-        then 'www.example' || (doc_id % 7)::varchar || '.co.uk'
-      when doc_id % 5 = 1
-        then 'blog.example' || (doc_id % 7)::varchar || '.co.uk'
-      when doc_id % 5 = 2
-        then 'Example' || (doc_id % 7)::varchar || '.COM:8080'
-      when doc_id % 5 = 3
-        then 'user' || (doc_id % 23)::varchar || '.github.io'
-      when doc_id % 10 = 4 then 'co.uk'
-      else 'deep.a.example' || (doc_id % 7)::varchar || '.com'
-    end as host
-  from documents
+  select doc_id, {_Q101_HOST_SQL} as host from documents
 ),
 rd as (select host, {_regdomain_sql("host")} as registered_domain
        from hosts)
@@ -6828,6 +6862,25 @@ from documents
 """,
         "q110_c4_line_clean": _q110_oracle_sql(),
         "q111_wat_roundtrip": _q111_oracle_sql(),
+        "q112_domain_quality_filter": f"""
+with {_SCORED_CTE},
+hosts as (
+  select doc_id, {_Q101_HOST_SQL} as host from documents
+),
+rd as (select doc_id, {_regdomain_sql("host")} as site from hosts),
+qs as (
+  select s.doc_id, r.site, s.quality,
+    cast(round(s.quality * 10000) as bigint) as qsc
+  from scored s join rd r using (doc_id)
+),
+site as (
+  select site, (sum(qsc) // count(1))::bigint as host_q_scaled
+  from qs group by site
+)
+select q.doc_id, q.site, q.quality, h.host_q_scaled,
+  h.host_q_scaled >= 6700 as keep
+from qs q join site h using (site)
+""",
         "q82_corpus_profile": """
 select lang, source, grouping(lang, source)::bigint as gid,
   count(*) as n_docs, sum(n_chars)::bigint as total_chars,
