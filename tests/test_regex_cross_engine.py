@@ -26,6 +26,10 @@ ADVERSARIAL = [
     "digits-only 1234567890123 and dotted 1.2 1.2.3",
     "email+tag user+tag@sub.domain.org and percent us%er@d.io",
     "tab\tand\nnewline 3.3.3.3\nnext@line.com",
+    # \x0B sits inside Java's \s but outside RE2's — the PII patterns
+    # are deliberately \s-free (scrub.py), and this input keeps any
+    # future edit that introduces \s failing here first
+    "vtab\x0bsplit a@b.io\x0b1.2.3.4 +1 555\x0b010 1234",
     "",
 ]
 
