@@ -4034,6 +4034,35 @@ def q112_domain_quality_filter(spark, sf_dir):
     )
 
 
+def q113_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution over a synthesized fetch log: 499
+    urls, the %5==1 class redirects via (3n+1)%499 (mostly 1-hop,
+    occasional multi-hop after wraparound — node 336 chains INTO the
+    injected 11↔31 two-cycle and flags 'loop'), nodes 41..66 form a
+    6-link ladder that exhausts the 5-hop budget ('too_many_hops'),
+    and node 21 points outside the fetch log ('dangling'). All four
+    status legs non-vacuous by construction."""
+    from ai_pdf_extraction_spark.operators.urls import resolve_redirects
+
+    e = _t(spark, sf_dir, "events")
+    nn = e.select((F.col("event_id") % 499).alias("n")).distinct()
+    u = lambda c: F.concat(  # noqa: E731
+        F.lit("http://r.example.com/u/"), c.cast("string")
+    )
+    starts = nn.select(u(F.col("n")).alias("url"))
+    rn = nn.filter(F.col("n") % 5 == 1)
+    n = F.col("n")
+    dst_n = (
+        F.when(n == 11, F.lit(31))
+        .when(n == 31, F.lit(11))
+        .when(n == 21, F.lit(10007))
+        .when((n >= 41) & (n <= 66), n + 5)
+        .otherwise((3 * n + 1) % 499)
+    )
+    red = rn.select(u(n).alias("src"), u(dst_n).alias("dst"))
+    return resolve_redirects(starts, red)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4148,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_c4_line_clean": q110_c4_line_clean,
         "q111_wat_roundtrip": q111_wat_roundtrip,
         "q112_domain_quality_filter": q112_domain_quality_filter,
+        "q113_redirect_resolution": q113_redirect_resolution,
     }
 
 
@@ -6862,6 +6892,81 @@ from documents
 """,
         "q110_c4_line_clean": _q110_oracle_sql(),
         "q111_wat_roundtrip": _q111_oracle_sql(),
+        "q113_redirect_resolution": """
+with nn as (select distinct (event_id % 499) as n from events),
+starts as (
+  select 'http://r.example.com/u/' || n::varchar as url from nn
+),
+rn as (select n from nn where n % 5 = 1),
+red as (
+  select 'http://r.example.com/u/' || n::varchar as src,
+    'http://r.example.com/u/' ||
+    (case when n = 11 then 31 when n = 31 then 11
+          when n = 21 then 10007
+          when n between 41 and 66 then n + 5
+          else (3 * n + 1) % 499 end)::varchar as dst
+  from rn
+),
+h0 as (select url as start_url, url as cur, 0::bigint as hops,
+       false as looped, [url] as visited from starts),
+h1 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h0 h left join red r on h.cur = r.src
+),\nh2 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h1 h left join red r on h.cur = r.src
+),\nh3 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h2 h left join red r on h.cur = r.src
+),\nh4 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h3 h left join red r on h.cur = r.src
+),\nh5 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h4 h left join red r on h.cur = r.src
+),
+fin as (
+  select h.start_url, h.cur as final_url, h.hops as n_hops, h.looped,
+    (r.dst is not null) as pending
+  from h5 h left join red r on h.cur = r.src
+)
+select f.start_url, f.final_url, f.n_hops,
+  case when f.looped then 'loop'
+       when f.pending then 'too_many_hops'
+       when f.n_hops > 0 and s.url is null then 'dangling'
+       else 'ok' end as status
+from fin f left join starts s on f.final_url = s.url
+""",
         "q112_domain_quality_filter": f"""
 with {_SCORED_CTE},
 hosts as (

@@ -792,3 +792,97 @@ def capture_delta(
             | (F.col("digest") != F.col("prev_digest"))
         ).alias("changed"),
     )
+
+
+def resolve_redirects(
+    fetches: DataFrame,
+    redirects: DataFrame,
+    url_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 5,
+) -> DataFrame:
+    """HTTP redirect-chain resolution — the missing link between the
+    fetch log and every url-keyed stage: crawlers dedup/schedule by
+    the FINAL url after 3xx chains (a page reachable through three
+    hops is the same document), so the seen-set, capture collapse and
+    canonical-collapse operators all want this in front of them.
+
+    ``fetches``: one row per fetched url. ``redirects``: the 3xx
+    subset as ``(src, dst)`` with ONE row per src (collapse refetches
+    first — :func:`capture_delta` keyed on the redirect source is the
+    natural producer; the operator does not distinct a possibly-huge
+    relation per call, the seen-set rule).
+
+    Output per fetched url: ``(start_url, final_url, n_hops,
+    status)`` with status ``'ok'`` (terminal within the budget —
+    ``n_hops`` 0 means it never redirected), ``'loop'`` (a hop target
+    was already on this chain's path — the classic A→B→A
+    misconfiguration), ``'too_many_hops'`` (still redirecting after
+    ``max_hops`` — browsers give up the same way), or ``'dangling'``
+    (the chain ends at a url absent from the fetch log — scheduled,
+    not yet crawled).
+
+    Scale shape: exactly ``max_hops`` bounded join rounds — each hop
+    joins the walking relation against the redirect map on the
+    current url (broadcast when the 3xx subset is small, hash join
+    otherwise; terminal rows ride along with a null hit and cost
+    nothing but the probe). The visited-path array is bounded by
+    ``max_hops`` entries, so loop detection is O(hops) per row with
+    no extra shuffle. The DuckDB oracle mirrors the same
+    unconditional ``max_hops`` rounds as chained CTEs."""
+    red = redirects.select(
+        F.col(src_col).alias("_rsrc"), F.col(dst_col).alias("_rdst")
+    )
+    cur = fetches.select(
+        F.col(url_col).alias("start_url"),
+        F.col(url_col).alias("_cur"),
+        F.lit(0).cast("long").alias("n_hops"),
+        F.lit(False).alias("_looped"),
+        F.array(F.col(url_col)).alias("_visited"),
+    )
+    for _ in range(max_hops):
+        j = cur.join(red, cur["_cur"] == red["_rsrc"], "left")
+        hit = F.col("_rdst").isNotNull()
+        cur = j.select(
+            "start_url",
+            F.coalesce("_rdst", "_cur").alias("_cur"),
+            F.when(hit, F.col("n_hops") + 1)
+            .otherwise(F.col("n_hops"))
+            .alias("n_hops"),
+            (
+                F.col("_looped")
+                | (hit & F.array_contains("_visited", F.col("_rdst")))
+            ).alias("_looped"),
+            F.when(
+                hit, F.concat("_visited", F.array(F.col("_rdst")))
+            )
+            .otherwise(F.col("_visited"))
+            .alias("_visited"),
+        )
+    # terminal classification: still-redirecting probe + fetched probe
+    pending = cur.join(red, cur["_cur"] == red["_rsrc"], "left").select(
+        "start_url",
+        F.col("_cur").alias("final_url"),
+        "n_hops",
+        "_looped",
+        F.col("_rdst").isNotNull().alias("_pending"),
+    )
+    fetched = fetches.select(
+        F.col(url_col).alias("final_url"),
+        F.lit(True).alias("_fetched"),
+    ).distinct()
+    out = pending.join(fetched, "final_url", "left")
+    return out.select(
+        "start_url",
+        "final_url",
+        "n_hops",
+        F.when(F.col("_looped"), F.lit("loop"))
+        .when(F.col("_pending"), F.lit("too_many_hops"))
+        .when(
+            (F.col("n_hops") > 0) & F.col("_fetched").isNull(),
+            F.lit("dangling"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )

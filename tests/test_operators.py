@@ -2855,3 +2855,47 @@ def test_c4_line_clean_rules_order_and_doc_verdict(spark):
     assert (r1.n_lines_raw, r1.n_lines_kept, r1.kept) == (6, 4, True)
     r2 = got[2]
     assert (r2.clean_text, r2.n_lines_kept, r2.kept) == ("", 0, False)
+
+
+def test_resolve_redirects_all_statuses(spark):
+    from ai_pdf_extraction_spark.operators.urls import resolve_redirects
+
+    fetches = spark.createDataFrame(
+        [("u0",), ("u1",), ("u2",), ("a",), ("b",), ("c",),
+         ("l1",), ("l2",), ("d",)],
+        ["url"],
+    )
+    redirects = spark.createDataFrame(
+        [
+            ("u1", "u2"),           # one hop, terminal
+            ("a", "b"), ("b", "c"),  # two hops
+            ("l1", "l2"), ("l2", "l1"),  # two-cycle
+            ("d", "missing"),        # target never fetched
+        ],
+        ["src", "dst"],
+    )
+    got = {r.start_url: r for r in
+           resolve_redirects(fetches, redirects).collect()}
+    assert (got["u0"].status, got["u0"].n_hops,
+            got["u0"].final_url) == ("ok", 0, "u0")
+    assert (got["u1"].status, got["u1"].n_hops,
+            got["u1"].final_url) == ("ok", 1, "u2")
+    assert (got["a"].status, got["a"].n_hops,
+            got["a"].final_url) == ("ok", 2, "c")
+    assert got["l1"].status == "loop" and got["l2"].status == "loop"
+    assert (got["d"].status, got["d"].final_url) == ("dangling", "missing")
+
+
+def test_resolve_redirects_long_chain_exhausts_budget(spark):
+    from ai_pdf_extraction_spark.operators.urls import resolve_redirects
+
+    urls = [f"n{i}" for i in range(8)]
+    fetches = spark.createDataFrame([(u,) for u in urls], ["url"])
+    redirects = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(7)], ["src", "dst"]
+    )
+    got = {r.start_url: r for r in
+           resolve_redirects(fetches, redirects, max_hops=5).collect()}
+    assert got["n0"].status == "too_many_hops" and got["n0"].n_hops == 5
+    # five hops from n2 lands exactly on the terminal n7: ok
+    assert (got["n2"].status, got["n2"].final_url) == ("ok", "n7")
