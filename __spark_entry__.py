@@ -4063,6 +4063,27 @@ def q113_redirect_resolution(spark, sf_dir):
     return resolve_redirects(starts, red)
 
 
+def q114_final_url_collapse(spark, sf_dir):
+    """Why redirect resolution exists: entry urls collapse onto their
+    FINAL url (a redirect source and its target's direct url are ONE
+    document — ~99 such pairs in the q113 graph), so dedup/capture
+    stages key on the final form. One partial-agg groupBy over the
+    ok-status resolutions: fan-in count, canonical first entry, and
+    how many entries arrived via a redirect."""
+    resolved = q113_redirect_resolution(spark, sf_dir)
+    return (
+        resolved.filter(F.col("status") == "ok")
+        .groupBy("final_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_entry_urls"),
+            F.min("start_url").alias("first_entry"),
+            F.sum((F.col("n_hops") > 0).cast("int"))
+            .cast("long")
+            .alias("n_redirect_entries"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4178,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_wat_roundtrip": q111_wat_roundtrip,
         "q112_domain_quality_filter": q112_domain_quality_filter,
         "q113_redirect_resolution": q113_redirect_resolution,
+        "q114_final_url_collapse": q114_final_url_collapse,
     }
 
 
@@ -5409,6 +5431,88 @@ t as (select url, {title_clean} as title from p2)
 select t.url, t.title, coalesce(c.n_outlinks, 0)::bigint as n_outlinks
 from t left join cnt c on t.url = c.src_url
 """
+
+
+def _q113_resolution_ctes() -> str:
+    """The q113 oracle as reusable CTE text: the synthesized fetch
+    log + redirect map walked five rounds, ending in
+    ``res(start_url, final_url, n_hops, status)`` — shared by the
+    q113 contract and q114's final-url collapse."""
+    return """nn as (select distinct (event_id % 499) as n from events),
+starts as (
+  select 'http://r.example.com/u/' || n::varchar as url from nn
+),
+rn as (select n from nn where n % 5 = 1),
+red as (
+  select 'http://r.example.com/u/' || n::varchar as src,
+    'http://r.example.com/u/' ||
+    (case when n = 11 then 31 when n = 31 then 11
+          when n = 21 then 10007
+          when n between 41 and 66 then n + 5
+          else (3 * n + 1) % 499 end)::varchar as dst
+  from rn
+),
+h0 as (select url as start_url, url as cur, 0::bigint as hops,
+       false as looped, [url] as visited from starts),
+h1 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h0 h left join red r on h.cur = r.src
+),\nh2 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h1 h left join red r on h.cur = r.src
+),\nh3 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h2 h left join red r on h.cur = r.src
+),\nh4 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h3 h left join red r on h.cur = r.src
+),\nh5 as (
+  select h.start_url,
+    coalesce(r.dst, h.cur) as cur,
+    h.hops + case when r.dst is not null then 1 else 0 end as hops,
+    (h.looped or (r.dst is not null
+                  and list_contains(h.visited, r.dst))) as looped,
+    case when r.dst is not null then list_append(h.visited, r.dst)
+         else h.visited end as visited
+  from h4 h left join red r on h.cur = r.src
+),
+fin as (
+  select h.start_url, h.cur as final_url, h.hops as n_hops, h.looped,
+    (r.dst is not null) as pending
+  from h5 h left join red r on h.cur = r.src
+),
+res as (
+  select f.start_url, f.final_url, f.n_hops,
+  case when f.looped then 'loop'
+       when f.pending then 'too_many_hops'
+       when f.n_hops > 0 and s.url is null then 'dangling'
+       else 'ok' end as status
+from fin f left join starts s on f.final_url = s.url
+)"""
 
 
 def _q110_oracle_sql() -> str:
@@ -6892,80 +6996,17 @@ from documents
 """,
         "q110_c4_line_clean": _q110_oracle_sql(),
         "q111_wat_roundtrip": _q111_oracle_sql(),
-        "q113_redirect_resolution": """
-with nn as (select distinct (event_id % 499) as n from events),
-starts as (
-  select 'http://r.example.com/u/' || n::varchar as url from nn
-),
-rn as (select n from nn where n % 5 = 1),
-red as (
-  select 'http://r.example.com/u/' || n::varchar as src,
-    'http://r.example.com/u/' ||
-    (case when n = 11 then 31 when n = 31 then 11
-          when n = 21 then 10007
-          when n between 41 and 66 then n + 5
-          else (3 * n + 1) % 499 end)::varchar as dst
-  from rn
-),
-h0 as (select url as start_url, url as cur, 0::bigint as hops,
-       false as looped, [url] as visited from starts),
-h1 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h0 h left join red r on h.cur = r.src
-),\nh2 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h1 h left join red r on h.cur = r.src
-),\nh3 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h2 h left join red r on h.cur = r.src
-),\nh4 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h3 h left join red r on h.cur = r.src
-),\nh5 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h4 h left join red r on h.cur = r.src
-),
-fin as (
-  select h.start_url, h.cur as final_url, h.hops as n_hops, h.looped,
-    (r.dst is not null) as pending
-  from h5 h left join red r on h.cur = r.src
-)
-select f.start_url, f.final_url, f.n_hops,
-  case when f.looped then 'loop'
-       when f.pending then 'too_many_hops'
-       when f.n_hops > 0 and s.url is null then 'dangling'
-       else 'ok' end as status
-from fin f left join starts s on f.final_url = s.url
+        "q113_redirect_resolution": f"""
+with {_q113_resolution_ctes()}
+select start_url, final_url, n_hops, status from res
+""",
+        "q114_final_url_collapse": f"""
+with {_q113_resolution_ctes()}
+select final_url, count(*)::bigint as n_entry_urls,
+  min(start_url) as first_entry,
+  sum(case when n_hops > 0 then 1 else 0 end)::bigint
+    as n_redirect_entries
+from res where status = 'ok' group by final_url
 """,
         "q112_domain_quality_filter": f"""
 with {_SCORED_CTE},
