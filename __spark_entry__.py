@@ -4084,6 +4084,72 @@ def q114_final_url_collapse(spark, sf_dir):
     )
 
 
+def q115_trap_templates(spark, sf_dir):
+    """Crawler-trap mining over a synthesized fetch log: a calendar
+    host whose (day, archive) pair space fans ~500 distinct urls into
+    ONE template, a shop host whose md5 session ids collapse under
+    the hex rule, and seven normal hosts whose /p/{d} space caps at
+    37 distinct urls (popularly REFETCHED — distinct-counting is what
+    keeps them under the trap threshold)."""
+    from ai_pdf_extraction_spark.operators.urls import url_templates
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    url = (
+        F.when(
+            eid % 4 == 0,
+            F.concat(
+                F.lit("http://cal.example.com/cal/"),
+                (eid % 997).cast("string"),
+                F.lit("/"),
+                (eid % 31).cast("string"),
+            ),
+        )
+        .when(
+            eid % 4 == 1,
+            F.concat(
+                F.lit("http://shop.example.com/item?sid="),
+                F.md5(eid.cast("string")),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"),
+                (eid % 7).cast("string"),
+                F.lit(".example.com/p/"),
+                (eid % 37).cast("string"),
+            )
+        )
+    )
+    return url_templates(e.select(url.alias("url")), min_urls=50)
+
+
+def q116_error_backoff_caps(spark, sf_dir):
+    """Per-host 5xx backoff: host 9 answers nothing but 503 (cap 0 —
+    skipped for the cycle), hosts 2 and 5 fail every third fetch
+    (cap scales to the healthy two-thirds, exact integer div), 404s
+    are NOT errors for backoff (a missing page is a healthy server),
+    the rest keep the full budget."""
+    from ai_pdf_extraction_spark.operators.urls import host_error_backoff
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    hid = eid % 11
+    status = (
+        F.when(hid == 9, F.lit(503))
+        .when(hid.isin(2, 5) & (eid % 3 == 0), F.lit(503))
+        .when(eid % 7 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    log = e.select(
+        F.concat(
+            F.lit("h"), hid.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        status.alias("status"),
+    )
+    return host_error_backoff(log, base_cap=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4200,6 +4266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_domain_quality_filter": q112_domain_quality_filter,
         "q113_redirect_resolution": q113_redirect_resolution,
         "q114_final_url_collapse": q114_final_url_collapse,
+        "q115_trap_templates": q115_trap_templates,
+        "q116_error_backoff_caps": q116_error_backoff_caps,
     }
 
 
@@ -7007,6 +7075,49 @@ select final_url, count(*)::bigint as n_entry_urls,
   sum(case when n_hops > 0 then 1 else 0 end)::bigint
     as n_redirect_entries
 from res where status = 'ok' group by final_url
+""",
+        "q115_trap_templates": r"""
+with log as (
+  select case
+    when event_id % 4 = 0 then
+      'http://cal.example.com/cal/' || (event_id % 997)::varchar
+      || '/' || (event_id % 31)::varchar
+    when event_id % 4 = 1 then
+      'http://shop.example.com/item?sid=' || md5((event_id)::varchar)
+    else 'http://h' || (event_id % 7)::varchar || '.example.com/p/'
+         || (event_id % 37)::varchar
+  end as url
+  from events
+),
+t as (
+  select
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+      as host,
+    regexp_replace(regexp_replace(
+      regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''),
+      '[0-9a-f]{8,}', '{h}', 'g'),
+      '[0-9]+', '{d}', 'g') as template,
+    url
+  from log
+)
+select host, template, count(distinct url)::bigint as n_urls,
+  count(distinct url) >= 50 as is_trap
+from t group by host, template
+""",
+        "q116_error_backoff_caps": """
+with log as (
+  select 'h' || (event_id % 11)::varchar || '.example.com' as host,
+    case when event_id % 11 = 9 then 503
+         when event_id % 11 in (2, 5) and event_id % 3 = 0 then 503
+         when event_id % 7 = 0 then 404
+         else 200 end as status
+  from events
+)
+select host, count(*)::bigint as n_fetches,
+  sum((status >= 500)::int)::bigint as n_errors,
+  ((30 * (count(*) - sum((status >= 500)::int))) // count(*))::bigint
+    as cap
+from log group by host
 """,
         "q112_domain_quality_filter": f"""
 with {_SCORED_CTE},

@@ -886,3 +886,71 @@ def resolve_redirects(
         .otherwise(F.lit("ok"))
         .alias("status"),
     )
+
+
+def url_templates(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 50,
+) -> DataFrame:
+    """Crawler-trap template mining (the Heritrix/Nutch counter to
+    calendar pages and session-id link farms): urls reduce to a path
+    TEMPLATE — long hex runs first (session ids / content hashes →
+    ``{h}``; hex before digits or every hex run would be mangled into
+    digit fragments), then digit runs → ``{d}`` — and a (host,
+    template) with huge url fan-out is an infinite url space no
+    politeness cap fixes (the cap fills with trap urls every cycle;
+    the TEMPLATE must be deprioritized).
+
+    Output: ``(host, template, n_urls, is_trap)`` with ``n_urls`` the
+    DISTINCT url fan-out (an infinite space means many distinct urls;
+    refetch counts would flag a popular single page) and ``is_trap``
+    = fan-out ≥ ``min_urls``. One exact distinct-count aggregation at
+    (host, template) cardinality — the two-phase expansion's first
+    groupBy absorbs the trap's duplicate mass map-side, which is
+    exactly the relation that is huge when it matters."""
+    t = strip_authority(url_col)
+    t = F.regexp_replace(t, r"[0-9a-f]{8,}", "{h}")
+    t = F.regexp_replace(t, r"[0-9]+", "{d}")
+    return (
+        urls.select(
+            host_of(url_col).alias("host"),
+            t.alias("template"),
+            F.col(url_col).alias("_u"),
+        )
+        .groupBy("host", "template")
+        .agg(F.countDistinct("_u").alias("n_urls"))
+        .withColumn("is_trap", F.col("n_urls") >= min_urls)
+    )
+
+
+def host_error_backoff(
+    fetch_log: DataFrame,
+    base_cap: int,
+    host_col: str = "host",
+    status_col: str = "status",
+    error_min_status: int = 500,
+) -> DataFrame:
+    """Per-host error-rate backoff — the health half of politeness: a
+    host answering 5xx is telling the crawler to slow down, so next
+    cycle's cap scales by the HEALTHY fraction in exact integer math
+    (``cap = base · (n − n_err) div n`` — bit-identical at any
+    parallelism; an all-error host gets cap 0 and is skipped for the
+    cycle, recovering automatically once probes succeed).
+
+    Output ``(host, n_fetches, n_errors, cap)`` — feed ``cap`` to
+    :func:`frontier_host_cap` via ``per_host_caps=`` (the Crawl-delay
+    cap's shape; hosts absent from the log keep the scalar default).
+    One partial-agg groupBy at host cardinality."""
+    agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(
+            (F.col(status_col) >= error_min_status).cast("long")
+        ).alias("n_errors"),
+    )
+    return agg.withColumn(
+        "cap",
+        F.expr(
+            f"({base_cap}L * (n_fetches - n_errors)) div n_fetches"
+        ),
+    )

@@ -2899,3 +2899,40 @@ def test_resolve_redirects_long_chain_exhausts_budget(spark):
     assert got["n0"].status == "too_many_hops" and got["n0"].n_hops == 5
     # five hops from n2 lands exactly on the terminal n7: ok
     assert (got["n2"].status, got["n2"].final_url) == ("ok", "n7")
+
+
+def test_url_templates_distinct_fanout_and_hex_rule(spark):
+    from ai_pdf_extraction_spark.operators.urls import url_templates
+
+    rows = (
+        # popular page refetched 10x: distinct-count keeps it benign
+        [("http://h.com/p/1",)] * 10
+        # hex session ids collapse to one template (hex BEFORE digits)
+        + [(f"http://h.com/s?sid={'%032x' % i}",) for i in range(4)]
+        + [("http://h.com/cal/2026/1",), ("http://h.com/cal/2026/2",),
+           ("http://h.com/cal/2027/1",)]
+    )
+    df = spark.createDataFrame(rows, ["url"])
+    got = {(r.host, r.template): r for r in
+           url_templates(df, min_urls=3).collect()}
+    assert got[("h.com", "/p/{d}")].n_urls == 1
+    assert got[("h.com", "/p/{d}")].is_trap is False
+    assert got[("h.com", "/s?sid={h}")].n_urls == 4
+    assert got[("h.com", "/s?sid={h}")].is_trap is True
+    assert got[("h.com", "/cal/{d}/{d}")].n_urls == 3
+    assert got[("h.com", "/cal/{d}/{d}")].is_trap is True
+
+
+def test_host_error_backoff_integer_scaling(spark):
+    from ai_pdf_extraction_spark.operators.urls import host_error_backoff
+
+    log = spark.createDataFrame(
+        [("a", 200)] * 2 + [("a", 503)]          # 1/3 errors
+        + [("b", 503), ("b", 500)]               # all errors
+        + [("c", 404), ("c", 200)],              # 4xx is healthy
+        ["host", "status"],
+    )
+    got = {r.host: r for r in host_error_backoff(log, 30).collect()}
+    assert (got["a"].n_errors, got["a"].cap) == (1, 20)
+    assert (got["b"].n_errors, got["b"].cap) == (2, 0)
+    assert (got["c"].n_errors, got["c"].cap) == (0, 30)
