@@ -2476,7 +2476,7 @@ grouped as (
 star as (
   select distinct host, grp from grouped
   where is_ua
-    and regexp_replace(regexp_extract(l, '(?i)^user-agent[ \t]*:(.*)$', 1),
+    and regexp_replace(regexp_extract(l, '(?i)^user-agent[ \t]*:([^\r\n]*)', 1),
                        '^[ \t\r]+|[ \t\r]+$', '', 'g') = '*'
 )"""
 
@@ -2492,7 +2492,7 @@ def _robots_parse_ctes() -> str:
 rrules as (
   select g.host,
     not regexp_matches(g.l, '(?i)^disallow') as is_allow,
-    regexp_replace(regexp_extract(g.l, '(?i)^(dis)?allow[ \t]*:(.*)$', 2),
+    regexp_replace(regexp_extract(g.l, '(?i)^(dis)?allow[ \t]*:([^\r\n]*)', 2),
                    '^[ \t\r]+|[ \t\r]+$', '', 'g') as prefix
   from grouped g join star s using (host, grp)
   where regexp_matches(g.l, '(?i)^(dis)?allow[ \t]*:') and g.grp > 0
@@ -3998,12 +3998,17 @@ def q111_wat_roundtrip(spark, sf_dir):
     out = _scratch_shard_dir("wat", sf_dir)
     export_wat(wat, out)
     back = read_wat(spark, out)
-    return back.select(
+    # parse the json payload ONCE (from_json into a bound struct —
+    # per-field get_json_object re-parses per field, the CLAUDE.md
+    # json rule)
+    parsed = back.withColumn(
+        "_w",
+        F.from_json("wat_json", "title string, n_outlinks string"),
+    )
+    return parsed.select(
         "url",
-        F.get_json_object("wat_json", "$.title").alias("title"),
-        F.get_json_object("wat_json", "$.n_outlinks")
-        .cast("long")
-        .alias("n_outlinks"),
+        F.col("_w.title").alias("title"),
+        F.col("_w.n_outlinks").cast("long").alias("n_outlinks"),
     )
 
 
@@ -5501,28 +5506,16 @@ from t left join cnt c on t.url = c.src_url
 """
 
 
-def _q113_resolution_ctes() -> str:
+def _q113_resolution_ctes(max_hops: int = 5) -> str:
     """The q113 oracle as reusable CTE text: the synthesized fetch
-    log + redirect map walked five rounds, ending in
-    ``res(start_url, final_url, n_hops, status)`` — shared by the
-    q113 contract and q114's final-url collapse."""
-    return """nn as (select distinct (event_id % 499) as n from events),
-starts as (
-  select 'http://r.example.com/u/' || n::varchar as url from nn
-),
-rn as (select n from nn where n % 5 = 1),
-red as (
-  select 'http://r.example.com/u/' || n::varchar as src,
-    'http://r.example.com/u/' ||
-    (case when n = 11 then 31 when n = 31 then 11
-          when n = 21 then 10007
-          when n between 41 and 66 then n + 5
-          else (3 * n + 1) % 499 end)::varchar as dst
-  from rn
-),
-h0 as (select url as start_url, url as cur, 0::bigint as hops,
-       false as looped, [url] as visited from starts),
-h1 as (
+    log + redirect map walked ``max_hops`` GENERATED rounds (one
+    template, not copy-paste — editing the hop expression or the
+    budget cannot desynchronize the rounds from
+    ``resolve_redirects``), ending in ``res(start_url, final_url,
+    n_hops, status)`` — shared by the q113 contract and q114's
+    final-url collapse."""
+    hops = ",\n".join(
+        f"""h{i} as (
   select h.start_url,
     coalesce(r.dst, h.cur) as cur,
     h.hops + case when r.dst is not null then 1 else 0 end as hops,
@@ -5530,57 +5523,16 @@ h1 as (
                   and list_contains(h.visited, r.dst))) as looped,
     case when r.dst is not null then list_append(h.visited, r.dst)
          else h.visited end as visited
-  from h0 h left join red r on h.cur = r.src
-),\nh2 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h1 h left join red r on h.cur = r.src
-),\nh3 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h2 h left join red r on h.cur = r.src
-),\nh4 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h3 h left join red r on h.cur = r.src
-),\nh5 as (
-  select h.start_url,
-    coalesce(r.dst, h.cur) as cur,
-    h.hops + case when r.dst is not null then 1 else 0 end as hops,
-    (h.looped or (r.dst is not null
-                  and list_contains(h.visited, r.dst))) as looped,
-    case when r.dst is not null then list_append(h.visited, r.dst)
-         else h.visited end as visited
-  from h4 h left join red r on h.cur = r.src
-),
-fin as (
-  select h.start_url, h.cur as final_url, h.hops as n_hops, h.looped,
-    (r.dst is not null) as pending
-  from h5 h left join red r on h.cur = r.src
-),
-res as (
-  select f.start_url, f.final_url, f.n_hops,
-  case when f.looped then 'loop'
-       when f.pending then 'too_many_hops'
-       when f.n_hops > 0 and s.url is null then 'dangling'
-       else 'ok' end as status
-from fin f left join starts s on f.final_url = s.url
+  from h{i - 1} h left join red r on h.cur = r.src
 )"""
+        for i in range(1, max_hops + 1)
+    )
+    return (
+        "nn as (select distinct (event_id % 499) as n from events),\nstarts as (\n  select 'http://r.example.com/u/' || n::varchar as url from nn\n),\nrn as (select n from nn where n % 5 = 1),\nred as (\n  select 'http://r.example.com/u/' || n::varchar as src,\n    'http://r.example.com/u/' ||\n    (case when n = 11 then 31 when n = 31 then 11\n          when n = 21 then 10007\n          when n between 41 and 66 then n + 5\n          else (3 * n + 1) % 499 end)::varchar as dst\n  from rn\n),\nh0 as (select url as start_url, url as cur, 0::bigint as hops,\n       false as looped, [url] as visited from starts),\n"
+        + hops
+        + ",\n"
+        + "fin as (\n  select h.start_url, h.cur as final_url, h.hops as n_hops, h.looped,\n    (r.dst is not null) as pending\n  from h5 h left join red r on h.cur = r.src\n),\nres as (\n  select f.start_url, f.final_url, f.n_hops,\n  case when f.looped then 'loop'\n       when f.pending then 'too_many_hops'\n       when f.n_hops > 0 and s.url is null then 'dangling'\n       else 'ok' end as status\nfrom fin f left join starts s on f.final_url = s.url\n)".replace("from h5 h", f"from h{max_hops} h")
+    )
 
 
 def _q110_oracle_sql() -> str:
@@ -5623,8 +5575,9 @@ with aug as (
 ),
 l as (
   select doc_id,
-    generate_subscripts(string_split(text, chr(10)), 1) as pos,
-    unnest(string_split(text, chr(10))) as l
+    generate_subscripts(regexp_split_to_array(text, '\r?\n'), 1)
+      as pos,
+    unnest(regexp_split_to_array(text, '\r?\n')) as l
   from aug
 ),
 k as (
@@ -6700,7 +6653,7 @@ robots as (
 dvals as (
   select g.host,
     regexp_replace(
-      regexp_extract(g.l, '(?i)^crawl-delay[ \t]*:(.*)$', 1),
+      regexp_extract(g.l, '(?i)^crawl-delay[ \t]*:([^\r\n]*)', 1),
       '^[ \t\r]+|[ \t\r]+$', '', 'g') as v
   from grouped g join star s using (host, grp)
   where regexp_matches(g.l, '(?i)^crawl-delay[ \t]*:') and g.grp > 0
@@ -7044,7 +6997,7 @@ l as (
 ),
 sm as (
   select host,
-    regexp_replace(regexp_extract(l, '(?i)^sitemap[ \t]*:[ \t]*(.*)$', 1),
+    regexp_replace(regexp_extract(l, '(?i)^sitemap[ \t]*:[ \t]*([^\r\n]*)', 1),
                    '^[ \t\r]+|[ \t\r]+$', '', 'g') as sitemap_url
   from l where regexp_matches(l, '(?i)^sitemap[ \t]*:')
 )
@@ -7095,7 +7048,7 @@ t as (
       as host,
     regexp_replace(regexp_replace(
       regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''),
-      '[0-9a-f]{8,}', '{h}', 'g'),
+      '(?i)[0-9a-f]{8,}', '{h}', 'g'),
       '[0-9]+', '{d}', 'g') as template,
     url
   from log

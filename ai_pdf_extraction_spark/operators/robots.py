@@ -54,6 +54,10 @@ def _strip(c) -> F.Column:
     return F.regexp_replace(c, r"^[ \t\r]+|[ \t\r]+$", "")
 
 
+# value tails use ([^\r\n]*), never (.*)$: Java's dot excludes \r
+# while RE2's matches it, and Java's $ cannot anchor before an
+# interior \r — an explicit class is the only spelling with one
+# meaning in both engines (review r7, third pass)
 def _star_grouped_lines(
     robots: DataFrame, host_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -108,7 +112,7 @@ def _star_grouped_lines(
         grouped.filter(
             F.col("is_ua")
             & (
-                _strip(F.regexp_extract("l", _UA_RE + r"(.*)$", 1)) == "*"
+                _strip(F.regexp_extract("l", _UA_RE + r"([^\r\n]*)", 1)) == "*"
             )
         )
         .select("host", "body", "grp")
@@ -163,7 +167,7 @@ def parse_robots(
         "body",
         "grp",
         (~F.col("l").rlike(r"(?i)^disallow")).alias("is_allow"),
-        _strip(F.regexp_extract("l", _RULE_RE + r"(.*)$", 2)).alias(
+        _strip(F.regexp_extract("l", _RULE_RE + r"([^\r\n]*)", 2)).alias(
             "prefix"
         ),
     )
@@ -281,7 +285,7 @@ def parse_crawl_delays(
         .join(star_groups, ["host", "body", "grp"], "leftsemi")
         .select(
             "host",
-            _strip(F.regexp_extract("l", _DELAY_RE + r"(.*)$", 1)).alias(
+            _strip(F.regexp_extract("l", _DELAY_RE + r"([^\r\n]*)", 1)).alias(
                 "v"
             ),
         )
@@ -357,7 +361,7 @@ def parse_sitemap_urls(
     sm = grouped.filter(F.col("l").rlike(_SITEMAP_RE)).select(
         "host",
         _strip(
-            F.regexp_extract("l", _SITEMAP_RE + r"[ \t]*(.*)$", 1)
+            F.regexp_extract("l", _SITEMAP_RE + r"[ \t]*([^\r\n]*)", 1)
         ).alias("sitemap_url"),
     )
     # URI schemes are case-insensitive (RFC 3986) — HTTPS:// is valid

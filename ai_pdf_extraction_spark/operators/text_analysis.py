@@ -990,9 +990,16 @@ def c4_line_clean(
     join-back against the document relation. The sorted array is
     projected in its own step before the element-wise lambda (the
     HOF no-CSE rule)."""
+    # split on \r?\n: a CRLF corpus would otherwise leave every line
+    # ending in \r, fail the \z-anchored terminal test in BOTH engines
+    # and silently discard the whole document (review r7, third pass);
+    # reassembly therefore normalizes CRLF -> LF, which is what a
+    # cleaning stage should do anyway
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "l"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
+            "pos", "l"
+        ),
     )
     low = F.lower(F.col("l"))
     keep = F.col("l").rlike(C4_TERMINAL_RE) & (

@@ -910,7 +910,7 @@ def url_templates(
     groupBy absorbs the trap's duplicate mass map-side, which is
     exactly the relation that is huge when it matters."""
     t = strip_authority(url_col)
-    t = F.regexp_replace(t, r"[0-9a-f]{8,}", "{h}")
+    t = F.regexp_replace(t, r"(?i)[0-9a-f]{8,}", "{h}")
     t = F.regexp_replace(t, r"[0-9]+", "{d}")
     return (
         urls.select(

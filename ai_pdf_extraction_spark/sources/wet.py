@@ -58,7 +58,11 @@ def warc_record(
     # wall-time level and goes an hour wrong inside DST gaps/overlaps
     # (review r7). cast-to-long is the tz-free instant; DATE math and
     # lpad'd H/M/S never consult a zone.
-    secs = t.cast("long")
+    # accept string timestamp columns too (the pre-integer-math
+    # surface): timestamp-cast first, THEN to epoch seconds — a bare
+    # string->long cast would raise under ANSI or silently misread
+    # digit strings as epoch seconds
+    secs = t.cast("timestamp").cast("long")
     days = F.floor(secs / 86400).cast("int")
     tod = F.pmod(secs, F.lit(86400))
     two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
@@ -112,8 +116,11 @@ def _export_records(
     ``'drop'`` filters such rows for callers exporting alongside
     parse failures (filter ``parse_ok`` upstream to keep the count
     auditable)."""
+    label = "export_wat" if warc_type == "metadata" else "export_wet"
     if on_null not in ("error", "drop"):
-        raise ValueError("export_wet: on_null must be 'error' or 'drop'")
+        raise ValueError(
+            f"{label}: on_null must be 'error' or 'drop'"
+        )
     rec = warc_record(url_col, ts_col, text_col, warc_type, content_type)
     has_null = (
         F.col(url_col).isNull()
@@ -128,7 +135,7 @@ def _export_records(
             F.raise_error(
                 F.concat(
                     F.lit(
-                        "export_wet: NULL url/ts/text cannot be framed "
+                        f"{label}: NULL url/ts/text cannot be framed "
                         "(url="
                     ),
                     F.coalesce(F.col(url_col), F.lit("<null>")),
@@ -188,8 +195,8 @@ def export_wat(
 def wet_bytes_to_rows(
     raw: bytes, warc_type: str = "conversion"
 ) -> list[dict]:
-    """One WET shard's bytes → ``(url, warc_ts, text)`` dicts
-    (``conversion`` records only; gzip or plain). Damaged shards stop
+    """One WET/WAT shard's bytes → ``(url, warc_ts, text)`` dicts
+    (records of ``warc_type`` only; gzip or plain). Damaged shards stop
     cleanly at the malformed record — records already parsed survive
     (the ST3 isolation rule shared with the WARC reader)."""
     from ai_pdf_extraction_spark.sources.warc import (

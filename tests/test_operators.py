@@ -2936,3 +2936,35 @@ def test_host_error_backoff_integer_scaling(spark):
     assert (got["a"].n_errors, got["a"].cap) == (1, 20)
     assert (got["b"].n_errors, got["b"].cap) == (2, 0)
     assert (got["c"].n_errors, got["c"].cap) == (0, 30)
+
+
+def test_c4_line_clean_crlf_corpus_survives(spark):
+    from ai_pdf_extraction_spark.operators.text_analysis import (
+        c4_line_clean,
+    )
+
+    text = (
+        "This is a perfectly fine sentence here.\r\n"
+        "Another proper closing sentence follows now.\r\n"
+        "And a third good sentence ends this one.\r\n"
+        "trailing junk"
+    )
+    got = c4_line_clean(
+        spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    ).collect()[0]
+    # CRLF must not fail the \z-anchored terminal test
+    assert (got.n_lines_kept, got.kept) == (3, True)
+    assert "\r" not in got.clean_text  # reassembly normalizes to LF
+
+
+def test_url_templates_uppercase_hex(spark):
+    from ai_pdf_extraction_spark.operators.urls import url_templates
+
+    df = spark.createDataFrame(
+        [(f"http://s.com/i?sid=A3F0D9E2B1C4456{i}",) for i in range(3)],
+        ["url"],
+    )
+    got = url_templates(df, min_urls=3).collect()
+    assert [(r.template, r.n_urls, r.is_trap) for r in got] == [
+        ("/i?sid={h}", 3, True)
+    ]

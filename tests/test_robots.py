@@ -622,3 +622,23 @@ def test_parse_sitemap_urls_uppercase_scheme(spark):
     assert [(r.host, r.sitemap_url) for r in got] == [
         ("a.com", "HTTPS://A.COM/SM.XML")
     ]
+
+
+def test_robots_value_tails_stop_at_interior_cr(spark):
+    from ai_pdf_extraction_spark.operators.robots import (
+        parse_crawl_delays,
+        parse_sitemap_urls,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "Sitemap: https://a.com/x.xml\rjunk\n"
+          "User-agent: *\nCrawl-delay: 7\rtrailing")],
+        ["host", "robots_txt"],
+    )
+    sm = parse_sitemap_urls(robots).collect()
+    assert [(r.host, r.sitemap_url) for r in sm] == [
+        ("a.com", "https://a.com/x.xml")
+    ]
+    cd = parse_crawl_delays(robots).collect()
+    assert [(r.host, r.crawl_delay) for r in cd] == [("a.com", 7)]
