@@ -4155,6 +4155,67 @@ def q116_error_backoff_caps(spark, sf_dir):
     return host_error_backoff(log, base_cap=30)
 
 
+def q117_trap_filtered_frontier(spark, sf_dir):
+    """The trap loop closed: templates mined from the q115 fetch log
+    gate the NEXT cycle's frontier — calendar and session-id urls are
+    flagged ``trap_hit`` before any politeness cap sees them, normal
+    pages pass. The frontier is the same url generator shifted by one
+    (event_id+1), so trap urls genuinely recur without being
+    byte-identical to the mined log."""
+    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+    from ai_pdf_extraction_spark.operators.urls import (
+        trap_filter,
+        url_templates,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+
+    def gen(shift):
+        k = eid + shift
+        return (
+            F.when(
+                k % 4 == 0,
+                F.concat(
+                    F.lit("http://cal.example.com/cal/"),
+                    (k % 997).cast("string"),
+                    F.lit("/"),
+                    (k % 31).cast("string"),
+                ),
+            )
+            .when(
+                k % 4 == 1,
+                F.concat(
+                    F.lit("http://shop.example.com/item?sid="),
+                    F.md5(k.cast("string")),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("http://h"),
+                    (k % 7).cast("string"),
+                    F.lit(".example.com/p/"),
+                    (k % 37).cast("string"),
+                )
+            )
+        )
+
+    traps = _persist_latest(
+        _Q117_TRAPS_CACHE,
+        url_templates(e.select(gen(0).alias("url")), min_urls=50),
+    )
+    frontier = (
+        e.select(gen(1).alias("canon_url"), eid)
+        .groupBy("canon_url")
+        .agg(F.min("event_id").alias("first_id"))
+    )
+    return trap_filter(frontier, traps)
+
+
+# q117's persisted trap-relation slot (broadcast probe built once)
+_Q117_TRAPS_CACHE: list = []
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4273,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_final_url_collapse": q114_final_url_collapse,
         "q115_trap_templates": q115_trap_templates,
         "q116_error_backoff_caps": q116_error_backoff_caps,
+        "q117_trap_filtered_frontier": q117_trap_filtered_frontier,
     }
 
 
@@ -7056,6 +7118,64 @@ t as (
 select host, template, count(distinct url)::bigint as n_urls,
   count(distinct url) >= 50 as is_trap
 from t group by host, template
+""",
+        "q117_trap_filtered_frontier": r"""
+with log as (
+  select case
+    when event_id % 4 = 0 then
+      'http://cal.example.com/cal/' || (event_id % 997)::varchar
+      || '/' || (event_id % 31)::varchar
+    when event_id % 4 = 1 then
+      'http://shop.example.com/item?sid=' || md5((event_id)::varchar)
+    else 'http://h' || (event_id % 7)::varchar || '.example.com/p/'
+         || (event_id % 37)::varchar
+  end as url
+  from events
+),
+tl as (
+  select
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+      as host,
+    regexp_replace(regexp_replace(
+      regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''),
+      '(?i)[0-9a-f]{8,}', '{h}', 'g'),
+      '[0-9]+', '{d}', 'g') as template,
+    url
+  from log
+),
+traps as (
+  select host, template from tl
+  group by host, template having count(distinct url) >= 50
+),
+fr as (
+  select distinct case
+    when (event_id + 1) % 4 = 0 then
+      'http://cal.example.com/cal/' || ((event_id + 1) % 997)::varchar
+      || '/' || ((event_id + 1) % 31)::varchar
+    when (event_id + 1) % 4 = 1 then
+      'http://shop.example.com/item?sid='
+      || md5((event_id + 1)::varchar)
+    else 'http://h' || ((event_id + 1) % 7)::varchar
+         || '.example.com/p/' || ((event_id + 1) % 37)::varchar
+  end as canon_url,
+    min(event_id) as first_id
+  from events group by 1
+),
+ft as (
+  select canon_url, first_id,
+    regexp_extract(canon_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+      as host,
+    regexp_replace(regexp_replace(
+      regexp_replace(canon_url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''),
+      '(?i)[0-9a-f]{8,}', '{h}', 'g'),
+      '[0-9]+', '{d}', 'g') as template
+  from fr
+)
+select f.canon_url, f.first_id,
+  (t.host is not null) as trap_hit
+from ft f left join traps t
+  on f.host = t.host and f.template = t.template
 """,
         "q116_error_backoff_caps": """
 with log as (

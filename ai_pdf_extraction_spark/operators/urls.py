@@ -954,3 +954,40 @@ def host_error_backoff(
             f"({base_cap}L * (n_fetches - n_errors)) div n_fetches"
         ),
     )
+
+
+def trap_filter(
+    frontier: DataFrame,
+    traps: DataFrame,
+    url_col: str = "canon_url",
+) -> DataFrame:
+    """Close the trap loop: frontier urls whose (host, template)
+    matches a flagged trap (:func:`url_templates` output, filtered to
+    ``is_trap``) are marked ``trap_hit`` — the caller drops or
+    deprioritizes them BEFORE the politeness cap, otherwise every
+    cycle's per-host budget fills with calendar/session urls and the
+    real pages never schedule.
+
+    Scale shape: the template is computed inside the frontier scan
+    (same rewrite constants as the miner) and probed against the
+    BROADCAST trap relation (trap templates are rare by definition —
+    host-cardinality-ish); the frontier is never shuffled."""
+    t = strip_authority(url_col)
+    t = F.regexp_replace(t, r"(?i)[0-9a-f]{8,}", "{h}")
+    t = F.regexp_replace(t, r"[0-9]+", "{d}")
+    probe = traps.filter(F.col("is_trap")).select(
+        F.col("host"), F.col("template"), F.lit(True).alias("_trap")
+    )
+    out = frontier.withColumn("_host", host_of(url_col)).withColumn(
+        "_template", t
+    )
+    return (
+        out.join(
+            F.broadcast(probe),
+            (out["_host"] == probe["host"])
+            & (out["_template"] == probe["template"]),
+            "left",
+        )
+        .withColumn("trap_hit", F.coalesce("_trap", F.lit(False)))
+        .drop("host", "template", "_trap", "_host", "_template")
+    )

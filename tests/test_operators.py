@@ -2968,3 +2968,26 @@ def test_url_templates_uppercase_hex(spark):
     assert [(r.template, r.n_urls, r.is_trap) for r in got] == [
         ("/i?sid={h}", 3, True)
     ]
+
+
+def test_trap_filter_flags_matching_templates_only(spark):
+    from ai_pdf_extraction_spark.operators.urls import trap_filter
+
+    traps = spark.createDataFrame(
+        [("cal.com", "/cal/{d}/{d}", 500, True),
+         ("h.com", "/p/{d}", 37, False)],  # below threshold: ignored
+        ["host", "template", "n_urls", "is_trap"],
+    )
+    fr = spark.createDataFrame(
+        [("http://cal.com/cal/2026/7", 1, True),
+         ("http://h.com/p/5", 2, True),
+         ("http://other.com/cal/2026/7", 3, True)],  # other host
+        ["canon_url", "first_id", "to_crawl"],
+    )
+    got = {r.canon_url: r.trap_hit
+           for r in trap_filter(fr, traps).collect()}
+    assert got == {
+        "http://cal.com/cal/2026/7": True,
+        "http://h.com/p/5": False,
+        "http://other.com/cal/2026/7": False,
+    }
