@@ -2991,3 +2991,30 @@ def test_trap_filter_flags_matching_templates_only(spark):
         "http://h.com/p/5": False,
         "http://other.com/cal/2026/7": False,
     }
+
+
+def test_trap_filter_plan_broadcasts_traps_no_frontier_shuffle(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ai_pdf_extraction_spark.operators.urls import trap_filter
+
+    traps = spark.createDataFrame(
+        [("cal.com", "/cal/{d}", 500, True)],
+        ["host", "template", "n_urls", "is_trap"],
+    )
+    fr = spark.range(1000).select(
+        F.concat(F.lit("http://cal.com/cal/"), F.col("id").cast("string"))
+        .alias("canon_url"),
+        F.col("id").alias("first_id"),
+    )
+    plan = (
+        trap_filter(fr, traps)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan
+    # the frontier side must not shuffle: the ONLY exchange is the
+    # broadcast of the trap relation
+    import re
+    assert len(re.findall(r"Exchange", plan)) == plan.count(
+        "BroadcastExchange"
+    )
