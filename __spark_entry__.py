@@ -21,6 +21,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fan_out(df: DataFrame, key_col: str) -> DataFrame:
+    """Rebalance a small-file scan before per-row-HEAVY Column/UDF
+    work (``dedup._ensure_parallel`` rule: repartition below 4×
+    parallelism, no-op on a real many-file crawl layout). The
+    testdata parquets are single-row-group files, so byte-range
+    splitting reports N partitions of which N−1 are EMPTY (CLAUDE.md)
+    — without this, a 32-core bench runs e.g. the whole q63 JSON
+    parse + typed-parser projection on ONE task. Results are
+    order-insensitive (driver sorts before hashing), so the shuffle
+    is semantics-free."""
+    from ai_pdf_extraction_spark.operators.dedup import _ensure_parallel
+
+    return _ensure_parallel(df, key_col)
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     """Queries that execute Python UDFs referencing module-level
     functions need ``ai_pdf_extraction_spark`` importable on the
@@ -1048,7 +1063,7 @@ def q52_lang_detect_wide(spark, sf_dir):
     charset/marker interplay on real corpus text."""
     from ai_pdf_extraction_spark.operators.text_analysis import lang_detect
 
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     m = F.col("doc_id") % (len(_LANG_SAMPLES) + 1)
     sample = F.col("text")
     for idx, (_lang, snippet) in enumerate(_LANG_SAMPLES):
@@ -1198,7 +1213,7 @@ def q59_lang_trigram(spark, sf_dir):
         lang_detect_trigram,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     samples = _LANG_SAMPLES + _TRIGRAM_SAMPLES
     m = F.col("doc_id") % (len(samples) + 1)
     sample = F.col("text")
@@ -1798,7 +1813,7 @@ def q63_schema_registry_apply(spark, sf_dir):
         load_schema,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    o = _fan_out(_t(spark, sf_dir, "orders"), "o_orderkey")
     doc = o.select(
         "o_orderkey",
         F.to_json(
@@ -2024,7 +2039,7 @@ def _q84_links(spark, sf_dir):
     host one in/out edge, fixed point = scale — so ranks would carry
     no signal); the other half concentrate on hosts 0-2, skewing
     in-degree so the rank vector genuinely differentiates."""
-    e = _t(spark, sf_dir, "events")
+    e = _fan_out(_t(spark, sf_dir, "events"), "event_id")
     eid = F.col("event_id")
     dst_hid = F.when(eid % 2 == 0, (eid * 7 + 3) % 13).otherwise(eid % 3)
     return e.select(
@@ -2859,7 +2874,7 @@ def q68_bpe_token_counts(spark, sf_dir):
         token_count_bpe_exact,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id", token_count_bpe_exact("text").alias("n_tokens_bpe")
     )
@@ -2877,7 +2892,7 @@ def q72_token_budget_bpe(spark, sf_dir):
         token_count_bpe_exact,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     scored = d.select(
         "doc_id",
         "lang",
@@ -2941,7 +2956,7 @@ def q69_lang_trained(spark, sf_dir):
         lang_detect_trained,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     samples = _lid_samples()
     m = F.col("doc_id") % (len(samples) + 1)
     sample = F.col("text")
@@ -3346,7 +3361,7 @@ def _q99_pages(spark, sf_dir):
     fragment link (doc_id%4), a relative or ``mailto:`` link
     (doc_id%5), a ``javascript:`` link on doc_id%6==0, and an
     href-less ``<a name=…>`` that must not match at all."""
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id")
     src = F.concat(
         F.lit("http://www.site"),

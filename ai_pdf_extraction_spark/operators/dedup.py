@@ -797,22 +797,33 @@ def _block_pair_search(
         unit = mat / norms[:, None]
         blks = pdf["blk"].to_numpy()
         # threshold BEFORE materializing id/pair arrays: matches are
-        # sparse, so only the boolean mask is ever O(n·m)
+        # sparse, so only the boolean mask is ever O(n·m). The LOOSE
+        # raw-cosine cut (threshold − 1e-4) is a strict superset of
+        # round4(raw) ≥ threshold (|round4(x) − x| ≤ 5e-5), so the
+        # 6-temporary half-away rounding runs only on the sparse
+        # candidate cells instead of the full O(n·m) matrix — the
+        # exact filter on the rounded values below reproduces the
+        # original semantics bit-for-bit.
+        loose = threshold - 1e-4
         if ba == bb:
-            cos = _round_half_away_4(unit @ unit.T)
-            hit = np.triu(cos >= threshold, k=1)
+            raw = unit @ unit.T
+            hit = np.triu(raw >= loose, k=1)
             if probe is not None:
                 hit &= probe[:, None] | probe[None, :]
             ia, ib = np.nonzero(hit)
-            id_a, id_b, c = ids[ia], ids[ib], cos[ia, ib]
+            c = _round_half_away_4(raw[ia, ib])
+            ok = c >= threshold
+            id_a, id_b, c = ids[ia[ok]], ids[ib[ok]], c[ok]
         else:
             ma, mb = blks == ba, blks == bb
-            cos = _round_half_away_4(unit[ma] @ unit[mb].T)
-            hit = cos >= threshold
+            raw = unit[ma] @ unit[mb].T
+            hit = raw >= loose
             if probe is not None:
                 hit &= probe[ma][:, None] | probe[mb][None, :]
             ia, ib = np.nonzero(hit)
-            id_a, id_b, c = ids[ma][ia], ids[mb][ib], cos[ia, ib]
+            c = _round_half_away_4(raw[ia, ib])
+            ok = c >= threshold
+            id_a, id_b, c = ids[ma][ia[ok]], ids[mb][ib[ok]], c[ok]
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
         keep = lo < hi  # drops self-pairs only (ids are unique)

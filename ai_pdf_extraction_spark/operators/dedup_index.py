@@ -113,6 +113,13 @@ _NEW_BUCKETS_CACHE: list[DataFrame] = []
 # set and the signatures share ONE persisted shingle explode.
 _INDEX_SHINGLE_CACHE: list[DataFrame] = []
 
+# verification-universe slot: new_sh ∪ candidate-old shingles feeds
+# THREE consumers inside ngram_jaccard_pairs (sizes + both join
+# sides) — the new half is already cached, but the old half re-runs
+# the candidate semi-join + shingle explode + frozen-cap anti join
+# per consumer without this persist.
+_VERIFY_SHINGLE_CACHE: list[DataFrame] = []
+
 
 # ---------------------------------------------------------------------------
 # relation builders (pure plans — the IO layer below persists them)
@@ -343,7 +350,9 @@ def minhash_lsh_delta(
     old_cand_sh = _frozen_capped(
         _word_shingles(old_cand, id_col, text_col, n), hot
     )
-    verify_sh = new_sh.unionByName(old_cand_sh)
+    verify_sh = _persist_latest(
+        _VERIFY_SHINGLE_CACHE, new_sh.unionByName(old_cand_sh)
+    )
     return ngram_jaccard_pairs(
         new_docs,  # unused (shingles handed in); keeps the signature
         id_col,

@@ -95,6 +95,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str = "weight",
     truncate_input_lineage: bool = False,
+    materialize_every: int = 8,
 ) -> DataFrame:
     """Integer-arithmetic damped PageRank over a weighted edge list.
 
@@ -124,7 +125,15 @@ def pagerank(
     with the tiny rank relation then partial-aggs contributions by
     ``dst``. Per-round frontiers follow the ``neardup_clusters``
     persist → materialize-by-count → unpersist-previous discipline so
-    lineage stays one round deep regardless of ``iterations``."""
+    lineage stays bounded regardless of ``iterations`` — but only
+    every ``materialize_every`` rounds: each materialization is a
+    full scheduling round trip (persist + count job), pure fixed
+    overhead when the rank relation is host-cardinality-small, while
+    the lineage hazard it guards against (driver re-ANALYSIS of a
+    k-round plan chain) only bites at tens of rounds. Short runs
+    (the 3-iteration q84/q103 shape) therefore execute as ONE job
+    over the chained plan — bit-identical results, the same
+    per-round dataflow, three fewer barriers."""
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
     base = (scale * (damping_den - damping_num)) // damping_den
@@ -160,9 +169,9 @@ def pagerank(
     )
     ranks = nodes.select(
         "host", F.lit(scale).cast("long").alias("rank")
-    ).persist()
-    ranks.count()  # materialize before the loop mutates the slot
-    for _ in range(iterations):
+    )
+    prev_persisted: DataFrame | None = None
+    for i in range(iterations):
         contribs = (
             ew.join(
                 ranks.select(
@@ -180,31 +189,39 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        new_ranks = (
-            nodes.join(contribs, nodes.host == contribs.dst, "left")
-            .select(
-                "host",
-                (F.lit(base) + F.coalesce("c", F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .persist()
+        new_ranks = nodes.join(
+            contribs, nodes.host == contribs.dst, "left"
+        ).select(
+            "host",
+            (F.lit(base) + F.coalesce("c", F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
-        # full count: materializes EVERY partition into the cache
-        # before the previous frontier is dropped (a partial probe
-        # would leave uncached partitions chaining back through every
-        # unpersisted round)
-        new_ranks.count()
-        ranks.unpersist()
+        if (i + 1) % materialize_every == 0 and i + 1 < iterations:
+            new_ranks = new_ranks.persist()
+            # full count: materializes EVERY partition into the cache
+            # before the previous frontier is dropped (a partial probe
+            # would leave uncached partitions chaining back through
+            # every unpersisted round)
+            new_ranks.count()
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = new_ranks
         ranks = new_ranks
-    ew.unpersist()
-    nodes.unpersist()
     from ai_pdf_extraction_spark.operators.dedup import _persist_latest
 
-    # hand the (already-materialized) final frontier to the eviction
-    # slot: persist() on a persisted plan is a no-op, and the next
-    # pagerank call unpersists this one
-    return _persist_latest(_PAGERANK_CACHE, ranks)
+    # materialize the final frontier WHILE the ew/nodes caches are
+    # still live (the chained plan references ew once per round —
+    # unpersisting first would recompute the edge join per reference),
+    # then release the per-run caches; the next pagerank call evicts
+    # this final relation via the slot
+    final = _persist_latest(_PAGERANK_CACHE, ranks)
+    final.count()
+    if prev_persisted is not None:
+        prev_persisted.unpersist()
+    ew.unpersist()
+    nodes.unpersist()
+    return final
 
 
 def link_degree_stats(edges: DataFrame) -> DataFrame:

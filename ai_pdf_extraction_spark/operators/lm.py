@@ -117,6 +117,9 @@ def lm_perplexity(
 
     ``payload`` overrides the committed model (tests pin the bucket
     boundary rule with a hand-built model)."""
+    from ai_pdf_extraction_spark.operators.dedup import _ensure_parallel
+
+    docs = _ensure_parallel(docs, id_col)
     spark = docs.sparkSession
     bigram, backoff, payload = lm_model_relations(spark, payload)
     oov_q = int(payload["oov_q"])

@@ -55,7 +55,10 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+from ai_pdf_extraction_spark.operators.dedup import (
+    _ensure_parallel,
+    _persist_latest,
+)
 
 DEFAULT_SPAN_K = 8  # words; Lee et al. use 50 BPE tokens ≈ 35 words —
 # the synthetic contract corpus has short docs, so the operator default
@@ -146,6 +149,7 @@ def span_dedup(
 ) -> DataFrame:
     """Cross-document duplicated-span removal (module doc). Output one
     row per input doc: (id, n_words, n_removed, surviving_text)."""
+    docs = _ensure_parallel(docs, id_col)
     words = _persist_latest(
         _WORDS_CACHE, docs.select(id_col, _words_col(text_col).alias("w"))
     )
@@ -181,6 +185,7 @@ def span_decontaminate(
     stream — no doc-text shuffle, same scale shape as
     ``contamination_flags``. Output: (id, n_words, n_removed,
     surviving_text)."""
+    docs = _ensure_parallel(docs, id_col)
     words = _persist_latest(
         _WORDS_CACHE, docs.select(id_col, _words_col(text_col).alias("w"))
     )

@@ -317,6 +317,9 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     consumed by two+ filters, and inlined expressions recompute per
     element); everything else is single-pass column arithmetic.
     Mirrors the q60 oracle SQL exactly; keep in lockstep."""
+    from ai_pdf_extraction_spark.operators.dedup import _ensure_parallel
+
+    docs = _ensure_parallel(docs, id_col)
     c = F.col(text_col)
     base = docs.select(
         F.col(id_col),
@@ -672,8 +675,12 @@ def boilerplate_line_removal(
     corpus-cardinality key, no funnel, no window. The sorted array is
     projected in its OWN step before the element-wise lambda (the
     HOF no-CSE rule)."""
-    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+    from ai_pdf_extraction_spark.operators.dedup import (
+        _ensure_parallel,
+        _persist_latest,
+    )
 
+    docs = _ensure_parallel(docs, id_col)
     stripped = F.regexp_replace("line", r"^[ \t\r]+|[ \t\r]+$", "")
     lines = _persist_latest(
         _BP_LINE_CACHE,
@@ -741,8 +748,12 @@ def host_quality_filter(
     the scan; the per-host relation is a partial-agg groupBy at HOST
     cardinality and joins back broadcast — the corpus is scanned
     once more but never shuffled."""
-    from ai_pdf_extraction_spark.operators.dedup import _persist_latest
+    from ai_pdf_extraction_spark.operators.dedup import (
+        _ensure_parallel,
+        _persist_latest,
+    )
 
+    docs = _ensure_parallel(docs, id_col)
     scored = _persist_latest(
         _HOST_Q_CACHE,
         docs.select(
@@ -788,6 +799,9 @@ def paragraph_lang_mix(
     structs — no float, no window). Scale shape: explode → two
     partial-agg groupBys on corpus-cardinality keys; the detector is
     one Column projection per paragraph row, whole-stage codegen."""
+    from ai_pdf_extraction_spark.operators.dedup import _ensure_parallel
+
+    docs = _ensure_parallel(docs, id_col)
     paras = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\n{2,}")).alias("para"),
@@ -849,6 +863,10 @@ def normalize_text(
     is pure Column regex work; ``\\z`` (not ``$``) for end-of-text —
     Java's ``$`` matches before a final newline, RE2's does not."""
     from pyspark.sql.functions import pandas_udf
+
+    from ai_pdf_extraction_spark.operators.dedup import _ensure_parallel
+
+    docs = _ensure_parallel(docs, id_col)
 
     @pandas_udf("string")
     def _nfc(s: pd.Series) -> pd.Series:

@@ -246,7 +246,12 @@ def curated_corpus_v4(
             _narrow=narrow, **knobs,
         ),
     )
-    survivors = narrow.join(base.select(id_col), id_col, "left_semi")
+    # the semi join preserves the balanced narrow projection's
+    # partitioning (broadcast probe side) — mark it so the span leg's
+    # parallelism guard doesn't re-shuffle the survivor texts
+    survivors = mark_parallel_balanced(
+        narrow.join(base.select(id_col), id_col, "left_semi")
+    )
     sp = span_dedup(survivors, id_col=id_col, text_col=text_col, k=span_k)
     span_cols = sp.select(
         id_col,
