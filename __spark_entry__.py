@@ -1972,7 +1972,20 @@ _Q80_RAW_URL_SQL = (
 
 
 def _q80_messy_url() -> F.Column:
-    """The Spark twin of ``_Q80_RAW_URL_SQL`` (keep in lockstep)."""
+    """The Spark twin of ``_Q80_RAW_URL_SQL`` (keep in lockstep).
+
+    Wrapped non-NULLABLE (coalesce with a literal — an identity here:
+    event_id never nulls): with a nullable url every downstream join
+    on the canonical key makes InferFiltersFromConstraints add
+    ``isnotnull(canon_url)``, and predicate pushdown then inlines the
+    ENTIRE ~20-regex canonicalization chain into the parquet scan's
+    DataFilters — evaluated on the pre-repartition (single-task)
+    scan, then recomputed above. Measured 12 s → 3.5 s on q80 at
+    sf1.0 from this wrapper alone."""
+    return F.coalesce(_q80_messy_url_raw(), F.lit(""))
+
+
+def _q80_messy_url_raw() -> F.Column:
     return F.concat(
         F.lit("HTTPS://Host"),
         (F.col("event_id") % 7).cast("string"),
@@ -2003,7 +2016,9 @@ def q80_url_frontier_delta(spark, sf_dir):
         with_canonical_url,
     )
 
-    e = _t(spark, sf_dir, "events")
+    # the staged canonicalizer is ~20 regex ops per url — by far the
+    # heaviest per-row leg of every composed frontier plan (q83/q88)
+    e = _fan_out(_t(spark, sf_dir, "events"), "event_id")
     pages = e.select("event_id", _q80_messy_url().alias("url"))
     # index-build job: one distinct over the historical partition
     # (staged canonicalizer: this leg used to dominate the composed
@@ -2042,18 +2057,27 @@ def _q84_links(spark, sf_dir):
     e = _fan_out(_t(spark, sf_dir, "events"), "event_id")
     eid = F.col("event_id")
     dst_hid = F.when(eid % 2 == 0, (eid * 7 + 3) % 13).otherwise(eid % 3)
+    # coalesce: non-nullable urls (identity — event_id never nulls), or
+    # the pagerank joins' inferred isnotnull(host) pushes the host_of
+    # regex into the single-task scan (the _q80_messy_url lesson)
     return e.select(
-        F.concat(
-            F.lit("http://host"),
-            (eid % 13).cast("string"),
-            F.lit(".example.com/p/"),
-            eid.cast("string"),
+        F.coalesce(
+            F.concat(
+                F.lit("http://host"),
+                (eid % 13).cast("string"),
+                F.lit(".example.com/p/"),
+                eid.cast("string"),
+            ),
+            F.lit(""),
         ).alias("src_url"),
-        F.concat(
-            F.lit("http://host"),
-            dst_hid.cast("string"),
-            F.lit(".example.com/q/"),
-            (eid % 211).cast("string"),
+        F.coalesce(
+            F.concat(
+                F.lit("http://host"),
+                dst_hid.cast("string"),
+                F.lit(".example.com/q/"),
+                (eid % 211).cast("string"),
+            ),
+            F.lit(""),
         ).alias("dst_url"),
     )
 
@@ -2069,7 +2093,14 @@ def q84_host_pagerank(spark, sf_dir):
         pagerank,
     )
 
-    return pagerank(host_edges(_q84_links(spark, sf_dir)), iterations=3)
+    # truncate: checkpointing the tiny collapsed host-edge cells cuts
+    # the 1M-row link synthesis + host_of subtree out of every
+    # iteration job's planning (measured 6.9 -> 3.7 s at sf1.0)
+    return pagerank(
+        host_edges(_q84_links(spark, sf_dir)),
+        iterations=3,
+        truncate_input_lineage=True,
+    )
 
 
 def q85_link_degree_stats(spark, sf_dir):
@@ -3249,7 +3280,7 @@ def q95_capture_delta(spark, sf_dir):
     key-partitioned window."""
     from ai_pdf_extraction_spark.operators.urls import capture_delta
 
-    e = _t(spark, sf_dir, "events")
+    e = _fan_out(_t(spark, sf_dir, "events"), "event_id")
     eid = F.col("event_id")
     k = F.when(eid % 11 == 0, eid + 100000).otherwise(eid % 997)
     caps = e.select(
@@ -3401,7 +3432,14 @@ def _q99_pages(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.lit('<a name="x">no href</a></body></html>'),
     )
-    return d.select("doc_id", src.alias("url"), html.alias("html"))
+    # non-nullable url/html (identity wrappers): q103's graph joins
+    # infer isnotnull over host_of(outlink) chains and would push the
+    # extraction regexes into the scan (the _q80_messy_url lesson)
+    return d.select(
+        "doc_id",
+        F.coalesce(src, F.lit("")).alias("url"),
+        F.coalesce(html, F.lit("")).alias("html"),
+    )
 
 
 def q99_outlink_extraction(spark, sf_dir):
@@ -3610,8 +3648,20 @@ def q103_extracted_pagerank(spark, sf_dir):
         pagerank,
     )
 
+    # localCheckpoint the NARROW page-level link relation between
+    # extraction and the graph: the composed q99 expression tree costs
+    # ~6 s of driver-side (re-)planning per execution when embedded
+    # under host_edges' filter+agg (thread-dumped: TreeNode.transformUp
+    # grind), and the pushed-down src!=dst predicate re-evaluates the
+    # full host/canon chains as a filter. Cutting here plans the big
+    # tree once, materializes ~|links| narrow rows, and every graph
+    # job downstream plans in milliseconds (same trade-off as
+    # pagerank's truncate_input_lineage, one level earlier).
+    links = q99_outlink_extraction(spark, sf_dir).select(
+        "src_url", "dst_url"
+    ).localCheckpoint()
     return pagerank(
-        host_edges(q99_outlink_extraction(spark, sf_dir)),
+        host_edges(links),
         iterations=3,
         truncate_input_lineage=True,
     )

@@ -75,6 +75,11 @@ def _guard_all_pairs(df: DataFrame, max_docs: int | None, op: str, scale_twin: s
 # built before either runs) is a recompute, never a wrong result.
 _SHINGLE_CACHE: list[DataFrame] = []
 
+# raw (pre-cap) shingle slot — _df_capped's input feeds both anti-join
+# sides; separate from _SHINGLE_CACHE so persisting the capped result
+# doesn't evict the raw relation mid-materialization
+_RAW_SHINGLE_CACHE: list[DataFrame] = []
+
 
 def _persist_latest(cache: list, df: DataFrame) -> DataFrame:
     """Most-recently-persisted slot: evicts the cache's previous entry
@@ -126,9 +131,16 @@ def _df_capped(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
     an inner join against the rare set: under Zipf the hot set is tiny
     relative to the relation, so AQE converts the anti join to a
     broadcast at runtime; the rare set is nearly the whole vocabulary
-    and would always shuffle."""
+    and would always shuffle.
+
+    The RAW explode is persisted first: it feeds BOTH sides of the
+    anti join (the probe stream and the hot-set group-by), and
+    unpersisted the split+transform+explode subtree executes twice —
+    measured ~2× on the shingle leg's materialization. Same
+    MEMORY_AND_DISK spill story as every other shingle persist."""
     if max_shingle_df is None:
         return sh
+    sh = _persist_latest(_RAW_SHINGLE_CACHE, sh)
     return sh.join(hot_shingle_set(sh, max_shingle_df), "shingle", "left_anti")
 
 
@@ -415,27 +427,61 @@ def ngram_jaccard_pairs(
         sh = _persist_shingles(
             _df_capped(_word_shingles(docs, id_col, text_col, n), max_shingle_df)
         )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     if _candidates is not None:
-        sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-        shared = (
-            _candidates.join(sh_a, "id_a")
-            .join(sh_b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("shared"))
+        # Candidate verify via per-doc shingle ARRAYS + array_intersect
+        # instead of the exploded (pair, shingle) match join: the old
+        # shape shuffled |candidates|·|shingles per doc| intermediate
+        # rows through a second join and a pair group-by; this shape
+        # aggregates the shingle relation ONCE to (id, sorted set,
+        # size) and probes it twice by id (AQE skew-splittable — a hot
+        # doc in many candidate pairs is a join key, not a window).
+        # Identical output: sh is distinct per (doc, shingle), so
+        # |array_intersect| = the old shared count; a pair with zero
+        # shared shingles (previously dropped by the inner match join)
+        # now carries jaccard 0 and drops at the threshold filter
+        # (every caller's threshold is > 0 — the registry pins 0.4/0.8).
+        # Array rows are doc-length-bounded — the granule/boilerplate
+        # collect_list precedent.
+        arrays = sh.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("_shs"),
+            F.count("*").alias("n_shingles"),
         )
-    else:
-        a = sh.alias("a")
-        b = sh.alias("b")
-        shared = (
-            a.join(b, "shingle")
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        a = arrays.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_shs").alias("_sa"),
+            F.col("n_shingles").alias("na"),
+        )
+        b = arrays.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_shs").alias("_sb"),
+            F.col("n_shingles").alias("nb"),
+        )
+        return (
+            _candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("shared")
+                    / (F.col("na") + F.col("nb") - F.col("shared")),
+                    4,
+                ),
             )
-            .agg(F.count("*").alias("shared"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
     return (

@@ -101,9 +101,14 @@ def _gram_occurrences(
     element, and an inlined expression would recompute per element
     (no CSE across HOF lambdas; see CLAUDE.md)."""
     n = F.size("w")
+    # unhex: the 32-char hex digest is only ever a grouping/join key —
+    # the 16-byte binary form halves the persisted/shuffled key bytes
+    # (injective transform, identical grouping)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
-        lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)))),
+        lambda i: F.unhex(
+            F.md5(F.lower(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))))
+        ),
     )
     return (
         words.filter(n >= k)
