@@ -675,7 +675,13 @@ def q26_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=5, centroids=_ivf_centroids(sf_dir))
+    # fan out the CORPUS side only: the per-row centroid-distance
+    # argmin is an interpreted HOF fold (k·d ops/row) that otherwise
+    # runs on the single-row-group scan's one real task
+    return ivf_topk(
+        _fan_out(emb, "vec_id"), queries, k=5,
+        centroids=_ivf_centroids(sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
