@@ -149,6 +149,53 @@ def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
     assert uncapped[(1, 2)] != capped[(1, 2)]
 
 
+def test_ngram_allpairs_block_grid_matches_python_twin(spark):
+    """The all-pairs baseline's block-grid pandas rewrite (r8) must
+    reproduce the naive python Jaccard EXACTLY on a corpus large
+    enough that every (block_i, block_j) cell of the 8-block grid is
+    populated — diagonal tasks (da<db dedup), off-diagonal tasks, and
+    the round-4 half-away rule all on the hook."""
+    import hashlib
+
+    from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(48):
+        # overlapping sliding windows of a shared vocabulary: every
+        # doc shares shingles with its neighbours, none with far docs
+        toks = [words[(d * 3 + j) % 40] for j in range(12)]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.05, max_shingle_df=None
+        ).collect()
+    }
+
+    def shingles(text):
+        t = text.lower().split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    import math
+
+    want = {}
+    sets = {d: shingles(t) for d, t in rows}
+    for a in range(48):
+        for b in range(a + 1, 48):
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            j4 = math.floor(j * 10_000 + 0.5) / 10_000
+            if j4 >= 0.05:
+                want[(a, b)] = j4
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=0), (k, got[k], want[k])
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     from ai_pdf_extraction_spark.operators.dedup import minhash_lsh_pairs
 
