@@ -20,10 +20,9 @@ simhash, whose 64-bit JVM hash has no DuckDB twin — rows-only check):
   turns pairs into keep/drop decisions.
 
 All shingling/hashing is built-in Column expressions — no per-row
-Python UDFs; the two quadratic pair searches (embedding cosine, and
-the all-pairs Jaccard baseline) run their block-grid inner loops as
-Arrow-batched ``applyInPandas`` tasks over vectorized numpy/pandas
-(guide §4.2), never row-at-a-time Python.
+Python UDFs; the embedding pair search runs its block-grid BLAS inner
+loop as Arrow-batched ``applyInPandas`` tasks (vectorized numpy),
+never row-at-a-time Python.
 """
 
 from __future__ import annotations
@@ -475,122 +474,38 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    # All-pairs baseline via the q24 block grid: the shingle self-join
-    # form shuffled Σ c(s)² pair rows (127 M at sf1.0) through a pair
-    # group-by whose partial aggregation cannot reduce (a pair's
-    # occurrences scatter across shingle partitions). Here each doc's
-    # shingle SET rides into (block_i, block_j) tasks and the pair
-    # events are enumerated by a pandas hash merge + C groupby inside
-    # the task (guide §4.2 — hand batches to vectorized native code);
-    # only (id_a, id_b, jaccard) survivors leave Python. Identical
-    # output: per-task factorized shingle codes preserve string
-    # equality exactly, the merge emits one event per shared shingle
-    # (the da<db filter keeps one orientation in diagonal tasks), and
-    # the rounding is the same half-away rule the embedding family
-    # pins against DuckDB round(). Still quadratic — the max_docs
-    # guard above is unchanged.
-    arrays = sh.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("_shs"),
-        F.count("*").alias("n_shingles"),
-    )
-    return _block_allpairs_jaccard(
-        arrays.select(
-            F.col(id_col).alias("_id"), "_shs", "n_shingles"
-        ),
-        threshold,
-        n_blocks=8,
-    )
-
-
-def _block_allpairs_jaccard(
-    rel: DataFrame, threshold: float, n_blocks: int
-) -> DataFrame:
-    """Block-grid all-pairs Jaccard over per-doc shingle sets.
-    ``rel``: (_id, _shs array<string>, n_shingles). Output: (id_a,
-    id_b, jaccard) with id_a < id_b, round-4, ≥ threshold. Same
-    √-replication scaffold as ``_block_pair_search`` (each row to its
-    ``n_blocks`` block-pairs; a pair is computed in exactly one
-    task)."""
-    import numpy as np
-    import pandas as pd
-
-    blocked = rel.withColumn(
-        "blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
-    )
-    expanded = blocked.select(
-        "_id",
-        "_shs",
-        "n_shingles",
-        "blk",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-                lambda o: F.struct(
-                    F.least(F.col("blk"), o).alias("ba"),
-                    F.greatest(F.col("blk"), o).alias("bb"),
-                ),
-            )
-        ).alias("bp"),
-    )
-    out_schema = "id_a long, id_b long, jaccard double"
-    empty = pd.DataFrame(
-        {"id_a": [], "id_b": [], "jaccard": []}
-    ).astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ba = int(pdf["bp"].iloc[0]["ba"])
-        bb = int(pdf["bp"].iloc[0]["bb"])
-        ids = pdf["_id"].to_numpy()
-        ns = pdf["n_shingles"].to_numpy()
-        blks = pdf["blk"].to_numpy()
-        lists = pdf["_shs"].tolist()
-        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
-        if lens.sum() == 0:
-            return empty
-        docpos = np.repeat(np.arange(len(lists)), lens)
-        flat = np.asarray(
-            [s for lst in lists for s in lst], dtype=object
+    # All-pairs baseline: the JVM shingle self-join + pair group-by,
+    # kept DELIBERATELY after measuring two pandas block-grid
+    # rewrites (r8): an arrays-of-shingles grid hit 2-3× timing
+    # variance inside the full bench (object-array Arrow transfer +
+    # per-task factorize are allocation-hostile in long-lived
+    # workers), and a primitive exploded-key grid paid an 8×-replica
+    # 21M-row group-shuffle into Python that dwarfed the win. The
+    # self-join enumerates Σ c(s)² pair rows but stays stable
+    # wall-clock-wise; the quadratic mass is the operator's contract
+    # (see the max_docs guard) — minhash_lsh_pairs is the scale plan.
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        codes, _ = pd.factorize(flat)
-        ma = blks[docpos] == ba
-        mb = blks[docpos] == bb
-        m = pd.DataFrame({"s": codes[ma], "da": docpos[ma]}).merge(
-            pd.DataFrame({"s": codes[mb], "db": docpos[mb]}), on="s"
-        )
-        da = m["da"].to_numpy()
-        db = m["db"].to_numpy()
-        if ba == bb:
-            keep = da < db
-            da, db = da[keep], db[keep]
-        if da.size == 0:
-            return empty
-        ga, gb = ids[da], ids[db]
-        lo = np.minimum(ga, gb)
-        hi = np.maximum(ga, gb)
-        grp = (
-            pd.DataFrame({"a": lo, "b": hi})
-            .groupby(["a", "b"], sort=False)
-            .size()
-            .reset_index(name="shared")
-        )
-        n_by_id = dict(zip(ids.tolist(), ns.tolist()))
-        na = grp["a"].map(n_by_id).to_numpy(dtype=np.float64)
-        nb = grp["b"].map(n_by_id).to_numpy(dtype=np.float64)
-        shared = grp["shared"].to_numpy(dtype=np.float64)
-        jac = _round_half_away_4(shared / (na + nb - shared))
-        keep = jac >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": grp["a"].to_numpy()[keep],
-                "id_b": grp["b"].to_numpy()[keep],
-                "jaccard": jac[keep],
-            }
-        )
-
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
     return (
-        expanded.groupBy("bp")
-        .applyInPandas(block_pairs, out_schema)
-        .dropDuplicates(["id_a", "id_b"])
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -149,12 +149,12 @@ def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
     assert uncapped[(1, 2)] != capped[(1, 2)]
 
 
-def test_ngram_allpairs_block_grid_matches_python_twin(spark):
-    """The all-pairs baseline's block-grid pandas rewrite (r8) must
-    reproduce the naive python Jaccard EXACTLY on a corpus large
-    enough that every (block_i, block_j) cell of the 8-block grid is
-    populated — diagonal tasks (da<db dedup), off-diagonal tasks, and
-    the round-4 half-away rule all on the hook."""
+def test_ngram_allpairs_matches_python_twin(spark):
+    """The all-pairs baseline must reproduce the naive python Jaccard
+    EXACTLY — counts, the round-4 half-away rule, and the threshold
+    boundary — on a 48-doc sliding-window corpus dense in partial
+    overlaps (added r8 alongside the optimization passes over this
+    operator; implementation-agnostic so it pins any future rewrite)."""
     import hashlib
 
     from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
