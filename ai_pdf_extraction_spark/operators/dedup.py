@@ -925,7 +925,10 @@ def embedding_near_dup_pairs_lsh(
     (pinned in pytest alongside a recall measurement)."""
     from ai_pdf_extraction_spark.operators.similarity import lsh_bucket, lsh_planes
 
-    emb = _ensure_parallel(emb, id_col)
+    # no _ensure_parallel here (r8, measured): the block-grid shuffle
+    # redistributes the work anyway, and a rebalance in front costs
+    # more than the single-task bucketize it parallelizes (+2.3 s on
+    # q64 at sf0.1, ~nothing saved at sf1.0)
     planes = lsh_planes(n_planes, dim)
     bucketed = emb.select(
         F.col(id_col).alias("_id"),
@@ -982,8 +985,7 @@ def embedding_near_dup_delta(
     raising like the batch twin (review r7)."""
     from ai_pdf_extraction_spark.operators.similarity import lsh_bucket, lsh_planes
 
-    new_emb = _ensure_parallel(new_emb, id_col)
-    old_emb = _ensure_parallel(old_emb, id_col)
+    # no _ensure_parallel (see embedding_near_dup_pairs_lsh)
     planes = lsh_planes(n_planes, dim)
 
     def bucketize(df: DataFrame, is_new: bool) -> DataFrame:
@@ -1049,7 +1051,6 @@ def embedding_near_dup_pairs(
     _guard_all_pairs(
         emb, max_docs, "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh"
     )
-    emb = _ensure_parallel(emb, id_col)
     rel = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
