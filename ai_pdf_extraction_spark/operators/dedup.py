@@ -52,14 +52,31 @@ DEFAULT_MAX_SHINGLE_DF = 1000
 # it gates; pass max_docs=None to accept the quadratic cost knowingly.
 ALL_PAIRS_MAX_DOCS = 100_000
 
+# Above this many docs the all-pairs Jaccard baseline switches from the
+# flat shingle self-join to the exact prefix-filtered plan (Bayardo et
+# al., "Scaling Up All Pairs Similarity Search", WWW'07): candidate
+# pairs are generated only from each doc's rarest-first shingle PREFIX
+# (length n − ⌈t·n⌉ + 1), then verified exactly. The crossover is
+# empirical (r8, measured): below it the self-join's two stages beat
+# the prefix plan's six small ones (sf0.1, 5k docs: 0.6 s vs 2.0 s
+# noop); above it the Σc(s)² pair mass dominates and the prefix cut
+# wins (50k docs, 1.3·10^8 pair mass: 64 s vs 31 s noop, min-of-3).
+# Doc count is the probe the guard already pays for; it is a proxy for
+# pair mass, and the guard caps how far the proxy can be off.
+PREFIX_FILTER_MIN_DOCS = 20_000
 
-def _guard_all_pairs(df: DataFrame, max_docs: int | None, op: str, scale_twin: str) -> None:
+
+def _guard_all_pairs(
+    df: DataFrame, max_docs: int | None, op: str, scale_twin: str
+) -> int | None:
     # limit(max+1).count(), NOT count(): the guard must stay cheap on
     # the very corpora it refuses — a full count of a 10^12-row table
     # just to say "too big" would itself be a major job; the limit
     # short-circuits the scan as soon as max_docs+1 rows exist.
+    # Returns the probed doc count (exact for admitted corpora) so the
+    # caller can pick a plan by scale without a second count job.
     if max_docs is None:
-        return
+        return None
     n = df.limit(max_docs + 1).count()
     if n > max_docs:
         raise ValueError(
@@ -68,6 +85,7 @@ def _guard_all_pairs(df: DataFrame, max_docs: int | None, op: str, scale_twin: s
             "at corpus scale, or pass max_docs=None to force the "
             "quadratic plan"
         )
+    return n
 
 # Most-recently persisted shingle relations. Plan-building functions
 # persist the shingle explode because it feeds several consumers, but
@@ -82,6 +100,11 @@ _SHINGLE_CACHE: list[DataFrame] = []
 # sides; separate from _SHINGLE_CACHE so persisting the capped result
 # doesn't evict the raw relation mid-materialization
 _RAW_SHINGLE_CACHE: list[DataFrame] = []
+
+# per-doc sorted shingle-array slot for the prefix-filtered all-pairs
+# plan: the relation feeds three consumers (prefix explode + both
+# verify sides), so it gets its own persist slot
+_PAIR_ARRAYS_CACHE: list[DataFrame] = []
 
 
 def _persist_latest(cache: list, df: DataFrame) -> DataFrame:
@@ -392,6 +415,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     max_docs: int | None = ALL_PAIRS_MAX_DOCS,
+    prefix_min_docs: int = PREFIX_FILTER_MIN_DOCS,
     _shingles: DataFrame | None = None,
     _candidates: DataFrame | None = None,
 ) -> DataFrame:
@@ -404,6 +428,11 @@ def ngram_jaccard_pairs(
     ``max_docs`` (see ``ALL_PAIRS_MAX_DOCS``): ``minhash_lsh_pairs`` is
     the plan to run at scale. The guard does not apply on the LSH
     verify path (``_candidates`` given), which is linear in candidates.
+    From ``prefix_min_docs`` docs up, candidate pairs are generated by
+    the exact Bayardo prefix filter instead of the flat self-join
+    (identical output, ~2× at 5·10^4 docs — see
+    ``PREFIX_FILTER_MIN_DOCS``); pass ``prefix_min_docs=0`` to force
+    that plan on a small corpus (tests do).
 
     The DF cap is ON by default: at web scale a handful of ubiquitous
     shingles would otherwise create a quadratic hot key in the
@@ -418,8 +447,9 @@ def ngram_jaccard_pairs(
     shared-shingle counting then touches only candidate docs instead
     of the full self-join.
     """
+    n_docs: int | None = None
     if _candidates is None:
-        _guard_all_pairs(
+        n_docs = _guard_all_pairs(
             docs, max_docs, "ngram_jaccard_pairs", "minhash_lsh_pairs"
         )
     if _shingles is not None:
@@ -474,15 +504,95 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    # All-pairs baseline: the JVM shingle self-join + pair group-by,
-    # kept DELIBERATELY after measuring two pandas block-grid
-    # rewrites (r8): an arrays-of-shingles grid hit 2-3× timing
-    # variance inside the full bench (object-array Arrow transfer +
-    # per-task factorize are allocation-hostile in long-lived
-    # workers), and a primitive exploded-key grid paid an 8×-replica
-    # 21M-row group-shuffle into Python that dwarfed the win. The
-    # self-join enumerates Σ c(s)² pair rows but stays stable
-    # wall-clock-wise; the quadratic mass is the operator's contract
+    if n_docs is not None and n_docs >= prefix_min_docs:
+        # Exact prefix-filtered all-pairs (Bayardo et al., WWW'07;
+        # see PREFIX_FILTER_MIN_DOCS for the crossover measurement).
+        # Lemma: under ANY fixed total order on shingles, a pair with
+        # J ≥ t shares its intersection's order-minimum shingle within
+        # BOTH docs' first (n − ⌈t·n⌉ + 1) shingles — J ≥ t forces
+        # |a∩b| ≥ t·|a| (union ≥ |a|), and if no intersection element
+        # sat in a's prefix, all ≥ ⌈t·|a|⌉ of them would have to fit
+        # in the ⌈t·|a|⌉ − 1 positions after it. So joining on prefix
+        # shingles only generates every qualifying pair (candidates
+        # are a superset; the exact Jaccard verify below re-filters).
+        # Rarest-first order (by global DF, then shingle) puts DF-1
+        # shingles in the prefixes, collapsing the candidate mass —
+        # measured 9.5× fewer candidates than the full pair mass at
+        # sf0.1 vs 5.1× for lexicographic order. The ε in the ⌈⌉ and
+        # the size filter only ever RELAXES a bound (longer prefix,
+        # more candidates kept) so float rounding cannot drop a pair.
+        dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        arrays = _persist_latest(
+            _PAIR_ARRAYS_CACHE,
+            sh.join(dfc, "shingle")
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_df", "shingle"))),
+                    lambda s: s["shingle"],
+                ).alias("_shs"),
+                F.count("*").alias("n_shingles"),
+            ),
+        )
+        n = F.col("n_shingles")
+        plen = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
+        pe = arrays.select(
+            F.col(id_col),
+            F.col("n_shingles").alias("_n"),
+            F.explode(F.slice("_shs", F.lit(1), plen)).alias("shingle"),
+        )
+        # size filter: J ≤ min(na,nb)/max(na,nb), so J ≥ t needs
+        # min ≥ t·max (ε-relaxed) — prunes candidates before the
+        # distinct pays for them
+        cand = (
+            pe.alias("a")
+            .join(pe.alias("b"), "shingle")
+            .filter(
+                (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.col("a._n") >= F.lit(threshold) * F.col("b._n") - F.lit(1e-9))
+                & (F.col("b._n") >= F.lit(threshold) * F.col("a._n") - F.lit(1e-9))
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        a = arrays.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_shs").alias("_sa"),
+            F.col("n_shingles").alias("na"),
+        )
+        b = arrays.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_shs").alias("_sb"),
+            F.col("n_shingles").alias("nb"),
+        )
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("shared")
+                    / (F.col("na") + F.col("nb") - F.col("shared")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # Small-corpus all-pairs baseline: the JVM shingle self-join + pair
+    # group-by, kept DELIBERATELY below the prefix-filter crossover
+    # after measuring two pandas block-grid rewrites (r8): an
+    # arrays-of-shingles grid hit 2-3× timing variance inside the full
+    # bench (object-array Arrow transfer + per-task factorize are
+    # allocation-hostile in long-lived workers), and a primitive
+    # exploded-key grid paid an 8×-replica 21M-row group-shuffle into
+    # Python that dwarfed the win. The self-join enumerates Σ c(s)²
+    # pair rows but below the crossover that mass is cheaper than the
+    # prefix plan's extra stages; the guard caps how far it can grow
     # (see the max_docs guard) — minhash_lsh_pairs is the scale plan.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")

@@ -149,12 +149,19 @@ def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
     assert uncapped[(1, 2)] != capped[(1, 2)]
 
 
-def test_ngram_allpairs_matches_python_twin(spark):
+@pytest.mark.parametrize(
+    "prefix_min_docs", [10**9, 0], ids=["selfjoin", "prefix"]
+)
+def test_ngram_allpairs_matches_python_twin(spark, prefix_min_docs):
     """The all-pairs baseline must reproduce the naive python Jaccard
     EXACTLY — counts, the round-4 half-away rule, and the threshold
     boundary — on a 48-doc sliding-window corpus dense in partial
     overlaps (added r8 alongside the optimization passes over this
-    operator; implementation-agnostic so it pins any future rewrite)."""
+    operator; implementation-agnostic so it pins any future rewrite).
+    Parametrized over BOTH all-pairs plans: the small-corpus self-join
+    and the Bayardo prefix-filtered plan the operator switches to at
+    PREFIX_FILTER_MIN_DOCS (forced here via prefix_min_docs=0); the
+    0.05 threshold stresses the near-full prefix length n−⌈t·n⌉+1."""
     import hashlib
 
     from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
@@ -170,7 +177,8 @@ def test_ngram_allpairs_matches_python_twin(spark):
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in ngram_jaccard_pairs(
-            docs, threshold=0.05, max_shingle_df=None
+            docs, threshold=0.05, max_shingle_df=None,
+            prefix_min_docs=prefix_min_docs,
         ).collect()
     }
 
