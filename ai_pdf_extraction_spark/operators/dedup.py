@@ -407,6 +407,42 @@ def _word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     )
 
 
+def _verify_pairs_by_arrays(
+    pairs: DataFrame, arrays: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate (id_a, id_b) pairs from a per-doc
+    shingle-array relation ``arrays`` (id, ``_shs`` array, ``n_shingles``):
+    two id-keyed probes + ``array_intersect``. ``arrays`` rows must be
+    distinct per shingle so |intersect| equals the shared count; array
+    ORDER is irrelevant. The ONE site for the round-4 ≥-threshold emit
+    rule — shared by the LSH verify path and the prefix-filtered
+    all-pairs plan so the lockstep rounding semantics cannot fork."""
+    a = arrays.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_shs").alias("_sa"),
+        F.col("n_shingles").alias("na"),
+    )
+    b = arrays.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_shs").alias("_sb"),
+        F.col("n_shingles").alias("nb"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -479,32 +515,8 @@ def ngram_jaccard_pairs(
             F.collect_list("shingle").alias("_shs"),
             F.count("*").alias("n_shingles"),
         )
-        a = arrays.select(
-            F.col(id_col).alias("id_a"),
-            F.col("_shs").alias("_sa"),
-            F.col("n_shingles").alias("na"),
-        )
-        b = arrays.select(
-            F.col(id_col).alias("id_b"),
-            F.col("_shs").alias("_sb"),
-            F.col("n_shingles").alias("nb"),
-        )
-        return (
-            _candidates.join(a, "id_a")
-            .join(b, "id_b")
-            .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("shared")
-                    / (F.col("na") + F.col("nb") - F.col("shared")),
-                    4,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-    if n_docs is not None and n_docs >= prefix_min_docs:
+        return _verify_pairs_by_arrays(_candidates, arrays, id_col, threshold)
+    if prefix_min_docs <= 0 or (n_docs is not None and n_docs >= prefix_min_docs):
         # Exact prefix-filtered all-pairs (Bayardo et al., WWW'07;
         # see PREFIX_FILTER_MIN_DOCS for the crossover measurement).
         # Lemma: under ANY fixed total order on shingles, a pair with
@@ -518,9 +530,22 @@ def ngram_jaccard_pairs(
         # Rarest-first order (by global DF, then shingle) puts DF-1
         # shingles in the prefixes, collapsing the candidate mass —
         # measured 9.5× fewer candidates than the full pair mass at
-        # sf0.1 vs 5.1× for lexicographic order. The ε in the ⌈⌉ and
-        # the size filter only ever RELAXES a bound (longer prefix,
-        # more candidates kept) so float rounding cannot drop a pair.
+        # sf0.1 vs 5.1× for lexicographic order.
+        #
+        # PRUNING THRESHOLD: the emit filter accepts round4(J) ≥ t,
+        # which half-away rounding satisfies for true J as low as
+        # t − 5e-5 — so every pruning bound below uses t_eff =
+        # t − 1e-4 (the q24 loose-cosine precedent: |round4(x) − x| ≤
+        # 5e-5, margin doubled), NOT t itself; bounding with t would
+        # drop a pair like shared 1601 / union 4003 at t = 0.4
+        # (J = .39995 → round4 = .4, emitted by the self-join plan,
+        # outside the t-pruned candidate set — review r8). The extra
+        # 1e-9 absorbs float error in ⌈t_eff·n⌉; both relaxations only
+        # ever LENGTHEN a prefix / keep more candidates, and plen is
+        # clamped at 0 so a nonsense threshold > 1 yields the empty
+        # result (as the self-join plan does) instead of a negative
+        # slice length.
+        t_eff = max(threshold - 1e-4, 0.0)
         dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         arrays = _persist_latest(
             _PAIR_ARRAYS_CACHE,
@@ -535,22 +560,24 @@ def ngram_jaccard_pairs(
             ),
         )
         n = F.col("n_shingles")
-        plen = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
+        plen = F.greatest(
+            n - F.ceil(F.lit(t_eff) * n - F.lit(1e-9)) + 1, F.lit(0)
+        )
         pe = arrays.select(
             F.col(id_col),
             F.col("n_shingles").alias("_n"),
             F.explode(F.slice("_shs", F.lit(1), plen)).alias("shingle"),
         )
-        # size filter: J ≤ min(na,nb)/max(na,nb), so J ≥ t needs
-        # min ≥ t·max (ε-relaxed) — prunes candidates before the
-        # distinct pays for them
+        # size filter: J ≤ min(na,nb)/max(na,nb), so emission needs
+        # min ≥ t_eff·max — prunes candidates before the distinct
+        # pays for them
         cand = (
             pe.alias("a")
             .join(pe.alias("b"), "shingle")
             .filter(
                 (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                & (F.col("a._n") >= F.lit(threshold) * F.col("b._n") - F.lit(1e-9))
-                & (F.col("b._n") >= F.lit(threshold) * F.col("a._n") - F.lit(1e-9))
+                & (F.col("a._n") >= F.lit(t_eff) * F.col("b._n") - F.lit(1e-9))
+                & (F.col("b._n") >= F.lit(t_eff) * F.col("a._n") - F.lit(1e-9))
             )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
@@ -558,31 +585,7 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        a = arrays.select(
-            F.col(id_col).alias("id_a"),
-            F.col("_shs").alias("_sa"),
-            F.col("n_shingles").alias("na"),
-        )
-        b = arrays.select(
-            F.col(id_col).alias("id_b"),
-            F.col("_shs").alias("_sb"),
-            F.col("n_shingles").alias("nb"),
-        )
-        return (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
-            .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("shared")
-                    / (F.col("na") + F.col("nb") - F.col("shared")),
-                    4,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+        return _verify_pairs_by_arrays(cand, arrays, id_col, threshold)
     # Small-corpus all-pairs baseline: the JVM shingle self-join + pair
     # group-by, kept DELIBERATELY below the prefix-filter crossover
     # after measuring two pandas block-grid rewrites (r8): an

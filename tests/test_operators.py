@@ -204,6 +204,41 @@ def test_ngram_allpairs_matches_python_twin(spark, prefix_min_docs):
         assert got[k] == pytest.approx(want[k], abs=0), (k, got[k], want[k])
 
 
+def test_ngram_allpairs_prefix_round4_boundary(spark):
+    """The emit rule is round4(J) ≥ t, which half-away rounding
+    satisfies for true J as low as t − 5e-5 — the prefix plan's
+    pruning bounds must therefore use the relaxed t_eff, not t
+    (review r8). shared 1601 / union 4003 gives J = 0.399950… →
+    round4 = 0.4000, emitted at t = 0.4 by BOTH plans; a t-based size
+    filter (nb ≥ 0.4·4003 = 1601.2) would silently drop it from the
+    prefix plan. Also pins: prefix_min_docs=0 forces the prefix plan
+    even with max_docs=None (no guard probe), and a nonsense
+    threshold > 1 yields the empty result instead of a negative
+    slice length."""
+    from ai_pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = [f"u{i}" for i in range(4005)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:1603]))],
+        "doc_id long, text string",
+    )  # 4003 vs 1601 distinct shingles, b's a subset of a's
+    for pmd, max_docs in ((10**9, None), (0, None), (0, 100_000)):
+        got = [
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.4, max_shingle_df=None,
+                max_docs=max_docs, prefix_min_docs=pmd,
+            ).collect()
+        ]
+        assert got == [(1, 2, 0.4)], (pmd, max_docs, got)
+    assert (
+        ngram_jaccard_pairs(
+            docs, threshold=1.1, max_shingle_df=None, prefix_min_docs=0
+        ).count()
+        == 0
+    )
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     from ai_pdf_extraction_spark.operators.dedup import minhash_lsh_pairs
 
